@@ -1,0 +1,51 @@
+"""Testdata catalog: parquet table loaders + temp-view registration.
+
+The reference reads staged JSON through ClickHouse's ``s3()`` table
+function (reference dagster_code/clickhouse_load_tool/base_loader.py:326-341);
+here the at-rest format is parquet and the scan is a plain
+``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# parquet TIMESTAMP(NANOS) columns: Spark reads them as long (nanosAsLong
+# conf, session.py); convert to microsecond timestamps on load, truncating
+# exactly like DuckDB's ns->us coercion so oracles agree.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Pure `spark.read.parquet` — filters and
+    projections applied by callers are pushed into the scan by Catalyst."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so models can use spark.sql."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

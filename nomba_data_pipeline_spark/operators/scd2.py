@@ -1,0 +1,114 @@
+"""SCD Type 2 merge — dbt `check`-strategy snapshot, Spark-first (O12).
+
+Reference: dbt snapshot config `strategy='check'`,
+`check_cols=['state','occupation']`, `unique_key='user_id'`
+(reference dbt_project/nomba_dbt/snapshots/users_snapshot.sql:1-18;
+behavior documented in reference README.md:97-105). dbt emits
+`dbt_valid_from` / `dbt_valid_to` / `dbt_scd_id` / `dbt_updated_at`;
+we use the same column names minus the `dbt_` prefix plus `scd_id`.
+
+Semantics (SURVEY §2.9 O12, §7.4 hard-part 1):
+  * new key            -> insert one open version (valid_to IS NULL)
+  * changed check-col  -> close current version (valid_to = load_ts) and
+                          insert a new open version (null-safe compare <=>)
+  * unchanged          -> carry untouched
+  * key missing from batch -> carry open (dbt does not hard-delete by default)
+  * a key appearing multiple times in one batch -> latest by `order_within_batch`
+    wins (documented tie policy; dbt's behavior is undefined here)
+
+Pure DataFrame ops: one full-outer-shaped pass expressed as
+open-rows LEFT JOIN batch (classification) + batch LEFT ANTI open
+(brand-new keys). At scale both sides are hash-partitioned on the key;
+no skew expected on a primary key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+VALID_FROM = "valid_from"
+VALID_TO = "valid_to"
+SCD_ID = "scd_id"
+UPDATED_AT = "updated_at_scd"
+
+
+def _changed_predicate(check_cols: list[str]) -> Column:
+    """Null-safe any-column-differs (dbt uses IS DISTINCT FROM; Spark <=>)."""
+    pred = F.lit(False)
+    for c in check_cols:
+        pred = pred | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"new.{c}"))
+    return pred
+
+
+def _stamp(df: DataFrame, key: str, load_ts: Column) -> DataFrame:
+    return (
+        df.withColumn(VALID_FROM, load_ts)
+        .withColumn(VALID_TO, F.lit(None).cast("timestamp"))
+        .withColumn(UPDATED_AT, load_ts)
+        .withColumn(SCD_ID, F.md5(F.concat_ws("|", F.col(key), F.col(VALID_FROM))))
+    )
+
+
+def scd2_merge(
+    snapshot: DataFrame | None,
+    batch: DataFrame,
+    key: str,
+    check_cols: list[str],
+    load_ts: Column | None = None,
+    order_within_batch: str | None = None,
+) -> DataFrame:
+    """Return the new snapshot table state (closed + carried + opened rows)."""
+    ts = load_ts if load_ts is not None else F.current_timestamp()
+
+    if order_within_batch is not None:
+        w = Window.partitionBy(key).orderBy(F.col(order_within_batch).desc())
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        batch = batch.dropDuplicates([key])
+
+    if snapshot is None:
+        return _stamp(batch, key, ts)
+
+    attrs = batch.columns  # the business columns tracked by the snapshot
+    open_rows = snapshot.filter(F.col(VALID_TO).isNull())
+    closed_rows = snapshot.filter(F.col(VALID_TO).isNotNull())
+
+    cur = open_rows.alias("cur")
+    new = batch.alias("new")
+    joined = cur.join(new, on=F.col(f"cur.{key}") == F.col(f"new.{key}"), how="left")
+    changed_pred = _changed_predicate(check_cols) & F.col(f"new.{key}").isNotNull()
+
+    # current versions of changed keys -> closed with valid_to = ts
+    closed_now = (
+        joined.filter(changed_pred)
+        .select("cur.*")
+        .withColumn(VALID_TO, ts)
+        .withColumn(UPDATED_AT, ts)
+    )
+    # unchanged or key-absent-from-batch -> carried untouched
+    carried_open = joined.filter(~changed_pred).select("cur.*")
+    # new versions for changed keys
+    opened_changed = _stamp(joined.filter(changed_pred).select("new.*"), key, ts)
+    # brand-new keys
+    opened_new = _stamp(
+        new.join(cur, on=F.col(f"new.{key}") == F.col(f"cur.{key}"), how="left_anti")
+        .select(*[F.col(f"new.{c}") for c in attrs]),
+        key,
+        ts,
+    )
+    return (
+        closed_rows.unionByName(closed_now)
+        .unionByName(carried_open)
+        .unionByName(opened_changed)
+        .unionByName(opened_new)
+    )
+
+
+def current_rows(snapshot: DataFrame) -> DataFrame:
+    """P4 current-version filter (reference dim_users.sql:15)."""
+    return snapshot.filter(F.col(VALID_TO).isNull())

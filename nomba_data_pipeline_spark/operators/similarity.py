@@ -1,0 +1,175 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Scale-extension surface (BASELINE.json north star). Two strategies:
+
+* Brute-force cosine top-k (baseline): query set x corpus equi-free
+  join; all arithmetic is JVM-side higher-order functions
+  (`zip_with` + `aggregate`) — no Python, no UDF. The query side is
+  broadcast, so the corpus streams through map-side only: no shuffle
+  of the big side. Cost O(|Q| * N * d); correct baseline at any scale
+  where |Q| is bounded.
+* LSH-bucketed ANN (scale path): random-hyperplane signs computed from
+  the deterministic md5 hash family -> bucket equi-join, so the
+  candidate set per query is the bucket, not the corpus. Recall is
+  probabilistic (documented) — the correctness oracle therefore targets
+  the brute-force operator; the LSH variant is benchmarked for speed.
+
+Determinism note: dot/norm sums are sequential `aggregate` folds over
+the array — order-stable. Cosines are rounded to 6 dp before ranking so
+the DuckDB oracle (different but equally tiny fp error) ranks identically;
+ties break on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIM_DP = 6  # rounding for cross-engine determinism
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = _as_double(a), _as_double(b)
+    return F.round(
+        _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd))), SIM_DP
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k neighbors for rows matching query_filter."""
+    from pyspark.sql import Window
+
+    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    queries = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def cosine_topk_sql(table: str = "embeddings", query_pred: str = "vec_id % 50 = 0", k: int = 5) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}),
+    comps AS (
+        SELECT query_id, neighbor_id,
+               sum(qv[i] * nv[i]) AS dot,
+               sum(qv[i] * qv[i]) AS qq,
+               sum(nv[i] * nv[i]) AS nn
+        FROM (SELECT q.query_id AS query_id, q.qv AS qv, e.vec_id AS neighbor_id,
+                     e.v AS nv, unnest(range(1, len(q.qv) + 1)) AS i
+              FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id)
+        GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               round(dot / (sqrt(qq) * sqrt(nn)), {SIM_DP}) AS sim
+        FROM comps
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM sims
+    QUALIFY rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; benchmarked, oracle-free by design)
+# ---------------------------------------------------------------------------
+NUM_HYPERPLANES = 8
+
+
+def _hyperplane_sign_bits(vec: Column, dim: int) -> Column:
+    """Deterministic random-hyperplane signature without storing planes:
+    plane p, dimension j weight = (md5-derived int for (p,j)) centered.
+    All JVM expression ops."""
+    planes = F.sequence(F.lit(0), F.lit(NUM_HYPERPLANES - 1))
+    vd = _as_double(vec)
+
+    def plane_bit(p: Column) -> Column:
+        # weight_j in [-0.5, 0.5): hash(p, j) scaled
+        weighted = F.zip_with(
+            vd,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, j: x
+            * (
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit("hp:"), p.cast("string"), F.lit(":"), j.cast("string"))), 1, 8),
+                        16,
+                        10,
+                    ).cast("double")
+                    / F.lit(float(16**8))
+                )
+                - 0.5
+            ),
+        )
+        s = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return F.transform(planes, plane_bit)
+
+
+def lsh_bucket(vec: Column, dim: int) -> Column:
+    """Bucket id = concatenated hyperplane sign bits."""
+    return F.concat_ws("", _hyperplane_sign_bits(vec, dim))
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket.
+
+    Equi-join on bucket replaces the cross join — at 100 TB this is the
+    difference between O(N*|Q|) and O(N/2^planes * |Q|) comparisons.
+    """
+    from pyspark.sql import Window
+
+    with_bucket = embeddings.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim).alias("bucket")
+    )
+    corpus = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+    )
+    queries = with_bucket.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

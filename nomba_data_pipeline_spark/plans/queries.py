@@ -1,0 +1,472 @@
+"""Query registry: every operator surface exposed as (spark, sf_dir) -> DataFrame
+with an exactly-equivalent DuckDB oracle SQL string.
+
+This is the machine-checkable coverage of SURVEY §2's operator inventory
+plus the LLM-data-pipeline extensions. Column names are aliased
+identically on both sides (the driver's compare sorts columns by name
+before hashing). Money aggregates go through DECIMAL(18,4) so sums are
+exact and engine-order-independent; similarity scores are rounded to
+6 dp (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.catalog import load_table
+from nomba_data_pipeline_spark.functions import text as T
+from nomba_data_pipeline_spark.operators import dedup as D
+from nomba_data_pipeline_spark.operators import similarity as S
+from nomba_data_pipeline_spark.plans import models as M
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: Optional[str]  # DuckDB SQL; None -> driver does rows-only check
+    survey_ref: str  # which SURVEY §2 rows this covers
+
+
+def _dec(col):  # exact money arithmetic for cross-engine sums
+    return F.col(col).cast("decimal(18,4)") if isinstance(col, str) else col.cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: staging projections (P1, P2, F2)
+# ---------------------------------------------------------------------------
+def q_stg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.stg_users(spark, sf_dir)
+
+
+SQL_STG_USERS = """
+SELECT c_custkey AS user_id, c_name AS full_name, c_nationkey AS nation_key,
+       c_mktsegment AS segment, c_acctbal AS acct_balance
+FROM customer
+"""
+
+
+def q_stg_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.stg_plans(spark, sf_dir)
+
+
+# Africa/Lagos is fixed UTC+1 (no DST) -> oracle renders the tz shift as +1h
+SQL_STG_PLANS = """
+SELECT o_orderkey AS plan_id, o_custkey AS user_id, o_orderstatus AS status,
+       o_orderpriority AS product_type, o_totalprice AS target_amount,
+       o_orderdate + INTERVAL 1 HOUR AS created_at_lagos,
+       o_orderdate AS updated_at
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: dim/fact joins (J1, J2, F1) + flagship aggregate
+# ---------------------------------------------------------------------------
+def q_dim_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.dim_users(spark, sf_dir)
+
+
+SQL_DIM_USERS = """
+SELECT c.c_custkey AS user_id, c.c_name AS full_name,
+       concat_ws(' ', c.c_name, n.n_name) AS display_name,
+       c.c_mktsegment AS segment, c.c_acctbal AS acct_balance,
+       n.n_name AS nation, r.r_name AS region
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def q_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: fact mart rolled up to (region, product_type) revenue.
+
+    Exercises the full medallion chain: P1/P2 projections, J1/J2 joins
+    (broadcast dims), decimal-exact aggregation, group-by shuffle.
+    """
+    fact = M.fact_transactions(spark, sf_dir)
+    return (
+        fact.groupBy("region", "product_type")
+        .agg(
+            F.round(F.sum(_dec("amount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("txn_count"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+    )
+
+
+SQL_FLAGSHIP_REVENUE = """
+SELECT r.r_name AS region, o.o_orderpriority AS product_type,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue,
+       count(*) AS txn_count,
+       count(DISTINCT c.c_custkey) AS active_users
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_fact_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact mart itself (row-level, J2): txns with plan/user attrs."""
+    return M.fact_transactions(spark, sf_dir).select(
+        "transaction_id", "plan_id", "user_id", "product_type", "segment", "region"
+    )
+
+
+SQL_FACT_ENRICHED = """
+SELECT l.l_orderkey * 100 + l.l_linenumber AS transaction_id,
+       l.l_orderkey AS plan_id, o.o_custkey AS user_id,
+       o.o_orderpriority AS product_type, c.c_mktsegment AS segment,
+       r.r_name AS region
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: incremental machinery (A2, A4, P3, J4/A5)
+# ---------------------------------------------------------------------------
+def q_hwm_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 high-water-mark: MAX(tracking_column), per event_type."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("hwm"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_HWM = """
+SELECT event_type, max(ts) AS hwm, count(*) AS n_events FROM events GROUP BY 1
+"""
+
+
+def q_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 delta predicate: rows newer than (global max ts - 7 days).
+
+    The scalar-subquery hwm is a 1-row broadcast; the filter on ts is
+    pushed into the parquet scan by Catalyst.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hwm = events.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    return (
+        events.crossJoin(F.broadcast(hwm))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+SQL_INCREMENTAL_FILTER = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+"""
+
+
+def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/A5 keep-latest-per-key dedup via row_number window
+    (reference base_loader.py:513-522 expressed the idiomatic Spark way)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+SQL_KEEP_LATEST = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 duplicate-group detector (reference base_loader.py:496-507)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+SQL_DUP_GROUPS = """
+SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: JSON handling (P8/P10/F7), sorts/limits (O2)
+# ---------------------------------------------------------------------------
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/P8: parse the props JSON payload into a typed column."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+SQL_JSON_FLATTEN = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k FROM events
+"""
+
+
+def q_top_users_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 sort+limit over an aggregate (deterministic tiebreak on user_id)."""
+    fact = M.fact_transactions(spark, sf_dir)
+    return (
+        fact.groupBy("user_id")
+        .agg(F.round(F.sum(_dec("amount")), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_USERS = """
+SELECT o.o_custkey AS user_id,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY revenue DESC, user_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Analytics: TPC-H Q1 shape, SCD2-interval derivation, sessionization
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (agg coverage: sum/avg/count on decimals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))), 2
+            ).alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")) / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")) / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS sum_base_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS sum_disc_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2) AS sum_charge,
+       round(sum(CAST(l_quantity AS DECIMAL(18,4))) / count(*), 6) AS avg_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / count(*), 6) AS avg_price,
+       round(sum(CAST(l_discount AS DECIMAL(18,4))) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12-shaped validity intervals derived from the events history:
+    each (user_id, ts) version of `value` is valid until the next event.
+    lead() window — the same shape scd2_merge materializes incrementally."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "value",
+    )
+
+
+SQL_SCD2_INTERVALS = """
+SELECT user_id, event_id, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to,
+       value
+FROM events
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via lag + running sum — the batch
+    equivalent of Structured Streaming session windows (SURVEY §2.10:
+    reference is polling micro-batch; this is the streaming-shaped op)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gapped = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+        ).otherwise(F.lit(0)),
+    )
+    sessioned = gapped.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH gapped AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessioned AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM gapped
+)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sessioned GROUP BY 1, 2
+"""
+
+
+def q_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (F4 date_trunc partition expr shape)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_MINUTE_ROLLUP = """
+SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(18,4))), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data extensions: text analysis
+# ---------------------------------------------------------------------------
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, quality scoring, lang-id, fingerprinting per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_guess"),
+        T.fingerprint("text").alias("fp"),
+    )
+
+
+SQL_DOC_STATS = f"""
+SELECT doc_id,
+       {T.token_count_sql('text')} AS n_tokens,
+       {T.quality_score_sql('text')} AS quality,
+       {T.lang_id_sql('text')} AS lang_guess,
+       {T.fingerprint_sql('text')} AS fp
+FROM documents
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = D.exact_dedup_groups_sql()
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_LSH = D.minhash_lsh_pairs_sql()
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = D.ngram_jaccard_pairs_sql(threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH = D.simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# LLM-data extensions: similarity search
+# ---------------------------------------------------------------------------
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+SQL_COSINE_TOPK = S.cosine_topk_sql(query_pred="vec_id % 50 = 0", k=5)
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant — recall is probabilistic, so no SQL oracle (rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+REGISTRY: dict[str, QuerySpec] = {
+    "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
+    "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
+    "dim_users_enriched": QuerySpec(q_dim_users, SQL_DIM_USERS, "J1,F1,P4"),
+    "fact_enriched": QuerySpec(q_fact_enriched, SQL_FACT_ENRICHED, "J2"),
+    "flagship_revenue_by_region": QuerySpec(q_flagship_revenue, SQL_FLAGSHIP_REVENUE, "J1,J2,A1"),
+    "hwm_per_type": QuerySpec(q_hwm_per_type, SQL_HWM, "A2,A3"),
+    "incremental_filter": QuerySpec(q_incremental_filter, SQL_INCREMENTAL_FILTER, "P3,P5"),
+    "keep_latest_per_key": QuerySpec(q_keep_latest, SQL_KEEP_LATEST, "J4,A5"),
+    "duplicate_groups": QuerySpec(q_dup_groups, SQL_DUP_GROUPS, "A4"),
+    "json_flatten": QuerySpec(q_json_flatten, SQL_JSON_FLATTEN, "P8,P10,F7"),
+    "top_users_by_revenue": QuerySpec(q_top_users_by_revenue, SQL_TOP_USERS, "O2,O3"),
+    "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY, "A1,F11"),
+    "scd2_intervals": QuerySpec(q_scd2_intervals, SQL_SCD2_INTERVALS, "O12,J5"),
+    "sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE, "§2.10"),
+    "minute_rollup": QuerySpec(q_minute_rollup, SQL_MINUTE_ROLLUP, "F4"),
+    "doc_stats": QuerySpec(q_doc_stats, SQL_DOC_STATS, "ext:text"),
+    "exact_dedup_groups": QuerySpec(q_exact_dedup, SQL_EXACT_DEDUP, "ext:dedup"),
+    "minhash_lsh_pairs": QuerySpec(q_minhash_lsh, SQL_MINHASH_LSH, "ext:dedup"),
+    "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD, "ext:dedup"),
+    "simhash_docs": QuerySpec(q_simhash, SQL_SIMHASH, "ext:dedup"),
+    "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "ext:similarity"),
+    "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
+}
