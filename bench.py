@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+The per-query action is count() (forces full execution of every
+operator without driver-side collect of wide results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "flagship_revenue_by_region",
+    "fact_enriched",
+    "pricing_summary",
+    "keep_latest_per_key",
+    "sessionize",
+    "minute_rollup",
+    "scd2_intervals",
+    "doc_stats",
+    "exact_dedup_groups",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "cosine_topk",
+    "cosine_topk_lsh",
+]
+
+
+def main() -> None:
+    from nomba_data_pipeline_spark.plans.queries import REGISTRY
+    from nomba_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="nomba-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    # one warmup pass of the flagship to absorb JVM/codegen startup
+    REGISTRY["flagship_revenue_by_region"].fn(spark, SF_DIR).count()
+
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
