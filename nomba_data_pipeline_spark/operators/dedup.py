@@ -105,32 +105,35 @@ def shingle_set_sql(table: str = "documents") -> str:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(doc_id, seed, minhash) for NUM_PERM salted hash families."""
-    seeds = shingles.sparkSession.range(NUM_PERM).withColumnRenamed("id", "seed")
-    salted = F.concat(F.lit("s"), F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-    return (
-        shingles.crossJoin(F.broadcast(seeds))
-        .select("doc_id", "seed", h64(salted).alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
+    """Wide MinHash signatures: (doc_id, mh0..mh{NUM_PERM-1}).
+
+    Single groupBy with NUM_PERM min-aggregations — one shuffle on
+    doc_id, no seed x shingle row blow-up (a seed cross-join would
+    multiply the shuffle volume by NUM_PERM; at 100 TB that is the
+    difference between 1x and 16x shuffle IO).
+    """
+    aggs = [
+        F.min(h64(F.col("shingle"), seed)).alias(f"mh{seed}") for seed in range(NUM_PERM)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame) -> DataFrame:
-    """Band signatures: concat of the band's minhashes in seed order."""
-    return (
-        signatures.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("band_sig")
-        )
+    """Band signatures from the wide layout: stack BANDS rows per doc,
+    each the comma-join of its ROWS_PER_BAND minhashes (seed order)."""
+    band_cols = []
+    for b in range(BANDS):
+        members = [
+            F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)
+        ]
+        band_cols.append(F.concat_ws(",", *members).alias(f"b{b}"))
+    wide = signatures.select("doc_id", *band_cols)
+    stack_expr = (
+        f"stack({BANDS}, "
+        + ", ".join(f"{b}, b{b}" for b in range(BANDS))
+        + ") as (band, band_sig)"
     )
+    return wide.selectExpr("doc_id", stack_expr)
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -147,18 +150,23 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs_sql(table: str = "documents") -> str:
-    mh_hash = h64_sql("concat('s', seed, ':', shingle)")
+    mins = ",\n               ".join(
+        f"min({h64_sql('shingle', seed)}) AS mh{seed}" for seed in range(NUM_PERM)
+    )
+    band_rows = []
+    for b in range(BANDS):
+        members = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        band_rows.append(f"SELECT doc_id, {b} AS band, concat_ws(',', {members}) AS band_sig FROM mh")
+    bands_union = "\n        UNION ALL ".join(band_rows)
     return f"""
     WITH sh AS ({shingle_set_sql(table)}),
     mh AS (
-        SELECT doc_id, seed, min({mh_hash}) AS mh
-        FROM sh CROSS JOIN (SELECT unnest(range({NUM_PERM})) AS seed)
-        GROUP BY doc_id, seed
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
     ),
     bands AS (
-        SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band,
-               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
-        FROM mh GROUP BY doc_id, band
+        {bands_union}
     )
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     FROM bands x JOIN bands y ON x.band = y.band AND x.band_sig = y.band_sig
@@ -218,43 +226,52 @@ def ngram_jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5) ->
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """60-bit SimHash per document (token multiplicity preserved)."""
+    """60-bit SimHash per document (token multiplicity preserved).
+
+    Wide single-pass form: one token explode, one groupBy(doc_id) with
+    SIMHASH_BITS signed-bit-count aggregations, then a pure projection
+    reassembles the bits. No (token x bit) row blow-up — the shuffle
+    carries |tokens| rows, not |tokens| * 60.
+    """
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")).select(
         "doc_id", F.explode("toks").alias("token")
     )
     hashed = toks.select("doc_id", h64(F.col("token")).alias("h"))
-    bits = hashed.select(
-        "doc_id",
-        "h",
-        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
-    ).select(
-        "doc_id",
-        "b",
-        F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("contrib"),
-    )
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
+    bit_aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_doc.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_sql(table: str = "documents") -> str:
     nt = normalized_text_sql("text")
     th = h64_sql("token")
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
     return f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split({nt}, ' ')) AS token FROM {table}
     ),
     hashed AS (SELECT doc_id, {th} AS h FROM toks),
-    bits AS (
-        SELECT doc_id, b,
-               CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
-        FROM hashed CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS b)
-    ),
-    per_bit AS (SELECT doc_id, b, sum(contrib) AS s FROM bits GROUP BY doc_id, b)
-    SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
-    FROM per_bit GROUP BY doc_id
+    per_doc AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {assemble} AS simhash FROM per_doc
     """

@@ -117,7 +117,7 @@ class ParquetTable:
         The reference does this as three server-side SQL passes (dup-count
         check :496-507, composite NOT IN delete :513-522); one window pass
         expresses the same result. Ties on tracking_col break toward the
-        delta (is_delta desc) then arbitrary-but-deterministic column order.
+        delta (is_delta desc), then a whole-row hash for determinism.
         """
         if not self.exists():
             base = delta.withColumn("__is_delta", F.lit(1))
@@ -126,8 +126,11 @@ class ParquetTable:
             base = target.withColumn("__is_delta", F.lit(0)).unionByName(
                 delta.select(*target.columns).withColumn("__is_delta", F.lit(1))
             )
+        value_cols = [c for c in base.columns if c != "__is_delta"]
         w = Window.partitionBy(*keys).orderBy(
-            F.col(tracking_col).desc(), F.col("__is_delta").desc()
+            F.col(tracking_col).desc(),
+            F.col("__is_delta").desc(),
+            F.xxhash64(*value_cols).asc(),
         )
         latest = (
             base.withColumn("__rn", F.row_number().over(w))

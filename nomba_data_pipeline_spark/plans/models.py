@@ -70,6 +70,24 @@ def stg_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def enrich_users_geo(users: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach nation/region names to a users-shaped frame (broadcast dims)."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nation_key"),
+        F.col("n_name").alias("nation"),
+        F.col("n_regionkey").alias("region_key"),
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("region_key"),
+        F.col("r_name").alias("region"),
+    )
+    return (
+        users.join(broadcast(nation), "nation_key", "left")
+        .join(broadcast(region), "region_key", "left")
+        .drop("region_key")
+    )
+
+
 def dim_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dim_users (reference dim_users.sql:1-15): current-state users with
     nation/region attributes. F1 concat shown via region-qualified name.

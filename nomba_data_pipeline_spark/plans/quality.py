@@ -1,0 +1,48 @@
+"""Data-quality assertions — the reference's dbt schema tests (§2.12).
+
+Reference: `unique` + `not_null` declarations in
+models/staging/schema.yml:9-84 and models/marts/schema.yml:6-97, run
+with `dbt build` (dbt_assets.py:24-27). Expressed as DataFrame checks;
+each returns the violation count so callers can assert == 0.
+
+Both checks are single aggregations (one shuffle for unique, none for
+not_null beyond the scan) — they scale linearly and run after each
+model materialization, like dbt tests do.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unique_violations(df: DataFrame, col: str) -> int:
+    """Number of duplicated key groups (0 = unique holds)."""
+    return df.groupBy(col).count().filter(F.col("count") > 1).count()
+
+
+def not_null_violations(df: DataFrame, col: str) -> int:
+    """Number of NULL rows (0 = not_null holds)."""
+    return df.filter(F.col(col).isNull()).count()
+
+
+@dataclass
+class QualitySpec:
+    unique: list[str] = field(default_factory=list)
+    not_null: list[str] = field(default_factory=list)
+
+    def check(self, df: DataFrame) -> dict[str, int]:
+        """Run all declared checks; returns {check_name: violations}."""
+        results: dict[str, int] = {}
+        for c in self.unique:
+            results[f"unique:{c}"] = unique_violations(df, c)
+        for c in self.not_null:
+            results[f"not_null:{c}"] = not_null_violations(df, c)
+        return results
+
+    def assert_ok(self, df: DataFrame, model: str = "") -> None:
+        bad = {k: v for k, v in self.check(df).items() if v > 0}
+        if bad:
+            raise AssertionError(f"quality failures on {model or 'model'}: {bad}")

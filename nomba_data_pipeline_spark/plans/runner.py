@@ -1,0 +1,123 @@
+"""Dependency-ordered model runner — the dbt DAG + Dagster scheduling
+collapsed into one incremental-aware registry (SURVEY §3.2).
+
+Reference behavior being re-expressed:
+  * dbt `ref()` DAG order: stg_* -> dim_users/dim_savings_plan ->
+    fact_savings_transaction (reference dbt models; dbt_assets.py:19-27)
+  * `is_incremental()` = target exists; delta predicate
+    `updated_at > max(updated_at) in target` (stg_savings_plan.sql:22-25)
+  * materializations: table (overwrite) / incremental (merge upsert) /
+    snapshot (SCD2) — dbt_project.yml:32-46 + model configs
+  * post-model quality tests (schema.yml) run with the build
+
+A model is a pure (spark, inputs) -> DataFrame function; the runner owns
+materialization: it reads the high-water-mark from the target
+(ParquetTable.high_water_mark = A2), filters the source side, and
+dispatches the right writer. Incremental state therefore lives in the
+data itself — no external state store, same as the reference
+(base_loader.py:681-709 reads MAX() from ClickHouse).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.operators.merge import ParquetTable
+from nomba_data_pipeline_spark.operators.scd2 import scd2_merge
+from nomba_data_pipeline_spark.plans.quality import QualitySpec
+
+ModelFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class ModelSpec:
+    name: str
+    fn: ModelFn
+    materialization: str = "table"  # table | incremental | scd2
+    dedup: bool = False  # incremental + keep-latest-per-key (reference O8 'special')
+    upsert_key: list[str] = field(default_factory=list)
+    tracking_column: str | None = None  # hwm column for incremental
+    scd2_key: str | None = None
+    check_cols: list[str] = field(default_factory=list)
+    quality: QualitySpec = field(default_factory=QualitySpec)
+    depends_on: list[str] = field(default_factory=list)
+
+
+class PipelineRunner:
+    """Materializes models into a warehouse directory in dependency order."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, sf_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.sf_dir = sf_dir
+        self.models: dict[str, ModelSpec] = {}
+
+    def register(self, spec: ModelSpec) -> None:
+        self.models[spec.name] = spec
+
+    def table(self, name: str) -> ParquetTable:
+        return ParquetTable(self.spark, os.path.join(self.warehouse_dir, name))
+
+    def _toposort(self) -> list[ModelSpec]:
+        ordered: list[ModelSpec] = []
+        seen: set[str] = set()
+
+        def visit(name: str, stack: tuple[str, ...]) -> None:
+            if name in seen:
+                return
+            if name in stack:
+                raise ValueError(f"model cycle: {' -> '.join(stack)} -> {name}")
+            spec = self.models[name]
+            for dep in spec.depends_on:
+                if dep in self.models:
+                    visit(dep, stack + (name,))
+            seen.add(name)
+            ordered.append(spec)
+
+        for name in self.models:
+            visit(name, ())
+        return ordered
+
+    def run(self) -> dict[str, int]:
+        """Run all models in dependency order; returns rows written per model."""
+        results: dict[str, int] = {}
+        for spec in self._toposort():
+            results[spec.name] = self.run_model(spec.name)
+        return results
+
+    def run_model(self, name: str) -> int:
+        spec = self.models[name]
+        target = self.table(spec.name)
+        df = spec.fn(self.spark, self.sf_dir)
+
+        if spec.materialization == "incremental" and target.exists() and spec.tracking_column:
+            hwm = target.high_water_mark(spec.tracking_column)
+            if hwm is not None:
+                # strict '>' matching the dbt models' delta predicate
+                # (stg_savings_plan.sql:24; documented tie policy SURVEY §7.4.3)
+                df = df.filter(F.col(spec.tracking_column) > F.lit(hwm))
+
+        if spec.materialization == "scd2":
+            snapshot = target.read() if target.exists() else None
+            merged = scd2_merge(
+                snapshot, df, key=spec.scd2_key or spec.upsert_key[0],
+                check_cols=spec.check_cols,
+                order_within_batch=spec.tracking_column,
+            )
+            target.overwrite(merged)
+        elif spec.materialization == "incremental":
+            if spec.dedup and spec.tracking_column:
+                target.merge_upsert_dedup(df, spec.upsert_key, spec.tracking_column)
+            else:
+                target.merge_upsert(df, spec.upsert_key)
+        else:  # table
+            target.overwrite(df)
+
+        out = target.read()
+        spec.quality.assert_ok(out, model=spec.name)
+        return out.count()

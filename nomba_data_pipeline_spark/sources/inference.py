@@ -1,0 +1,93 @@
+"""Schema-inference parity helper (S7).
+
+Reproduces the reference's custom JSON schema inference
+(reference base_loader.py:867-993) where its semantics differ from
+Spark's native `spark.read.json` inference:
+
+  * sample <= 1000 lines (:894)                -> samplingRatio / limit
+  * union of keys across rows (:911-912)       -> Spark native
+  * per-column type vote over first 100 values (:920-933)
+  * mixed types degrade to String (:935-938)   -> Spark widens instead;
+    we post-process: any column Spark widened to a non-string type from
+    mixed inputs stays, but true conflicts arrive as string already
+  * regex date/datetime detection with >80% vote over 20 samples
+    (:941-954)                                  -> implemented here
+  * dict/list -> JSON string (:963-964)         -> optional flattening off,
+    `to_json` applied for parity mode
+
+The result is a `StructType` you can pass to `spark.read.schema(...)`
+so production reads never pay inference cost twice.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+DATETIME_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}")
+DATE_VOTE_THRESHOLD = 0.8  # reference base_loader.py:951 ("> 80%")
+DATE_VOTE_SAMPLE = 20  # reference base_loader.py:949
+
+
+def infer_stage_schema(
+    spark: SparkSession,
+    path: str,
+    sample_lines: int = 1000,
+    stringify_nested: bool = True,
+) -> T.StructType:
+    """Infer a schema from a staged JSON path with reference parity rules."""
+    sampled = spark.read.option("mode", "PERMISSIVE").json(path).limit(sample_lines)
+    schema = sampled.schema
+    fields: list[T.StructField] = []
+    for f in schema.fields:
+        dt = f.dataType
+        if stringify_nested and isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+            # reference: dict/list -> JSON string (base_loader.py:963-964)
+            fields.append(T.StructField(f.name, T.StringType(), True))
+            continue
+        if isinstance(dt, T.StringType):
+            dt = _date_vote(sampled, f.name)
+        fields.append(T.StructField(f.name, dt, True))
+    return T.StructType(fields)
+
+
+def _date_vote(df: DataFrame, col: str) -> T.DataType:
+    """>80% of up-to-20 non-null samples matching the date/datetime regex
+    promotes the string column (reference base_loader.py:941-954)."""
+    samples = [
+        r[0]
+        for r in df.select(col).filter(F.col(col).isNotNull()).limit(DATE_VOTE_SAMPLE).collect()
+    ]
+    if not samples:
+        return T.StringType()
+    n = len(samples)
+    dt_hits = sum(1 for s in samples if isinstance(s, str) and DATETIME_RE.match(s))
+    d_hits = sum(1 for s in samples if isinstance(s, str) and DATE_RE.match(s))
+    if dt_hits / n > DATE_VOTE_THRESHOLD:
+        return T.TimestampType()
+    if d_hits / n > DATE_VOTE_THRESHOLD:
+        return T.DateType()
+    return T.StringType()
+
+
+def read_with_inferred_schema(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Production read: explicit schema (no second inference pass), with
+    string->timestamp/date casts applied for the promoted columns."""
+    schema = schema or infer_stage_schema(spark, path)
+    raw_fields = [
+        T.StructField(f.name, T.StringType() if isinstance(f.dataType, (T.TimestampType, T.DateType)) else f.dataType)
+        for f in schema.fields
+    ]
+    df = spark.read.schema(T.StructType(raw_fields)).json(path)
+    for f in schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            df = df.withColumn(f.name, F.to_timestamp(f.name))
+        elif isinstance(f.dataType, T.DateType):
+            df = df.withColumn(f.name, F.to_date(f.name))
+    return df

@@ -1,0 +1,51 @@
+"""Staged-file interchange: the reference's S3 JSON stage, Spark-first.
+
+Reference surface (cited into /root/reference):
+  S3 sink  — base_loader.py:151-225 streams a generator into one JSON
+             array file on MinIO; key pattern {load_type}/{src}_to_{tgt}_{ts}.json
+             (:784-786).
+  S4 source — base_loader.py:228-250 download; ClickHouse-side read via
+             the s3() table function (:326-341).
+  S8 GCS  — parallel gs:// branch (base_loader.py:300-301,792-794).
+
+Spark mapping: `df.write.json/parquet(stage_path)` + `spark.read...` —
+the path scheme (s3a://, gs://, file://) selects the connector, so the
+same code serves S3/GCS/HDFS. JSON is kept for reference parity;
+parquet is the default at-rest format (columnar, splittable, pushdown).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def stage_key(load_type: str, source: str, target: str, ts: datetime | None = None) -> str:
+    """Reference key pattern {load_type}/{src}_to_{tgt}_{ts} (base_loader.py:784-786)."""
+    ts = ts or datetime.now(timezone.utc)
+    return f"{load_type}/{source}_to_{target}_{ts.strftime('%Y%m%d_%H%M%S')}"
+
+
+def write_stage(df: DataFrame, stage_path: str, fmt: str = "parquet") -> None:
+    """S3-sink equivalent: distributed write, no driver-side buffering
+    (the reference streams through the driver, base_loader.py:190-193 —
+    a scale ceiling Spark removes)."""
+    writer = df.write.mode("overwrite")
+    if fmt == "json":
+        writer.json(stage_path)
+    else:
+        writer.parquet(stage_path)
+
+
+def read_stage(spark: SparkSession, stage_path: str, fmt: str = "parquet") -> DataFrame:
+    """S4-source equivalent with the reference's drift tolerance:
+    PERMISSIVE mode + corrupt-record column stands in for ClickHouse's
+    input_format_skip_unknown_fields (base_loader.py:830-841)."""
+    if fmt == "json":
+        return (
+            spark.read.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(stage_path)
+        )
+    return spark.read.parquet(stage_path)

@@ -1,0 +1,79 @@
+"""Load-mode writer unit tests (O7-O10, A2, A4) incl. idempotency."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+
+@pytest.fixture
+def base_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", "X", 10), (2, "b", "Y", 10), (3, "c", "X", 10)],
+        "id int, name string, state string, v int",
+    )
+
+
+def _rows(t):
+    return sorted((r.id, r.name, r.v) for r in t.read().collect())
+
+
+def test_overwrite_full_load(spark, tmp_path, base_df):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    assert not t.exists()
+    t.overwrite(base_df)
+    assert t.exists()
+    assert _rows(t) == [(1, "a", 10), (2, "b", 10), (3, "c", 10)]
+    # O9 is TRUNCATE+INSERT: second overwrite fully replaces
+    t.overwrite(base_df.filter(F.col("id") == 1))
+    assert _rows(t) == [(1, "a", 10)]
+
+
+def test_merge_upsert_and_idempotency(spark, tmp_path, base_df):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(base_df)
+    delta = spark.createDataFrame(
+        [(2, "b2", "Z", 20), (4, "d", "W", 20)], "id int, name string, state string, v int"
+    )
+    t.merge_upsert(delta, ["id"])
+    expect = [(1, "a", 10), (2, "b2", 20), (3, "c", 10), (4, "d", 20)]
+    assert _rows(t) == expect
+    t.merge_upsert(delta, ["id"])  # rerun => identical (README.md:324-348 idempotency)
+    assert _rows(t) == expect
+
+
+def test_merge_upsert_creates_when_absent(spark, tmp_path, base_df):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.merge_upsert(base_df, ["id"])
+    assert _rows(t) == [(1, "a", 10), (2, "b", 10), (3, "c", 10)]
+
+
+def test_merge_upsert_dedup_keeps_latest(spark, tmp_path, base_df):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(base_df)
+    # duplicate key inside the delta: keep latest by tracking col (O8)
+    delta = spark.createDataFrame(
+        [(1, "new", "X", 99), (1, "old", "X", 5)], "id int, name string, state string, v int"
+    )
+    t.merge_upsert_dedup(delta, ["id"], "v")
+    assert _rows(t) == [(1, "new", 99), (2, "b", 10), (3, "c", 10)]
+    assert t.duplicate_key_groups(["id"]) == 0  # A4
+
+
+def test_snapshot_append_same_day_idempotent(spark, tmp_path, base_df):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.snapshot_append(base_df)
+    t.snapshot_append(base_df)  # same day rerun must not duplicate (O10)
+    assert t.read().count() == 3
+    assert "ingest_date" in t.read().columns
+
+
+def test_high_water_mark(spark, tmp_path, base_df):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    assert t.high_water_mark("v") is None
+    t.overwrite(base_df)
+    assert t.high_water_mark("v") == 10

@@ -1,0 +1,91 @@
+"""End-to-end medallion pipeline tests: full run, idempotent rerun,
+CDC-update rerun invariants (reference README.md:224-263 checks,
+mechanized)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.plans.cdc_sim import (
+    simulate_plan_updates,
+    simulate_user_updates,
+)
+from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
+from nomba_data_pipeline_spark.plans import models as M
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture
+def warehouse(tmp_path):
+    return os.path.join(tmp_path, "wh")
+
+
+def test_full_pipeline_and_idempotent_rerun(spark, warehouse):
+    runner = build_pipeline(spark, warehouse, SF_SMALL)
+    counts1 = runner.run()
+    assert counts1["stg_users"] > 0
+    assert counts1["fact_transactions"] > 0
+    assert counts1["dim_users"] == counts1["stg_users"]
+
+    fact1 = sorted(
+        (r.transaction_id, r.amount, r.region)
+        for r in runner.table("fact_transactions").read().collect()
+    )
+    # rerun with unchanged sources: incremental models see empty deltas,
+    # SCD2 sees no changes -> identical tables
+    counts2 = build_pipeline(spark, warehouse, SF_SMALL).run()
+    assert counts2 == counts1
+    fact2 = sorted(
+        (r.transaction_id, r.amount, r.region)
+        for r in runner.table("fact_transactions").read().collect()
+    )
+    assert fact1 == fact2
+
+
+def test_cdc_user_update_creates_scd2_version(spark, warehouse):
+    runner = build_pipeline(spark, warehouse, SF_SMALL)
+    runner.run()
+    n_users = runner.table("dim_users").read().count()
+
+    override = {
+        "stg_users": lambda s, sf: simulate_user_updates(M.stg_users(s, sf), fraction=0.1)
+    }
+    runner2 = build_pipeline(spark, warehouse, SF_SMALL, source_override=override)
+    runner2.run()
+
+    snap = runner2.table("users_snapshot").read()
+    changed = snap.filter(F.col("segment") == "CHANGED")
+    n_changed_open = changed.filter(F.col("valid_to").isNull()).count()
+    assert n_changed_open > 0
+    # every changed user has exactly one closed historical version
+    closed = snap.filter(F.col("valid_to").isNotNull())
+    assert closed.count() == n_changed_open
+    # dim_users still unique & complete
+    dim = runner2.table("dim_users").read()
+    assert dim.count() == n_users
+    assert dim.filter(F.col("segment") == "CHANGED").count() == n_changed_open
+
+
+def test_cdc_plan_update_flows_to_marts(spark, warehouse):
+    runner = build_pipeline(spark, warehouse, SF_SMALL)
+    runner.run()
+    before = {
+        r.plan_id: r.target_amount for r in runner.table("dim_plans").read().collect()
+    }
+
+    override = {
+        "stg_plans": lambda s, sf: simulate_plan_updates(M.stg_plans(s, sf), fraction=0.1)
+    }
+    runner2 = build_pipeline(spark, warehouse, SF_SMALL, source_override=override)
+    runner2.run()
+
+    after = {r.plan_id: r.target_amount for r in runner2.table("dim_plans").read().collect()}
+    assert set(after) == set(before)  # upsert, not append
+    doubled = [p for p in after if after[p] == 2 * before[p]]
+    unchanged = [p for p in after if after[p] == before[p]]
+    assert doubled and unchanged
+    # incremental hwm actually filtered: stg_plans row count unchanged
+    assert runner2.table("stg_plans").read().count() == len(before)
