@@ -1,0 +1,130 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Scale-extension surface (BASELINE.json north star). The Spark-side
+plumbing is real and tested — schema, partition-preserving mapInPandas,
+Arrow batch shapes; the actual media decode is STUBBED (no PIL/ffmpeg in
+this container) behind `decode_available()`: the deterministic fake
+derives features from the bytes themselves so tests are stable, and a
+real decoder drops in by replacing `_fake_decode` only.
+
+Design for 100 TB:
+  * binary payloads ride in parquet binary columns, scanned lazily;
+    metadata-only queries never touch the bytes (column pruning).
+  * decode/feature-extract runs as `mapInPandas` — Arrow batches, one
+    Python worker per core, no driver involvement, no shuffle.
+  * frame sampling emits multiple rows per input via the iterator
+    contract — no collect, no explode of materialized frames.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def decode_available() -> bool:
+    """True when a real image/audio decoder is importable (not in this
+    container — PIL/torchvision/ffmpeg are absent by design)."""
+    try:  # pragma: no cover - environment probe
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for decode+embed: bytes -> unit vector.
+    Replace with a real model call when decoders are available."""
+    if payload is None:
+        return np.zeros(dim, dtype=np.float64)
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    # fold bytes into dim buckets; stable for any payload length
+    pad = (-len(raw)) % dim
+    folded = np.pad(raw, (0, pad)).reshape(-1, dim).sum(axis=0).astype(np.float64)
+    norm = np.linalg.norm(folded)
+    return folded / norm if norm > 0 else folded
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """(media_id, kind, feature: array<double>) via Arrow-batched
+    mapInPandas. Partition-preserving: no shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": [list(_fake_decode(p, dim)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, out_schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame timestamp.
+    Decode is stubbed (frame payload = sliced bytes); row-multiplying
+    iterator shape is the real contract a decoder plugs into."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_ts_ms", T.LongType(), False),
+            T.StructField("frame_payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_ts_ms": [], "frame_payload": []}
+            for _, r in pdf.iterrows():
+                duration = r["duration_ms"] or 0
+                payload = r["payload"] or b""
+                for ts in range(0, int(duration), every_ms):
+                    # stub: a real implementation seeks/decodes the frame
+                    lo = (ts * 7) % max(len(payload), 1)
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_ts_ms"].append(ts)
+                    rows["frame_payload"].append(payload[lo : lo + 16])
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "duration_ms", "payload"
+    ).mapInPandas(run, out_schema)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only rollup — must NOT read payload bytes (column
+    pruning keeps the binary column out of the scan)."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length(F.col("mime"))).alias("avg_mime_len"),
+        F.sum(F.when(F.col("payload").isNull(), 1).otherwise(0)).alias("null_payloads"),
+    )

@@ -1,0 +1,99 @@
+"""Micro-batch streaming — the reference's polling cadence, Spark-first.
+
+The reference has NO streaming operators (SURVEY §2.10): cron schedules
+re-run batch extraction (hourly transactions, all_schedules.py:40-45),
+the persisted MAX(updated_at) high-water-mark is the watermark
+equivalent (base_loader.py:681-709), and late rows are upserted on
+arrival (O7). The idiomatic Spark upgrade is Structured Streaming with
+`Trigger.AvailableNow`: each invocation drains exactly the new files,
+checkpointing replaces the hand-rolled hwm, and `foreachBatch` reuses
+the SAME merge writers as batch — one code path for both.
+
+At scale: the file source lists incrementally (maxFilesPerTrigger
+bounds batch size), stateful aggs are bounded by the watermark, and the
+merge inside foreachBatch is the same broadcast-delta join as batch O7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, schema: T.StructType, max_files: int = 100
+) -> DataFrame:
+    """File-source stream over staged event files (S4, streaming form)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(source_dir)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark — the streaming
+    twin of queries.q_minute_rollup."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def run_incremental_merge_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """Drain all available new files and MERGE each micro-batch into the
+    target (streaming O7). Blocks until the backlog is consumed."""
+    target = ParquetTable(spark, target_path)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        target.merge_upsert(batch_df, keys)
+
+    q = (
+        stream_events(spark, source_dir, schema)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_windowed_agg_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+) -> None:
+    """Windowed aggregation streamed to parquet (append mode: only
+    watermark-finalized windows are emitted)."""
+    agg = windowed_counts(stream_events(spark, source_dir, schema), ts_col=ts_col)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,64 @@
+"""Unit tests for nested helpers, inference, and text functions."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.functions.nested import drop_field_paths, flatten_structs
+from nomba_data_pipeline_spark.functions.text import lang_id, quality_score, token_count
+from nomba_data_pipeline_spark.sources.inference import infer_stage_schema
+
+
+def test_flatten_structs(spark):
+    df = spark.createDataFrame(
+        [(1, {"b": 2, "c": {"d": 3}})],
+        "a int, s struct<b:int, c:struct<d:int>>",
+    )
+    one = flatten_structs(df, recursive=False)
+    assert set(one.columns) == {"a", "s_b", "s_c"}
+    full = flatten_structs(df)
+    assert set(full.columns) == {"a", "s_b", "s_c_d"}
+    assert full.first().s_c_d == 3
+
+
+def test_drop_field_paths(spark):
+    df = spark.createDataFrame(
+        [(1, {"b": 2, "c": 3}, 9)], "a int, s struct<b:int, c:int>, z int"
+    )
+    out = drop_field_paths(df, ["z", "s.b"])
+    assert "z" not in out.columns
+    assert [f.name for f in out.schema["s"].dataType.fields] == ["c"]
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog sat on the mat of the house and it is big",),
+         ("el perro de la casa que los gatos",),
+         ("",)],
+        "text string",
+    )
+    rows = df.select(
+        token_count("text").alias("n"),
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+    ).collect()
+    assert rows[0].lang == "en" and rows[0].n == 16
+    assert rows[1].lang == "es"
+    assert rows[2].n == 0 and rows[2].q == 0.0
+
+
+def test_inference_mixed_and_dates(spark, tmp_path):
+    path = os.path.join(tmp_path, "stage")
+    df = spark.createDataFrame(
+        [('{"id": 1, "d": "2024-01-01", "mixed": "x"}',),
+         ('{"id": 2, "d": "2024-02-03", "mixed": "7"}',)],
+        "value string",
+    )
+    df.select(F.col("value")).write.mode("overwrite").text(path)
+    schema = infer_stage_schema(spark, path)
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert types["d"] == "date"
+    assert types["id"] == "bigint"
+    assert types["mixed"] == "string"

@@ -1,0 +1,75 @@
+"""Structured Streaming micro-batch tests: availableNow drain + merge,
+windowed agg with watermark, incremental pickup of new files."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nomba_data_pipeline_spark.operators.merge import ParquetTable
+from nomba_data_pipeline_spark.streaming.microbatch import (
+    run_incremental_merge_stream,
+    run_windowed_agg_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_merge_stream_drains_and_upserts(spark, tmp_path):
+    src = os.path.join(tmp_path, "src")
+    tgt = os.path.join(tmp_path, "tgt")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    from datetime import datetime
+
+    _write_batch(spark, src, [(1, datetime(2026, 1, 1, 0, 0), 1.0), (2, datetime(2026, 1, 1, 0, 1), 2.0)])
+    run_incremental_merge_stream(spark, src, SCHEMA, tgt, ["id"], ckpt)
+    t = ParquetTable(spark, tgt)
+    assert sorted((r.id, r.v) for r in t.read().collect()) == [(1, 1.0), (2, 2.0)]
+
+    # new file arrives: id 2 updated + id 3 new; checkpoint skips old files
+    _write_batch(spark, src, [(2, datetime(2026, 1, 1, 0, 5), 20.0), (3, datetime(2026, 1, 1, 0, 6), 3.0)])
+    run_incremental_merge_stream(spark, src, SCHEMA, tgt, ["id"], ckpt)
+    assert sorted((r.id, r.v) for r in t.read().collect()) == [(1, 1.0), (2, 20.0), (3, 3.0)]
+
+    # rerun with no new files: no-op (idempotent like O7)
+    run_incremental_merge_stream(spark, src, SCHEMA, tgt, ["id"], ckpt)
+    assert t.read().count() == 3
+
+
+def test_windowed_agg_stream(spark, tmp_path):
+    src = os.path.join(tmp_path, "src")
+    out = os.path.join(tmp_path, "out")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2026, 1, 1, 0, 0, 10), 1.0),
+        (2, datetime(2026, 1, 1, 0, 0, 40), 1.0),
+        (3, datetime(2026, 1, 1, 0, 1, 10), 1.0),
+        (4, datetime(2026, 1, 1, 0, 30, 0), 1.0),  # advances watermark far ahead
+    ]
+    spark.createDataFrame(rows, SCHEMA).withColumn("event_type", F.lit("click")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    schema = SCHEMA.add("event_type", T.StringType())
+    run_windowed_agg_stream(spark, src, schema, out, ckpt)
+    got = {
+        (str(r.window_start), r.n)
+        for r in spark.read.parquet(out).collect()
+    }
+    # windows finalized below the watermark: the two 00:00/00:01 minutes
+    assert ("2026-01-01 00:00:00", 2) in got
+    assert ("2026-01-01 00:01:00", 1) in got
