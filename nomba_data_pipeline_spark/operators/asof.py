@@ -1,0 +1,78 @@
+"""As-of join — an operator the reference lacks (SURVEY §2.3 'not
+present') and Spark has no built-in for; part of the scale-extension
+surface.
+
+Semantics: for each left row, attach the most recent right row of the
+same key with right.ts <= left.ts (the time-series / point-in-time
+lookup used for quotes-to-trades, feature snapshots, etc.).
+
+Spark-first implementation — the sort-merge union trick:
+  1. tag right rows (is_right=1) and left rows (is_right=0),
+  2. union on (key, ts, is_right),
+  3. one window sorted by (ts ASC, is_right DESC): `last(right_payload,
+     ignorenulls=True)` carries the latest right row forward,
+  4. keep left rows.
+
+Cost: ONE shuffle on the key + one sort — same asymptotics as a
+sort-merge join, no theta-join blowup, no per-key driver loop. Skewed
+keys are handled by AQE; at 100 TB this is the only shape that works.
+
+The tie policy (right row at exactly left.ts counts) matches DuckDB's
+ASOF JOIN `ON l.ts >= r.ts`, which the correctness oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    suffix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join. `right` should be unique per (on, right_ts); pre-
+    dedup it if not (tie-breaking among simultaneous right rows is
+    otherwise undefined in every engine)."""
+    l_cols = left.columns
+    tagged_left = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_right", F.lit(0))
+    for c in right_payload:
+        tagged_left = tagged_left.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+
+    tagged_right = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    )
+    for c in l_cols:
+        if c != on:
+            tagged_right = tagged_right.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    unioned = tagged_left.select(
+        *l_cols, "__ts", "__is_right", *[f"__r_{c}" for c in right_payload]
+    ).unionByName(
+        tagged_right.select(*l_cols, "__ts", "__is_right", *[f"__r_{c}" for c in right_payload])
+    )
+
+    # right rows sort before left rows at equal ts -> 'at or before' semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *l_cols,
+        "__ts",
+        "__is_right",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{suffix}{c}")
+            for c in right_payload
+        ],
+    )
+    return carried.filter(F.col("__is_right") == 0).drop("__ts", "__is_right")

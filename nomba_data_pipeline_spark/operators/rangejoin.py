@@ -1,0 +1,56 @@
+"""Bucketed range (interval) join — another operator absent from both
+the reference (SURVEY §2.3) and Spark's built-in equi-join set.
+
+Problem: `l JOIN r ON l.key = r.key AND r.ts BETWEEN l.ts - D AND l.ts`
+executes as a theta join in naive Spark (broadcast nested loop or a
+post-filtered equi-join on key only — the latter explodes on hot keys).
+
+Spark-first fix: quantize time into D-width buckets. A right row lands
+in exactly one bucket; each left row probes its own bucket and the
+previous one (the interval spans at most two). The join becomes a pure
+equi-join on (key, bucket) — shuffle-hash/SMJ friendly, AQE-skew
+splittable — followed by the exact range filter. Join fan-out is
+bounded by bucket population, never by key population.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Per left row: count right rows of the same key with
+    right.ts in [left.ts - window, left.ts). Zero-match rows kept."""
+    bucket = lambda c: F.floor(F.col(c).cast("double") / window_seconds)  # noqa: E731
+
+    r = right.select(
+        F.col(on).alias("__rk"),
+        F.col(right_ts).alias("__rts"),
+        bucket(right_ts).alias("__bucket"),
+    )
+    # probe own bucket and the previous one
+    l = left.withColumn("__probe", F.explode(F.array(bucket(left_ts) - 1, bucket(left_ts))))
+
+    joined = l.join(
+        r,
+        (l[on] == r["__rk"]) & (l["__probe"] == r["__bucket"]),
+        "left",
+    )
+    in_range = (
+        F.col("__rts").isNotNull()
+        & (F.col("__rts") >= F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("__rts") < F.col(left_ts))
+    )
+    return (
+        joined.groupBy(*[F.col(c) for c in left.columns])
+        .agg(F.sum(F.when(in_range, 1).otherwise(0)).alias(count_alias))
+    )

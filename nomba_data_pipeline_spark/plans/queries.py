@@ -444,6 +444,188 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Higher-order joins: as-of, range (scale-extension operators)
+# ---------------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the latest click of the same user at or
+    before it (point-in-time lookup via the sort-merge union trick)."""
+    from nomba_data_pipeline_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedup clicks to one per (user, ts): keep max event_id (tie policy)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join(
+        purchases,
+        clicks.select("user_id", F.col("ts").alias("click_ts"), "click_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+def q_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: clicks by the same user in the preceding hour
+    (bucketed interval join -> pure equi-join on (key, bucket))."""
+    from nomba_data_pipeline_spark.operators.rangejoin import range_join_count
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        window_seconds=3600, count_alias="n_clicks_1h",
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, p.ts,
+       count(c.ts) AS n_clicks_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 3600 SECONDS AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops, semi/anti joins, rollup, percentiles, id synthesis
+# ---------------------------------------------------------------------------
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT coverage (SURVEY §2.7 extension): user ids
+    that clicked but never purchased, plus ids that did both, labeled."""
+    events = load_table(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    only_click = clickers.exceptAll(buyers).withColumn("cohort", F.lit("click_only"))
+    both = clickers.intersect(buyers).withColumn("cohort", F.lit("click_and_buy"))
+    return only_click.unionByName(both)
+
+
+SQL_SET_OPS = """
+SELECT user_id, 'click_only' AS cohort FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'click_and_buy' AS cohort FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3-shaped semi/anti joins as user-facing ops: customers with vs
+    without orders (reference used them only inside the upsert delete)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select(F.col("c_custkey").alias("user_id"), F.lit("has_orders").alias("cohort"))
+    without = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("user_id"), F.lit("no_orders").alias("cohort"))
+    return with_orders.unionByName(without)
+
+
+SQL_SEMI_ANTI = """
+SELECT c_custkey AS user_id, 'has_orders' AS cohort FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey AS user_id, 'no_orders' AS cohort FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region -> nation) revenue — grouping-sets coverage
+    (SURVEY §2.4 'not present ... Spark built-ins if extended')."""
+    fact = M.fact_transactions(spark, sf_dir)
+    return (
+        fact.rollup("region", "nation")
+        .agg(F.round(F.sum(_dec("amount")), 2).alias("revenue"))
+        .select(
+            F.coalesce(F.col("region"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("nation"), F.lit("ALL")).alias("nation"),
+            "revenue",
+        )
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT coalesce(r.r_name, 'ALL') AS region, coalesce(n.n_name, 'ALL') AS nation,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (median + p90)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_id_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 zero-padded id synthesis (reference generate_data.py:55
+    `f"UID{str(i+1).zfill(8)}"`)."""
+    return load_table(spark, sf_dir, "customer").select(
+        F.format_string("UID%08d", F.col("c_custkey")).alias("uid"),
+        F.col("c_custkey").alias("user_id"),
+    )
+
+
+SQL_ID_SYNTHESIS = """
+SELECT printf('UID%08d', c_custkey) AS uid, c_custkey AS user_id FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 REGISTRY: dict[str, QuerySpec] = {
@@ -469,4 +651,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "simhash_docs": QuerySpec(q_simhash, SQL_SIMHASH, "ext:dedup"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "ext:similarity"),
     "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
+    "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN, "ext:asof-join"),
+    "range_join_count": QuerySpec(q_range_join_count, SQL_RANGE_JOIN, "ext:range-join"),
+    "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS, "§2.7"),
+    "semi_anti_cohorts": QuerySpec(q_semi_anti, SQL_SEMI_ANTI, "J3"),
+    "revenue_rollup": QuerySpec(q_revenue_rollup, SQL_REVENUE_ROLLUP, "ext:grouping-sets"),
+    "percentiles_by_flag": QuerySpec(q_percentiles, SQL_PERCENTILES, "ext:percentile"),
+    "id_synthesis": QuerySpec(q_id_synthesis, SQL_ID_SYNTHESIS, "F12"),
 }
