@@ -33,6 +33,11 @@ HEADLINE = [
     "simhash_docs",
     "cosine_topk",
     "cosine_topk_lsh",
+    "embedding_near_dup",
+    "asof_join",
+    "range_join_count",
+    "revenue_rollup",
+    "percentiles_by_flag",
 ]
 
 

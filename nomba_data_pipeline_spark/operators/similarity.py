@@ -172,6 +172,77 @@ def cosine_topk_sql(table: str = "embeddings", query_pred: str = "vec_id % 50 = 
     """
 
 
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b and
+    sim >= threshold.
+
+    Implementation: block-wise BLAS. The corpus is Arrow-batched; each
+    batch multiplies against the (normalized, broadcast) full matrix and
+    emits only above-threshold pairs — the n^2 similarity matrix is never
+    materialized, only streamed block-row by block-row. At true 100 TB
+    scale, pre-bucket with lsh_bucket() and run this per bucket (the
+    composition is cosine_topk_lsh's join shape); the block-BLAS kernel
+    stays identical.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cpdf = embeddings.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids = cpdf[id_col].to_numpy()
+    M = np.stack(cpdf[vec_col].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, Mn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        all_ids, all_m = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = np.round(block @ all_m.T, SIM_DP)
+            bids = pdf["__id"].to_numpy()
+            rows_i, cols_j = np.where(sims >= threshold)
+            a, b, s = bids[rows_i], all_ids[cols_j], sims[rows_i, cols_j]
+            keep = a < b
+            yield pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep], "sim": s[keep]})
+
+    return embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(run, out_schema)
+
+
+def near_dup_pairs_sql(table: str = "embeddings", threshold: float = 0.9) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    comps AS (
+        SELECT a, b, sum(av[i] * bv[i]) AS dot, sum(av[i] * av[i]) AS aa,
+               sum(bv[i] * bv[i]) AS bb
+        FROM (SELECT x.vec_id AS a, y.vec_id AS b, x.v AS av, y.v AS bv,
+                     unnest(range(1, len(x.v) + 1)) AS i
+              FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        GROUP BY 1, 2
+    )
+    SELECT a AS vec_a, b AS vec_b, round(dot / (sqrt(aa) * sqrt(bb)), {SIM_DP}) AS sim
+    FROM comps
+    WHERE round(dot / (sqrt(aa) * sqrt(bb)), {SIM_DP}) >= {threshold}
+    """
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path; benchmarked, oracle-free by design)
 # ---------------------------------------------------------------------------

@@ -437,6 +437,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_COSINE_TOPK = S.cosine_topk_sql(query_pred="vec_id % 50 = 0", k=5)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # testdata embeddings are well-separated (max pairwise cosine ~0.51);
+    # 0.4 sits above p99.9 so the pair set is small but non-empty
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, threshold=0.4)
+
+
+SQL_EMBEDDING_NEAR_DUP = S.near_dup_pairs_sql(threshold=0.4)
+
+
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant — recall is probabilistic, so no SQL oracle (rows-only)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -651,6 +661,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "simhash_docs": QuerySpec(q_simhash, SQL_SIMHASH, "ext:dedup"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "ext:similarity"),
     "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
+    "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN, "ext:asof-join"),
     "range_join_count": QuerySpec(q_range_join_count, SQL_RANGE_JOIN, "ext:range-join"),
     "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS, "§2.7"),
