@@ -1,0 +1,63 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference has no stateful streaming (SURVEY §2.10) — this is the
+scale-extension for semantics the built-in windowed aggs can't express:
+arbitrary per-key running state with timeout-based emission. The example
+operator is a running per-user activity accumulator (event count + value
+sum + last-seen) that emits its state when a processing-time timeout
+fires — the streaming twin of the batch sessionize query.
+
+Scale notes: state lives in the executor state store partitioned by key
+(same hash partitioning as any groupBy); Arrow batches cross the Python
+boundary per key-group. State size is O(active keys), bounded by the
+timeout eviction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+STATE_SCHEMA = "n LONG, total DOUBLE"
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("final", T.BooleanType()),
+    ]
+)
+
+
+def _accumulate(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, total = state.get
+        state.remove()
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total], "final": [True]})
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((int(n), float(total)))
+    state.setTimeoutDuration(30_000)  # emit-final after 30s idle
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total], "final": [False]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals with timeout finalization.
+    `events` must be a streaming DataFrame with (user_id, ts, value)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _accumulate,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

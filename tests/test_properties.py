@@ -1,0 +1,80 @@
+"""Property-based invariants (hypothesis) for the merge writers and SCD2
+— exceeds the reference's test strategy (SURVEY §5: it has none)."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.operators.merge import ParquetTable
+from nomba_data_pipeline_spark.operators.scd2 import current_rows, scd2_merge
+
+# rows: (key 0..5, payload 0..100, version 0..10)
+row = st.tuples(
+    st.integers(0, 5), st.integers(0, 100), st.integers(0, 10)
+)
+batch = st.lists(row, min_size=0, max_size=12)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, p, v) for k, p, v in rows], "id int, payload int, v int"
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(b1=batch, b2=batch)
+def test_merge_upsert_key_unique_and_delta_wins(spark, tmp_path_factory, b1, b2):
+    tmp = tmp_path_factory.mktemp("merge")
+    t = ParquetTable(spark, os.path.join(tmp, "t"))
+    d1 = _df(spark, b1).dropDuplicates(["id"])
+    d2 = _df(spark, b2).dropDuplicates(["id"])
+    if b1:
+        t.merge_upsert(d1, ["id"])
+    if b2:
+        t.merge_upsert(d2, ["id"])
+    if not t.exists():
+        return
+    out = {r.id: (r.payload, r.v) for r in t.read().collect()}
+    # keys unique
+    assert len(out) == t.read().count()
+    # every delta-2 row won; delta-1 rows survive only if absent from delta-2
+    expect = {r.id: (r.payload, r.v) for r in d1.collect()}
+    expect.update({r.id: (r.payload, r.v) for r in d2.collect()})
+    assert out == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=st.lists(batch, min_size=1, max_size=4))
+def test_scd2_invariants_over_generations(spark, batches):
+    snap = None
+    for i, b in enumerate(batches):
+        df = _df(spark, b)
+        if df.count() == 0:
+            continue
+        snap = scd2_merge(
+            snap, df, "id", ["payload"],
+            load_ts=F.to_timestamp(F.lit(f"2026-01-{i+1:02d}")),
+            order_within_batch="v",
+        )
+        snap = snap.localCheckpoint()  # keep lineage bounded across generations
+    if snap is None:
+        return
+    rows = snap.collect()
+    # exactly one open version per key
+    open_by_key = {}
+    for r in rows:
+        if r.valid_to is None:
+            open_by_key.setdefault(r.id, 0)
+            open_by_key[r.id] += 1
+    assert all(v == 1 for v in open_by_key.values())
+    # every key ever seen has an open version
+    seen = set()
+    for b in batches:
+        seen.update(k for k, _, _ in b)
+    assert set(open_by_key) == {k for k in seen}
+    # closed intervals: valid_from < valid_to
+    assert all(r.valid_from < r.valid_to for r in rows if r.valid_to is not None)
