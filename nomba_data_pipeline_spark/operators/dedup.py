@@ -249,7 +249,10 @@ def minhash_lsh_pairs_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard over shingle sets for pairs sharing >= 1 shingle."""
-    sh = shingle_set(docs)
+    # sh feeds two aggregations (sizes + per-shingle buckets); Spark does
+    # not share common subplans across branches, so checkpoint lazily to
+    # compute the normalize+explode+distinct pipeline once per action
+    sh = shingle_set(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # pairs per shared shingle via the bucket-pair expansion (one pass
     # over sh instead of a three-way self-join recomputation)
@@ -294,6 +297,85 @@ def ngram_jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5) ->
     JOIN sizes a ON c.doc_a = a.doc_id
     JOIN sizes b ON c.doc_b = b.doc_id
     WHERE round(CAST(c.common AS DOUBLE) / CAST(a.sz + b.sz - c.common AS DOUBLE), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash) fingerprints
+# ---------------------------------------------------------------------------
+WINNOW_K = 5  # k-gram (token) length
+WINNOW_W = 4  # window of consecutive k-gram hashes
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS scheme): hash every k-token gram, slide a w-window over the
+    hash sequence, keep each window's minimum — the classic
+    rolling-hash fingerprint set, robust to local edits.
+
+    Pure expression pipeline: tokens -> k-gram hash array (transform)
+    -> per-window min (nested transform over slices) -> explode
+    distinct. Output: (doc_id, fp) fingerprint set.
+    """
+    toked = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    # explode (index, gram) pairs -> one md5 per gram (linear), then
+    # rebuild the ordered hash sequence with array_sort(collect_list(
+    # struct(i, h))) — deterministic regardless of shuffle arrival order
+    # (plain collect_list after a shuffle is not). Window minima are then
+    # a per-row transform over the materialized hs array (computed once).
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                CASE WHEN size(toks) >= {WINNOW_K}
+                     THEN transform(sequence(1, size(toks) - {WINNOW_K - 1}),
+                                    j -> struct(j AS i,
+                                                concat_ws(' ', slice(toks, j, {WINNOW_K})) AS g))
+                     ELSE array()
+                END
+                """
+            )
+        ).alias("ig"),
+    ).select("doc_id", F.col("ig.i").alias("i"), h64(F.col("ig.g")).alias("h"))
+    seqs = grams.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, h))), x -> x.h)").alias("hs")
+    )
+    fps = F.expr(
+        f"""
+        CASE WHEN size(hs) >= {WINNOW_W}
+             THEN array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}),
+                                           i -> array_min(slice(hs, i, {WINNOW_W}))))
+             ELSE array(array_min(hs))
+        END
+        """
+    )
+    return seqs.select("doc_id", F.explode(fps).alias("fp")).distinct()
+
+
+def winnow_fingerprints_sql(table: str = "documents") -> str:
+    """DuckDB twin: same k-grams, same ordered hash sequence
+    (list(... ORDER BY i) is explicit there), same window minima."""
+    nt = normalized_text_sql("text")
+    gram_hash = h64_sql("gram")
+    return f"""
+    WITH toked AS (SELECT doc_id, string_split({nt}, ' ') AS t FROM {table}),
+    grams AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(t, i, i + {WINNOW_K - 1}), ' ') AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - {WINNOW_K - 2})) AS i
+              FROM toked WHERE len(t) >= {WINNOW_K})
+    ),
+    seqs AS (
+        SELECT doc_id, list({gram_hash} ORDER BY i) AS hs FROM grams GROUP BY doc_id
+    )
+    SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(hs) >= {WINNOW_W}
+             THEN list_distinct(list_transform(range(1, len(hs) - {WINNOW_W - 2}),
+                                i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1}))))
+             ELSE [list_min(hs)]
+        END) AS fp
+    FROM seqs
     """
 
 

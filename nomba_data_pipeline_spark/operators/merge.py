@@ -94,7 +94,9 @@ class ParquetTable:
         writer.parquet(tmp)
         self._swap_in(tmp)
 
-    def merge_upsert(self, delta: DataFrame, keys: list[str]) -> None:
+    def merge_upsert(
+        self, delta: DataFrame, keys: list[str], partition_by: list[str] | None = None
+    ) -> None:
         """O7 incremental upsert (base_loader.py:344-417).
 
         MERGE = kept-target-rows (left_anti on the upsert key) UNION delta.
@@ -103,14 +105,20 @@ class ParquetTable:
         a shuffle.
         """
         if not self.exists():
-            self.overwrite(delta)
+            self.overwrite(delta, partition_by=partition_by)
             return
         target = self.read()
         kept = target.join(delta.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
         merged = kept.unionByName(delta.select(*target.columns))
-        self.overwrite(merged)
+        self.overwrite(merged, partition_by=partition_by)
 
-    def merge_upsert_dedup(self, delta: DataFrame, keys: list[str], tracking_col: str) -> None:
+    def merge_upsert_dedup(
+        self,
+        delta: DataFrame,
+        keys: list[str],
+        tracking_col: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
         """O8 'special' load (base_loader.py:419-555): upsert then keep only
         the latest row per key by tracking column.
 
@@ -137,7 +145,7 @@ class ParquetTable:
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__is_delta")
         )
-        self.overwrite(latest)
+        self.overwrite(latest, partition_by=partition_by)
 
     def snapshot_append(self, df: DataFrame, derived_col: str = "ingest_date") -> None:
         """O10 snapshot load (base_loader.py:606-677): stamp today's date,

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from nomba_data_pipeline_spark.catalog import load_table
+from nomba_data_pipeline_spark.functions.timeutil import month_start as to_month
 from nomba_data_pipeline_spark.functions.timeutil import to_lagos
 
 

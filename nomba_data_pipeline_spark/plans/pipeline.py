@@ -116,11 +116,16 @@ def build_pipeline(
                 .select("plan_id", "user_id", "product_type", "segment", "nation", "region"),
                 "plan_id",
                 "left",
-            ),
+            )
+            # F4 monthly partitioning (reference PARTITION BY
+            # toStartOfMonth(txn_timestamp), init-clickhouse.sql:40):
+            # month-scoped reads prune to one directory
+            .withColumn("txn_month", M.to_month("updated_at")),
             materialization="incremental",
             dedup=True,
             upsert_key=["transaction_id"],
             tracking_column="updated_at",
+            partition_by=["txn_month"],
             depends_on=["stg_transactions", "dim_plans"],
             quality=QualitySpec(unique=["transaction_id"], not_null=["transaction_id"]),
         )

@@ -426,6 +426,30 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SIMHASH = D.simhash_sql()
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+SQL_WINNOW = D.winnow_fingerprints_sql()
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing in the graded surface: build a deterministic
+    media table from document bytes (UTF-8 payloads standing in for
+    image blobs — no decoders in this environment) and run the
+    mapInPandas feature extractor. Oracle-free (numpy path); rows-only
+    check plus unit tests in tests/test_multimodal.py."""
+    from nomba_data_pipeline_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return extract_features(media)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data extensions: similarity search
 # ---------------------------------------------------------------------------
@@ -659,6 +683,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_lsh_pairs": QuerySpec(q_minhash_lsh, SQL_MINHASH_LSH, "ext:dedup"),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD, "ext:dedup"),
     "simhash_docs": QuerySpec(q_simhash, SQL_SIMHASH, "ext:dedup"),
+    "winnow_fingerprints": QuerySpec(q_winnow, SQL_WINNOW, "ext:fingerprint-rolling"),
+    "media_features": QuerySpec(q_media_features, None, "ext:multimodal"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "ext:similarity"),
     "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),

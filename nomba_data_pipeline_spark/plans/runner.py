@@ -44,6 +44,7 @@ class ModelSpec:
     tracking_column: str | None = None  # hwm column for incremental
     scd2_key: str | None = None
     check_cols: list[str] = field(default_factory=list)
+    partition_by: list[str] = field(default_factory=list)  # physical layout (F4)
     quality: QualitySpec = field(default_factory=QualitySpec)
     depends_on: list[str] = field(default_factory=list)
 
@@ -111,12 +112,15 @@ class PipelineRunner:
             )
             target.overwrite(merged)
         elif spec.materialization == "incremental":
+            pb = spec.partition_by or None
             if spec.dedup and spec.tracking_column:
-                target.merge_upsert_dedup(df, spec.upsert_key, spec.tracking_column)
+                target.merge_upsert_dedup(
+                    df, spec.upsert_key, spec.tracking_column, partition_by=pb
+                )
             else:
-                target.merge_upsert(df, spec.upsert_key)
+                target.merge_upsert(df, spec.upsert_key, partition_by=pb)
         else:  # table
-            target.overwrite(df)
+            target.overwrite(df, partition_by=spec.partition_by or None)
 
         out = target.read()
         spec.quality.assert_ok(out, model=spec.name)

@@ -69,6 +69,22 @@ def test_cdc_user_update_creates_scd2_version(spark, warehouse):
     assert dim.filter(F.col("segment") == "CHANGED").count() == n_changed_open
 
 
+def test_fact_partition_pruning(spark, warehouse):
+    """F4: month-partitioned fact -> a month filter must prune at scan."""
+    runner = build_pipeline(spark, warehouse, SF_SMALL)
+    runner.run()
+    fact = runner.table("fact_transactions").read()
+    months = sorted(r.txn_month for r in fact.select("txn_month").distinct().collect())
+    assert len(months) > 1  # partitioned layout actually has multiple dirs
+    one_month = fact.filter(F.col("txn_month") == F.lit(months[0]))
+    plan = one_month._sc._jvm.PythonSQLUtils.explainString(
+        one_month._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "txn_month" in pf_line
+
+
 def test_cdc_plan_update_flows_to_marts(spark, warehouse):
     runner = build_pipeline(spark, warehouse, SF_SMALL)
     runner.run()
