@@ -477,6 +477,73 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(emb, F.col("vec_id") % 50 == 0, k=5)
 
 
+def q_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: revenue by supplier nation and part
+    brand for one ship-year. Exercises supplier + part (the only tables
+    not touched elsewhere) and multi-way join reordering/broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("supp_nation"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_SUPPLIER_PART_VOLUME = """
+SELECT n.n_name AS supp_nation, p.p_brand AS brand,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+"""
+
+
+def q_parts_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated aggregate: lineitems priced above 1.2x
+    their part's average — the decorrelated window form (one shuffle on
+    partkey instead of a per-row subquery)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("avg_part_price", F.avg("l_extendedprice").over(w)).filter(
+        F.col("l_extendedprice") > 1.2 * F.col("avg_part_price")
+    )
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_above"),
+        F.round(F.sum(_dec("l_extendedprice")), 2).alias("total_price"),
+    )
+
+
+SQL_PARTS_ABOVE_AVG = """
+WITH flagged AS (
+    SELECT *, avg(l_extendedprice) OVER (PARTITION BY l_partkey) AS avg_part_price
+    FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_above,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS total_price
+FROM flagged
+WHERE l_extendedprice > 1.2 * avg_part_price
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Higher-order joins: as-of, range (scale-extension operators)
 # ---------------------------------------------------------------------------
@@ -688,6 +755,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "ext:similarity"),
     "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),
+    "supplier_part_volume": QuerySpec(q_supplier_part_volume, SQL_SUPPLIER_PART_VOLUME, "J1,J2,A1"),
+    "parts_above_avg": QuerySpec(q_parts_above_avg, SQL_PARTS_ABOVE_AVG, "ext:correlated-agg"),
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN, "ext:asof-join"),
     "range_join_count": QuerySpec(q_range_join_count, SQL_RANGE_JOIN, "ext:range-join"),
     "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS, "§2.7"),

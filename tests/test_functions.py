@@ -49,6 +49,25 @@ def test_text_functions(spark):
     assert rows[2].n == 0 and rows[2].q == 0.0
 
 
+def test_corrupt_json_drift_tolerance(spark, tmp_path):
+    """Reference drift tolerance (input_format_skip_unknown_fields,
+    base_loader.py:830-841): corrupt lines land in _corrupt_record
+    instead of failing the read."""
+    from nomba_data_pipeline_spark.sources.staged import read_stage
+
+    path = os.path.join(tmp_path, "stage")
+    lines = ['{"id": 1, "v": "ok"}', "{this is not json", '{"id": 2, "v": "fine", "extra": 9}']
+    spark.createDataFrame([(l,) for l in lines], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+    df = read_stage(spark, path, fmt="json").cache()
+    good = df.filter(F.col("id").isNotNull())
+    assert good.count() == 2
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+    assert corrupt.count() == 1
+    df.unpersist()
+
+
 def test_inference_mixed_and_dates(spark, tmp_path):
     path = os.path.join(tmp_path, "stage")
     df = spark.createDataFrame(
