@@ -257,9 +257,22 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
             F.round(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price"),
-            F.round(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias("sum_disc_price"),
+            # cast each FACTOR to decimal before multiplying: the double
+            # triple-product can land on a .00005 rounding boundary where
+            # Spark (HALF_UP) and DuckDB disagree by one ulp-of-a-cent;
+            # per-factor casts round simple 2-4dp doubles (safe) and the
+            # decimal products/sums are then exact in both engines
             F.round(
-                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))), 2
+                F.sum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (1 - F.col("l_discount")).cast("decimal(8,4)")
+                    * (1 + F.col("l_tax")).cast("decimal(8,4)")
+                ),
+                2,
             ).alias("sum_charge"),
             F.round(F.sum(_dec("l_quantity")) / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.round(F.sum(_dec("l_extendedprice")) / F.count(F.lit(1)), 6).alias("avg_price"),
@@ -273,8 +286,11 @@ SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS sum_qty,
        round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS sum_base_price,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS sum_disc_price,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2) AS sum_charge,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS sum_disc_price,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(8,4))
+                 * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS sum_charge,
        round(sum(CAST(l_quantity AS DECIMAL(18,4))) / count(*), 6) AS avg_qty,
        round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / count(*), 6) AS avg_price,
        round(sum(CAST(l_discount AS DECIMAL(18,4))) / count(*), 6) AS avg_disc,
