@@ -409,6 +409,71 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return per_doc.select("doc_id", sim.alias("simhash"))
 
 
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+
+
+def simhash_near_dup(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-duplicate pairs: (doc_a, doc_b, hamming) with
+    hamming <= max_hamming, candidates generated by 15-bit band-equality
+    LSH over the 60-bit signature.
+
+    Recall note: band equality GUARANTEES recall only for hamming <=
+    SIMHASH_BANDS - 1 (pigeonhole); above that this is a candidate
+    filter, the standard production trade (full recall would need the
+    n^2 scan this avoids). The DuckDB oracle runs the identical banding,
+    so results match exactly.
+    """
+    sh = simhash(docs)
+    banded = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, {SIMHASH_BANDS - 1}),
+                          b -> struct(b AS band,
+                                      (shiftright(simhash, b * {SIMHASH_BAND_BITS})
+                                       & {(1 << SIMHASH_BAND_BITS) - 1}) AS band_val))
+                """
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+    cand = _bucket_pairs(banded, ["band", "band_val"])
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_dup_sql(table: str = "documents", max_hamming: int = 8) -> str:
+    band_rows = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" (simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val"
+        " FROM sh"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS ({simhash_sql(table)}),
+    banded AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS INT) AS hamming
+    FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= {max_hamming}
+    """
+
+
 def simhash_sql(table: str = "documents") -> str:
     nt = normalized_text_sql("text")
     th = h64_sql("token")

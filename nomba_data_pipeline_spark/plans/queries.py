@@ -466,6 +466,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality-filter -> exact-dedup
+    (keep lowest doc_id per fingerprint) -> per-language corpus stats.
+    The end-to-end shape a 100 TB pretraining-data job runs; every stage
+    is one of the already-verified operators composed declaratively, so
+    Catalyst pipelines the whole thing into two shuffles (dedup window +
+    final rollup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_guess"),
+        T.fingerprint("text").alias("fp"),
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    deduped = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+SQL_CORPUS_PREP = f"""
+WITH scored AS (
+    SELECT doc_id,
+           {T.token_count_sql('text')} AS n_tokens,
+           {T.quality_score_sql('text')} AS quality,
+           {T.lang_id_sql('text')} AS lang_guess,
+           {T.fingerprint_sql('text')} AS fp
+    FROM documents
+),
+filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+        FROM filtered)
+    WHERE rn = 1
+)
+SELECT lang_guess, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM deduped GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data extensions: similarity search
 # ---------------------------------------------------------------------------
@@ -767,7 +813,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD, "ext:dedup"),
     "simhash_docs": QuerySpec(q_simhash, SQL_SIMHASH, "ext:dedup"),
     "winnow_fingerprints": QuerySpec(q_winnow, SQL_WINNOW, "ext:fingerprint-rolling"),
+    "simhash_near_dup": QuerySpec(
+        lambda spark, sf: D.simhash_near_dup(load_table(spark, sf, "documents")),
+        D.simhash_near_dup_sql(),
+        "ext:dedup-simhash-lsh",
+    ),
     "media_features": QuerySpec(q_media_features, None, "ext:multimodal"),
+    "corpus_prep": QuerySpec(q_corpus_prep, SQL_CORPUS_PREP, "ext:composite-pipeline"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "ext:similarity"),
     "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),
