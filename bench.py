@@ -33,7 +33,12 @@ HEADLINE = [
     "simhash_docs",
     "cosine_topk",
     "cosine_topk_lsh",
+    "cosine_topk_ivf",
     "embedding_near_dup",
+    "simhash_near_dup",
+    "winnow_fingerprints",
+    "corpus_prep",
+    "supplier_part_volume",
     "asof_join",
     "range_join_count",
     "revenue_rollup",

