@@ -424,7 +424,9 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     n^2 scan this avoids). The DuckDB oracle runs the identical banding,
     so results match exactly.
     """
-    sh = simhash(docs)
+    # sh feeds banding plus both pair-join sides; checkpoint lazily so the
+    # token-explode + 60-agg pipeline runs once per action, not three times
+    sh = simhash(docs).localCheckpoint(eager=False)
     banded = sh.select(
         "doc_id",
         F.explode(
