@@ -93,7 +93,7 @@ def q_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fact.groupBy("region", "product_type")
         .agg(
-            F.round(F.sum(_dec("amount")), 2).alias("revenue"),
+            F.round(F.sum(_dec("amount")), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("txn_count"),
             F.countDistinct("user_id").alias("active_users"),
         )
@@ -102,7 +102,7 @@ def q_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FLAGSHIP_REVENUE = """
 SELECT r.r_name AS region, o.o_orderpriority AS product_type,
-       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS txn_count,
        count(DISTINCT c.c_custkey) AS active_users
 FROM lineitem l
@@ -229,7 +229,7 @@ def q_top_users_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = M.fact_transactions(spark, sf_dir)
     return (
         fact.groupBy("user_id")
-        .agg(F.round(F.sum(_dec("amount")), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec("amount")), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("user_id").asc())
         .limit(10)
     )
@@ -237,7 +237,7 @@ def q_top_users_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOP_USERS = """
 SELECT o.o_custkey AS user_id,
-       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 ORDER BY revenue DESC, user_id ASC
@@ -255,8 +255,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
             # cast each FACTOR to decimal before multiplying: the double
             # triple-product can land on a .00005 rounding boundary where
             # Spark (HALF_UP) and DuckDB disagree by one ulp-of-a-cent;
@@ -265,7 +265,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")),
                 2,
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.round(
                 F.sum(
                     _dec("l_extendedprice")
@@ -273,10 +273,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (1 + F.col("l_tax")).cast("decimal(8,4)")
                 ),
                 2,
-            ).alias("sum_charge"),
-            F.round(F.sum(_dec("l_quantity")) / F.count(F.lit(1)), 6).alias("avg_qty"),
-            F.round(F.sum(_dec("l_extendedprice")) / F.count(F.lit(1)), 6).alias("avg_price"),
-            F.round(F.sum(_dec("l_discount")) / F.count(F.lit(1)), 6).alias("avg_disc"),
+            ).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")) / F.count(F.lit(1)), 6).cast("double").alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")) / F.count(F.lit(1)), 6).cast("double").alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")) / F.count(F.lit(1)), 6).cast("double").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -284,16 +284,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS sum_qty,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS sum_base_price,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS sum_disc_price,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                  * CAST(1 - l_discount AS DECIMAL(8,4))
-                 * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS sum_charge,
-       round(sum(CAST(l_quantity AS DECIMAL(18,4))) / count(*), 6) AS avg_qty,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / count(*), 6) AS avg_price,
-       round(sum(CAST(l_discount AS DECIMAL(18,4))) / count(*), 6) AS avg_disc,
+                 * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))) / count(*), 6) AS DOUBLE) AS avg_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / count(*), 6) AS DOUBLE) AS avg_price,
+       CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))) / count(*), 6) AS DOUBLE) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -377,14 +377,14 @@ def q_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(_dec("value")), 2).alias("total_value"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("total_value"),
         )
     )
 
 
 SQL_MINUTE_ROLLUP = """
 SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n,
-       round(sum(CAST(value AS DECIMAL(18,4))), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -568,7 +568,7 @@ def q_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supplier.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("supp_nation"), F.col("p_brand").alias("brand"))
         .agg(
-            F.round(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias(
+            F.round(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).cast("double").alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -578,7 +578,7 @@ def q_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SUPPLIER_PART_VOLUME = """
 SELECT n.n_name AS supp_nation, p.p_brand AS brand,
-       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -600,7 +600,7 @@ def q_parts_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flagged.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_above"),
-        F.round(F.sum(_dec("l_extendedprice")), 2).alias("total_price"),
+        F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("total_price"),
     )
 
 
@@ -610,7 +610,7 @@ WITH flagged AS (
     FROM lineitem
 )
 SELECT l_returnflag, count(*) AS n_above,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS total_price
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
 FROM flagged
 WHERE l_extendedprice > 1.2 * avg_part_price
 GROUP BY 1
@@ -745,7 +745,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = M.fact_transactions(spark, sf_dir)
     return (
         fact.rollup("region", "nation")
-        .agg(F.round(F.sum(_dec("amount")), 2).alias("revenue"))
+        .agg(F.round(F.sum(_dec("amount")), 2).cast("double").alias("revenue"))
         .select(
             F.coalesce(F.col("region"), F.lit("ALL")).alias("region"),
             F.coalesce(F.col("nation"), F.lit("ALL")).alias("nation"),
@@ -756,7 +756,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REVENUE_ROLLUP = """
 SELECT coalesce(r.r_name, 'ALL') AS region, coalesce(n.n_name, 'ALL') AS nation,
-       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
