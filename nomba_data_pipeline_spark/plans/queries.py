@@ -550,6 +550,42 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_ivf(emb, F.col("vec_id") % 50 == 0, k=5, n_probe=8)
 
 
+def q_flagship_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship rollup through the pure-SQL surface: register the
+    catalog as temp views and run ANSI SQL via spark.sql — the engine's
+    second user-facing API (same Catalyst plan as the DataFrame form)."""
+    from nomba_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region"))
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, o.o_orderpriority AS product_type,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               count(*) AS txn_count
+        FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+        """
+    )
+
+
+SQL_FLAGSHIP_SQL_API = """
+SELECT r.r_name AS region, o.o_orderpriority AS product_type,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       count(*) AS txn_count
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
 def q_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-way join: revenue by supplier nation and part
     brand for one ship-year. Exercises supplier + part (the only tables
@@ -835,6 +871,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
     "cosine_topk_ivf": QuerySpec(q_cosine_topk_ivf, None, "ext:similarity-ivf"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),
+    "flagship_sql_api": QuerySpec(q_flagship_sql_api, SQL_FLAGSHIP_SQL_API, "SQL-API"),
     "supplier_part_volume": QuerySpec(q_supplier_part_volume, SQL_SUPPLIER_PART_VOLUME, "J1,J2,A1"),
     "parts_above_avg": QuerySpec(q_parts_above_avg, SQL_PARTS_ABOVE_AVG, "ext:correlated-agg"),
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN, "ext:asof-join"),

@@ -84,10 +84,30 @@ class PipelineRunner:
             visit(name, ())
         return ordered
 
-    def run(self) -> dict[str, int]:
-        """Run all models in dependency order; returns rows written per model."""
+    def run(self, only: list[str] | None = None) -> dict[str, int]:
+        """Run models in dependency order; returns rows written per model.
+
+        `only` restricts the run to the named models PLUS their upstream
+        dependency closure — the equivalent of the reference's per-source
+        Dagster jobs (users_job / plans_job / txn_job, all_jobs.py:6-22)
+        where each cron fires a subgraph, not the whole DAG.
+        """
+        ordered = self._toposort()
+        if only is not None:
+            wanted: set[str] = set()
+
+            def add(name: str) -> None:
+                if name in wanted or name not in self.models:
+                    return
+                wanted.add(name)
+                for dep in self.models[name].depends_on:
+                    add(dep)
+
+            for name in only:
+                add(name)
+            ordered = [s for s in ordered if s.name in wanted]
         results: dict[str, int] = {}
-        for spec in self._toposort():
+        for spec in ordered:
             results[spec.name] = self.run_model(spec.name)
         return results
 
