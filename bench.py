@@ -47,6 +47,12 @@ HEADLINE = [
 
 
 def main() -> None:
+    import shutil
+    import tempfile
+
+    from nomba_data_pipeline_spark.plans import models as M
+    from nomba_data_pipeline_spark.plans.cdc_sim import simulate_plan_updates
+    from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
     from nomba_data_pipeline_spark.plans.queries import REGISTRY
     from nomba_data_pipeline_spark.session import get_spark
 
@@ -64,6 +70,22 @@ def main() -> None:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # end-to-end medallion pipeline (BASELINE.md "full pipeline ~5 min"
+    # comparable) + incremental CDC rerun (BASELINE "delta load ~5 sec")
+    wh = tempfile.mkdtemp(prefix="bench-wh-")
+    try:
+        t0 = time.perf_counter()
+        build_pipeline(spark, wh, SF_DIR).run()
+        timings["pipeline_e2e_medallion"] = round(time.perf_counter() - t0, 3)
+        override = {
+            "stg_plans": lambda s, sfd: simulate_plan_updates(M.stg_plans(s, sfd), 0.01)
+        }
+        t0 = time.perf_counter()
+        build_pipeline(spark, wh, SF_DIR, source_override=override).run()
+        timings["pipeline_cdc_rerun"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(

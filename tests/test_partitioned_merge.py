@@ -1,0 +1,65 @@
+"""Partition-scoped merge: correctness incl. the partition-migration
+edge (a key whose partition value changes must vanish from its old
+partition, even when that leaves the old partition empty)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+SCHEMA = "id int, v string, m string"
+
+
+def _t(spark, tmp_path, rows):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(spark.createDataFrame(rows, SCHEMA), partition_by=["m"])
+    return t
+
+
+def _state(t):
+    return sorted((r.id, r.v, r.m) for r in t.read().collect())
+
+
+def test_partitioned_merge_only_touches_affected(spark, tmp_path):
+    t = _t(spark, tmp_path, [(1, "a", "2026-01"), (2, "b", "2026-01"), (3, "c", "2026-02")])
+    mtimes_before = {
+        d: os.path.getmtime(os.path.join(t.path, d))
+        for d in os.listdir(t.path) if d.startswith("m=")
+    }
+    import time
+
+    time.sleep(1.1)
+    delta = spark.createDataFrame([(2, "b2", "2026-01")], SCHEMA)
+    t.merge_upsert(delta, ["id"], partition_by=["m"])
+    assert _state(t) == [(1, "a", "2026-01"), (2, "b2", "2026-01"), (3, "c", "2026-02")]
+    # untouched partition directory was not rewritten
+    assert os.path.getmtime(os.path.join(t.path, "m=2026-02")) == mtimes_before["m=2026-02"]
+
+
+def test_partition_migration_removes_old_copy(spark, tmp_path):
+    t = _t(spark, tmp_path, [(1, "a", "2026-01"), (2, "b", "2026-02")])
+    # id 1 moves from 2026-01 to 2026-03; old partition becomes empty
+    delta = spark.createDataFrame([(1, "a2", "2026-03")], SCHEMA)
+    t.merge_upsert(delta, ["id"], partition_by=["m"])
+    assert _state(t) == [(1, "a2", "2026-03"), (2, "b", "2026-02")]
+    assert not os.path.exists(os.path.join(t.path, "m=2026-01"))
+
+
+def test_partition_migration_with_survivors(spark, tmp_path):
+    t = _t(spark, tmp_path, [(1, "a", "2026-01"), (9, "z", "2026-01")])
+    delta = spark.createDataFrame([(1, "a2", "2026-02")], SCHEMA)
+    t.merge_upsert(delta, ["id"], partition_by=["m"])
+    # id 9 survives in the rewritten old partition
+    assert _state(t) == [(1, "a2", "2026-02"), (9, "z", "2026-01")]
+
+
+def test_partitioned_merge_idempotent(spark, tmp_path):
+    t = _t(spark, tmp_path, [(1, "a", "2026-01")])
+    delta = spark.createDataFrame([(1, "a2", "2026-01"), (2, "n", "2026-02")], SCHEMA)
+    t.merge_upsert(delta, ["id"], partition_by=["m"])
+    first = _state(t)
+    t.merge_upsert(delta, ["id"], partition_by=["m"])
+    assert _state(t) == first == [(1, "a2", "2026-01"), (2, "n", "2026-02")]
