@@ -50,15 +50,20 @@ def _stamp(df: DataFrame, key: str, load_ts: Column) -> DataFrame:
     )
 
 
-def scd2_merge(
-    snapshot: DataFrame | None,
+def scd2_apply(
+    open_rows: DataFrame | None,
     batch: DataFrame,
     key: str,
     check_cols: list[str],
     load_ts: Column | None = None,
     order_within_batch: str | None = None,
-) -> DataFrame:
-    """Return the new snapshot table state (closed + carried + opened rows)."""
+) -> tuple[DataFrame, DataFrame]:
+    """Core SCD2 step against the OPEN rows only.
+
+    Returns (new_open_state, newly_closed_rows). Closed history never
+    participates — which is what lets the runner store it append-only
+    and keep the per-run rewrite cost O(open rows), not O(history).
+    """
     ts = load_ts if load_ts is not None else F.current_timestamp()
 
     if order_within_batch is not None:
@@ -71,13 +76,11 @@ def scd2_merge(
     else:
         batch = batch.dropDuplicates([key])
 
-    if snapshot is None:
-        return _stamp(batch, key, ts)
+    if open_rows is None:
+        stamped = _stamp(batch, key, ts)
+        return stamped, stamped.limit(0)
 
     attrs = batch.columns  # the business columns tracked by the snapshot
-    open_rows = snapshot.filter(F.col(VALID_TO).isNull())
-    closed_rows = snapshot.filter(F.col(VALID_TO).isNotNull())
-
     cur = open_rows.alias("cur")
     new = batch.alias("new")
     joined = cur.join(new, on=F.col(f"cur.{key}") == F.col(f"new.{key}"), how="left")
@@ -101,12 +104,28 @@ def scd2_merge(
         key,
         ts,
     )
-    return (
-        closed_rows.unionByName(closed_now)
-        .unionByName(carried_open)
-        .unionByName(opened_changed)
-        .unionByName(opened_new)
+    new_open = carried_open.unionByName(opened_changed).unionByName(opened_new)
+    return new_open, closed_now
+
+
+def scd2_merge(
+    snapshot: DataFrame | None,
+    batch: DataFrame,
+    key: str,
+    check_cols: list[str],
+    load_ts: Column | None = None,
+    order_within_batch: str | None = None,
+) -> DataFrame:
+    """Return the new snapshot table state (closed + carried + opened rows)."""
+    if snapshot is None:
+        open_new, _ = scd2_apply(None, batch, key, check_cols, load_ts, order_within_batch)
+        return open_new
+    open_rows = snapshot.filter(F.col(VALID_TO).isNull())
+    closed_rows = snapshot.filter(F.col(VALID_TO).isNotNull())
+    open_new, closed_now = scd2_apply(
+        open_rows, batch, key, check_cols, load_ts, order_within_batch
     )
+    return closed_rows.unionByName(closed_now).unionByName(open_new)
 
 
 def current_rows(snapshot: DataFrame) -> DataFrame:

@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nomba_data_pipeline_spark.operators.scd2 import current_rows
 from nomba_data_pipeline_spark.plans import models as M
 from nomba_data_pipeline_spark.plans.quality import QualitySpec
 from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
@@ -48,6 +47,7 @@ def build_pipeline(
             materialization="scd2",
             scd2_key="user_id",
             check_cols=["segment", "acct_balance"],  # ref: ['state','occupation']
+            scd2_split=True,  # open rows rewritable, history append-only
             depends_on=["stg_users"],
             quality=QualitySpec(not_null=["user_id", "valid_from"]),
         )
@@ -55,10 +55,12 @@ def build_pipeline(
     runner.register(
         ModelSpec(
             name="dim_users",
+            # current rows ARE the split snapshot's open table — read it
+            # directly instead of filtering the full history union (P4)
             fn=lambda spark, sf: M.enrich_users_geo(
-                current_rows(runner.table("users_snapshot").read()).drop(
-                    "valid_from", "valid_to", "updated_at_scd", "scd_id"
-                ),
+                runner.table("users_snapshot__open")
+                .read()
+                .drop("valid_from", "valid_to", "updated_at_scd", "scd_id"),
                 spark,
                 sf,
             ),

@@ -45,6 +45,10 @@ class ModelSpec:
     scd2_key: str | None = None
     check_cols: list[str] = field(default_factory=list)
     partition_by: list[str] = field(default_factory=list)  # physical layout (F4)
+    # split SCD2 storage: open rows in a small rewritable table, closed
+    # history append-only by close date -> per-run cost O(open rows), not
+    # O(history). The combined view comes from read_model().
+    scd2_split: bool = False
     quality: QualitySpec = field(default_factory=QualitySpec)
     depends_on: list[str] = field(default_factory=list)
 
@@ -124,13 +128,16 @@ class PipelineRunner:
                 df = df.filter(F.col(spec.tracking_column) > F.lit(hwm))
 
         if spec.materialization == "scd2":
-            snapshot = target.read() if target.exists() else None
-            merged = scd2_merge(
-                snapshot, df, key=spec.scd2_key or spec.upsert_key[0],
-                check_cols=spec.check_cols,
-                order_within_batch=spec.tracking_column,
-            )
-            target.overwrite(merged)
+            if spec.scd2_split:
+                self._run_scd2_split(spec, df)
+            else:
+                snapshot = target.read() if target.exists() else None
+                merged = scd2_merge(
+                    snapshot, df, key=spec.scd2_key or spec.upsert_key[0],
+                    check_cols=spec.check_cols,
+                    order_within_batch=spec.tracking_column,
+                )
+                target.overwrite(merged)
         elif spec.materialization == "incremental":
             pb = spec.partition_by or None
             if spec.dedup and spec.tracking_column:
@@ -142,6 +149,47 @@ class PipelineRunner:
         else:  # table
             target.overwrite(df, partition_by=spec.partition_by or None)
 
-        out = target.read()
+        out = self.read_model(spec.name)
         spec.quality.assert_ok(out, model=spec.name)
         return out.count()
+
+    def read_model(self, name: str) -> DataFrame:
+        """Read a materialized model; reassembles split-SCD2 storage."""
+        spec = self.models.get(name)
+        if spec is not None and spec.materialization == "scd2" and spec.scd2_split:
+            open_t = self.table(name + "__open")
+            closed_t = self.table(name + "__closed")
+            open_df = open_t.read()
+            if closed_t.exists():
+                return open_df.unionByName(closed_t.read().drop("close_date"))
+            return open_df
+        return self.table(name).read()
+
+    def _run_scd2_split(self, spec: ModelSpec, batch: DataFrame) -> None:
+        """Split SCD2 materialization: overwrite the (small) open table,
+        append newly-closed rows partitioned by close date.
+
+        Idempotency: an unchanged rerun closes zero rows, so the append
+        is a no-op; the open overwrite converges. (A mid-append crash +
+        replay can double-append closed rows — the non-ACID trade;
+        Delta/Iceberg MERGE removes it where available.)
+        """
+        from nomba_data_pipeline_spark.operators import scd2 as S2
+
+        open_t = self.table(spec.name + "__open")
+        closed_path = os.path.join(self.warehouse_dir, spec.name + "__closed")
+        open_old = open_t.read() if open_t.exists() else None
+        open_new, closed_now = S2.scd2_apply(
+            open_old,
+            batch,
+            key=spec.scd2_key or spec.upsert_key[0],
+            check_cols=spec.check_cols,
+            order_within_batch=spec.tracking_column,
+        )
+        # materialize closed rows BEFORE swapping the open table they
+        # derive from (both plans read the old open files)
+        if closed_now.limit(1).count() > 0:
+            closed_now.withColumn(
+                "close_date", F.to_date(F.col(S2.VALID_TO)).cast("string")
+            ).write.mode("append").partitionBy("close_date").parquet(closed_path)
+        open_t.overwrite(open_new)

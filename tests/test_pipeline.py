@@ -56,7 +56,7 @@ def test_cdc_user_update_creates_scd2_version(spark, warehouse):
     runner2 = build_pipeline(spark, warehouse, SF_SMALL, source_override=override)
     runner2.run()
 
-    snap = runner2.table("users_snapshot").read()
+    snap = runner2.read_model("users_snapshot")
     changed = snap.filter(F.col("segment") == "CHANGED")
     n_changed_open = changed.filter(F.col("valid_to").isNull()).count()
     assert n_changed_open > 0
