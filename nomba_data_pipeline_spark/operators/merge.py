@@ -70,6 +70,9 @@ class ParquetTable:
             raise IOError(f"rename {tmp_path} -> {self.path} failed")
         if old is not None:
             fs.delete(old, True)
+        # drop any cached file listings/plans for this path: a DataFrame
+        # built before the swap would otherwise resolve to deleted files
+        self.spark.catalog.refreshByPath(self.path)
 
     # -- reads ---------------------------------------------------------------
     def read(self) -> DataFrame:
@@ -181,6 +184,7 @@ class ParquetTable:
                 fs.rename(src, dst)
             # else: every row of this partition migrated away -> stays deleted
         fs.delete(jvm_path(tmp), True)
+        self.spark.catalog.refreshByPath(self.path)
 
     def merge_upsert_dedup(
         self,
