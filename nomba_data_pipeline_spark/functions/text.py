@@ -132,6 +132,16 @@ def fingerprint_sql(expr: str) -> str:
     return f"md5({normalized_text_sql(expr)})"
 
 
+def sanitize_mongo_json(col: Column | str) -> Column:
+    """P10 parity: the reference serializes Mongo docs through bson
+    json_util and strips '$' characters to kill `$oid`/`$date` wrappers
+    (reference mongo_loader.py:118-146, :143). With native struct
+    handling this is usually moot; provided for byte-parity ingestion of
+    extended-JSON payloads."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"\$", "")
+
+
 def tokens(col: Column | str) -> Column:
     """Array of lowercase whitespace tokens (for shingling)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -49,6 +49,16 @@ def test_text_functions(spark):
     assert rows[2].n == 0 and rows[2].q == 0.0
 
 
+def test_sanitize_mongo_json(spark):
+    from nomba_data_pipeline_spark.functions.text import sanitize_mongo_json
+
+    df = spark.createDataFrame(
+        [('{"_id": {"$oid": "abc"}, "ts": {"$date": "2024-01-01"}}',)], "doc string"
+    )
+    out = df.select(sanitize_mongo_json("doc").alias("clean")).first().clean
+    assert out == '{"_id": {"oid": "abc"}, "ts": {"date": "2024-01-01"}}'
+
+
 def test_corrupt_json_drift_tolerance(spark, tmp_path):
     """Reference drift tolerance (input_format_skip_unknown_fields,
     base_loader.py:830-841): corrupt lines land in _corrupt_record
