@@ -57,12 +57,18 @@ def scd2_apply(
     check_cols: list[str],
     load_ts: Column | None = None,
     order_within_batch: str | None = None,
+    hard_delete: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Core SCD2 step against the OPEN rows only.
 
     Returns (new_open_state, newly_closed_rows). Closed history never
     participates — which is what lets the runner store it append-only
     and keep the per-run rewrite cost O(open rows), not O(history).
+
+    hard_delete=True mirrors dbt's `invalidate_hard_deletes`: an open
+    key absent from the (full-extract) batch gets its version closed
+    with no successor. Default False matches the reference's config
+    (users_snapshot.sql:1-18 does not set it).
     """
     ts = load_ts if load_ts is not None else F.current_timestamp()
 
@@ -93,8 +99,20 @@ def scd2_apply(
         .withColumn(VALID_TO, ts)
         .withColumn(UPDATED_AT, ts)
     )
-    # unchanged or key-absent-from-batch -> carried untouched
-    carried_open = joined.filter(~changed_pred).select("cur.*")
+    # unchanged or key-absent-from-batch -> carried untouched (unless
+    # hard_delete closes the absentees)
+    if hard_delete:
+        absent_pred = F.col(f"new.{key}").isNull()
+        carried_open = joined.filter(~changed_pred & ~absent_pred).select("cur.*")
+        closed_deleted = (
+            joined.filter(absent_pred)
+            .select("cur.*")
+            .withColumn(VALID_TO, ts)
+            .withColumn(UPDATED_AT, ts)
+        )
+        closed_now = closed_now.unionByName(closed_deleted)
+    else:
+        carried_open = joined.filter(~changed_pred).select("cur.*")
     # new versions for changed keys
     opened_changed = _stamp(joined.filter(changed_pred).select("new.*"), key, ts)
     # brand-new keys

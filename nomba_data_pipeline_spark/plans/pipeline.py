@@ -76,7 +76,12 @@ def build_pipeline(
             materialization="incremental",
             upsert_key=["plan_id"],
             tracking_column="updated_at",
-            quality=QualitySpec(unique=["plan_id"], not_null=["plan_id", "user_id"]),
+            quality=QualitySpec(
+                unique=["plan_id"],
+                not_null=["plan_id", "user_id"],
+                accepted_values={"status": ["F", "O", "P"]},
+                min_rows=1,
+            ),
         )
     )
     runner.register(

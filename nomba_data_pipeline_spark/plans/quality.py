@@ -28,10 +28,18 @@ def not_null_violations(df: DataFrame, col: str) -> int:
     return df.filter(F.col(col).isNull()).count()
 
 
+def accepted_values_violations(df: DataFrame, col: str, values: list) -> int:
+    """Rows whose value is outside the accepted set (NULLs pass — pair
+    with not_null when NULL is also invalid). dbt's accepted_values."""
+    return df.filter(F.col(col).isNotNull() & ~F.col(col).isin(values)).count()
+
+
 @dataclass
 class QualitySpec:
     unique: list[str] = field(default_factory=list)
     not_null: list[str] = field(default_factory=list)
+    accepted_values: dict[str, list] = field(default_factory=dict)
+    min_rows: int = 0  # volume floor: catch an accidentally-empty build
 
     def check(self, df: DataFrame) -> dict[str, int]:
         """Run all declared checks; returns {check_name: violations}."""
@@ -40,6 +48,10 @@ class QualitySpec:
             results[f"unique:{c}"] = unique_violations(df, c)
         for c in self.not_null:
             results[f"not_null:{c}"] = not_null_violations(df, c)
+        for c, vals in self.accepted_values.items():
+            results[f"accepted_values:{c}"] = accepted_values_violations(df, c, vals)
+        if self.min_rows > 0:
+            results["min_rows"] = max(0, self.min_rows - df.count())
         return results
 
     def assert_ok(self, df: DataFrame, model: str = "") -> None:

@@ -656,6 +656,89 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 # Higher-order joins: as-of, range (scale-extension operators)
 # ---------------------------------------------------------------------------
+def q_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late-shipped lineitem
+    (EXISTS decorrelated to a left-semi join), counted by priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_PRIORITY_ORDER_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) join predicate — the
+    pattern that degrades to a nested-loop if mis-planned; expressed as
+    an equi-join on partkey with the disjunction as a post-filter so the
+    join stays hash-based."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10))
+        | ((F.col("p_size") >= 40) & (F.col("l_quantity") >= 20))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity >= 5)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity >= 10)
+   OR (p.p_size >= 40 AND l.l_quantity >= 20)
+"""
+
+
+def q_top_value_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar subquery over the same
+    aggregate — nation-level supplier value above 1/10th of the total."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(_dec("s_acctbal")), 2).cast("double").alias("value"))
+    )
+    total = per_nation.agg((F.sum("value") / 10).alias("threshold"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("nation", "value")
+    )
+
+
+SQL_TOP_VALUE_NATIONS = """
+WITH per_nation AS (
+    SELECT n.n_name AS nation,
+           CAST(round(sum(CAST(s.s_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+)
+SELECT nation, value FROM per_nation
+WHERE value > (SELECT sum(value) / 10 FROM per_nation)
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase event: the latest click of the same user at or
     before it (point-in-time lookup via the sort-merge union trick)."""
@@ -872,6 +955,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_topk_ivf": QuerySpec(q_cosine_topk_ivf, None, "ext:similarity-ivf"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),
     "flagship_sql_api": QuerySpec(q_flagship_sql_api, SQL_FLAGSHIP_SQL_API, "SQL-API"),
+    "priority_order_check": QuerySpec(q_priority_order_check, SQL_PRIORITY_ORDER_CHECK, "ext:exists-semi"),
+    "disjunctive_revenue": QuerySpec(q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE, "ext:disjunctive-join"),
+    "top_value_nations": QuerySpec(q_top_value_nations, SQL_TOP_VALUE_NATIONS, "ext:having-subquery"),
     "supplier_part_volume": QuerySpec(q_supplier_part_volume, SQL_SUPPLIER_PART_VOLUME, "J1,J2,A1"),
     "parts_above_avg": QuerySpec(q_parts_above_avg, SQL_PARTS_ABOVE_AVG, "ext:correlated-agg"),
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN, "ext:asof-join"),

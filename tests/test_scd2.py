@@ -90,6 +90,26 @@ def test_duplicate_key_in_batch_latest_wins(spark):
     assert len(rows) == 1 and rows[0].state == "ABJ"
 
 
+def test_hard_delete_closes_absent_keys(spark, gen1):
+    from nomba_data_pipeline_spark.operators.scd2 import scd2_apply
+
+    open1, _ = scd2_apply(None, gen1, "id", ["state", "occupation"], load_ts=ts("2026-01-01"))
+    batch2 = spark.createDataFrame([(1, "a", "LA", "eng")], SCHEMA)  # ids 2,3 gone
+    open2, closed2 = scd2_apply(
+        open1, batch2, "id", ["state", "occupation"], load_ts=ts("2026-02-01"),
+        hard_delete=True,
+    )
+    assert sorted(r.id for r in open2.collect()) == [1]
+    closed = {r.id: str(r.valid_to)[:10] for r in closed2.collect()}
+    assert closed == {2: "2026-02-01", 3: "2026-02-01"}
+    # default (reference parity): absentees carried open
+    open2b, closed2b = scd2_apply(
+        open1, batch2, "id", ["state", "occupation"], load_ts=ts("2026-02-01")
+    )
+    assert sorted(r.id for r in open2b.collect()) == [1, 2, 3]
+    assert closed2b.count() == 0
+
+
 def test_rerun_same_batch_is_noop(spark, gen1):
     snap = scd2_merge(None, gen1, "id", ["state", "occupation"], load_ts=ts("2026-01-01"))
     snap2 = scd2_merge(snap, gen1, "id", ["state", "occupation"], load_ts=ts("2026-02-01"))
