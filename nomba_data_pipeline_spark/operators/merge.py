@@ -98,7 +98,11 @@ class ParquetTable:
         self._swap_in(tmp)
 
     def merge_upsert(
-        self, delta: DataFrame, keys: list[str], partition_by: list[str] | None = None
+        self,
+        delta: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+        partition_stable: bool = False,
     ) -> None:
         """O7 incremental upsert (base_loader.py:344-417).
 
@@ -119,7 +123,7 @@ class ParquetTable:
             self.overwrite(delta, partition_by=partition_by)
             return
         if partition_by:
-            self._merge_upsert_partitioned(delta, keys, partition_by)
+            self._merge_upsert_partitioned(delta, keys, partition_by, partition_stable)
             return
         target = self.read()
         kept = target.join(delta.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
@@ -127,7 +131,11 @@ class ParquetTable:
         self.overwrite(merged)
 
     def _merge_upsert_partitioned(
-        self, delta: DataFrame, keys: list[str], partition_by: list[str]
+        self,
+        delta: DataFrame,
+        keys: list[str],
+        partition_by: list[str],
+        partition_stable: bool = False,
     ) -> None:
         target = self.read()
         delta = delta.select(*target.columns)
@@ -139,6 +147,7 @@ class ParquetTable:
             lambda target_slice, d: target_slice.join(
                 F.broadcast(dkeys), on=keys, how="left_anti"
             ).unionByName(d),
+            partition_stable=partition_stable,
         )
 
     def _merge_scoped_partitions(
@@ -147,21 +156,35 @@ class ParquetTable:
         keys: list[str],
         partition_by: list[str],
         combine,
+        partition_stable: bool = False,
     ) -> None:
         """Rewrite only the partitions the delta touches. `combine` maps
-        (target_slice, delta) -> merged content for those partitions."""
+        (target_slice, delta) -> merged content for those partitions.
+
+        partition_stable=True declares that a key's partition value never
+        changes (event-time partitions on immutable facts): affected =
+        the delta's own partitions, skipping the key-location scan over
+        the target — at 100 TB that scan (column-pruned but full-table)
+        is the dominant cost of a small merge. With the default False,
+        key migrations are handled by also rewriting the partitions that
+        currently hold the delta's keys.
+        """
         target = self.read()
         delta = delta.select(*target.columns)
         dkeys = delta.select(*keys).dropDuplicates(keys)
-        # partitions that must be rewritten: where delta rows land + where
-        # the delta's keys currently live (partition-value migrations)
-        affected = (
-            delta.select(*partition_by)
-            .unionByName(
-                target.join(F.broadcast(dkeys), on=keys, how="left_semi").select(*partition_by)
+        if partition_stable:
+            affected = delta.select(*partition_by).dropDuplicates(partition_by)
+        else:
+            # where delta rows land + where the delta's keys currently live
+            affected = (
+                delta.select(*partition_by)
+                .unionByName(
+                    target.join(F.broadcast(dkeys), on=keys, how="left_semi").select(
+                        *partition_by
+                    )
+                )
+                .dropDuplicates(partition_by)
             )
-            .dropDuplicates(partition_by)
-        )
         affected_rows = affected.collect()
         if not affected_rows:
             return
@@ -192,6 +215,7 @@ class ParquetTable:
         keys: list[str],
         tracking_col: str,
         partition_by: list[str] | None = None,
+        partition_stable: bool = False,
     ) -> None:
         """O8 'special' load (base_loader.py:419-555): upsert then keep only
         the latest row per key by tracking column.
@@ -240,6 +264,7 @@ class ParquetTable:
                         d.withColumn("__is_delta", F.lit(1))
                     )
                 ),
+                partition_stable=partition_stable,
             )
             return
         base = target.withColumn("__is_delta", F.lit(0)).unionByName(

@@ -133,6 +133,9 @@ def build_pipeline(
             upsert_key=["transaction_id"],
             tracking_column="updated_at",
             partition_by=["txn_month"],
+            # txn_month derives from updated_at; txn updates re-stamp
+            # updated_at so a corrected txn DOES move partitions ->
+            # keep the default key-location scan (not partition_stable)
             depends_on=["stg_transactions", "dim_plans"],
             quality=QualitySpec(unique=["transaction_id"], not_null=["transaction_id"]),
         )

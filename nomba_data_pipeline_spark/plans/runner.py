@@ -45,6 +45,7 @@ class ModelSpec:
     scd2_key: str | None = None
     check_cols: list[str] = field(default_factory=list)
     partition_by: list[str] = field(default_factory=list)  # physical layout (F4)
+    partition_stable: bool = False  # keys never change partition (skip key-location scan)
     # split SCD2 storage: open rows in a small rewritable table, closed
     # history append-only by close date -> per-run cost O(open rows), not
     # O(history). The combined view comes from read_model().
@@ -142,10 +143,14 @@ class PipelineRunner:
             pb = spec.partition_by or None
             if spec.dedup and spec.tracking_column:
                 target.merge_upsert_dedup(
-                    df, spec.upsert_key, spec.tracking_column, partition_by=pb
+                    df, spec.upsert_key, spec.tracking_column, partition_by=pb,
+                    partition_stable=spec.partition_stable,
                 )
             else:
-                target.merge_upsert(df, spec.upsert_key, partition_by=pb)
+                target.merge_upsert(
+                    df, spec.upsert_key, partition_by=pb,
+                    partition_stable=spec.partition_stable,
+                )
         else:  # table
             target.overwrite(df, partition_by=spec.partition_by or None)
 
