@@ -72,6 +72,32 @@ def test_snapshot_append_same_day_idempotent(spark, tmp_path, base_df):
     assert "ingest_date" in t.read().columns
 
 
+def test_failed_write_leaves_table_intact(spark, tmp_path, base_df):
+    """Fault tolerance of the write-to-temp + swap protocol: a job that
+    dies during the temp write must not corrupt the live table."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(base_df)
+    before = _rows(t)
+
+    # a delta whose evaluation fails mid-write (UDF raises on executor)
+    from pyspark.sql.functions import udf
+
+    @udf("int")
+    def boom(x):
+        raise RuntimeError("injected failure")
+
+    bad_delta = base_df.withColumn("v", boom(F.col("id")))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.merge_upsert(bad_delta, ["id"])
+    # table untouched, still readable
+    assert _rows(t) == before
+    with _pytest.raises(Exception):
+        t.overwrite(bad_delta)
+    assert _rows(t) == before
+
+
 def test_high_water_mark(spark, tmp_path, base_df):
     t = ParquetTable(spark, os.path.join(tmp_path, "t"))
     assert t.high_water_mark("v") is None
