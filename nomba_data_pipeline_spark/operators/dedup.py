@@ -424,11 +424,12 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     n^2 scan this avoids). The DuckDB oracle runs the identical banding,
     so results match exactly.
     """
-    # sh feeds banding plus both pair-join sides; checkpoint lazily so the
-    # token-explode + 60-agg pipeline runs once per action, not three times
-    sh = simhash(docs).localCheckpoint(eager=False)
+    # signatures ride along through the band buckets, so pair expansion
+    # yields (id, sig) pairs directly — no join back to the signature
+    # table (which would recompute or reshuffle it twice)
+    sh = simhash(docs)
     banded = sh.select(
-        "doc_id",
+        F.struct("doc_id", "simhash").alias("ds_elem"),
         F.explode(
             F.expr(
                 f"""
@@ -439,16 +440,20 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                 """
             )
         ).alias("bv"),
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
-    cand = _bucket_pairs(banded, ["band", "band_val"])
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ).select("ds_elem", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+    buckets = (
+        banded.groupBy("band", "band_val")
+        .agg(F.array_sort(F.collect_set("ds_elem")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p")).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.bit_count(F.expr("p.a.simhash ^ p.b.simhash")).alias("hamming"),
+    )
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        pairs.filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

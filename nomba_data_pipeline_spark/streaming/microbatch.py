@@ -77,6 +77,20 @@ def run_incremental_merge_stream(
     q.awaitTermination()
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup within the watermark horizon
+    (`dropDuplicatesWithinWatermark`): duplicates arriving within the
+    watermark are dropped with bounded state — the streaming twin of the
+    batch keep-latest dedup (O8), with state size O(keys in horizon)
+    instead of O(all keys)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_windowed_agg_stream(
     spark: SparkSession,
     source_dir: str,

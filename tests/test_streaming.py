@@ -48,6 +48,34 @@ def test_merge_stream_drains_and_upserts(spark, tmp_path):
     assert t.read().count() == 3
 
 
+def test_dedup_stream_drops_watermark_duplicates(spark, tmp_path):
+    from nomba_data_pipeline_spark.streaming.microbatch import dedup_stream, stream_events
+
+    src = os.path.join(tmp_path, "src")
+    out = os.path.join(tmp_path, "out")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2026, 1, 1, 0, 0, 0), 1.0),
+        (1, datetime(2026, 1, 1, 0, 0, 30), 1.5),  # dup id within watermark
+        (2, datetime(2026, 1, 1, 0, 1, 0), 2.0),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        dedup_stream(stream_events(spark, src, SCHEMA), ["id"])
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, 1.0), (2, 2.0)]  # first occurrence kept, dup dropped
+
+
 def test_windowed_agg_stream(spark, tmp_path):
     src = os.path.join(tmp_path, "src")
     out = os.path.join(tmp_path, "out")
