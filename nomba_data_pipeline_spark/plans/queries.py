@@ -656,6 +656,33 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 # Higher-order joins: as-of, range (scale-extension operators)
 # ---------------------------------------------------------------------------
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority (rows) x status (columns).
+    Spark's pivot compiles to conditional aggregation — exactly what the
+    oracle spells out, so no reshaping ambiguity."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "priority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+SQL_STATUS_PIVOT = """
+SELECT o_orderpriority AS priority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY 1
+"""
+
+
 def q_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders with at least one late-shipped lineitem
     (EXISTS decorrelated to a left-semi join), counted by priority."""
@@ -956,6 +983,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),
     "flagship_sql_api": QuerySpec(q_flagship_sql_api, SQL_FLAGSHIP_SQL_API, "SQL-API"),
     "priority_order_check": QuerySpec(q_priority_order_check, SQL_PRIORITY_ORDER_CHECK, "ext:exists-semi"),
+    "status_pivot": QuerySpec(q_status_pivot, SQL_STATUS_PIVOT, "ext:pivot"),
     "disjunctive_revenue": QuerySpec(q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE, "ext:disjunctive-join"),
     "top_value_nations": QuerySpec(q_top_value_nations, SQL_TOP_VALUE_NATIONS, "ext:having-subquery"),
     "supplier_part_volume": QuerySpec(q_supplier_part_volume, SQL_SUPPLIER_PART_VOLUME, "J1,J2,A1"),
