@@ -466,6 +466,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+def q_user_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user z-score of event values —
+    the Arrow grouped-transform surface (each user's history as one
+    pandas frame). Sample-std (ddof=1) matches DuckDB stddev_samp;
+    6 dp rounding absorbs summation-order fp differences."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / std if std and std > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
+        )
+
+    return events.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, z double"
+    )
+
+
+SQL_USER_ZSCORES = """
+SELECT event_id, user_id,
+       round(CASE WHEN stddev_samp(value) OVER w > 0
+                  THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                  ELSE 0.0 END, 6) AS z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: quality-filter -> exact-dedup
     (keep lowest doc_id per fingerprint) -> per-language corpus stats.
@@ -977,6 +1009,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "media_features": QuerySpec(q_media_features, None, "ext:multimodal"),
     "corpus_prep": QuerySpec(q_corpus_prep, SQL_CORPUS_PREP, "ext:composite-pipeline"),
+    "user_zscores": QuerySpec(q_user_zscores, SQL_USER_ZSCORES, "ext:grouped-pandas"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "ext:similarity"),
     "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
     "cosine_topk_ivf": QuerySpec(q_cosine_topk_ivf, None, "ext:similarity-ivf"),
