@@ -483,8 +483,13 @@ def q_user_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
         )
 
-    return events.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
-        zscore, "event_id long, user_id long, z double"
+    return (
+        events.select("event_id", "user_id", "value")
+        # NULL measurements have no defined z-score and would diverge
+        # between pandas (NaN propagation) and SQL (NULL propagation)
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, z double")
     )
 
 
@@ -494,6 +499,7 @@ SELECT event_id, user_id,
                   THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
                   ELSE 0.0 END, 6) AS z
 FROM events
+WHERE value IS NOT NULL
 WINDOW w AS (PARTITION BY user_id)
 """
 
