@@ -187,7 +187,7 @@ def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_KEEP_LATEST = """
 SELECT user_id, event_id, ts, event_type, value
-FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
       FROM events)
 WHERE rn = 1
 """
@@ -318,7 +318,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SCD2_INTERVALS = """
 SELECT user_id, event_id, ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS valid_to,
        value
 FROM events
 """
@@ -354,10 +354,10 @@ WITH gapped AS (
     SELECT user_id, event_id, ts,
            CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
 ),
 sessioned AS (
-    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
                                      ROWS UNBOUNDED PRECEDING) AS session_seq
     FROM gapped
 )
