@@ -40,24 +40,30 @@ def asof_join(
     dedup it if not (tie-breaking among simultaneous right rows is
     otherwise undefined in every engine)."""
     l_cols = left.columns
-    tagged_left = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_right", F.lit(0))
-    for c in right_payload:
-        tagged_left = tagged_left.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    # the right payload travels as ONE struct so last(ignorenulls) carries
+    # an atomic right ROW — carrying columns independently would stitch
+    # values from different right rows whenever the latest one holds a
+    # NULL in some payload column (diverging from true as-of semantics)
+    r_struct = F.struct(*[F.col(c) for c in right_payload])
+    r_struct_type = right.select(r_struct.alias("s")).schema["s"].dataType.simpleString()
 
+    tagged_left = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__is_right", F.lit(0))
+        .withColumn("__r", F.lit(None).cast(r_struct_type))
+    )
     tagged_right = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        r_struct.alias("__r"),
     )
     for c in l_cols:
         if c != on:
             tagged_right = tagged_right.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
 
-    unioned = tagged_left.select(
-        *l_cols, "__ts", "__is_right", *[f"__r_{c}" for c in right_payload]
-    ).unionByName(
-        tagged_right.select(*l_cols, "__ts", "__is_right", *[f"__r_{c}" for c in right_payload])
+    unioned = tagged_left.select(*l_cols, "__ts", "__is_right", "__r").unionByName(
+        tagged_right.select(*l_cols, "__ts", "__is_right", "__r")
     )
 
     # right rows sort before left rows at equal ts -> 'at or before' semantics
@@ -70,9 +76,12 @@ def asof_join(
         *l_cols,
         "__ts",
         "__is_right",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{suffix}{c}")
-            for c in right_payload
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__rc"),
     )
-    return carried.filter(F.col("__is_right") == 0).drop("__ts", "__is_right")
+    return (
+        carried.filter(F.col("__is_right") == 0)
+        .select(
+            *l_cols,
+            *[F.col(f"__rc.{c}").alias(f"{suffix}{c}") for c in right_payload],
+        )
+    )

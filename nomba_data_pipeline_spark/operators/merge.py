@@ -196,9 +196,22 @@ class ParquetTable:
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
         fs, _ = self._fs_and_path(self.path)
-        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+        jvm = self.spark._jvm
+        jvm_path = jvm.org.apache.hadoop.fs.Path
+
+        def part_dir(value) -> str:
+            # Spark Hive-escapes partition directory names (NULL sentinel,
+            # percent-encoding of ':'/'%'/'=' etc.) — building them with
+            # raw str() would miss the dirs Spark actually wrote and
+            # silently lose data. Delegate to Spark's own escaper.
+            if value is None:
+                return "__HIVE_DEFAULT_PARTITION__"
+            return jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+                str(value)
+            )
+
         for r in affected_rows:
-            rel = "/".join(f"{c}={r[c]}" for c in partition_by)
+            rel = "/".join(f"{c}={part_dir(r[c])}" for c in partition_by)
             src = jvm_path(f"{tmp}/{rel}")
             dst = jvm_path(f"{self.path}/{rel}")
             if fs.exists(dst):
@@ -284,10 +297,13 @@ class ParquetTable:
         if not self.exists():
             self.overwrite(stamped, partition_by=[derived_col])
             return
-        # dynamic overwrite replaces only partitions present in `stamped`
+        # dynamic overwrite replaces only partitions present in `stamped`.
+        # NOTE: df must not derive from this same table (in-place dynamic
+        # overwrite deletes files a same-path plan may still read)
         stamped.write.mode("overwrite").partitionBy(derived_col).option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(self.path)
+        self.spark.catalog.refreshByPath(self.path)
 
     def describe(self) -> dict[str, str]:
         """S6 schema introspection (reference get_clickhouse_table_schema,

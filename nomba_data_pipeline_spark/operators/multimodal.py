@@ -105,7 +105,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows = {"media_id": [], "frame_ts_ms": [], "frame_payload": []}
             for _, r in pdf.iterrows():
-                duration = r["duration_ms"] or 0
+                # nullable long arrives as NaN in pandas; `NaN or 0` keeps
+                # NaN (truthy) and int(NaN) would crash the executor
+                duration = r["duration_ms"]
+                duration = 0 if duration is None or pd.isna(duration) else duration
                 payload = r["payload"] or b""
                 for ts in range(0, int(duration), every_ms):
                     # stub: a real implementation seeks/decodes the frame

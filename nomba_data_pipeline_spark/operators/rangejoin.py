@@ -37,8 +37,13 @@ def range_join_count(
         F.col(right_ts).alias("__rts"),
         bucket(right_ts).alias("__bucket"),
     )
-    # probe own bucket and the previous one
-    l = left.withColumn("__probe", F.explode(F.array(bucket(left_ts) - 1, bucket(left_ts))))
+    # per-row uid so the regroup after the 2-bucket probe explode
+    # reassembles exactly one output row per INPUT row — grouping by the
+    # left columns alone would collapse fully-duplicate left rows and
+    # sum their counts
+    l = left.withColumn("__uid", F.monotonically_increasing_id()).withColumn(
+        "__probe", F.explode(F.array(bucket(left_ts) - 1, bucket(left_ts)))
+    )
 
     joined = l.join(
         r,
@@ -51,6 +56,7 @@ def range_join_count(
         & (F.col("__rts") < F.col(left_ts))
     )
     return (
-        joined.groupBy(*[F.col(c) for c in left.columns])
+        joined.groupBy("__uid", *[F.col(c) for c in left.columns])
         .agg(F.sum(F.when(in_range, 1).otherwise(0)).alias(count_alias))
+        .drop("__uid")
     )

@@ -88,9 +88,15 @@ def scd2_apply(
 
     attrs = batch.columns  # the business columns tracked by the snapshot
     cur = open_rows.alias("cur")
-    new = batch.alias("new")
-    joined = cur.join(new, on=F.col(f"cur.{key}") == F.col(f"new.{key}"), how="left")
-    changed_pred = _changed_predicate(check_cols) & F.col(f"new.{key}").isNotNull()
+    # null-safe key equality: with plain '=', a NULL-key batch row never
+    # matches its open version, so every run would both carry the old
+    # open row AND insert a fresh one — unbounded open-version growth.
+    # The __matched marker (constant non-null on the batch side) is the
+    # 'key present in batch' signal, valid for NULL keys too.
+    new = batch.withColumn("__matched", F.lit(1)).alias("new")
+    key_eq = F.col(f"cur.{key}").eqNullSafe(F.col(f"new.{key}"))
+    joined = cur.join(new, on=key_eq, how="left")
+    changed_pred = _changed_predicate(check_cols) & F.col("new.__matched").isNotNull()
 
     # current versions of changed keys -> closed with valid_to = ts
     closed_now = (
@@ -102,7 +108,7 @@ def scd2_apply(
     # unchanged or key-absent-from-batch -> carried untouched (unless
     # hard_delete closes the absentees)
     if hard_delete:
-        absent_pred = F.col(f"new.{key}").isNull()
+        absent_pred = F.col("new.__matched").isNull()
         carried_open = joined.filter(~changed_pred & ~absent_pred).select("cur.*")
         closed_deleted = (
             joined.filter(absent_pred)
@@ -114,10 +120,13 @@ def scd2_apply(
     else:
         carried_open = joined.filter(~changed_pred).select("cur.*")
     # new versions for changed keys
-    opened_changed = _stamp(joined.filter(changed_pred).select("new.*"), key, ts)
-    # brand-new keys
+    opened_changed = _stamp(
+        joined.filter(changed_pred).select(*[F.col(f"new.{c}") for c in attrs]), key, ts
+    )
+    # brand-new keys (null-safe anti join so a NULL key is 'existing'
+    # once an open NULL-key version exists)
     opened_new = _stamp(
-        new.join(cur, on=F.col(f"new.{key}") == F.col(f"cur.{key}"), how="left_anti")
+        new.join(cur, on=key_eq, how="left_anti")
         .select(*[F.col(f"new.{c}") for c in attrs]),
         key,
         ts,

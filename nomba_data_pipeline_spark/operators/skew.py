@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 
 def salted(df: DataFrame, n_salts: int = 16, salt_col: str = "__salt") -> DataFrame:
     """Attach a deterministic-per-row salt in [0, n_salts)."""
+    # pmod, not abs(%): abs(Long.MIN_VALUE) is still negative and would
+    # produce a salt outside [0, n_salts)
     return df.withColumn(
-        salt_col, (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % n_salts).cast("int")
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
     )
 
 
@@ -56,7 +58,7 @@ def broadcast_salted_join(
     the join key anyway)."""
     salts = small.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
     big_s = big.withColumn(
-        "__salt", (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % n_salts).cast("int")
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int")
     )
     small_r = small.crossJoin(F.broadcast(salts))
     return big_s.join(small_r, on=[on, "__salt"], how="left").drop("__salt")

@@ -95,28 +95,14 @@ def dim_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     In the full pipeline this reads current_rows(users_snapshot); as a
     stateless query it is stg_users enriched with geo dims (broadcast —
     nation:25 rows, region:5 rows)."""
-    users = stg_users(spark, sf_dir)
-    nation = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nation_key"),
-        F.col("n_name").alias("nation"),
-        F.col("n_regionkey").alias("region_key"),
-    )
-    region = load_table(spark, sf_dir, "region").select(
-        F.col("r_regionkey").alias("region_key"),
-        F.col("r_name").alias("region"),
-    )
-    return (
-        users.join(broadcast(nation), "nation_key", "left")
-        .join(broadcast(region), "region_key", "left")
-        .select(
-            "user_id",
-            "full_name",
-            F.concat_ws(" ", F.col("full_name"), F.col("nation")).alias("display_name"),
-            "segment",
-            "acct_balance",
-            "nation",
-            "region",
-        )
+    return enrich_users_geo(stg_users(spark, sf_dir), spark, sf_dir).select(
+        "user_id",
+        "full_name",
+        F.concat_ws(" ", F.col("full_name"), F.col("nation")).alias("display_name"),
+        "segment",
+        "acct_balance",
+        "nation",
+        "region",
     )
 
 

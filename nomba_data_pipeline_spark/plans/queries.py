@@ -330,10 +330,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference is polling micro-batch; this is the streaming-shaped op)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # fractional-second gaps (cast to double = epoch seconds with
+    # microseconds) — DuckDB's epoch() is fractional too; integer
+    # truncation would flip session splits near the 1800s boundary
     gapped = events.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w) > 1800, 1
         ).otherwise(F.lit(0)),
     )
     sessioned = gapped.withColumn(

@@ -40,7 +40,13 @@ def infer_stage_schema(
     stringify_nested: bool = True,
 ) -> T.StructType:
     """Infer a schema from a staged JSON path with reference parity rules."""
-    sampled = spark.read.option("mode", "PERMISSIVE").json(path).limit(sample_lines)
+    # honor the <=N-line sampling contract BEFORE parsing: reading the
+    # path with spark.read.json would infer over the whole file (a
+    # .limit() after the read only bounds the date vote, not inference)
+    lines = [r.value for r in spark.read.text(path).limit(sample_lines).collect()]
+    sampled = spark.read.option("mode", "PERMISSIVE").json(
+        spark.sparkContext.parallelize(lines or ["{}"])
+    )
     schema = sampled.schema
     fields: list[T.StructField] = []
     for f in schema.fields:
