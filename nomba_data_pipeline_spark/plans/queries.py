@@ -697,6 +697,36 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 # Higher-order joins: as-of, range (scale-extension operators)
 # ---------------------------------------------------------------------------
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective conjunctive filter + scalar agg —
+    the pushdown showcase (every predicate reaches the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue_effect"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue_effect,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
 def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per priority (rows) x status (columns).
     Spark's pivot compiles to conditional aggregation — exactly what the
@@ -1026,6 +1056,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "flagship_sql_api": QuerySpec(q_flagship_sql_api, SQL_FLAGSHIP_SQL_API, "SQL-API"),
     "priority_order_check": QuerySpec(q_priority_order_check, SQL_PRIORITY_ORDER_CHECK, "ext:exists-semi"),
     "status_pivot": QuerySpec(q_status_pivot, SQL_STATUS_PIVOT, "ext:pivot"),
+    "forecast_revenue": QuerySpec(q_forecast_revenue, SQL_FORECAST_REVENUE, "P5,A1"),
     "disjunctive_revenue": QuerySpec(q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE, "ext:disjunctive-join"),
     "top_value_nations": QuerySpec(q_top_value_nations, SQL_TOP_VALUE_NATIONS, "ext:having-subquery"),
     "supplier_part_volume": QuerySpec(q_supplier_part_volume, SQL_SUPPLIER_PART_VOLUME, "J1,J2,A1"),
