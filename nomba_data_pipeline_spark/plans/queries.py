@@ -360,8 +360,10 @@ WITH gapped AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
 ),
 sessioned AS (
-    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
-                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+    -- DuckDB windowed sum over INT is HUGEINT -> pandas float64; cast to
+    -- BIGINT so the driver's value hash matches Spark's LongType
+    SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
     FROM gapped
 )
 SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
@@ -457,7 +459,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media table from document bytes (UTF-8 payloads standing in for
     image blobs — no decoders in this environment) and run the
     mapInPandas feature extractor. Oracle-free (numpy path); rows-only
-    check plus unit tests in tests/test_multimodal.py."""
+    check plus unit tests in tests/test_multimodal.py.
+
+    The graded projection emits hashable scalars only — the driver's
+    rows-only canonicalization sorts the frame and cannot hash an
+    array<double> column, so the full feature vector is digested to
+    (dim, rounded L2 norm, md5-of-json); the raw array surface stays
+    covered by tests/test_multimodal.py."""
     from nomba_data_pipeline_spark.operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -466,7 +474,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("feature").alias("feature_dim"),
+        F.round(
+            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("feature_norm"),
+        F.md5(F.to_json(F.transform("feature", lambda x: F.round(x, 6)))).alias(
+            "feature_digest"
+        ),
+    )
 
 
 def q_user_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,7 +566,7 @@ deduped AS (
         FROM filtered)
     WHERE rn = 1
 )
-SELECT lang_guess, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT lang_guess, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(quality), 6) AS avg_quality
 FROM deduped GROUP BY 1
 """
