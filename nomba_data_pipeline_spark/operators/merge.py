@@ -32,6 +32,31 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _semi_anti_null_safe(
+    left: DataFrame, right: DataFrame, cols: list[str], how: str
+) -> DataFrame:
+    """left_semi / left_anti on `cols` with NULL-safe equality.
+
+    Plain `on=cols` equality never matches NULL = NULL, which is
+    inconsistent with how every other piece of the merge machinery
+    groups NULLs (dropDuplicates, window partitionBy, and the Hive
+    __HIVE_DEFAULT_PARTITION__ directory all treat NULLs as one group)
+    — and for the partition-scoped merge it silently DELETED
+    pre-existing rows in the NULL partition (the rename loop replaced
+    the dir while the equality semi-join excluded its rows from the
+    rewrite slice). The right side is deduped and broadcast: it is the
+    small delta/affected set in every call site.
+    """
+    renamed = right.select(
+        [F.col(c).alias(f"__ns_{c}") for c in cols]
+    ).dropDuplicates()
+    cond = None
+    for c in cols:
+        e = left[c].eqNullSafe(F.col(f"__ns_{c}"))
+        cond = e if cond is None else (cond & e)
+    return left.join(F.broadcast(renamed), on=cond, how=how)
+
+
 class ParquetTable:
     """A managed parquet table at a directory path with atomic replace.
 
@@ -118,6 +143,11 @@ class ParquetTable:
         scale. Affected = partitions of incoming delta rows UNION
         partitions currently holding the delta's keys (a key whose
         partition value changed must be removed from its OLD partition).
+
+        NULL upsert keys are matched null-safely (a NULL-key delta row
+        REPLACES the NULL-key target row) — consistent with
+        merge_upsert_dedup's window grouping and scd2_apply's eqNullSafe,
+        rather than the reference's IN-predicate never-match semantics.
         """
         if not self.exists():
             self.overwrite(delta, partition_by=partition_by)
@@ -126,7 +156,7 @@ class ParquetTable:
             self._merge_upsert_partitioned(delta, keys, partition_by, partition_stable)
             return
         target = self.read()
-        kept = target.join(delta.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+        kept = _semi_anti_null_safe(target, delta.select(*keys), keys, "left_anti")
         merged = kept.unionByName(delta.select(*target.columns))
         self.overwrite(merged)
 
@@ -144,8 +174,8 @@ class ParquetTable:
             delta,
             keys,
             partition_by,
-            lambda target_slice, d: target_slice.join(
-                F.broadcast(dkeys), on=keys, how="left_anti"
+            lambda target_slice, d: _semi_anti_null_safe(
+                target_slice, dkeys, keys, "left_anti"
             ).unionByName(d),
             partition_stable=partition_stable,
         )
@@ -176,10 +206,11 @@ class ParquetTable:
             affected = delta.select(*partition_by).dropDuplicates(partition_by)
         else:
             # where delta rows land + where the delta's keys currently live
+            # (null-safe: a NULL-key row's partition must still be located)
             affected = (
                 delta.select(*partition_by)
                 .unionByName(
-                    target.join(F.broadcast(dkeys), on=keys, how="left_semi").select(
+                    _semi_anti_null_safe(target, dkeys, keys, "left_semi").select(
                         *partition_by
                     )
                 )
@@ -188,7 +219,9 @@ class ParquetTable:
         affected_rows = affected.collect()
         if not affected_rows:
             return
-        target_slice = target.join(F.broadcast(affected), on=partition_by, how="left_semi")
+        # null-safe: the NULL partition's pre-existing rows must be in the
+        # rewrite slice, or the directory swap below would drop them
+        target_slice = _semi_anti_null_safe(target, affected, partition_by, "left_semi")
         merged = combine(target_slice, delta)
         # stage the rewritten partitions in a temp dir (writing straight
         # into self.path would delete input files while the plan still

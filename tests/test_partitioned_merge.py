@@ -72,3 +72,56 @@ def test_partitioned_merge_idempotent(spark, tmp_path):
     first = _state(t)
     t.merge_upsert(delta, ["id"], partition_by=["m"])
     assert _state(t) == first == [(1, "a2", "2026-01"), (2, "n", "2026-02")]
+
+
+def test_null_partition_preserves_unmatched_rows(spark, tmp_path):
+    """Regression (round-2 advice): pre-existing NULL-partition rows whose
+    keys are NOT in the delta must survive the partition rewrite."""
+    t = _t(spark, tmp_path, [(1, "a", None), (9, "z", None), (2, "b", "2026-01")])
+    delta = spark.createDataFrame([(1, "a2", None)], SCHEMA)
+    t.merge_upsert(delta, ["id"], partition_by=["m"])
+    assert _state(t) == [(1, "a2", None), (2, "b", "2026-01"), (9, "z", None)]
+
+
+def test_null_partition_migration(spark, tmp_path):
+    """A key migrating OUT of the NULL partition is removed from it."""
+    t = _t(spark, tmp_path, [(1, "a", None), (9, "z", None)])
+    delta = spark.createDataFrame([(1, "a2", "2026-02")], SCHEMA)
+    t.merge_upsert(delta, ["id"], partition_by=["m"])
+    assert _state(t) == [(1, "a2", "2026-02"), (9, "z", None)]
+
+
+def test_null_key_upsert_replaces_null_key_row(spark, tmp_path):
+    """NULL upsert keys match null-safely across all merge paths: a
+    NULL-key delta row replaces the NULL-key target row instead of
+    accumulating duplicates (consistent with merge_upsert_dedup's window
+    grouping and scd2_apply's eqNullSafe)."""
+    def nstate(t):
+        return sorted(
+            ((r.id, r.v, r.m) for r in t.read().collect()),
+            key=lambda x: (x[0] is None, x[0]),
+        )
+
+    t = _t(spark, tmp_path, [(None, "a", "2026-01"), (2, "b", "2026-01")])
+    delta = spark.createDataFrame([(None, "a2", "2026-01")], SCHEMA)
+    t.merge_upsert(delta, ["id"], partition_by=["m"])
+    assert nstate(t) == [(2, "b", "2026-01"), (None, "a2", "2026-01")]
+    # unpartitioned path: same semantics
+    t2 = ParquetTable(spark, os.path.join(tmp_path, "t2"))
+    t2.overwrite(spark.createDataFrame([(None, "a", "x"), (2, "b", "x")], SCHEMA))
+    t2.merge_upsert(spark.createDataFrame([(None, "a2", "x")], SCHEMA), ["id"])
+    assert nstate(t2) == [(2, "b", "x"), (None, "a2", "x")]
+
+
+def test_null_partition_dedup_merge(spark, tmp_path):
+    """merge_upsert_dedup keeps NULL-partition survivors too."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "t3"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", None), (9, "z", None)], SCHEMA
+        ),
+        partition_by=["m"],
+    )
+    delta = spark.createDataFrame([(1, "zz", None)], SCHEMA)
+    t.merge_upsert_dedup(delta, ["id"], tracking_col="v", partition_by=["m"])
+    assert _state(t) == [(1, "zz", None), (9, "z", None)]
