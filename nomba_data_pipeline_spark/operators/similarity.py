@@ -177,27 +177,25 @@ def near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b and
-    sim >= threshold.
+    sim >= threshold. EXACT all-pairs, fully distributed.
 
-    Implementation: block-wise BLAS. The corpus is Arrow-batched; each
-    batch multiplies against the (normalized, broadcast) full matrix and
-    emits only above-threshold pairs — the n^2 similarity matrix is never
-    materialized, only streamed block-row by block-row. At true 100 TB
-    scale, pre-bucket with lsh_bucket() and run this per bucket (the
-    composition is cosine_topk_lsh's join shape); the block-BLAS kernel
-    stays identical.
+    Block-pair join (triangle replication): each vector hashes into one
+    of n_blocks blocks; every unordered block pair (b1 <= b2) becomes one
+    task that BLAS-multiplies the two blocks and emits only
+    above-threshold pairs. Each row is replicated n_blocks times
+    (explode), so the driver NEVER holds the corpus and per-task memory
+    is bounded by 2N/n_blocks vectors — size n_blocks ~
+    sqrt(N*d*8 / executor_mem) at scale. Total work is still O(N^2 d)
+    (it is an exact operator); for web-scale corpora use
+    near_dup_pairs_lsh, which prunes candidates before the same
+    block-BLAS kernel.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
-
-    cpdf = embeddings.select(F.col(id_col), F.col(vec_col)).toPandas()
-    ids = cpdf[id_col].to_numpy()
-    M = np.stack(cpdf[vec_col].to_numpy()).astype(np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids, Mn))
 
     out_schema = T.StructType(
         [
@@ -207,23 +205,53 @@ def near_dup_pairs(
         ]
     )
 
-    def run(batches):
-        all_ids, all_m = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            block = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
-            block = block / np.linalg.norm(block, axis=1, keepdims=True)
-            sims = np.round(block @ all_m.T, SIM_DP)
-            bids = pdf["__id"].to_numpy()
-            rows_i, cols_j = np.where(sims >= threshold)
-            a, b, s = bids[rows_i], all_ids[cols_j], sims[rows_i, cols_j]
-            keep = a < b
-            yield pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep], "sim": s[keep]})
+    emb = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    # a row in block b participates in every pair {(min(b,j), max(b,j))}
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__blk"), F.lit(j)).alias("b1"),
+                F.greatest(F.col("__blk"), F.lit(j)).alias("b2"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    exploded = emb.withColumn("__grp", F.explode(pair_structs)).select(
+        "__id", "__vec", "__blk",
+        F.col("__grp.b1").alias("__b1"),
+        F.col("__grp.b2").alias("__b2"),
+    )
 
-    return embeddings.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    ).mapInPandas(run, out_schema)
+    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        b1, b2 = key
+        ids = pdf["__id"].to_numpy()
+        M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        M = M / norms
+        if b1 == b2:
+            sims = np.round(M @ M.T, SIM_DP)
+            i, j = np.where(sims >= threshold)
+            a, b, s = ids[i], ids[j], sims[i, j]
+            keep = a < b
+            a, b, s = a[keep], b[keep], s[keep]
+        else:
+            left = pdf["__blk"].to_numpy() == b1
+            L, R = M[left], M[~left]
+            lids, rids = ids[left], ids[~left]
+            sims = np.round(L @ R.T, SIM_DP)
+            i, j = np.where(sims >= threshold)
+            a, b, s = lids[i], rids[j], sims[i, j]
+            lo = np.minimum(a, b)
+            b = np.maximum(a, b)
+            a = lo
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "sim": s})
+
+    return exploded.groupBy("__b1", "__b2").applyInPandas(block_pairs, out_schema)
 
 
 def near_dup_pairs_sql(table: str = "embeddings", threshold: float = 0.9) -> str:
@@ -368,35 +396,42 @@ def cosine_topk_ivf(
 NUM_HYPERPLANES = 8
 
 
-def _hyperplane_sign_bits(vec: Column, dim: int) -> Column:
-    """Deterministic random-hyperplane signature without storing planes:
-    plane p, dimension j weight = (md5-derived int for (p,j)) centered.
-    All JVM expression ops."""
-    planes = F.sequence(F.lit(0), F.lit(NUM_HYPERPLANES - 1))
+def _hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic hyperplane weight matrix, derived once in Python
+    from the same md5 family previous revisions evaluated per-row in
+    Spark expressions (weight[p][j] = md5("hp:p:j")[:8] / 16^8 - 0.5).
+    Folding it to literals removes n_planes*dim md5 calls PER ROW from
+    the signature plan — the difference between the ANN path beating or
+    losing to brute force."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hp:{p}:{j}".encode()).hexdigest()[:8], 16) / float(16**8)
+            - 0.5
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _hyperplane_sign_bits(
+    vec: Column, dim: int, n_planes: int = NUM_HYPERPLANES
+) -> Column:
+    """Random-hyperplane signature: bit p = sign(<vec, W[p]>). The weight
+    matrix is embedded as array literals (constant-folded by Catalyst),
+    so the per-row cost is n_planes*dim fused multiply-adds in codegen —
+    zero hashing, zero Python."""
     vd = _as_double(vec)
-
-    def plane_bit(p: Column) -> Column:
-        # weight_j in [-0.5, 0.5): hash(p, j) scaled
-        weighted = F.zip_with(
-            vd,
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, j: x
-            * (
-                (
-                    F.conv(
-                        F.substring(F.md5(F.concat(F.lit("hp:"), p.cast("string"), F.lit(":"), j.cast("string"))), 1, 8),
-                        16,
-                        10,
-                    ).cast("double")
-                    / F.lit(float(16**8))
-                )
-                - 0.5
-            ),
+    W = _hyperplane_weights(n_planes, dim)
+    bits = []
+    for p in range(n_planes):
+        wlit = F.array(*[F.lit(w) for w in W[p]])
+        s = F.aggregate(
+            F.zip_with(vd, wlit, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v
         )
-        s = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
-
-    return F.transform(planes, plane_bit)
+        bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.array(*bits)
 
 
 def lsh_bucket(vec: Column, dim: int) -> Column:
@@ -404,34 +439,173 @@ def lsh_bucket(vec: Column, dim: int) -> Column:
     return F.concat_ws("", _hyperplane_sign_bits(vec, dim))
 
 
+def near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded-LSH near-duplicate pairs — the 100 TB path.
+
+    Signature = bands*rows_per_band hyperplane sign bits; a pair is a
+    CANDIDATE iff it collides in at least one band; candidates get the
+    exact rounded cosine and the threshold filter, so precision is 1.0
+    and only recall is probabilistic: with p = 1 - theta/pi,
+    P(candidate) = 1 - (1 - p^rows_per_band)^bands. Defaults (16 bands
+    of 8) give recall ~0.995 at sim 0.9 while passing only ~6% of random
+    pairs; for low thresholds (<0.6) shrink rows_per_band — cosine LSH
+    fundamentally cannot prune hard there (sim 0.45 => p ~ 0.65).
+
+    Distributed shape: one explode to (band, band_signature) buckets, one
+    shuffle to group them, per-bucket block-BLAS in applyInPandas, then
+    dropDuplicates across bands. Driver never holds vectors; per-task
+    memory is the largest single bucket (salt the degenerate all-same
+    bucket case upstream if embeddings contain mass duplicates).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_planes = bands * rows_per_band
+    sig = _hyperplane_sign_bits(F.col(vec_col), dim, n_planes=n_planes)
+    banded = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), sig.alias("__bits")
+    ).withColumn(
+        "__band",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("idx"),
+                        F.concat_ws(
+                            "", F.slice("__bits", b * rows_per_band + 1, rows_per_band)
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def bucket_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        M = M / norms
+        sims = np.round(M @ M.T, SIM_DP)
+        i, j = np.where(sims >= threshold)
+        keep = ids[i] < ids[j]
+        return pd.DataFrame(
+            {"vec_a": ids[i][keep], "vec_b": ids[j][keep], "sim": sims[i, j][keep]}
+        )
+
+    return (
+        banded.select("__id", "__vec", F.col("__band.idx").alias("__bidx"),
+                      F.col("__band.sig").alias("__bsig"))
+        .groupBy("__bidx", "__bsig")
+        .applyInPandas(bucket_pairs, out_schema)
+        # the same pair collides in several bands with an identical
+        # rounded sim -> exact-duplicate rows; one distinct pass
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_filter: Column,
     k: int = 5,
     dim: int = 64,
+    n_planes: int = NUM_HYPERPLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's LSH bucket.
 
-    Equi-join on bucket replaces the cross join — at 100 TB this is the
-    difference between O(N*|Q|) and O(N/2^planes * |Q|) comparisons.
+    Map-only BLAS shape (mirrors cosine_topk, which it must beat to
+    justify existing): the bounded query set is collected, bucketed with
+    the SAME md5-derived hyperplane matrix as lsh_bucket(), and
+    broadcast; each corpus Arrow batch computes its own signatures with
+    one (batch x dim)@(dim x planes) matmul, then multiplies ONLY the
+    rows sharing a bucket with some query — O(N*|Q|*d / 2^planes)
+    flops plus an O(N*planes*d) signature pass, versus brute force's
+    O(N*|Q|*d). No shuffle of the corpus, no join: the candidate
+    filter happens inside the map partition. Pair volume into the
+    final top-k window is 2^planes times smaller than brute force.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
-    with_bucket = embeddings.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim).alias("bucket")
+    W = np.asarray(_hyperplane_weights(n_planes, dim))  # planes x dim
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    qpdf = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    if len(qpdf) == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int"
+        )
+    qids = qpdf["query_id"].to_numpy()
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    # sign bits are scale-invariant: raw vectors give the same bucket
+    # as the expression path (which also hashes unnormalized input)
+    qbuck = ((Q @ W.T) >= 0) @ pows
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = embeddings.sparkSession.sparkContext.broadcast((qids, Qn, qbuck))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    corpus = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
-    )
-    queries = with_bucket.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
-    )
+
+    def run(batches):
+        b_qids, b_qn, b_qbuck = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            buck = ((mat @ W.T) >= 0) @ pows
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            nids = pdf["__id"].to_numpy()
+            frames = []
+            for b in np.intersect1d(np.unique(buck), np.unique(b_qbuck)):
+                ri = buck == b
+                qi = b_qbuck == b
+                sims = np.round(mat[ri] @ b_qn[qi].T, SIM_DP)
+                m, n = sims.shape
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(b_qids[qi][None, :], m, 0).ravel(),
+                            "neighbor_id": np.repeat(nids[ri][:, None], n, 1).ravel(),
+                            "sim": sims.ravel(),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
     pairs = (
-        corpus.join(F.broadcast(queries), on="bucket")
+        embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        .mapInPandas(run, out_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

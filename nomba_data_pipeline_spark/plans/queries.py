@@ -599,6 +599,17 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_lsh(emb, F.col("vec_id") % 50 == 0, k=5)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup (the 100 TB path) — rows-only: recall is
+    probabilistic. Bands/rows tuned for this corpus's low-sim near-dup
+    band (pairs live at cosine 0.4-0.5 => per-plane collision ~0.65, so
+    2-plane bands x 12 give ~0.99 expected recall; precision is exact by
+    construction). Compare row count against embedding_near_dup's exact
+    pair set; pytest pins recall >= 0.9 at sf0.001."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs_lsh(emb, threshold=0.4, bands=12, rows_per_band=2)
+
+
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — probed-list scan; recall tested vs exact in pytest.
     The testdata embeddings are diffuse (max pairwise cosine ~0.5), so
@@ -1072,6 +1083,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
     "cosine_topk_ivf": QuerySpec(q_cosine_topk_ivf, None, "ext:similarity-ivf"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),
+    "embedding_near_dup_lsh": QuerySpec(q_embedding_near_dup_lsh, None, "ext:dedup-embedding-ann"),
     "flagship_sql_api": QuerySpec(q_flagship_sql_api, SQL_FLAGSHIP_SQL_API, "SQL-API"),
     "priority_order_check": QuerySpec(q_priority_order_check, SQL_PRIORITY_ORDER_CHECK, "ext:exists-semi"),
     "status_pivot": QuerySpec(q_status_pivot, SQL_STATUS_PIVOT, "ext:pivot"),

@@ -52,3 +52,77 @@ def test_ivf_full_probe_equals_exact(spark):
     exact = _topk_sets(cosine_topk(emb, qf, k=5))
     full = _topk_sets(cosine_topk_ivf(emb, qf, k=5, n_lists=8, n_probe=8))
     assert exact == full
+
+
+def _pair_map(df):
+    return {(r.vec_a, r.vec_b): r.sim for r in df.collect()}
+
+
+def test_near_dup_exact_never_collects_corpus(spark, monkeypatch):
+    """Scale guard (round-2 verdict): the exact near-dup operator must be
+    fully distributed — no driver-side toPandas/collect of the corpus."""
+    import pyspark.sql
+
+    from nomba_data_pipeline_spark.operators.similarity import near_dup_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+
+    def boom(self, *a, **k):
+        raise AssertionError("near_dup_pairs must not call DataFrame.toPandas")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", boom)
+    monkeypatch.setattr(
+        pyspark.sql.DataFrame,
+        "collect",
+        lambda self, *a, **k: (_ for _ in ()).throw(
+            AssertionError("near_dup_pairs must not collect() the corpus")
+        ),
+    )
+    df = near_dup_pairs(emb, threshold=0.4)
+    # count() executes the whole plan without materializing to the driver
+    assert df.count() > 0
+
+
+def test_near_dup_block_pair_matches_single_block(spark):
+    """Block-pair decomposition is exact: any n_blocks gives the same
+    pair set (n_blocks=1 is the trivial single-task case)."""
+    from nomba_data_pipeline_spark.operators.similarity import near_dup_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    one = _pair_map(near_dup_pairs(emb, threshold=0.4, n_blocks=1))
+    eight = _pair_map(near_dup_pairs(emb, threshold=0.4, n_blocks=8))
+    assert one == eight and len(one) > 0
+
+
+def test_near_dup_lsh_recall_and_precision(spark):
+    """Banded LSH: precision 1.0 by construction (exact cosine on
+    candidates); recall probabilistic but >= 0.9 with bands tuned for
+    this corpus's 0.4-0.5 similarity band."""
+    from nomba_data_pipeline_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_lsh,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = _pair_map(near_dup_pairs(emb, threshold=0.4))
+    lsh = _pair_map(near_dup_pairs_lsh(emb, threshold=0.4, bands=12, rows_per_band=2))
+    assert set(lsh) <= set(exact), "LSH must not invent pairs"
+    for p, s in lsh.items():
+        assert s == exact[p]
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} ({len(lsh)}/{len(exact)})"
+
+
+def test_lsh_bucket_constant_folded(spark):
+    """The hyperplane weights must be literals in the plan — a regression
+    to per-row md5 derivation shows up as 'md5' in the optimized plan."""
+    from nomba_data_pipeline_spark.operators.similarity import lsh_bucket
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = (
+        emb.select(lsh_bucket(F.col("embedding"), 64).alias("b"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "md5" not in plan.lower()
