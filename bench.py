@@ -87,12 +87,23 @@ def main() -> None:
             "stg_plans": lambda s, sfd: simulate_plan_updates(M.stg_plans(s, sfd), 0.01)
         }
         t0 = time.perf_counter()
-        build_pipeline(spark, wh, SF_DIR, source_override=override).run()
+        cdc = build_pipeline(spark, wh, SF_DIR, source_override=override)
+        cdc.run()
         timings["pipeline_cdc_rerun"] = round(time.perf_counter() - t0, 3)
+        # per-model split: the reference's "~5 s delta load" is ONE
+        # table's incremental merge; cdc_model:stg_plans (+ its fact
+        # merge) is the honest comparison, the rest is whole-DAG rerun
+        # cost the reference number never included
+        for mname, msec in cdc.last_timings.items():
+            timings[f"cdc_model:{mname}"] = msec
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
+    # cdc_model:* entries are a breakdown OF pipeline_cdc_rerun — summing
+    # them too would double-count the rerun in the headline total
+    total = round(
+        sum(v for k, v in timings.items() if not k.startswith("cdc_model:")), 3
+    )
     print(
         json.dumps(
             {

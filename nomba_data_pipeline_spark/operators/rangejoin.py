@@ -29,7 +29,19 @@ def range_join_count(
     count_alias: str = "n_in_range",
 ) -> DataFrame:
     """Per left row: count right rows of the same key with
-    right.ts in [left.ts - window, left.ts). Zero-match rows kept."""
+    right.ts in [left.ts - window, left.ts). Zero-match rows kept.
+
+    Determinism: the regroup after the 2-bucket probe explode must
+    reassemble exactly one output row per INPUT row. A per-row uid from
+    monotonically_increasing_id is NOT retry-safe when the caller's
+    frame derives from a shuffle (a retried task can reassign uids and
+    split/merge counts). Instead the left side is content-addressed:
+    fully-duplicate rows are pre-aggregated with their multiplicity,
+    counts are computed once per DISTINCT row, and the multiplicity is
+    re-exploded at the end — identical rows have identical counts, so
+    the multiset result is exact and every step is deterministic. The
+    pre-aggregation replaces (not adds to) the old uid regroup shuffle.
+    """
     bucket = lambda c: F.floor(F.col(c).cast("double") / window_seconds)  # noqa: E731
 
     r = right.select(
@@ -37,11 +49,8 @@ def range_join_count(
         F.col(right_ts).alias("__rts"),
         bucket(right_ts).alias("__bucket"),
     )
-    # per-row uid so the regroup after the 2-bucket probe explode
-    # reassembles exactly one output row per INPUT row — grouping by the
-    # left columns alone would collapse fully-duplicate left rows and
-    # sum their counts
-    l = left.withColumn("__uid", F.monotonically_increasing_id()).withColumn(
+    lg = left.groupBy(*left.columns).agg(F.count(F.lit(1)).alias("__mult"))
+    l = lg.withColumn(
         "__probe", F.explode(F.array(bucket(left_ts) - 1, bucket(left_ts)))
     )
 
@@ -56,7 +65,8 @@ def range_join_count(
         & (F.col("__rts") < F.col(left_ts))
     )
     return (
-        joined.groupBy("__uid", *[F.col(c) for c in left.columns])
+        joined.groupBy(*[F.col(c) for c in left.columns], F.col("__mult"))
         .agg(F.sum(F.when(in_range, 1).otherwise(0)).alias(count_alias))
-        .drop("__uid")
+        .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col("__mult"))))
+        .drop("__copy", "__mult")
     )

@@ -19,6 +19,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def random_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """O3/F10: `ORDER BY RANDOM() LIMIT n` sampling (reference
+    simulate_cdc.py:89,111) as `orderBy(rand(seed)).limit(n)`.
+
+    rand(seed) is seeded PER PARTITION, so the sample is reproducible
+    within a session for a fixed input partitioning (the reference's
+    RANDOM() gives even less — no seed at all). For cross-engine /
+    cross-run determinism, prefer the seeded-hash picks the simulators
+    below use; this surface exists for reference-shape parity and
+    unbiased sampling (hash-order sampling is uniform only if the hash
+    mixes well)."""
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
 def simulate_user_updates(
     users: DataFrame, fraction: float = 0.1, seed: int = 42, new_segment: str = "CHANGED"
 ) -> DataFrame:

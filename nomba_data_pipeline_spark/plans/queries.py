@@ -224,6 +224,56 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k FRO
 """
 
 
+def q_mongo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end in the graded surface: stage a Mongo-extended-JSON
+    dump of events ($oid wrapper, nested meta doc), then run the
+    composed extraction — incremental $gte on ts + server-side filter +
+    field delete + flatten + $-strip — exactly the reference loader's
+    extract_data/_process_mongo_document chain (mongo_loader.py:202-317)
+    as one Catalyst plan. The oracle reproduces the semantics straight
+    off the events table."""
+    import os
+    import tempfile
+
+    from nomba_data_pipeline_spark.sources import mongo as MG
+
+    events = load_table(spark, sf_dir, "events")
+    docs = events.select(
+        F.struct(
+            F.concat(F.lit("oid-"), F.col("event_id").cast("string")).alias("$oid")
+        ).alias("_id"),
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.struct(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.lit("mongo").alias("src"),
+        ).alias("meta"),
+    )
+    stage = os.path.join(tempfile.mkdtemp(prefix="mongo_stage_"), "events")
+    MG.stage_mongo_dump(docs, stage)
+    return MG.extract_mongo_stage(
+        spark,
+        stage,
+        tracking_column="ts",
+        last_value="2024-01-15 00:00:00",
+        query_filter=F.col("event_type").isNotNull(),
+        fields_to_delete=["meta.src"],
+        flatten_nested=True,
+    )
+
+
+SQL_MONGO_EXTRACT = """
+SELECT 'oid-' || CAST(event_id AS VARCHAR) AS _id_oid, event_id, ts, user_id,
+       event_type, value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS meta_k
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type IS NOT NULL
+"""
+
+
 def q_top_users_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 sort+limit over an aggregate (deterministic tiebreak on user_id)."""
     fact = M.fact_transactions(spark, sf_dir)
@@ -1060,6 +1110,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "keep_latest_per_key": QuerySpec(q_keep_latest, SQL_KEEP_LATEST, "J4,A5"),
     "duplicate_groups": QuerySpec(q_dup_groups, SQL_DUP_GROUPS, "A4"),
     "json_flatten": QuerySpec(q_json_flatten, SQL_JSON_FLATTEN, "P8,P10,F7"),
+    "mongo_extract_events": QuerySpec(q_mongo_extract, SQL_MONGO_EXTRACT, "S1,P3,P6,P7,P8,P10"),
     "top_users_by_revenue": QuerySpec(q_top_users_by_revenue, SQL_TOP_USERS, "O2,O3"),
     "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY, "A1,F11"),
     "scd2_intervals": QuerySpec(q_scd2_intervals, SQL_SCD2_INTERVALS, "O12,J5"),

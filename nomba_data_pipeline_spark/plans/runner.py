@@ -21,6 +21,7 @@ data itself — no external state store, same as the reference
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -62,6 +63,10 @@ class PipelineRunner:
         self.warehouse_dir = warehouse_dir
         self.sf_dir = sf_dir
         self.models: dict[str, ModelSpec] = {}
+        # wall seconds per model for the LAST run() — lets the bench
+        # report the delta-load cost per model (the reference publishes
+        # a single-table "~5 s delta" number; this makes ours comparable)
+        self.last_timings: dict[str, float] = {}
 
     def register(self, spec: ModelSpec) -> None:
         self.models[spec.name] = spec
@@ -112,8 +117,11 @@ class PipelineRunner:
                 add(name)
             ordered = [s for s in ordered if s.name in wanted]
         results: dict[str, int] = {}
+        self.last_timings = {}
         for spec in ordered:
+            t0 = time.perf_counter()
             results[spec.name] = self.run_model(spec.name)
+            self.last_timings[spec.name] = round(time.perf_counter() - t0, 3)
         return results
 
     def run_model(self, name: str) -> int:

@@ -6,10 +6,13 @@ Spark's native `spark.read.json` inference:
 
   * sample <= 1000 lines (:894)                -> samplingRatio / limit
   * union of keys across rows (:911-912)       -> Spark native
-  * per-column type vote over first 100 values (:920-933)
-  * mixed types degrade to String (:935-938)   -> Spark widens instead;
-    we post-process: any column Spark widened to a non-string type from
-    mixed inputs stays, but true conflicts arrive as string already
+  * per-column type vote over first 100 values (:920-933) and mixed
+    types degrade to String (:935-938)         -> implemented here
+    (`_mixed_type_vote`): Spark's native inference silently WIDENS
+    mixed numerics (int+float -> double) and stringifies other
+    conflicts; the reference instead flags ANY type mix — including
+    int+float and bool+int — and stores the column as String. A
+    drifting JSON feed is exactly when the two diverge.
   * regex date/datetime detection with >80% vote over 20 samples
     (:941-954)                                  -> implemented here
   * dict/list -> JSON string (:963-964)         -> optional flattening off,
@@ -33,6 +36,57 @@ DATE_VOTE_THRESHOLD = 0.8  # reference base_loader.py:951 ("> 80%")
 DATE_VOTE_SAMPLE = 20  # reference base_loader.py:949
 
 
+TYPE_VOTE_SAMPLE = 100  # reference base_loader.py:922 ("first 100 values")
+
+
+def _json_value_type(v) -> str:
+    """The reference's type taxonomy for a parsed JSON value
+    (base_loader.py:922-933). bool is tested before int — Python bools
+    ARE ints, and the reference treats a true/1 mix as a conflict."""
+    if isinstance(v, dict):
+        return "object"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return "other"
+
+
+def _mixed_type_columns(lines: list[str]) -> set[str]:
+    """Columns whose first TYPE_VOTE_SAMPLE non-null values span more
+    than one JSON type — these degrade to String (base_loader.py:935-938)
+    instead of Spark's silent numeric widening."""
+    import json
+
+    per_col: dict[str, list] = {}
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        rows = parsed if isinstance(parsed, list) else [parsed]
+        for row in rows:
+            if not isinstance(row, dict):
+                continue
+            for k, v in row.items():
+                if v is not None:
+                    per_col.setdefault(k, []).append(v)
+    return {
+        col
+        for col, values in per_col.items()
+        if len({_json_value_type(v) for v in values[:TYPE_VOTE_SAMPLE]}) > 1
+    }
+
+
 def infer_stage_schema(
     spark: SparkSession,
     path: str,
@@ -47,10 +101,15 @@ def infer_stage_schema(
     sampled = spark.read.option("mode", "PERMISSIVE").json(
         spark.sparkContext.parallelize(lines or ["{}"])
     )
+    mixed = _mixed_type_columns(lines)
     schema = sampled.schema
     fields: list[T.StructField] = []
     for f in schema.fields:
         dt = f.dataType
+        if f.name in mixed:
+            # reference: any type mix -> String, no date vote
+            fields.append(T.StructField(f.name, T.StringType(), True))
+            continue
         if stringify_nested and isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
             # reference: dict/list -> JSON string (base_loader.py:963-964)
             fields.append(T.StructField(f.name, T.StringType(), True))

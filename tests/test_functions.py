@@ -91,3 +91,39 @@ def test_inference_mixed_and_dates(spark, tmp_path):
     assert types["d"] == "date"
     assert types["id"] == "bigint"
     assert types["mixed"] == "string"
+
+
+def test_inference_type_vote_degrades_mixed_to_string(spark, tmp_path):
+    """Reference parity (base_loader.py:920-938): ANY per-column type mix
+    in the first 100 values -> String — including int+float, which Spark
+    native inference would silently widen to double, and bool+int."""
+    path = os.path.join(tmp_path, "stage_vote")
+    rows = [
+        '{"num_drift": 1, "flagish": true, "clean_int": 10, "clean_f": 1.5, "strnum": "a"}',
+        '{"num_drift": 2.5, "flagish": 1, "clean_int": 20, "clean_f": 2.5, "strnum": 7}',
+    ]
+    spark.createDataFrame([(r,) for r in rows], "value string").write.mode(
+        "overwrite"
+    ).text(path)
+    schema = infer_stage_schema(spark, path)
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert types["num_drift"] == "string"  # int+float mix, NOT double
+    assert types["flagish"] == "string"  # bool+int mix
+    assert types["strnum"] == "string"  # string+int mix
+    assert types["clean_int"] == "bigint"
+    assert types["clean_f"] == "double"
+
+
+def test_inference_vote_reads_values_as_literals(spark, tmp_path):
+    """A voted-String column must still be readable: numbers arrive as
+    their literal text."""
+    from nomba_data_pipeline_spark.sources.inference import read_with_inferred_schema
+
+    path = os.path.join(tmp_path, "stage_vote2")
+    rows = ['{"v": 1}', '{"v": "x"}', '{"v": 2.5}']
+    spark.createDataFrame([(r,) for r in rows], "value string").write.mode(
+        "overwrite"
+    ).text(path)
+    out = read_with_inferred_schema(spark, path)
+    assert dict(out.dtypes)["v"] == "string"
+    assert sorted(r.v for r in out.collect()) == ["1", "2.5", "x"]

@@ -103,3 +103,15 @@ def test_high_water_mark(spark, tmp_path, base_df):
     assert t.high_water_mark("v") is None
     t.overwrite(base_df)
     assert t.high_water_mark("v") == 10
+
+
+def test_merge_roundtrip_explicit_file_scheme(spark, tmp_path):
+    """S8: the writer must be filesystem-scheme-clean — the same code
+    path serves file://, s3a://, gs:// via the Hadoop FileSystem API.
+    Exercised here with an explicit file:// URI (swap dance included);
+    object stores differ only in connector config, not code."""
+    t = ParquetTable(spark, f"file://{tmp_path}/scheme_t")
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    t.merge_upsert(spark.createDataFrame([(2, "b2"), (3, "c")], "id int, v string"), ["id"])
+    assert sorted((r.id, r.v) for r in t.read().collect()) == [(1, "a"), (2, "b2"), (3, "c")]
+    assert t.high_water_mark("id") == 3

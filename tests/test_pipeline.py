@@ -105,3 +105,16 @@ def test_cdc_plan_update_flows_to_marts(spark, warehouse):
     assert doubled and unchanged
     # incremental hwm actually filtered: stg_plans row count unchanged
     assert runner2.table("stg_plans").read().count() == len(before)
+
+
+def test_random_sample_seeded_determinism(spark):
+    """O3: rand(seed) sampling is reproducible for a fixed input
+    partitioning within a session, and draws exactly n distinct rows."""
+    from nomba_data_pipeline_spark.plans.cdc_sim import random_sample
+
+    df = spark.range(0, 1000, 1, 4)
+    a = sorted(r.id for r in random_sample(df, 25, seed=7).collect())
+    b = sorted(r.id for r in random_sample(df, 25, seed=7).collect())
+    c = sorted(r.id for r in random_sample(df, 25, seed=8).collect())
+    assert a == b and len(a) == len(set(a)) == 25
+    assert a != c  # different seed -> different draw

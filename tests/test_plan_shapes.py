@@ -54,3 +54,25 @@ def test_range_join_is_equi_join(spark):
     # no broadcast nested loop / cartesian anywhere
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_count_duplicate_left_rows(spark):
+    """Content-addressed regroup: fully-duplicate left rows must each
+    produce their own (identical) output row — multiset in, multiset out
+    — deterministically, with no per-row uid."""
+    from nomba_data_pipeline_spark.operators.rangejoin import range_join_count
+
+    from pyspark.sql import functions as F
+
+    def t(sec):
+        return f"2024-01-01 00:01:{sec:02d}"
+
+    left = spark.createDataFrame(
+        [(1, t(40)), (1, t(40)), (1, t(50)), (2, t(40))], "k int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, t(35)), (1, t(39)), (1, t(20)), (2, t(39))], "k int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = range_join_count(left, right, on="k", left_ts="ts", right_ts="ts", window_seconds=10)
+    rows = sorted((r.k, r.ts.second, r.n_in_range) for r in out.collect())
+    assert rows == [(1, 40, 2), (1, 40, 2), (1, 50, 0), (2, 40, 1)]
