@@ -528,29 +528,46 @@ def cosine_topk_lsh(
     k: int = 5,
     dim: int = 64,
     n_planes: int = NUM_HYPERPLANES,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket.
+    """ANN top-k: candidates restricted to the query's LSH bucket(s).
 
     Map-only BLAS shape (mirrors cosine_topk, which it must beat to
     justify existing): the bounded query set is collected, bucketed with
-    the SAME md5-derived hyperplane matrix as lsh_bucket(), and
+    the SAME md5-derived hyperplane family as lsh_bucket(), and
     broadcast; each corpus Arrow batch computes its own signatures with
-    one (batch x dim)@(dim x planes) matmul, then multiplies ONLY the
-    rows sharing a bucket with some query — O(N*|Q|*d / 2^planes)
-    flops plus an O(N*planes*d) signature pass, versus brute force's
+    one (batch x dim)@(dim x planes*tables) matmul, then scores ONLY
+    rows sharing a bucket with some query in some table —
+    O(N*|Q|*d * (1-(1-2^-planes)^tables)) flops plus an
+    O(N*planes*tables*d) signature pass, versus brute force's
     O(N*|Q|*d). No shuffle of the corpus, no join: the candidate
-    filter happens inside the map partition. Pair volume into the
-    final top-k window is 2^planes times smaller than brute force.
+    filter happens inside the map partition.
+
+    n_tables > 1 is classic multi-table LSH: each table is an
+    independent set of n_planes hyperplanes (table 0 = lsh_bucket's
+    planes, so n_tables=1 reproduces the single-bucket behavior) and a
+    pair is a candidate if it collides in ANY table — per-query recall
+    1-(1-p^planes)^tables. Candidates are deduped inside the batch (a
+    corpus row lives in exactly one batch, so no cross-batch dups), and
+    scored pair-wise rather than by block matmul.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    W = np.asarray(_hyperplane_weights(n_planes, dim))  # planes x dim
+    # one weight matrix for all tables: table t owns planes
+    # [t*n_planes, (t+1)*n_planes) of the shared md5-derived family
+    W = np.asarray(_hyperplane_weights(n_planes * n_tables, dim))
     pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def bucketize(M: np.ndarray) -> np.ndarray:
+        """rows x tables bucket ids from raw (unnormalized) vectors —
+        sign bits are scale-invariant, matching the expression path."""
+        bits = (M @ W.T) >= 0  # rows x (tables*planes)
+        return bits.reshape(len(M), n_tables, n_planes) @ pows
 
     qpdf = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -561,9 +578,7 @@ def cosine_topk_lsh(
         )
     qids = qpdf["query_id"].to_numpy()
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
-    # sign bits are scale-invariant: raw vectors give the same bucket
-    # as the expression path (which also hashes unnormalized input)
-    qbuck = ((Q @ W.T) >= 0) @ pows
+    qbuck = bucketize(Q)  # |Q| x tables
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     bq = embeddings.sparkSession.sparkContext.broadcast((qids, Qn, qbuck))
 
@@ -581,26 +596,27 @@ def cosine_topk_lsh(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
-            buck = ((mat @ W.T) >= 0) @ pows
+            buck = bucketize(mat)  # batch x tables
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             nids = pdf["__id"].to_numpy()
-            frames = []
-            for b in np.intersect1d(np.unique(buck), np.unique(b_qbuck)):
-                ri = buck == b
-                qi = b_qbuck == b
-                sims = np.round(mat[ri] @ b_qn[qi].T, SIM_DP)
-                m, n = sims.shape
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(b_qids[qi][None, :], m, 0).ravel(),
-                            "neighbor_id": np.repeat(nids[ri][:, None], n, 1).ravel(),
-                            "sim": sims.ravel(),
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            ri_all, qi_all = [], []
+            for t in range(n_tables):
+                bt, qbt = buck[:, t], b_qbuck[:, t]
+                for b in np.intersect1d(np.unique(bt), np.unique(qbt)):
+                    ri = np.flatnonzero(bt == b)
+                    qi = np.flatnonzero(qbt == b)
+                    ri_all.append(np.repeat(ri, len(qi)))
+                    qi_all.append(np.tile(qi, len(ri)))
+            if not ri_all:
+                continue
+            cand = np.unique(
+                np.stack([np.concatenate(ri_all), np.concatenate(qi_all)]), axis=1
+            )
+            ri, qi = cand[0], cand[1]
+            sims = np.round((mat[ri] * b_qn[qi]).sum(axis=1), SIM_DP)
+            yield pd.DataFrame(
+                {"query_id": b_qids[qi], "neighbor_id": nids[ri], "sim": sims}
+            )
 
     pairs = (
         embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))

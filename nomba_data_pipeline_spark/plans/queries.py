@@ -644,9 +644,17 @@ SQL_EMBEDDING_NEAR_DUP = S.near_dup_pairs_sql(threshold=0.4)
 
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN variant — recall is probabilistic, so no SQL oracle (rows-only)."""
+    """ANN variant — recall is probabilistic, so no SQL oracle (rows-only).
+
+    Multi-table parameters tuned to this corpus: true top-5 neighbors
+    sit at cosine 0.4-0.5 (~60 deg => per-plane collision ~0.65), so
+    narrow 3-plane buckets x 16 independent tables give measured top-5
+    recall 0.98 at sf0.1 (vs 0.11 for one 8-plane table) while still
+    pruning; pytest pins recall >= 0.85."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_topk_lsh(emb, F.col("vec_id") % 50 == 0, k=5)
+    return S.cosine_topk_lsh(
+        emb, F.col("vec_id") % 50 == 0, k=5, n_planes=3, n_tables=16
+    )
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
