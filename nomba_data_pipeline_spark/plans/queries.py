@@ -538,6 +538,76 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling, fully oracle-checked: the stub
+    'decoder' slices deterministic byte windows, so the row-multiplying
+    mapInPandas contract (one output row per sampled frame timestamp —
+    operators/multimodal.py:sample_frames) can be reproduced in SQL.
+    Frames are emitted as hex so the driver canonicalization sorts
+    scalar strings, and byte-vs-char offsets stay honest via
+    octet_length."""
+    from nomba_data_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.least(F.col("n_chars"), F.lit(40)) * 100).cast("long").alias("duration_ms"),
+    )
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", "frame_ts_ms", F.hex("frame_payload").alias("frame_hex")
+    )
+
+
+SQL_MEDIA_FRAMES = """
+WITH m AS (
+    SELECT doc_id AS media_id, encode(text) AS payload,
+           least(n_chars, 40) * 100 AS duration_ms
+    FROM documents
+),
+f AS (
+    SELECT media_id, payload,
+           unnest(range(0, duration_ms, 1000)) AS frame_ts_ms
+    FROM m
+)
+SELECT media_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+       substring(hex(payload),
+                 ((frame_ts_ms * 7) % greatest(octet_length(payload), 1)) * 2 + 1,
+                 32) AS frame_hex
+FROM f
+"""
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation in the graded surface: salt ->
+    partial agg -> re-agg (operators/skew.py). The result is identical
+    to a plain GROUP BY (the oracle), which is the point — salting
+    changes the physical plan (hot key split across n_salts reducers),
+    never the answer. DECIMAL accumulation keeps the double sum
+    engine-portable."""
+    from nomba_data_pipeline_spark.operators.skew import salted_sum_count
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    out = salted_sum_count(events, ["event_type"], "v", n_salts=16)
+    return out.select(
+        "event_type",
+        F.round(F.col("sum_v"), 2).cast("double").alias("total_value"),
+        F.col("cnt").alias("n_events"),
+    )
+
+
+SQL_SKEW_SALTED_AGG = """
+SELECT event_type,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_user_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-user z-score of event values —
     the Arrow grouped-transform surface (each user's history as one
@@ -1136,6 +1206,8 @@ REGISTRY: dict[str, QuerySpec] = {
         "ext:dedup-simhash-lsh",
     ),
     "media_features": QuerySpec(q_media_features, None, "ext:multimodal"),
+    "media_frame_sample": QuerySpec(q_media_frames, SQL_MEDIA_FRAMES, "ext:multimodal-frames"),
+    "skew_salted_agg": QuerySpec(q_skew_salted_agg, SQL_SKEW_SALTED_AGG, "ext:skew"),
     "corpus_prep": QuerySpec(q_corpus_prep, SQL_CORPUS_PREP, "ext:composite-pipeline"),
     "user_zscores": QuerySpec(q_user_zscores, SQL_USER_ZSCORES, "ext:grouped-pandas"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "ext:similarity"),
