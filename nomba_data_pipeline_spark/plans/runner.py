@@ -135,6 +135,14 @@ class PipelineRunner:
                 # strict '>' matching the dbt models' delta predicate
                 # (stg_savings_plan.sql:24; documented tie policy SURVEY §7.4.3)
                 df = df.filter(F.col(spec.tracking_column) > F.lit(hwm))
+                # steady-state short-circuit: an empty delta skips the
+                # whole merge (incl. the key-location scan over the
+                # target) — the delta plan itself is cheap because the
+                # hwm predicate pushes into the source scan
+                if df.limit(1).count() == 0:
+                    out = self.read_model(spec.name)
+                    spec.quality.assert_ok(out, model=spec.name)
+                    return out.count()
 
         if spec.materialization == "scd2":
             if spec.scd2_split:

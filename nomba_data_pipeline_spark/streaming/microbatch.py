@@ -91,6 +91,37 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Event-time session windows — the streaming twin of the batch
+    sessionize query, expressed with Spark's native `session_window`
+    (merge-on-gap, watermark-finalized) instead of the lag+cumsum
+    window: sessions close `gap` after their last event, state is
+    bounded by the watermark horizon. Works on batch frames too, which
+    the test suite uses to pin boundary-equivalence against the batch
+    operator."""
+    w = events
+    if events.isStreaming:
+        w = events.withWatermark(ts_col, watermark)
+    return (
+        w.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_windowed_agg_stream(
     spark: SparkSession,
     source_dir: str,

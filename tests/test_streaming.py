@@ -101,3 +101,69 @@ def test_windowed_agg_stream(spark, tmp_path):
     # windows finalized below the watermark: the two 00:00/00:01 minutes
     assert ("2026-01-01 00:00:00", 2) in got
     assert ("2026-01-01 00:01:00", 1) in got
+
+
+def test_session_window_stream_and_batch_equivalence(spark, tmp_path):
+    """sessionized_counts: (a) runs as a real availableNow stream with
+    watermark-finalized sessions; (b) on the batch events table its
+    session boundaries agree with the lag+cumsum batch sessionize —
+    same (user, session_start, n_events) partitioning."""
+    import glob
+
+    from nomba_data_pipeline_spark.catalog import load_table
+    from nomba_data_pipeline_spark.plans.queries import q_sessionize
+    from nomba_data_pipeline_spark.streaming.microbatch import sessionized_counts
+    from tests.conftest import SF_SMALL
+
+    # (b) batch equivalence on real data
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "ts", "event_id")
+    sw = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in sessionized_counts(events, gap="30 minutes").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in q_sessionize(spark, SF_SMALL).collect()
+    }
+    assert sw == batch
+
+    # (a) streaming execution: one drained availableNow run emits only
+    # watermark-finalized sessions (append mode)
+    import os
+    from datetime import datetime
+
+    src = os.path.join(tmp_path, "sess_src")
+    out = os.path.join(tmp_path, "sess_out")
+    ckpt = os.path.join(tmp_path, "sess_ckpt")
+    rows = [
+        (7, datetime(2026, 1, 1, 0, 0), 1.0),
+        (7, datetime(2026, 1, 1, 0, 10), 1.0),  # same session (gap 30m)
+        (7, datetime(2026, 1, 1, 2, 0), 1.0),  # new session
+        (8, datetime(2026, 1, 1, 6, 0), 1.0),  # advances watermark far ahead
+    ]
+    spark.createDataFrame(
+        [(u, ts) for u, ts, _ in rows], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+    )
+    q = (
+        sessionized_counts(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start.isoformat(), r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if glob.glob(os.path.join(out, "*.parquet"))
+    }
+    # user 7's two sessions are watermark-finalized by user 8's late event
+    assert ((7, "2026-01-01T00:00:00", 2) in got) and ((7, "2026-01-01T02:00:00", 1) in got)
