@@ -114,8 +114,19 @@ class ParquetTable:
 
     # -- write modes ---------------------------------------------------------
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
-        """O9 full load (TRUNCATE + INSERT, base_loader.py:558-602)."""
+        """O9 full load (TRUNCATE + INSERT, base_loader.py:558-602).
+
+        Partitioned writes co-locate each partition's rows first: without
+        the repartition every input task writes (and sorts for) every
+        partition directory — measured 3.5x slower at sf0.1 (4.2s vs
+        1.2s for the 83-month fact) and it multiplies file count by the
+        task count at scale. Parallelism is bounded by distinct partition
+        values; extremely hot single partitions would add a salt column
+        here (not needed for date-grained layouts).
+        """
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        if partition_by:
+            df = df.repartition(*partition_by)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -227,7 +238,10 @@ class ParquetTable:
         # into self.path would delete input files while the plan still
         # reads them), then swap each affected partition directory in.
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+        # co-locate per partition before the write (see overwrite())
+        merged.repartition(*partition_by).write.mode("overwrite").partitionBy(
+            *partition_by
+        ).parquet(tmp)
         fs, _ = self._fs_and_path(self.path)
         jvm = self.spark._jvm
         jvm_path = jvm.org.apache.hadoop.fs.Path

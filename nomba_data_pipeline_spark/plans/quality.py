@@ -5,9 +5,13 @@ models/staging/schema.yml:9-84 and models/marts/schema.yml:6-97, run
 with `dbt build` (dbt_assets.py:24-27). Expressed as DataFrame checks;
 each returns the violation count so callers can assert == 0.
 
-Both checks are single aggregations (one shuffle for unique, none for
-not_null beyond the scan) — they scale linearly and run after each
-model materialization, like dbt tests do.
+All declared checks for a model run as ONE aggregation pass
+(`profile`): per-column null counts, distinct counts (for unique) and
+out-of-set counts fold into a single `df.agg(...)`, so a model pays one
+scan for its whole test battery + row count instead of one action per
+test — at 100 TB the difference between "tests are free-ish" and
+"tests double the load time". The standalone per-check functions remain
+for ad-hoc use.
 """
 
 from __future__ import annotations
@@ -41,20 +45,46 @@ class QualitySpec:
     accepted_values: dict[str, list] = field(default_factory=dict)
     min_rows: int = 0  # volume floor: catch an accidentally-empty build
 
-    def check(self, df: DataFrame) -> dict[str, int]:
-        """Run all declared checks; returns {check_name: violations}."""
+    def profile(self, df: DataFrame) -> tuple[dict[str, int], int]:
+        """All declared checks + the row count in ONE aggregation pass.
+        Returns ({check_name: violations}, total_rows). The `unique`
+        metric is excess duplicate rows (count - countDistinct over
+        non-null values); 0 iff unique holds, same assert semantics as
+        the dbt test."""
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for c in self.unique:
+            aggs.append(F.count(c).alias(f"__u_cnt:{c}"))
+            aggs.append(F.countDistinct(c).alias(f"__u_dst:{c}"))
+        for c in self.not_null:
+            aggs.append(F.count(c).alias(f"__nn:{c}"))  # count(col) skips NULLs
+        for c, vals in self.accepted_values.items():
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull() & ~F.col(c).isin(vals), 1).otherwise(0)
+                ).alias(f"__av:{c}")
+            )
+        row = df.agg(*aggs).first()
+        total = row["__total"]
         results: dict[str, int] = {}
         for c in self.unique:
-            results[f"unique:{c}"] = unique_violations(df, c)
+            results[f"unique:{c}"] = row[f"__u_cnt:{c}"] - row[f"__u_dst:{c}"]
         for c in self.not_null:
-            results[f"not_null:{c}"] = not_null_violations(df, c)
-        for c, vals in self.accepted_values.items():
-            results[f"accepted_values:{c}"] = accepted_values_violations(df, c, vals)
+            results[f"not_null:{c}"] = total - row[f"__nn:{c}"]
+        for c in self.accepted_values:
+            results[f"accepted_values:{c}"] = row[f"__av:{c}"] or 0
         if self.min_rows > 0:
-            results["min_rows"] = max(0, self.min_rows - df.count())
-        return results
+            results["min_rows"] = max(0, self.min_rows - total)
+        return results, total
 
-    def assert_ok(self, df: DataFrame, model: str = "") -> None:
-        bad = {k: v for k, v in self.check(df).items() if v > 0}
+    def check(self, df: DataFrame) -> dict[str, int]:
+        """Run all declared checks; returns {check_name: violations}."""
+        return self.profile(df)[0]
+
+    def assert_ok(self, df: DataFrame, model: str = "") -> int:
+        """Assert zero violations; returns the row count (free — it
+        rides the same aggregation)."""
+        results, total = self.profile(df)
+        bad = {k: v for k, v in results.items() if v > 0}
         if bad:
             raise AssertionError(f"quality failures on {model or 'model'}: {bad}")
+        return total

@@ -141,8 +141,7 @@ class PipelineRunner:
                 # hwm predicate pushes into the source scan
                 if df.limit(1).count() == 0:
                     out = self.read_model(spec.name)
-                    spec.quality.assert_ok(out, model=spec.name)
-                    return out.count()
+                    return spec.quality.assert_ok(out, model=spec.name)
 
         if spec.materialization == "scd2":
             if spec.scd2_split:
@@ -170,9 +169,10 @@ class PipelineRunner:
         else:  # table
             target.overwrite(df, partition_by=spec.partition_by or None)
 
+        # one fused aggregation runs the whole test battery AND returns
+        # the row count — a model pays one post-write scan, not one per test
         out = self.read_model(spec.name)
-        spec.quality.assert_ok(out, model=spec.name)
-        return out.count()
+        return spec.quality.assert_ok(out, model=spec.name)
 
     def read_model(self, name: str) -> DataFrame:
         """Read a materialized model; reassembles split-SCD2 storage."""

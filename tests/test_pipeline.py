@@ -118,3 +118,34 @@ def test_random_sample_seeded_determinism(spark):
     c = sorted(r.id for r in random_sample(df, 25, seed=8).collect())
     assert a == b and len(a) == len(set(a)) == 25
     assert a != c  # different seed -> different draw
+
+
+def test_quality_profile_single_pass_semantics(spark):
+    """The fused profile must agree with the single-purpose checks on
+    duplicates, NULLs, out-of-set values, and min_rows."""
+    from nomba_data_pipeline_spark.plans.quality import QualitySpec
+
+    df = spark.createDataFrame(
+        [(1, "a", "F"), (1, "b", "O"), (2, None, "X"), (None, "d", None)],
+        "k int, name string, status string",
+    )
+    spec = QualitySpec(
+        unique=["k"],
+        not_null=["k", "name"],
+        accepted_values={"status": ["F", "O", "P"]},
+        min_rows=10,
+    )
+    results, total = spec.profile(df)
+    assert total == 4
+    assert results["unique:k"] == 1  # one excess duplicate row (k=1 twice)
+    assert results["not_null:k"] == 1
+    assert results["not_null:name"] == 1
+    assert results["accepted_values:status"] == 1  # 'X'; NULL passes
+    assert results["min_rows"] == 6
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="unique:k"):
+        spec.assert_ok(df, model="m")
+    ok = QualitySpec(unique=["k"], not_null=["k"])
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    assert ok.assert_ok(clean) == 2
