@@ -271,6 +271,116 @@ def near_dup_pairs_sql(table: str = "embeddings", threshold: float = 0.9) -> str
     """
 
 
+def group_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    assemble: bool = False,
+) -> DataFrame:
+    """Element-wise mean vector per group, fully distributed: posexplode
+    -> (group, pos) partial-aggregated avg — one shuffle carrying
+    N*d scalars with map-side combine, never a vector collect. The
+    long (group, pos, mean) form is oracle-checkable; assemble=True
+    reassembles array<double> centroids (order pinned by array_sort on
+    pos, because collect_list order is shuffle-dependent).
+
+    This is the aggregation half of distributed k-means — see
+    ivf_train_centroids_distributed.
+    """
+    exploded = embeddings.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    means = exploded.groupBy("grp", "pos").agg(
+        F.round(F.avg("val"), SIM_DP).alias("mean_val")
+    )
+    if not assemble:
+        return means
+    return means.groupBy("grp").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+
+
+def group_centroids_sql(table: str = "embeddings", group_col: str = "label") -> str:
+    return f"""
+    WITH e AS (SELECT {group_col} AS grp, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    x AS (SELECT grp, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS pos FROM e)
+    SELECT grp, pos, round(avg(val), {SIM_DP}) AS mean_val
+    FROM x GROUP BY 1, 2
+    """
+
+
+def ivf_train_centroids_distributed(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd iterations over the WHOLE corpus — the 100 TB
+    form of ivf_train_centroids (which trains on a bounded driver-side
+    sample): assignment is a map-only BLAS pass (centroids broadcast),
+    the centroid update is group_centroids' partial-aggregated shuffle,
+    and only the n_lists x d centroid matrix (tiny) ever reaches the
+    driver, once per iteration. Init matches the sampled trainer's
+    evenly-spaced-rank scheme for reproducibility.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = embeddings.sparkSession
+    # deterministic init: evenly-spaced ranks of the id-ordered corpus
+    n = embeddings.count()
+    idx = set(np.linspace(0, n - 1, n_lists).astype(int).tolist())
+    from pyspark.sql import Window
+
+    ranked = embeddings.withColumn(
+        "__rk", F.row_number().over(Window.orderBy(id_col)) - 1
+    )
+    init = ranked.filter(F.col("__rk").isin(list(idx))).orderBy("__rk").select(vec_col).collect()
+    C = np.stack([np.array(r[0], dtype=np.float64) for r in init])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(C)
+
+        def assign(batches):
+            Cb = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+                norms = np.linalg.norm(M, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                lists = np.argmax((M / norms) @ Cb.T, axis=1).astype(np.int32)
+                yield pd.DataFrame(
+                    {"list_id": lists, "embedding": list(pdf["__vec"])}
+                )
+
+        assigned = embeddings.select(F.col(vec_col).alias("__vec")).mapInPandas(
+            assign, assign_schema
+        )
+        means = group_centroids(
+            assigned, group_col="list_id", vec_col="embedding", assemble=True
+        ).collect()
+        for r in means:
+            c = np.array(r["centroid"], dtype=np.float64)
+            nrm = np.linalg.norm(c)
+            if nrm > 0:
+                C[r["grp"]] = c / nrm
+    return C
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse k-means quantizer + probed lists
 # ---------------------------------------------------------------------------

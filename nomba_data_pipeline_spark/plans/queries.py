@@ -749,6 +749,17 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_ivf(emb, F.col("vec_id") % 50 == 0, k=5, n_probe=8)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed element-wise mean vector per label (the aggregation
+    half of distributed k-means / IVF training): posexplode -> one
+    partial-aggregated shuffle of scalars, oracle-checked in long
+    (label, pos, mean) form — arrays never reach the driver compare."""
+    return S.group_centroids(load_table(spark, sf_dir, "embeddings"), "label")
+
+
+SQL_LABEL_CENTROIDS = S.group_centroids_sql()
+
+
 def q_flagship_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship rollup through the pure-SQL surface: register the
     catalog as temp views and run ANSI SQL via spark.sql — the engine's
@@ -1215,6 +1226,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_topk_ivf": QuerySpec(q_cosine_topk_ivf, None, "ext:similarity-ivf"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),
     "embedding_near_dup_lsh": QuerySpec(q_embedding_near_dup_lsh, None, "ext:dedup-embedding-ann"),
+    "label_centroids": QuerySpec(q_label_centroids, SQL_LABEL_CENTROIDS, "ext:vector-agg"),
     "flagship_sql_api": QuerySpec(q_flagship_sql_api, SQL_FLAGSHIP_SQL_API, "SQL-API"),
     "priority_order_check": QuerySpec(q_priority_order_check, SQL_PRIORITY_ORDER_CHECK, "ext:exists-semi"),
     "status_pivot": QuerySpec(q_status_pivot, SQL_STATUS_PIVOT, "ext:pivot"),

@@ -130,26 +130,46 @@ def mongo_ingest(
     spark: SparkSession,
     stage_path: str,
     table,
-    keys: list[str],
-    tracking_column: str,
+    keys: list[str] | None = None,
+    tracking_column: str | None = None,
+    mode: str = "incremental",
     **extract_kwargs,
 ) -> int:
-    """End-to-end S1 flow: stage -> (HWM-incremental) extract -> upsert.
+    """End-to-end S1 flow: stage -> extract -> load, in any of the
+    reference loader's four load types (mongo_to_clickhouse.py load_type
+    param; writers in operators/merge.py):
 
-    Mirrors the reference loader's full run (extract_data ->
-    load_to_clickhouse with incremental mode): last_value is read from
-    the TARGET's high-water mark, so re-running ingests only new
-    documents — the idempotent CDC loop. Returns rows ingested.
+      full        -> O9 truncate+insert (overwrite)
+      incremental -> O7 HWM-filtered upsert (the idempotent CDC loop;
+                     last_value comes from the TARGET's high-water mark)
+      dedup       -> O8 'special': upsert + keep-latest-per-key by the
+                     tracking column
+      snapshot    -> O10 append stamped with today's date, idempotent
+                     per day
+
+    Returns rows extracted for the load.
     """
-    hwm = table.high_water_mark(tracking_column)
+    hwm = None
+    if mode in ("incremental", "dedup") and tracking_column:
+        hwm = table.high_water_mark(tracking_column)
     delta = extract_mongo_stage(
         spark,
         stage_path,
-        tracking_column=tracking_column,
+        tracking_column=tracking_column if hwm is not None else None,
         last_value=hwm,
         **extract_kwargs,
     )
     n = delta.count()
-    if n:
-        table.merge_upsert(delta, keys)
+    if mode == "full":
+        table.overwrite(delta)
+    elif mode == "snapshot":
+        table.snapshot_append(delta)
+    elif mode == "dedup":
+        if n:
+            table.merge_upsert_dedup(delta, keys, tracking_column)
+    elif mode == "incremental":
+        if n:
+            table.merge_upsert(delta, keys)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     return n

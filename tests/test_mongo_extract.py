@@ -27,8 +27,8 @@ SCHEMA = (
 )
 
 
-def _stage(spark, tmp_path, docs):
-    path = os.path.join(str(tmp_path), "stage")
+def _stage(spark, tmp_path, docs, name="stage"):
+    path = os.path.join(str(tmp_path), name)
     df = spark.createDataFrame(
         [(({"$oid": o}), i, u, s, n, sec) for o, i, u, s, n, sec in docs], SCHEMA
     ).withColumn("updated_at", F.to_timestamp("updated_at"))
@@ -89,3 +89,32 @@ def test_mongo_ingest_incremental_hwm_loop(spark, tmp_path):
     # steady-state rerun: same stage, HWM now at the max -> boundary only
     assert mongo_ingest(spark, path, t, **kwargs) == 1
     assert {r.doc_id: (r.status, r.nested_a) for r in t.read().collect()} == state
+
+
+def test_mongo_ingest_other_load_modes(spark, tmp_path):
+    """full / dedup / snapshot modes dispatch to the matching writers
+    (reference load_type param)."""
+    path = _stage(spark, tmp_path, DOCS)
+    # full: overwrite everything, twice = same
+    t_full = ParquetTable(spark, os.path.join(str(tmp_path), "wh", "full"))
+    assert mongo_ingest(spark, path, t_full, mode="full", flatten_nested=True) == 3
+    assert mongo_ingest(spark, path, t_full, mode="full", flatten_nested=True) == 3
+    assert t_full.read().count() == 3
+
+    # dedup: stage contains two versions of doc 2 -> keep latest
+    docs_dup = DOCS + [("a2", 2, "2024-01-09 00:00:00", "late", {"a": 99, "b": "z"}, "s")]
+    path2 = _stage(spark, tmp_path, docs_dup, name="stage_dup")
+    t_d = ParquetTable(spark, os.path.join(str(tmp_path), "wh", "dedup"))
+    mongo_ingest(
+        spark, path2, t_d, keys=["doc_id"], tracking_column="updated_at",
+        mode="dedup", flatten_nested=True,
+    )
+    state = {r.doc_id: r.status for r in t_d.read().collect()}
+    assert state[2] == "late" and len(state) == 3
+
+    # snapshot: same-day re-append does not duplicate
+    t_s = ParquetTable(spark, os.path.join(str(tmp_path), "wh", "snap"))
+    mongo_ingest(spark, path, t_s, mode="snapshot", flatten_nested=True)
+    mongo_ingest(spark, path, t_s, mode="snapshot", flatten_nested=True)
+    assert t_s.read().count() == 3
+    assert "ingest_date" in t_s.read().columns
