@@ -35,3 +35,19 @@ def fmt_datetime(col: Column | str) -> Column:
     """Reference's `'%Y-%m-%d %H:%M:%S'` coercion (F5)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Fractional epoch seconds (microsecond precision) for timestamp
+    arithmetic — DuckDB `epoch(ts)` equivalent.
+
+    Spark only allows CAST(.. AS DOUBLE) from the tz-aware TIMESTAMP
+    type; parquet `timestamp[us]` without a timezone scans as
+    TIMESTAMP_NTZ, where the direct cast is an analysis error
+    (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION). The session timezone is
+    pinned UTC (session.py, catalog.py), so the NTZ->TZ cast reinterprets
+    the wall time as UTC — numerically identical to what the oracle's
+    epoch() computes — and works for both timestamp flavors.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")

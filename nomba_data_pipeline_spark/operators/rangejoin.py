@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nomba_data_pipeline_spark.functions.timeutil import epoch_seconds
+
 
 def range_join_count(
     left: DataFrame,
@@ -42,7 +44,9 @@ def range_join_count(
     the multiset result is exact and every step is deterministic. The
     pre-aggregation replaces (not adds to) the old uid regroup shuffle.
     """
-    bucket = lambda c: F.floor(F.col(c).cast("double") / window_seconds)  # noqa: E731
+    # epoch_seconds, not a direct double cast: TIMESTAMP_NTZ columns
+    # (parquet timestamp[us] without tz) reject CAST(.. AS DOUBLE)
+    bucket = lambda c: F.floor(epoch_seconds(c) / window_seconds)  # noqa: E731
 
     r = right.select(
         F.col(on).alias("__rk"),

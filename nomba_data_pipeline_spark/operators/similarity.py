@@ -313,6 +313,30 @@ def group_centroids_sql(table: str = "embeddings", group_col: str = "label") -> 
     """
 
 
+def evenly_spaced_init_ids(
+    df: DataFrame, n_lists: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic k-means init pick WITHOUT a global sort: n_lists
+    evenly-spaced id targets over [min_id, max_id]; each row maps to the
+    bucket of its preceding target and each bucket keeps its min id.
+    One partial-aggregated shuffle of (bucket, id) pairs — the 100 TB
+    replacement for `row_number().over(Window.orderBy(id))`, which is a
+    single-task sort of the entire corpus. For dense ids this returns
+    exactly the evenly-spaced rank ids; sparse gaps can drop buckets
+    (callers top up from a bounded TakeOrderedAndProject)."""
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    span = max(n_lists - 1, 1)
+    targets = [float(lo) + (float(hi) - float(lo)) * i / span for i in range(n_lists)]
+    arr = F.array(*[F.lit(t) for t in targets])
+    bucket = F.size(F.filter(arr, lambda t: t <= F.col(id_col).cast("double")))
+    return (
+        df.select(id_col)
+        .groupBy(bucket.alias("__b"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
 def ivf_train_centroids_distributed(
     embeddings: DataFrame,
     n_lists: int = 16,
@@ -325,24 +349,37 @@ def ivf_train_centroids_distributed(
     sample): assignment is a map-only BLAS pass (centroids broadcast),
     the centroid update is group_centroids' partial-aggregated shuffle,
     and only the n_lists x d centroid matrix (tiny) ever reaches the
-    driver, once per iteration. Init matches the sampled trainer's
-    evenly-spaced-rank scheme for reproducibility.
+    driver, once per iteration. Init is evenly_spaced_init_ids —
+    deterministic and sort-free (a no-partition row_number window here
+    would funnel the whole corpus through a single task).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = embeddings.sparkSession
-    # deterministic init: evenly-spaced ranks of the id-ordered corpus
-    n = embeddings.count()
-    idx = set(np.linspace(0, n - 1, n_lists).astype(int).tolist())
-    from pyspark.sql import Window
-
-    ranked = embeddings.withColumn(
-        "__rk", F.row_number().over(Window.orderBy(id_col)) - 1
+    init = (
+        embeddings.join(
+            evenly_spaced_init_ids(embeddings, n_lists, id_col=id_col),
+            on=id_col,
+            how="semi",
+        )
+        .select(id_col, vec_col)
+        .collect()
     )
-    init = ranked.filter(F.col("__rk").isin(list(idx))).orderBy("__rk").select(vec_col).collect()
-    C = np.stack([np.array(r[0], dtype=np.float64) for r in init])
+    if len(init) < n_lists:
+        # sparse id gaps dropped buckets: top up with the smallest unused
+        # ids — TakeOrderedAndProject, bounded per-partition heap
+        seen = [r[0] for r in init]
+        init.extend(
+            embeddings.filter(~F.col(id_col).isin(seen))
+            .orderBy(id_col)
+            .limit(n_lists - len(init))
+            .select(id_col, vec_col)
+            .collect()
+        )
+    init.sort(key=lambda r: r[0])
+    C = np.stack([np.array(r[1], dtype=np.float64) for r in init])
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     assign_schema = T.StructType(

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from nomba_data_pipeline_spark.catalog import load_table
 from nomba_data_pipeline_spark.functions import text as T
+from nomba_data_pipeline_spark.functions.timeutil import epoch_seconds
 from nomba_data_pipeline_spark.operators import dedup as D
 from nomba_data_pipeline_spark.operators import similarity as S
 from nomba_data_pipeline_spark.plans import models as M
@@ -380,13 +381,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference is polling micro-batch; this is the streaming-shaped op)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    # fractional-second gaps (cast to double = epoch seconds with
-    # microseconds) — DuckDB's epoch() is fractional too; integer
-    # truncation would flip session splits near the 1800s boundary
+    # fractional-second gaps (epoch seconds with microseconds) — DuckDB's
+    # epoch() is fractional too; integer truncation would flip session
+    # splits near the 1800s boundary. epoch_seconds handles TIMESTAMP_NTZ
+    # (direct double cast is an analysis error on NTZ).
     gapped = events.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w) > 1800, 1
+            epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w) > 1800, 1
         ).otherwise(F.lit(0)),
     )
     sessioned = gapped.withColumn(
@@ -508,14 +510,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing in the graded surface: build a deterministic
     media table from document bytes (UTF-8 payloads standing in for
     image blobs — no decoders in this environment) and run the
-    mapInPandas feature extractor. Oracle-free (numpy path); rows-only
-    check plus unit tests in tests/test_multimodal.py.
+    mapInPandas feature extractor.
 
-    The graded projection emits hashable scalars only — the driver's
-    rows-only canonicalization sorts the frame and cannot hash an
-    array<double> column, so the full feature vector is digested to
-    (dim, rounded L2 norm, md5-of-json); the raw array surface stays
-    covered by tests/test_multimodal.py."""
+    Fully oracle-checked: the stub decoder's byte-fold (bucket b = sum
+    of payload bytes at positions ≡ b mod 16) is exact integer math, so
+    the graded projection digests the raw bucket sums (md5 of the
+    comma-joined int64 vector) plus their L2 energy — both reproducible
+    in DuckDB straight off hex(encode(text)). The normalized
+    array<double> feature surface stays covered by
+    tests/test_multimodal.py (driver canonicalization hashes scalars
+    only)."""
     from nomba_data_pipeline_spark.operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -529,13 +533,37 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         F.size("feature").alias("feature_dim"),
-        F.round(
-            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)), 6
-        ).alias("feature_norm"),
-        F.md5(F.to_json(F.transform("feature", lambda x: F.round(x, 6)))).alias(
-            "feature_digest"
-        ),
+        F.md5(
+            F.array_join(F.transform("folded", lambda x: x.cast("string")), ",")
+        ).alias("raw_digest"),
+        F.round("energy", 6).alias("energy"),
     )
+
+
+# reconstruct the byte-fold in SQL: explode payload bytes via hex pairs,
+# bucket by position mod 16, sum, then digest + energy per media row
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+    SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+pos AS (SELECT media_id, hx, unnest(range(n)) AS p FROM m),
+v AS (
+    SELECT media_id, CAST(p % 16 AS INT) AS bucket,
+           (strpos('0123456789ABCDEF', substr(hx, CAST(p * 2 + 1 AS INT), 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, CAST(p * 2 + 2 AS INT), 1)) - 1 AS byteval
+    FROM pos
+),
+f AS (
+    SELECT media_id, bucket, CAST(sum(byteval) AS BIGINT) AS s
+    FROM v GROUP BY 1, 2
+)
+SELECT media_id, 'image' AS kind, CAST(16 AS INT) AS feature_dim,
+       md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY bucket)) AS raw_digest,
+       round(sqrt(sum(CAST(s AS DOUBLE) * s)), 6) AS energy
+FROM f GROUP BY 1
+"""
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,7 +1244,7 @@ REGISTRY: dict[str, QuerySpec] = {
         D.simhash_near_dup_sql(),
         "ext:dedup-simhash-lsh",
     ),
-    "media_features": QuerySpec(q_media_features, None, "ext:multimodal"),
+    "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES, "ext:multimodal"),
     "media_frame_sample": QuerySpec(q_media_frames, SQL_MEDIA_FRAMES, "ext:multimodal-frames"),
     "skew_salted_agg": QuerySpec(q_skew_salted_agg, SQL_SKEW_SALTED_AGG, "ext:skew"),
     "corpus_prep": QuerySpec(q_corpus_prep, SQL_CORPUS_PREP, "ext:composite-pipeline"),

@@ -55,9 +55,19 @@ STAGE_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 def stage_mongo_dump(df: DataFrame, stage_path: str) -> None:
     """Write a JSON stage file preserving microsecond timestamps —
-    stands in for the reference's extract->S3-upload leg."""
-    df.write.mode("overwrite").option("timestampFormat", STAGE_TS_FORMAT).json(
-        stage_path
+    stands in for the reference's extract->S3-upload leg.
+
+    Both timestamp flavors need their format pinned: TIMESTAMP columns
+    use `timestampFormat`, but TIMESTAMP_NTZ columns (parquet
+    timestamp[us] without tz) are serialized with `timestampNTZFormat`,
+    whose default truncates to milliseconds — silently corrupting event
+    times through the stage round-trip (the reference formats datetimes
+    losslessly, mongo_loader.py:161-175)."""
+    (
+        df.write.mode("overwrite")
+        .option("timestampFormat", STAGE_TS_FORMAT)
+        .option("timestampNTZFormat", STAGE_TS_FORMAT)
+        .json(stage_path)
     )
 
 
@@ -95,7 +105,9 @@ def extract_mongo_stage(
         T.StructField(
             f.name,
             T.StringType()
-            if isinstance(f.dataType, (T.TimestampType, T.DateType))
+            if isinstance(
+                f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+            )
             else f.dataType,
         )
         for f in schema.fields
@@ -106,8 +118,13 @@ def extract_mongo_stage(
         .json(stage_path)
     )
     for f in schema.fields:
-        if isinstance(f.dataType, T.TimestampType):
-            df = df.withColumn(f.name, F.to_timestamp(f.name))
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            # timestamp_ntz output: matches the parquet `timestamp[us]`
+            # (no tz) type of the source tables, so round-tripped frames
+            # are schema-identical to what the oracle reads
+            df = df.withColumn(
+                f.name, F.to_timestamp(f.name).cast("timestamp_ntz")
+            )
         elif isinstance(f.dataType, T.DateType):
             df = df.withColumn(f.name, F.to_date(f.name))
 
