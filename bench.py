@@ -35,6 +35,7 @@ HEADLINE = [
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "simhash_near_dup",
     "winnow_fingerprints",
     "corpus_prep",
@@ -72,11 +73,20 @@ def main() -> None:
     # first-listing effects); the minimum is the stable signal.
     # Per-query try/except: one broken query must never cost the whole
     # bench (BENCH_r02/r03 were rc=1 with zero numbers for exactly this).
+    # ANN-family queries at sf0.1 run in well under a second — mostly
+    # fixed job overhead — so give them an extra rep to damp jitter
+    ANN_FAMILY = {
+        "cosine_topk",
+        "cosine_topk_lsh",
+        "cosine_topk_ivf",
+        "embedding_near_dup",
+        "embedding_near_dup_lsh",
+    }
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3 if name in ANN_FAMILY else 2):
             t0 = time.perf_counter()
             try:
                 REGISTRY[name].fn(spark, SF_DIR).count()
@@ -113,10 +123,121 @@ def main() -> None:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
+    # ANN scale demo: at sf0.1 the embeddings table is tiny (2k rows) and
+    # every ANN timing above is fixed-overhead, not algorithm. Replicate
+    # the corpus 64x (128k rows, ids disjoint) so the brute-force
+    # O(N*|Q|*d) vs LSH candidate-pruned costs actually separate; also
+    # time the persisted-index path (signature pass amortized out of
+    # query time — the many-queries shape).
+    try:
+        from pyspark.sql import functions as F
+
+        from nomba_data_pipeline_spark.catalog import load_table
+        from nomba_data_pipeline_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_lsh,
+            cosine_topk_lsh_indexed,
+            lsh_index,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        big = (
+            emb.withColumn(
+                "__r", F.explode(F.array(*[F.lit(i) for i in range(64)]))
+            )
+            .select(
+                (F.col("vec_id") + F.col("__r") * 1_000_000).alias("vec_id"),
+                "embedding",
+            )
+            .cache()
+        )
+        n_big = big.count()
+        qf = (F.col("vec_id") < 1_000_000) & (F.col("vec_id") % 100 == 0)
+        for bname, fn in (
+            ("ann_x64_brute", cosine_topk),
+            ("ann_x64_lsh", cosine_topk_lsh),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(big, qf, k=5).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[bname] = round(best, 3)
+        t0 = time.perf_counter()
+        idx = lsh_index(big).cache()
+        idx.count()
+        timings["ann_x64_index_build"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cosine_topk_lsh_indexed(idx, qf, k=5).count()
+            best = min(best, time.perf_counter() - t0)
+        timings["ann_x64_lsh_indexed"] = round(best, 3)
+        idx.unpersist()
+
+        # near-dup crossover: exact is O(N^2 d) — at 64k rows that is
+        # ~2G pair-sims regardless of data; banded LSH only touches
+        # colliding buckets. Corpus: 2048 clusters of ~31 rows (center =
+        # deterministic sin lattice, small uniform noise) — the shape of
+        # a real dedup workload (tight near-dup groups, near-orthogonal
+        # strangers). NOT replicated rows: identical replicas are the
+        # documented mass-duplicate degenerate case and would benchmark
+        # the pathology. Bands tuned for the high-sim regime
+        # (8 bands x 16 rows/band: recall ~1.0 at the ~0.99 within-
+        # cluster sims, random-pair pass ~8/65536).
+        from nomba_data_pipeline_spark.operators.similarity import (
+            near_dup_pairs,
+            near_dup_pairs_lsh,
+        )
+
+        centers = spark.range(2048).select(
+            F.col("id").alias("cluster"),
+            F.array(*[(F.rand(seed=77 + i) - 0.5) for i in range(64)]).alias(
+                "center"
+            ),
+        )
+        noise = F.array(
+            *[(F.rand(seed=5000 + i) - 0.5) * 0.1 for i in range(64)]
+        )
+        synth = (
+            spark.range(64_000)
+            .select(F.col("id").alias("vec_id"), (F.col("id") % 2048).alias("cluster"))
+            .join(F.broadcast(centers), "cluster")
+            .select(
+                "vec_id",
+                F.zip_with("center", noise, lambda c, n: c + n).alias("embedding"),
+            )
+            .cache()
+        )
+        synth.count()
+        for bname, fn in (
+            ("neardup_64k_exact", lambda df: near_dup_pairs(df, 0.9, n_blocks=16)),
+            (
+                "neardup_64k_lsh",
+                lambda df: near_dup_pairs_lsh(df, 0.9, bands=8, rows_per_band=16),
+            ),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(synth).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[bname] = round(best, 3)
+        synth.unpersist()
+        big.unpersist()
+    except Exception as e:  # noqa: BLE001
+        errors["ann_scale_demo"] = f"{type(e).__name__}: {e}"[:500]
+
     # cdc_model:* entries are a breakdown OF pipeline_cdc_rerun — summing
-    # them too would double-count the rerun in the headline total
+    # them too would double-count the rerun in the headline total;
+    # ann_x64_* is a synthetic scale demo, not part of the sf workload
     total = round(
-        sum(v for k, v in timings.items() if not k.startswith("cdc_model:")), 3
+        sum(
+            v
+            for k, v in timings.items()
+            if not k.startswith(("cdc_model:", "ann_x64_", "neardup_64k_"))
+        ),
+        3,
     )
     out = {
         "metric": "headline_queries_total",

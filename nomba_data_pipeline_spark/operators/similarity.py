@@ -606,36 +606,69 @@ def near_dup_pairs_lsh(
     pairs; for low thresholds (<0.6) shrink rows_per_band — cosine LSH
     fundamentally cannot prune hard there (sim 0.45 => p ~ 0.65).
 
-    Distributed shape: one explode to (band, band_signature) buckets, one
-    shuffle to group them, per-bucket block-BLAS in applyInPandas, then
-    dropDuplicates across bands. Driver never holds vectors; per-task
-    memory is the largest single bucket (salt the degenerate all-same
-    bucket case upstream if embeddings contain mass duplicates).
+    Distributed shape: one Arrow pass computes all band signatures per
+    batch with a single (batch x dim)@(dim x planes) BLAS matmul and
+    emits the (band, band_sig) replication numpy-side; one hash
+    repartition co-locates buckets; a per-partition mapInPandas groups
+    in-batch and runs per-bucket block-BLAS (ONE Python call per
+    partition — per-group applyInPandas paid Arrow+invoke overhead on
+    thousands of tiny groups); then dropDuplicates across bands.
+
+    Two designs measured and rejected:
+      * signatures as Catalyst expressions (aggregate/zip_with folds):
+        interpreted per element, ~10x slower than the BLAS matmul;
+      * "skinny" candidate materialization (shuffle (id, band, sig)
+        only, bucket self-JOIN into pair rows, join vectors back): at
+        threshold 0.9 the banded union bound passes ~6% of random
+        pairs, and materializing those as join rows costs far more
+        than block-multiplying the buckets — 64k centered-random rows:
+        77s skinny vs ~5s bucketed vs 18s exact.
+
+    Per-task memory is the partition's bucket share (vectors ride the
+    shuffle bands times — the price of block-BLAS locality). The mass-
+    duplicate degenerate case (one bucket holding ~all rows) explodes
+    any LSH variant: pre-dedup exact duplicates (exact_dedup_groups)
+    upstream, or salt. For high thresholds raise rows_per_band (e.g.
+    8 bands x 16 rows: recall ~1.0 at sim 0.99, random-pair pass rate
+    ~8/65536) — the default 16x8 targets the 0.9 regime.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     n_planes = bands * rows_per_band
-    sig = _hyperplane_sign_bits(F.col(vec_col), dim, n_planes=n_planes)
-    banded = embeddings.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), sig.alias("__bits")
-    ).withColumn(
-        "__band",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("idx"),
-                        F.concat_ws(
-                            "", F.slice("__bits", b * rows_per_band + 1, rows_per_band)
-                        ).alias("sig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ),
+    W = np.asarray(_hyperplane_weights(n_planes, dim))
+    pows = (1 << np.arange(rows_per_band)).astype(np.int64)
+
+    banded_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("__vec", T.ArrayType(T.DoubleType())),
+            T.StructField("__bidx", T.IntegerType()),
+            T.StructField("__bsig", T.LongType()),
+        ]
     )
+
+    def band_sigs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            bits = (M @ W.T) >= 0  # rows x (bands*rows_per_band)
+            sigs = bits.reshape(len(M), bands, rows_per_band) @ pows
+            n = len(M)
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf["__id"].to_numpy(), bands),
+                    "__vec": [v for v in pdf["__vec"] for _ in range(bands)],
+                    "__bidx": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "__bsig": sigs.ravel(),
+                }
+            )
+
+    banded = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__vec")
+    ).mapInPandas(band_sigs, banded_schema)
 
     out_schema = T.StructType(
         [
@@ -645,24 +678,41 @@ def near_dup_pairs_lsh(
         ]
     )
 
-    def bucket_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["__id"].to_numpy()
-        M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(M, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        M = M / norms
-        sims = np.round(M @ M.T, SIM_DP)
-        i, j = np.where(sims >= threshold)
-        keep = ids[i] < ids[j]
-        return pd.DataFrame(
-            {"vec_a": ids[i][keep], "vec_b": ids[j][keep], "sim": sims[i, j][keep]}
-        )
+    def partition_pairs(batches):
+        # one partition may arrive as several Arrow batches and a bucket
+        # can straddle them — concatenate first (per-task memory = this
+        # partition's bucket share, the same bound applyInPandas had)
+        parts = [pdf for pdf in batches if len(pdf)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            out_a, out_b, out_s = [], [], []
+            for _, g in pdf.groupby(["__bidx", "__bsig"], sort=False):
+                if len(g) < 2:
+                    continue
+                ids = g["__id"].to_numpy()
+                M = np.stack(g["__vec"].to_numpy())
+                norms = np.linalg.norm(M, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                M = M / norms
+                sims = np.round(M @ M.T, SIM_DP)
+                i, j = np.where(sims >= threshold)
+                keep = ids[i] < ids[j]
+                out_a.append(ids[i][keep])
+                out_b.append(ids[j][keep])
+                out_s.append(sims[i, j][keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
 
+    n_parts = banded.sparkSession.conf.get("spark.sql.shuffle.partitions")
     return (
-        banded.select("__id", "__vec", F.col("__band.idx").alias("__bidx"),
-                      F.col("__band.sig").alias("__bsig"))
-        .groupBy("__bidx", "__bsig")
-        .applyInPandas(bucket_pairs, out_schema)
+        banded.repartition(int(n_parts), "__bidx", "__bsig")
+        .mapInPandas(partition_pairs, out_schema)
         # the same pair collides in several bands with an identical
         # rounded sim -> exact-duplicate rows; one distinct pass
         .dropDuplicates(["vec_a", "vec_b"])
@@ -699,6 +749,16 @@ def cosine_topk_lsh(
     1-(1-p^planes)^tables. Candidates are deduped inside the batch (a
     corpus row lives in exactly one batch, so no cross-batch dups), and
     scored pair-wise rather than by block matmul.
+
+    Why the candidate filter lives in numpy and NOT as a JVM expression
+    prefilter: hyperplane signatures as Catalyst expressions
+    (aggregate/zip_with folds over literal arrays) are interpreted
+    per-element, measured ~10x slower than the per-batch BLAS signature
+    matmul here — the Arrow transfer they would save costs less than
+    the interpreted flops. The true 100 TB amortization is an index:
+    persist the bucket id as a real column once (one signature pass),
+    then query-time pruning is a pushable equi-filter with zero
+    signature cost — see lsh_index / cosine_topk_lsh_indexed.
     """
     import numpy as np
     import pandas as pd
@@ -769,6 +829,150 @@ def cosine_topk_lsh(
         embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
         .mapInPandas(run, out_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH index: amortize the signature pass across queries
+# ---------------------------------------------------------------------------
+def lsh_index(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_planes: int = NUM_HYPERPLANES,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One signature pass over the corpus: adds `buckets: array<bigint>`
+    (element t = the row's bucket id in LSH table t, same md5-derived
+    hyperplane family as cosine_topk_lsh). Map-only BLAS, no shuffle.
+
+    This is the 100 TB amortization of ANN: write the result to parquet
+    (optionally partitioned/bucketed by `buckets[0]`) ONCE, then every
+    query prunes on a materialized long column — a plain codegen filter,
+    zero signature flops at query time. cosine_topk_lsh recomputes
+    signatures per query because it indexes nothing; at one query per
+    corpus that's optimal, at many queries this index wins.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    W = np.asarray(_hyperplane_weights(n_planes * n_tables, dim))
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("buckets", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            bits = (M @ W.T) >= 0
+            buck = bits.reshape(len(M), n_tables, n_planes) @ pows
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["__id"],
+                    "embedding": list(pdf["__vec"]),
+                    "buckets": [list(b) for b in buck],
+                }
+            )
+
+    return embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(run, out_schema)
+
+
+def cosine_topk_lsh_indexed(
+    index: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_tables: int = 1,
+) -> DataFrame:
+    """ANN top-k over a prebuilt lsh_index frame. Query time does ZERO
+    signature math on the corpus: candidate pruning is
+    `buckets[t] IN (<query buckets>)` — a whole-stage-codegen filter on
+    materialized longs (pushable to the scan when the index is stored
+    partitioned by bucket) — and only surviving rows cross the Arrow
+    boundary for exact scoring. Produces the same candidate set (hence
+    the same top-k) as cosine_topk_lsh with identical n_planes/n_tables,
+    because both use the same numpy bucketize.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    qpdf = index.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), "embedding", "buckets"
+    ).toPandas()
+    if len(qpdf) == 0:
+        return index.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int"
+        )
+    qids = qpdf["query_id"].to_numpy()
+    Q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qbuck = np.stack(qpdf["buckets"].to_numpy()).astype(np.int64)  # |Q| x tables
+    bq = index.sparkSession.sparkContext.broadcast((qids, Qn, qbuck))
+
+    # codegen prune on the materialized bucket columns
+    prune = F.lit(False)
+    for t in range(n_tables):
+        allowed = [int(b) for b in np.unique(qbuck[:, t])]
+        prune = prune | F.col("buckets")[t].isin(allowed)
+    cand = index.filter(prune)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        b_qids, b_qn, b_qbuck = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            buck = np.stack(pdf["buckets"].to_numpy()).astype(np.int64)
+            nids = pdf["vec_id"].to_numpy()
+            ri_all, qi_all = [], []
+            for t in range(b_qbuck.shape[1]):
+                bt, qbt = buck[:, t], b_qbuck[:, t]
+                for b in np.intersect1d(np.unique(bt), np.unique(qbt)):
+                    ri = np.flatnonzero(bt == b)
+                    qi = np.flatnonzero(qbt == b)
+                    ri_all.append(np.repeat(ri, len(qi)))
+                    qi_all.append(np.tile(qi, len(ri)))
+            if not ri_all:
+                continue
+            pairs = np.unique(
+                np.stack([np.concatenate(ri_all), np.concatenate(qi_all)]), axis=1
+            )
+            ri, qi = pairs[0], pairs[1]
+            sims = np.round((mat[ri] * b_qn[qi]).sum(axis=1), SIM_DP)
+            yield pd.DataFrame(
+                {"query_id": b_qids[qi], "neighbor_id": nids[ri], "sim": sims}
+            )
+
+    pairs = cand.mapInPandas(run, out_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -199,3 +199,45 @@ def test_group_centroids_assembled_order(spark):
         M = np.stack(pdf[pdf["label"] == g]["embedding"].to_numpy()).astype(float)
         expect = np.round(M.mean(axis=0), 6)
         assert np.allclose(np.array(cent), expect, atol=1e-6)
+
+
+def test_lsh_indexed_matches_unindexed(spark):
+    """The persisted-index ANN path must return exactly the top-k of the
+    per-query LSH operator (same hyperplane family, same numpy
+    bucketize => same candidate set => same exact scores)."""
+    from nomba_data_pipeline_spark.operators.similarity import (
+        cosine_topk_lsh,
+        cosine_topk_lsh_indexed,
+        lsh_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qf = F.col("vec_id") % 100 == 0
+    idx = lsh_index(emb, n_tables=2).cache()
+    try:
+        direct = {
+            (r.query_id, r.neighbor_id, r.sim, r.rank)
+            for r in cosine_topk_lsh(emb, qf, k=10, n_tables=2).collect()
+        }
+        via_index = {
+            (r.query_id, r.neighbor_id, r.sim, r.rank)
+            for r in cosine_topk_lsh_indexed(idx, qf, k=10, n_tables=2).collect()
+        }
+        assert direct == via_index and len(direct) > 0
+    finally:
+        idx.unpersist()
+
+
+def test_lsh_index_prune_is_codegen_filter(spark):
+    """Query-time pruning on the index must be a plain filter on the
+    materialized bucket column — no Window, no join, no Python stage
+    before the scoring mapInPandas."""
+    from nomba_data_pipeline_spark.operators.similarity import lsh_index
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = lsh_index(emb)
+    pruned = idx.filter(F.col("buckets")[0].isin([1, 2, 3]))
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "Filter" in plan and "Join" not in plan
