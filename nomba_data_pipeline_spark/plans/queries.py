@@ -1213,6 +1213,47 @@ SELECT printf('UID%08d', c_custkey) AS uid, c_custkey AS user_id FROM customer
 """
 
 
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables (ext: storage layout).
+
+    Both sides are written `bucketBy(8, custkey)` + `sortBy(custkey)`
+    first — the Spark-first analogue of the reference's MergeTree
+    `ORDER BY` key layout (init-clickhouse.sql:26,39) — so the join
+    planner elides the Exchange on BOTH sides (pinned by
+    test_plan_shapes.py::test_bucketed_join_has_no_exchange); the
+    shuffle was prepaid once at write time, which is the right trade
+    whenever one ingest feeds N downstream joins on a stable key.
+    """
+    import tempfile
+
+    from nomba_data_pipeline_spark.operators import bucketed as B
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    B.write_bucketed(cust, "bkt_customer", 8, ["custkey"], ["custkey"], path=base + "/customer")
+    B.write_bucketed(orders, "bkt_orders", 8, ["custkey"], ["custkey"], path=base + "/orders")
+    joined = B.bucketed_join(spark, "bkt_orders", "bkt_customer", on=["custkey"])
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+        F.countDistinct("custkey").alias("n_buyers"),
+    )
+
+
+SQL_BUCKETED_JOIN_AGG = """
+SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       count(DISTINCT o.o_custkey) AS n_buyers
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1270,4 +1311,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "revenue_rollup": QuerySpec(q_revenue_rollup, SQL_REVENUE_ROLLUP, "ext:grouping-sets"),
     "percentiles_by_flag": QuerySpec(q_percentiles, SQL_PERCENTILES, "ext:percentile"),
     "id_synthesis": QuerySpec(q_id_synthesis, SQL_ID_SYNTHESIS, "F12"),
+    "bucketed_join_agg": QuerySpec(q_bucketed_join_agg, SQL_BUCKETED_JOIN_AGG, "ext:bucketed-layout"),
 }
