@@ -980,3 +980,138 @@ def cosine_topk_lsh_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One assignment pass over the corpus: adds `list_id: int` (nearest
+    coarse centroid, same deterministic sample-trained quantizer as
+    cosine_topk_ivf). Map-only BLAS after a bounded sample train — no
+    corpus shuffle.
+
+    The 100 TB shape: write this ONCE partitioned by list_id, and every
+    query reads only its n_probe partitions — IVF probing becomes
+    partition pruning at the parquet scan, zero assignment math at query
+    time. Centroids are reproducible from the index itself (same
+    deterministic trainer), so the index frame is self-describing.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = ivf_train_centroids(embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    bc = embeddings.sparkSession.sparkContext.broadcast(C)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            lists = np.argmax((M / norms) @ Cb.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["__id"],
+                    "embedding": list(pdf["__vec"]),
+                    "list_id": lists,
+                }
+            )
+
+    return embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__vec")
+    ).mapInPandas(run, out_schema)
+
+
+def cosine_topk_ivf_indexed(
+    index: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """ANN top-k over a prebuilt ivf_index frame. Candidate pruning is
+    `list_id IN (<union of probed lists>)` — a codegen filter on a
+    materialized int, partition-prunable when the index is stored
+    partitioned by list_id — then one scoring pass masks each query to
+    its own probed lists. Identical quantizer + probe policy as
+    cosine_topk_ivf, so given the same corpus the top-k matches the
+    unindexed operator exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else ivf_train_centroids(index, n_lists=n_lists)
+    )
+    qpdf = index.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).toPandas()
+    if len(qpdf) == 0:
+        return index.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int"
+        )
+    qids = qpdf["query_id"].to_numpy()
+    Q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # |Q| x n_probe
+    bq = index.sparkSession.sparkContext.broadcast((qids, Qn, probe))
+
+    allowed = [int(l) for l in np.unique(probe)]
+    cand = index.filter(F.col("list_id").isin(allowed))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        b_qids, b_qn, b_probe = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            lists = pdf["list_id"].to_numpy()
+            sims = np.round(mat @ b_qn.T, SIM_DP)  # batch x |Q|
+            mask = (b_probe[None, :, :] == lists[:, None, None]).any(axis=2)
+            rows_i, cols_j = np.where(mask)
+            nids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[cols_j],
+                    "neighbor_id": nids[rows_i],
+                    "sim": sims[rows_i, cols_j],
+                }
+            )
+
+    pairs = cand.mapInPandas(run, out_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -241,3 +241,45 @@ def test_lsh_index_prune_is_codegen_filter(spark):
         pruned._jdf.queryExecution(), "formatted"
     )
     assert "Filter" in plan and "Join" not in plan
+
+
+def test_ivf_indexed_matches_unindexed(spark):
+    """The persisted IVF index path must return exactly the top-k of the
+    per-query IVF operator: same deterministic sample-trained quantizer,
+    same probe policy => same candidate set => same exact scores."""
+    from nomba_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+        ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qf = F.col("vec_id") % 100 == 0
+    idx = ivf_index(emb, n_lists=8).cache()
+    try:
+        direct = {
+            (r.query_id, r.neighbor_id, r.sim, r.rank)
+            for r in cosine_topk_ivf(emb, qf, k=10, n_lists=8, n_probe=3).collect()
+        }
+        via_index = {
+            (r.query_id, r.neighbor_id, r.sim, r.rank)
+            for r in cosine_topk_ivf_indexed(idx, qf, k=10, n_lists=8, n_probe=3).collect()
+        }
+        assert direct == via_index and len(direct) > 0
+    finally:
+        idx.unpersist()
+
+
+def test_ivf_index_covers_corpus(spark):
+    """Every corpus row gets exactly one list_id in [0, n_lists)."""
+    from nomba_data_pipeline_spark.operators.similarity import ivf_index
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = ivf_index(emb, n_lists=8)
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("list_id").alias("lo"),
+        F.max("list_id").alias("hi"),
+    ).collect()[0]
+    assert stats.n == emb.count()
+    assert 0 <= stats.lo and stats.hi < 8
