@@ -1213,6 +1213,43 @@ SELECT printf('UID%08d', c_custkey) AS uid, c_custkey AS user_id FROM customer
 """
 
 
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative windowed aggregation (§2.5 frame specs): per-user
+    running purchase value ordered by event time — ROWS UNBOUNDED
+    PRECEDING frame, the one window shape sessionize/scd2 don't cover.
+    One shuffle on user_id; the frame is evaluated streaming within
+    each partition (no buffering beyond the running state)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.sum("value").over(w), 6).alias("running_value"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+            .alias("purchase_seq"),
+        )
+    )
+
+
+SQL_RUNNING_REVENUE = """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS running_value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT)
+           AS purchase_seq
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over bucketed tables (ext: storage layout).
 
@@ -1312,4 +1349,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "percentiles_by_flag": QuerySpec(q_percentiles, SQL_PERCENTILES, "ext:percentile"),
     "id_synthesis": QuerySpec(q_id_synthesis, SQL_ID_SYNTHESIS, "F12"),
     "bucketed_join_agg": QuerySpec(q_bucketed_join_agg, SQL_BUCKETED_JOIN_AGG, "ext:bucketed-layout"),
+    "running_revenue": QuerySpec(q_running_revenue, SQL_RUNNING_REVENUE, "§2.5:frames"),
 }
