@@ -446,6 +446,23 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 as a graded row: the SAME minute rollup computed through
+    Structured Streaming (availableNow micro-batches over a staged copy
+    of the events table, complete-mode agg into a memory sink) must
+    equal the batch GROUP BY — one oracle grades both engines' paths.
+    The stage copy exists because the file source lists directories;
+    it is written once per call into a mkdtemp and is sf-bounded."""
+    import tempfile
+
+    from nomba_data_pipeline_spark.streaming.microbatch import minute_rollup_stream
+
+    events = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="stream_src_") + "/events"
+    events.write.mode("overwrite").parquet(stage)
+    return minute_rollup_stream(spark, stage, events.schema)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data extensions: text analysis
 # ---------------------------------------------------------------------------
@@ -1350,4 +1367,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "id_synthesis": QuerySpec(q_id_synthesis, SQL_ID_SYNTHESIS, "F12"),
     "bucketed_join_agg": QuerySpec(q_bucketed_join_agg, SQL_BUCKETED_JOIN_AGG, "ext:bucketed-layout"),
     "running_revenue": QuerySpec(q_running_revenue, SQL_RUNNING_REVENUE, "§2.5:frames"),
+    "streaming_minute_rollup": QuerySpec(q_streaming_minute_rollup, SQL_MINUTE_ROLLUP, "§2.10"),
 }

@@ -142,3 +142,46 @@ def run_windowed_agg_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def minute_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    query_name: str = "stream_minute_rollup",
+) -> DataFrame:
+    """The batch minute-rollup (queries.q_minute_rollup) computed by
+    Structured Streaming: availableNow file-source micro-batches over
+    the events directory, complete-mode aggregation into a memory sink,
+    returning the final table. Complete mode emits every window (no
+    watermark finality cutoff), so the result is exactly the batch
+    GROUP BY — which is what makes this row gradeable against the same
+    DuckDB oracle as the batch query.
+
+    Scale note: the memory sink bounds driver memory by the AGGREGATE
+    size (minutes x event_types), not the corpus; a production job
+    would swap the sink for foreachBatch-merge (run_incremental_merge
+    _stream) with update mode + watermark and keep the identical agg.
+    """
+    events = stream_events(spark, source_dir, schema)
+    agg = (
+        events.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

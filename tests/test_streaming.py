@@ -167,3 +167,20 @@ def test_session_window_stream_and_batch_equivalence(spark, tmp_path):
     }
     # user 7's two sessions are watermark-finalized by user 8's late event
     assert ((7, "2026-01-01T00:00:00", 2) in got) and ((7, "2026-01-01T02:00:00", 1) in got)
+
+
+def test_minute_rollup_stream_equals_batch(spark):
+    """The graded streaming row: complete-mode availableNow rollup must
+    equal the batch GROUP BY bit-for-bit (same oracle grades both)."""
+    from nomba_data_pipeline_spark.plans.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    batch = {
+        (r.minute, r.event_type, r.n, r.total_value)
+        for r in REGISTRY["minute_rollup"].fn(spark, SF_SMALL).collect()
+    }
+    streamed = {
+        (r.minute, r.event_type, r.n, r.total_value)
+        for r in REGISTRY["streaming_minute_rollup"].fn(spark, SF_SMALL).collect()
+    }
+    assert streamed == batch and len(batch) > 0
