@@ -463,6 +463,30 @@ def q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minute_rollup_stream(spark, stage, events.schema)
 
 
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF shape (§2.11 explode coverage): corpus-wide token
+    frequencies — explode the token array, hash-aggregate, keep tokens
+    above a support floor. One shuffle on token; the explode runs inside
+    whole-stage codegen (no Python). The support floor keeps the graded
+    result stable and small while still exercising the full fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+SQL_TOKEN_FREQ = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({T.tokens_sql('text')}) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token HAVING count(*) >= 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data extensions: text analysis
 # ---------------------------------------------------------------------------
@@ -1368,4 +1392,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "bucketed_join_agg": QuerySpec(q_bucketed_join_agg, SQL_BUCKETED_JOIN_AGG, "ext:bucketed-layout"),
     "running_revenue": QuerySpec(q_running_revenue, SQL_RUNNING_REVENUE, "§2.5:frames"),
     "streaming_minute_rollup": QuerySpec(q_streaming_minute_rollup, SQL_MINUTE_ROLLUP, "§2.10"),
+    "token_freq": QuerySpec(q_token_freq, SQL_TOKEN_FREQ, "§2.11:explode"),
 }
