@@ -135,8 +135,10 @@ def main() -> None:
         from nomba_data_pipeline_spark.catalog import load_table
         from nomba_data_pipeline_spark.operators.similarity import (
             cosine_topk,
+            cosine_topk_ivf_indexed,
             cosine_topk_lsh,
             cosine_topk_lsh_indexed,
+            ivf_index,
             lsh_index,
         )
 
@@ -174,6 +176,17 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings["ann_x64_lsh_indexed"] = round(best, 3)
         idx.unpersist()
+        t0 = time.perf_counter()
+        ividx = ivf_index(big, n_lists=16).cache()
+        ividx.count()
+        timings["ann_x64_ivf_index_build"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cosine_topk_ivf_indexed(ividx, qf, k=5, n_lists=16).count()
+            best = min(best, time.perf_counter() - t0)
+        timings["ann_x64_ivf_indexed"] = round(best, 3)
+        ividx.unpersist()
 
         # near-dup crossover: exact is O(N^2 d) — at 64k rows that is
         # ~2G pair-sims regardless of data; banded LSH only touches
