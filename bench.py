@@ -186,6 +186,23 @@ def main() -> None:
             cosine_topk_ivf_indexed(ividx, qf, k=5, n_lists=16).count()
             best = min(best, time.perf_counter() - t0)
         timings["ann_x64_ivf_indexed"] = round(best, 3)
+
+        # speed without accuracy is meaningless for ANN: record recall@5
+        # of each fast path against the brute-force ground truth on the
+        # same corpus/queries (pair-set overlap, computed once)
+        truth = (
+            cosine_topk(big, qf, k=5)
+            .select("query_id", "neighbor_id")
+            .cache()
+        )
+        n_truth = truth.count()
+        for rname, rdf in (
+            ("ann_x64_lsh_recall", cosine_topk_lsh(big, qf, k=5)),
+            ("ann_x64_ivf_indexed_recall", cosine_topk_ivf_indexed(ividx, qf, k=5, n_lists=16)),
+        ):
+            hit = rdf.select("query_id", "neighbor_id").intersect(truth).count()
+            timings[rname] = round(hit / n_truth, 3) if n_truth else 0.0
+        truth.unpersist()
         ividx.unpersist()
 
         # near-dup crossover: exact is O(N^2 d) — at 64k rows that is
