@@ -1221,6 +1221,37 @@ GROUP BY ROLLUP (r.r_name, n.n_name)
 """
 
 
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping (§2.4 completeness next to rollup/pivot): revenue
+    over every (returnflag, linestatus) subset combination. Spark plans
+    one Expand + one hash aggregate — the same shuffle count as a plain
+    group-by, rows multiplied by the 4 grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+SQL_REVENUE_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per segment (median + p90)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1393,4 +1424,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "running_revenue": QuerySpec(q_running_revenue, SQL_RUNNING_REVENUE, "§2.5:frames"),
     "streaming_minute_rollup": QuerySpec(q_streaming_minute_rollup, SQL_MINUTE_ROLLUP, "§2.10"),
     "token_freq": QuerySpec(q_token_freq, SQL_TOKEN_FREQ, "§2.11:explode"),
+    "revenue_cube": QuerySpec(q_revenue_cube, SQL_REVENUE_CUBE, "§2.4:cube"),
 }
