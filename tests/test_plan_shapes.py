@@ -130,3 +130,20 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS bktp_customer")
         spark.sql("DROP TABLE IF EXISTS bktp_orders")
+
+
+def test_partitioned_table_scan_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout must turn an equality filter on the
+    partition column into PartitionFilters at the scan — reading one
+    directory, not the table. This is the at-rest contract
+    snapshot_append's partitionBy relies on for date-scoped reads."""
+    src = str(tmp_path / "events_parted")
+    load_table(spark, SF_SMALL, "events").write.partitionBy("event_type").parquet(src)
+    df = spark.read.parquet(src).filter(F.col("event_type") == "click").select("event_id")
+    plan = _plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0], plan
+    # the predicate must be fully consumed as a partition filter: no
+    # data-filter (PushedFilters) line remains, and only event_id is read
+    assert "PushedFilters" not in plan, plan
+    assert "ReadSchema: struct<event_id:bigint>" in plan, plan
