@@ -487,6 +487,52 @@ GROUP BY token HAVING count(*) >= 50
 """
 
 
+def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (§2.10, applyInPandasWithState) as a
+    graded row: per-user running totals accumulated across FOUR
+    availableNow micro-batches (staged copy split into 4 files,
+    maxFilesPerTrigger=1), update-mode emissions into a memory sink,
+    reduced to each user's final state (n_events is strictly monotone
+    per emission, so argmax = last). The final state must equal the
+    batch GROUP BY — which makes arbitrary per-key state machinery
+    auditable by a plain SQL oracle."""
+    import tempfile
+
+    from nomba_data_pipeline_spark.streaming.microbatch import stream_events
+    from nomba_data_pipeline_spark.streaming.stateful import running_user_totals
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    stage = tempfile.mkdtemp(prefix="stateful_src_") + "/events"
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = stream_events(spark, stage, events.schema, max_files=1)
+    q = (
+        running_user_totals(stream, timeout=False)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_user_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.table("stream_user_totals")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        upd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    )
+
+
+SQL_STREAMING_USER_TOTALS = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data extensions: text analysis
 # ---------------------------------------------------------------------------
@@ -1425,4 +1471,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_minute_rollup": QuerySpec(q_streaming_minute_rollup, SQL_MINUTE_ROLLUP, "§2.10"),
     "token_freq": QuerySpec(q_token_freq, SQL_TOKEN_FREQ, "§2.11:explode"),
     "revenue_cube": QuerySpec(q_revenue_cube, SQL_REVENUE_CUBE, "§2.4:cube"),
+    "streaming_user_totals": QuerySpec(q_streaming_user_totals, SQL_STREAMING_USER_TOTALS, "§2.10:stateful"),
 }
