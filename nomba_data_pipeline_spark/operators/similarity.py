@@ -804,23 +804,25 @@ def cosine_topk_lsh(
                 continue
             mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
             buck = bucketize(mat)  # batch x tables
+            # candidate = collides with the query in ANY table. One
+            # broadcast equality over (batch x |Q| x tables) bools —
+            # no per-bucket Python loop, and the any() IS the
+            # cross-table dedup (the old bucket-loop + np.unique path
+            # cost more than brute force's matmul whenever the corpus
+            # is diffuse and most pairs collide somewhere).
+            coll = (buck[:, None, :] == b_qbuck[None, :, :]).any(axis=2)
+            ri, qi = np.nonzero(coll)
+            if len(ri) == 0:
+                continue
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             nids = pdf["__id"].to_numpy()
-            ri_all, qi_all = [], []
-            for t in range(n_tables):
-                bt, qbt = buck[:, t], b_qbuck[:, t]
-                for b in np.intersect1d(np.unique(bt), np.unique(qbt)):
-                    ri = np.flatnonzero(bt == b)
-                    qi = np.flatnonzero(qbt == b)
-                    ri_all.append(np.repeat(ri, len(qi)))
-                    qi_all.append(np.tile(qi, len(ri)))
-            if not ri_all:
-                continue
-            cand = np.unique(
-                np.stack([np.concatenate(ri_all), np.concatenate(qi_all)]), axis=1
-            )
-            ri, qi = cand[0], cand[1]
-            sims = np.round((mat[ri] * b_qn[qi]).sum(axis=1), SIM_DP)
+            # dense-candidate regime (pruning-hostile corpus): one BLAS
+            # matmul + fancy-index beats materializing a |cand| x d
+            # gather; sparse regime: gather only the candidates
+            if len(ri) > 0.25 * coll.size:
+                sims = np.round((mat @ b_qn.T)[ri, qi], SIM_DP)
+            else:
+                sims = np.round((mat[ri] * b_qn[qi]).sum(axis=1), SIM_DP)
             yield pd.DataFrame(
                 {"query_id": b_qids[qi], "neighbor_id": nids[ri], "sim": sims}
             )
@@ -952,20 +954,11 @@ def cosine_topk_lsh_indexed(
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             buck = np.stack(pdf["buckets"].to_numpy()).astype(np.int64)
             nids = pdf["vec_id"].to_numpy()
-            ri_all, qi_all = [], []
-            for t in range(b_qbuck.shape[1]):
-                bt, qbt = buck[:, t], b_qbuck[:, t]
-                for b in np.intersect1d(np.unique(bt), np.unique(qbt)):
-                    ri = np.flatnonzero(bt == b)
-                    qi = np.flatnonzero(qbt == b)
-                    ri_all.append(np.repeat(ri, len(qi)))
-                    qi_all.append(np.tile(qi, len(ri)))
-            if not ri_all:
+            # same vectorized any-table collision as cosine_topk_lsh
+            coll = (buck[:, None, :] == b_qbuck[None, :, :]).any(axis=2)
+            ri, qi = np.nonzero(coll)
+            if len(ri) == 0:
                 continue
-            pairs = np.unique(
-                np.stack([np.concatenate(ri_all), np.concatenate(qi_all)]), axis=1
-            )
-            ri, qi = pairs[0], pairs[1]
             sims = np.round((mat[ri] * b_qn[qi]).sum(axis=1), SIM_DP)
             yield pd.DataFrame(
                 {"query_id": b_qids[qi], "neighbor_id": nids[ri], "sim": sims}

