@@ -62,6 +62,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
+    recalls: dict[str, float] = {}  # recall fractions, NOT seconds
     errors: dict[str, str] = {}
     # one warmup pass of the flagship to absorb JVM/codegen startup
     try:
@@ -86,7 +87,7 @@ def main() -> None:
         if name not in REGISTRY:
             continue
         best = float("inf")
-        for _ in range(3 if name in ANN_FAMILY else 2):
+        for _ in range(5 if name in ANN_FAMILY else 2):
             t0 = time.perf_counter()
             try:
                 REGISTRY[name].fn(spark, SF_DIR).count()
@@ -135,6 +136,7 @@ def main() -> None:
         from nomba_data_pipeline_spark.catalog import load_table
         from nomba_data_pipeline_spark.operators.similarity import (
             cosine_topk,
+            cosine_topk_ivf,
             cosine_topk_ivf_indexed,
             cosine_topk_lsh,
             cosine_topk_lsh_indexed,
@@ -158,6 +160,7 @@ def main() -> None:
         for bname, fn in (
             ("ann_x64_brute", cosine_topk),
             ("ann_x64_lsh", cosine_topk_lsh),
+            ("ann_x64_ivf", lambda df, q, k=5: cosine_topk_ivf(df, q, k=k, n_probe=8)),
         ):
             best = float("inf")
             for _ in range(2):
@@ -189,7 +192,10 @@ def main() -> None:
 
         # speed without accuracy is meaningless for ANN: record recall@5
         # of each fast path against the brute-force ground truth on the
-        # same corpus/queries (pair-set overlap, computed once)
+        # same corpus/queries (pair-set overlap, computed once). Both
+        # the indexed and the unindexed IVF probe path are measured so
+        # the n_probe guidance is data-backed (identical quantizer =>
+        # the two should agree; a gap means the index drifted).
         truth = (
             cosine_topk(big, qf, k=5)
             .select("query_id", "neighbor_id")
@@ -197,11 +203,12 @@ def main() -> None:
         )
         n_truth = truth.count()
         for rname, rdf in (
-            ("ann_x64_lsh_recall", cosine_topk_lsh(big, qf, k=5)),
-            ("ann_x64_ivf_indexed_recall", cosine_topk_ivf_indexed(ividx, qf, k=5, n_lists=16)),
+            ("ann_x64_lsh", cosine_topk_lsh(big, qf, k=5)),
+            ("ann_x64_ivf_indexed", cosine_topk_ivf_indexed(ividx, qf, k=5, n_lists=16)),
+            ("ann_x64_ivf", cosine_topk_ivf(big, qf, k=5, n_probe=8)),
         ):
             hit = rdf.select("query_id", "neighbor_id").intersect(truth).count()
-            timings[rname] = round(hit / n_truth, 3) if n_truth else 0.0
+            recalls[rname] = round(hit / n_truth, 3) if n_truth else 0.0
         truth.unpersist()
         ividx.unpersist()
 
@@ -253,6 +260,24 @@ def main() -> None:
                 fn(synth).count()
                 best = min(best, time.perf_counter() - t0)
             timings[bname] = round(best, 3)
+
+        # second corpus regime: synth is CLUSTERED (tight near-dup
+        # groups, near-orthogonal strangers) where the sf embeddings
+        # are diffuse — record top-k recall there too so the
+        # plane/probe guidance in plans/queries.py is data-backed in
+        # both regimes, not extrapolated from one.
+        qf2 = F.col("vec_id") % 1000 == 0
+        truth2 = (
+            cosine_topk(synth, qf2, k=5).select("query_id", "neighbor_id").cache()
+        )
+        n_truth2 = truth2.count()
+        for rname, rdf in (
+            ("clustered_64k_lsh", cosine_topk_lsh(synth, qf2, k=5)),
+            ("clustered_64k_ivf", cosine_topk_ivf(synth, qf2, k=5, n_probe=8)),
+        ):
+            hit = rdf.select("query_id", "neighbor_id").intersect(truth2).count()
+            recalls[rname] = round(hit / n_truth2, 3) if n_truth2 else 0.0
+        truth2.unpersist()
         synth.unpersist()
         big.unpersist()
     except Exception as e:  # noqa: BLE001
@@ -282,6 +307,10 @@ def main() -> None:
         # and LSH/IVF costs actually separate — read those for the
         # fast-path-beats-brute-force evidence.
         "notes": "ann_x64_*/neardup_64k_* are the at-scale ANN comparisons; sf0.1 ANN rows are overhead-bound (2k-row corpus)",
+        # recall@5 fractions (0..1) for the ANN fast paths vs brute-force
+        # ground truth — separate key so consumers of `queries` never
+        # read a recall as seconds
+        "recalls": recalls,
     }
     if errors:
         out["errors"] = errors

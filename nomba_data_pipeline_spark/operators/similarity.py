@@ -325,6 +325,8 @@ def evenly_spaced_init_ids(
     exactly the evenly-spaced rank ids; sparse gaps can drop buckets
     (callers top up from a bounded TakeOrderedAndProject)."""
     lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:  # empty frame: no ids to pick
+        return df.select(id_col).limit(0)
     span = max(n_lists - 1, 1)
     targets = [float(lo) + (float(hi) - float(lo)) * i / span for i in range(n_lists)]
     arr = F.array(*[F.lit(t) for t in targets])
@@ -379,7 +381,14 @@ def ivf_train_centroids_distributed(
             .collect()
         )
     init.sort(key=lambda r: r[0])
+    if not init:
+        raise ValueError("ivf_train_centroids_distributed: empty corpus")
+    if len(init) < n_lists:
+        # corpus has fewer rows than n_lists even after top-up: train
+        # with what exists rather than silently mis-sizing the matrix
+        n_lists = len(init)
     C = np.stack([np.array(r[1], dtype=np.float64) for r in init])
+    assert C.shape[0] == n_lists
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     assign_schema = T.StructType(
@@ -609,10 +618,14 @@ def near_dup_pairs_lsh(
     Distributed shape: one Arrow pass computes all band signatures per
     batch with a single (batch x dim)@(dim x planes) BLAS matmul and
     emits the (band, band_sig) replication numpy-side; one hash
-    repartition co-locates buckets; a per-partition mapInPandas groups
-    in-batch and runs per-bucket block-BLAS (ONE Python call per
+    repartition co-locates buckets and an in-partition sort makes them
+    contiguous; a per-partition mapInPandas then scans group-by-group,
+    carrying only the trailing (batch-straddling) bucket between Arrow
+    batches, and runs per-bucket block-BLAS (ONE Python call per
     partition — per-group applyInPandas paid Arrow+invoke overhead on
-    thousands of tiny groups); then dropDuplicates across bands.
+    thousands of tiny groups, while this keeps applyInPandas' memory
+    bound: one Arrow batch + the largest single bucket, never the whole
+    partition); then dropDuplicates across bands.
 
     Two designs measured and rejected:
       * signatures as Catalyst expressions (aggregate/zip_with folds):
@@ -624,8 +637,9 @@ def near_dup_pairs_lsh(
         than block-multiplying the buckets — 64k centered-random rows:
         77s skinny vs ~5s bucketed vs 18s exact.
 
-    Per-task memory is the partition's bucket share (vectors ride the
-    shuffle bands times — the price of block-BLAS locality). The mass-
+    Per-task memory is one Arrow batch plus the largest single bucket
+    (vectors ride the shuffle bands times — the price of block-BLAS
+    locality). The mass-
     duplicate degenerate case (one bucket holding ~all rows) explodes
     any LSH variant: pre-dedup exact duplicates (exact_dedup_groups)
     upstream, or salt. For high thresholds raise rows_per_band (e.g.
@@ -678,28 +692,47 @@ def near_dup_pairs_lsh(
         ]
     )
 
+    def bucket_pairs(g):
+        """Exact scored pairs within one bucket (block-BLAS)."""
+        ids = g["__id"].to_numpy()
+        M = np.stack(g["__vec"].to_numpy())
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        M = M / norms
+        sims = np.round(M @ M.T, SIM_DP)
+        i, j = np.where(sims >= threshold)
+        keep = ids[i] < ids[j]
+        if not keep.any():
+            return None
+        return ids[i][keep], ids[j][keep], sims[i, j][keep]
+
     def partition_pairs(batches):
-        # one partition may arrive as several Arrow batches and a bucket
-        # can straddle them — concatenate first (per-task memory = this
-        # partition's bucket share, the same bound applyInPandas had)
-        parts = [pdf for pdf in batches if len(pdf)]
-        if parts:
-            pdf = pd.concat(parts, ignore_index=True)
+        # rows arrive sorted by (__bidx, __bsig) (sortWithinPartitions
+        # below), so buckets are contiguous: scan group-by-group and
+        # carry ONLY the trailing bucket — which may straddle Arrow
+        # batches — into the next batch. Peak per-task memory is one
+        # Arrow batch plus the largest single bucket (the bound
+        # applyInPandas would give), NOT the whole partition.
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last_b = pdf["__bidx"].iat[len(pdf) - 1]
+            last_s = pdf["__bsig"].iat[len(pdf) - 1]
+            tail = (pdf["__bidx"] == last_b) & (pdf["__bsig"] == last_s)
+            carry = pdf[tail]
+            body = pdf[~tail]
             out_a, out_b, out_s = [], [], []
-            for _, g in pdf.groupby(["__bidx", "__bsig"], sort=False):
+            for _, g in body.groupby(["__bidx", "__bsig"], sort=False):
                 if len(g) < 2:
                     continue
-                ids = g["__id"].to_numpy()
-                M = np.stack(g["__vec"].to_numpy())
-                norms = np.linalg.norm(M, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                M = M / norms
-                sims = np.round(M @ M.T, SIM_DP)
-                i, j = np.where(sims >= threshold)
-                keep = ids[i] < ids[j]
-                out_a.append(ids[i][keep])
-                out_b.append(ids[j][keep])
-                out_s.append(sims[i, j][keep])
+                res = bucket_pairs(g)
+                if res is not None:
+                    out_a.append(res[0])
+                    out_b.append(res[1])
+                    out_s.append(res[2])
             if out_a:
                 yield pd.DataFrame(
                     {
@@ -708,10 +741,17 @@ def near_dup_pairs_lsh(
                         "sim": np.concatenate(out_s),
                     }
                 )
+        if carry is not None and len(carry) >= 2:
+            res = bucket_pairs(carry)
+            if res is not None:
+                yield pd.DataFrame(
+                    {"vec_a": res[0], "vec_b": res[1], "sim": res[2]}
+                )
 
     n_parts = banded.sparkSession.conf.get("spark.sql.shuffle.partitions")
     return (
         banded.repartition(int(n_parts), "__bidx", "__bsig")
+        .sortWithinPartitions("__bidx", "__bsig")
         .mapInPandas(partition_pairs, out_schema)
         # the same pair collides in several bands with an identical
         # rounded sim -> exact-duplicate rows; one distinct pass
