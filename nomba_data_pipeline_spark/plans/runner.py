@@ -182,35 +182,69 @@ class PipelineRunner:
             closed_t = self.table(name + "__closed")
             open_df = open_t.read()
             if closed_t.exists():
-                return open_df.unionByName(closed_t.read().drop("close_date"))
+                return open_df.unionByName(
+                    closed_t.read().drop("close_date", "batch_id")
+                )
             return open_df
         return self.table(name).read()
 
     def _run_scd2_split(self, spec: ModelSpec, batch: DataFrame) -> None:
         """Split SCD2 materialization: overwrite the (small) open table,
-        append newly-closed rows partitioned by close date.
+        append newly-closed rows partitioned by (batch_id, close date).
 
         Idempotency: an unchanged rerun closes zero rows, so the append
-        is a no-op; the open overwrite converges. (A mid-append crash +
-        replay can double-append closed rows — the non-ACID trade;
-        Delta/Iceberg MERGE removes it where available.)
+        is a no-op; the open overwrite converges. Replay safety: a crash
+        BETWEEN the closed append and the open swap leaves the appended
+        batch on disk while the rerun — still seeing the old open table —
+        recomputes the same closed set. Each append therefore carries a
+        deterministic batch id (order-independent bit_xor of
+        xxhash64(key, valid_from) — stable across replays because
+        valid_from comes from history, while valid_to is the replay's
+        NOW()), and the writer wipes any existing `batch_id=<id>`
+        subtree first: the closed history converges to exactly-once per
+        logical batch with zero read-side dedup cost (the dedup is a
+        directory delete, not a shuffle over history).
         """
         from nomba_data_pipeline_spark.operators import scd2 as S2
 
         open_t = self.table(spec.name + "__open")
         closed_path = os.path.join(self.warehouse_dir, spec.name + "__closed")
         open_old = open_t.read() if open_t.exists() else None
+        key = spec.scd2_key or spec.upsert_key[0]
         open_new, closed_now = S2.scd2_apply(
             open_old,
             batch,
-            key=spec.scd2_key or spec.upsert_key[0],
+            key=key,
             check_cols=spec.check_cols,
             order_within_batch=spec.tracking_column,
         )
+        # one pass gives both the emptiness check and the batch identity
+        # ((key, valid_from) is unique within a batch, so the xor never
+        # self-cancels); constant aggregation state, nothing collected
+        stats = (
+            closed_now.select(
+                F.xxhash64(F.col(key), F.col(S2.VALID_FROM)).alias("h")
+            )
+            .agg(F.expr("bit_xor(h)").alias("x"), F.count(F.lit(1)).alias("n"))
+            .first()
+        )
         # materialize closed rows BEFORE swapping the open table they
         # derive from (both plans read the old open files)
-        if closed_now.limit(1).count() > 0:
-            closed_now.withColumn(
+        if stats["n"] > 0:
+            bid = f"{(stats['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{stats['n']}"
+            self._rm_dir(os.path.join(closed_path, f"batch_id={bid}"))
+            closed_now.withColumn("batch_id", F.lit(bid)).withColumn(
                 "close_date", F.to_date(F.col(S2.VALID_TO)).cast("string")
-            ).write.mode("append").partitionBy("close_date").parquet(closed_path)
+            ).write.mode("append").partitionBy("batch_id", "close_date").parquet(
+                closed_path
+            )
         open_t.overwrite(open_new)
+
+    def _rm_dir(self, path: str) -> None:
+        """Recursively delete a directory if present (Hadoop FS API, so
+        the same code path works against s3a/gs/hdfs)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)

@@ -115,3 +115,66 @@ def test_rerun_same_batch_is_noop(spark, gen1):
     snap2 = scd2_merge(snap, gen1, "id", ["state", "occupation"], load_ts=ts("2026-02-01"))
     assert snap2.count() == 3
     assert current_rows(snap2).count() == 3
+
+
+def test_split_scd2_replay_after_crash_is_exactly_once(spark, tmp_path, monkeypatch):
+    """Replay safety of the split-SCD2 closed-history append
+    (plans/runner.py _run_scd2_split): kill the run BETWEEN the closed
+    append and the open-table swap, then replay — the deterministic
+    batch-id wipe must converge the closed history to exactly-once
+    rows (no duplicate (key, valid_from) intervals)."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+    from nomba_data_pipeline_spark.plans import models as M
+    from nomba_data_pipeline_spark.plans.cdc_sim import simulate_user_updates
+    from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
+    from tests.conftest import SF_SMALL
+
+    wh = os.path.join(tmp_path, "wh")
+    build_pipeline(spark, wh, SF_SMALL).run(only=["users_snapshot"])
+
+    override = {
+        "stg_users": lambda s, sf: simulate_user_updates(
+            M.stg_users(s, sf), fraction=0.1
+        )
+    }
+    runner2 = build_pipeline(spark, wh, SF_SMALL, source_override=override)
+
+    orig = ParquetTable.overwrite
+    state = {"crashed": False}
+
+    def crash_once_on_open_swap(self, df, partition_by=None):
+        if not state["crashed"] and self.path.endswith("users_snapshot__open"):
+            state["crashed"] = True
+            raise RuntimeError("injected crash between closed append and open swap")
+        return orig(self, df, partition_by=partition_by)
+
+    monkeypatch.setattr(ParquetTable, "overwrite", crash_once_on_open_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        runner2.run(only=["users_snapshot"])
+    # the crashed run appended its closed batch but never swapped open
+    closed = ParquetTable(spark, os.path.join(wh, "users_snapshot__closed"))
+    assert closed.exists()
+    appended_once = closed.read().count()
+    assert appended_once > 0
+
+    # replay end-to-end (overwrite passes through now): same logical
+    # batch -> same batch id -> the partial append is wiped, not doubled
+    runner3 = build_pipeline(spark, wh, SF_SMALL, source_override=override)
+    runner3.run(only=["users_snapshot"])
+    assert closed.read().count() == appended_once
+
+    snap = runner3.read_model("users_snapshot")
+    dup_intervals = (
+        snap.groupBy("user_id", "valid_from").count().filter("count > 1").count()
+    )
+    assert dup_intervals == 0
+    dup_open = (
+        snap.filter(F.col("valid_to").isNull())
+        .groupBy("user_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup_open == 0
