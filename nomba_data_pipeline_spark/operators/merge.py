@@ -234,9 +234,14 @@ class ParquetTable:
         # rewrite slice, or the directory swap below would drop them
         target_slice = _semi_anti_null_safe(target, affected, partition_by, "left_semi")
         merged = combine(target_slice, delta)
-        # stage the rewritten partitions in a temp dir (writing straight
-        # into self.path would delete input files while the plan still
-        # reads them), then swap each affected partition directory in.
+        self._stage_and_swap_partitions(merged, partition_by, affected_rows)
+
+    def _stage_and_swap_partitions(
+        self, merged: DataFrame, partition_by: list[str], affected_rows
+    ) -> None:
+        """Stage `merged` partitioned in a temp dir (writing straight
+        into self.path would delete input files while the plan still
+        reads them), then swap each affected partition directory in."""
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         # co-locate per partition before the write (see overwrite())
         merged.repartition(*partition_by).write.mode("overwrite").partitionBy(
@@ -268,6 +273,76 @@ class ParquetTable:
             # else: every row of this partition migrated away -> stays deleted
         fs.delete(jvm_path(tmp), True)
         self.spark.catalog.refreshByPath(self.path)
+
+    # -- maintenance ---------------------------------------------------------
+    def file_count(self) -> int:
+        """Number of data files backing the table (observability for the
+        small-file soak: merge/append cadence must keep this bounded)."""
+        if not self.exists():
+            return 0
+        fs, jpath = self._fs_and_path(self.path)
+        it = fs.listFiles(jpath, True)
+        n = 0
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
+        return n
+
+    def compact(
+        self,
+        partition_by: list[str] | None = None,
+        partition_filter=None,
+    ) -> None:
+        """Maintenance verb: rewrite accumulated small files without
+        changing content. Partition-scoped merges rewrite each affected
+        partition to fresh files, but append-mode writers
+        (snapshot_append O10, split-SCD2 closed history) add a file set
+        per run and unpartitioned overwrites emit one file per shuffle
+        task — over many CDC cycles a hot table degrades to thousands of
+        tiny files, and at 100 TB the scan's file-listing + per-file
+        open overhead dominates long before the bytes do.
+
+        `partition_by` + optional `partition_filter` (a Column predicate
+        over the partition columns) compacts ONLY matching partitions —
+        one file per partition, swapped atomically per directory — so
+        maintenance on a hot partition never rewrites the table.
+        Unpartitioned: full rewrite into ceil(bytes / maxPartitionBytes)
+        files, i.e. one scan-split per file."""
+        if not self.exists():
+            return
+        target = self.read()
+        if not partition_by:
+            import math
+
+            fs, jpath = self._fs_and_path(self.path)
+            size = int(fs.getContentSummary(jpath).getLength())
+            raw = str(
+                self.spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", str(128 << 20)
+                )
+            ).lower()
+            digits = "".join(c for c in raw if c.isdigit())
+            unit = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(
+                raw.rstrip("b").strip()[-1:], 1
+            )
+            max_pb = int(digits) * unit if digits else 128 << 20
+            n = max(1, math.ceil(size / max_pb))
+            self.overwrite(target.coalesce(n))
+            return
+        sl = (
+            target.filter(partition_filter)
+            if partition_filter is not None
+            else target
+        )
+        affected = sl.select(*partition_by).dropDuplicates(partition_by)
+        affected_rows = affected.collect()
+        if not affected_rows:
+            return
+        target_slice = _semi_anti_null_safe(
+            target, affected, partition_by, "left_semi"
+        )
+        self._stage_and_swap_partitions(target_slice, partition_by, affected_rows)
 
     def merge_upsert_dedup(
         self,

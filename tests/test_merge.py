@@ -115,3 +115,70 @@ def test_merge_roundtrip_explicit_file_scheme(spark, tmp_path):
     t.merge_upsert(spark.createDataFrame([(2, "b2"), (3, "c")], "id int, v string"), ["id"])
     assert sorted((r.id, r.v) for r in t.read().collect()) == [(1, "a"), (2, "b2"), (3, "c")]
     assert t.high_water_mark("id") == 3
+
+
+def test_file_count_bounded_over_merge_cycles_and_compact(spark, tmp_path):
+    """Small-file discipline: 20 partition-scoped merge cycles into the
+    same hot partition must not accumulate files (each affected
+    partition is swapped to fresh files), and the compact() maintenance
+    verb rewrites append-mode accumulation back to one file per
+    partition without changing content."""
+    import os as _os
+
+    t = ParquetTable(spark, _os.path.join(tmp_path, "fact"))
+    base = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("month"),
+        F.lit(0).alias("v"),
+    )
+    t.overwrite(base, partition_by=["month"])
+    after_first = t.file_count()
+
+    for cycle in range(1, 21):
+        delta = spark.range(5).select(
+            F.col("id").alias("k"),
+            F.lit("1").alias("month"),  # hot partition
+            F.lit(cycle).alias("v"),
+        )
+        t.merge_upsert(delta, ["k"], partition_by=["month"])
+    # merge cycles rewrite affected partitions in place: bounded, no growth
+    assert t.file_count() <= after_first + 2
+
+    # append-mode accumulation (snapshot-style): one file set per run
+    ap = ParquetTable(spark, _os.path.join(tmp_path, "appendy"))
+    for day in range(10):
+        rows = spark.range(20).select(
+            F.col("id").alias("k"),
+            F.lit(f"d{day}").alias("month"),
+            F.lit(day).alias("v"),
+        )
+        rows.coalesce(2).write.mode("append").partitionBy("month").parquet(ap.path)
+    before_files = ap.file_count()
+    before_rows = sorted(tuple(r) for r in ap.read().collect())
+    ap.compact(partition_by=["month"])
+    assert ap.file_count() <= 10  # one file per partition
+    assert ap.file_count() < before_files
+    assert sorted(tuple(r) for r in ap.read().collect()) == before_rows
+
+    # scoped compaction: only the filtered partition is touched
+    for _ in range(3):
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit("d0").alias("month"), F.lit(99).alias("v")
+        ).coalesce(3).write.mode("append").partitionBy("month").parquet(ap.path)
+    rows_all = sorted(tuple(r) for r in ap.read().collect())
+    ap.compact(partition_by=["month"], partition_filter=F.col("month") == "d0")
+    d0_files = [
+        f for f in _os.listdir(_os.path.join(ap.path, "month=d0"))
+        if not f.startswith(("_", "."))
+    ]
+    assert len(d0_files) == 1
+    assert sorted(tuple(r) for r in ap.read().collect()) == rows_all
+
+    # unpartitioned: shuffle-task fan-out collapses to size-appropriate count
+    up = ParquetTable(spark, _os.path.join(tmp_path, "unpart"))
+    up.overwrite(spark.range(1000).repartition(16).select(F.col("id").alias("k")))
+    assert up.file_count() >= 8
+    n_before = up.read().count()
+    up.compact()
+    assert up.file_count() == 1
+    assert up.read().count() == n_before

@@ -147,3 +147,51 @@ def test_partitioned_table_scan_prunes_partitions(spark, tmp_path):
     # data-filter (PushedFilters) line remains, and only event_id is read
     assert "PushedFilters" not in plan, plan
     assert "ReadSchema: struct<event_id:bigint>" in plan, plan
+
+
+def test_sql_api_plans_match_dataframe_plans(spark):
+    """DataFrame <-> SQL API equivalence at the PLAN level, not just the
+    result level: the same query expressed through spark.sql over the
+    registered catalog views must canonicalize to the same optimized
+    plan (Catalyst sameResult) as the DataFrame form — pinning that the
+    two API surfaces hit identical physical strategies (broadcasts,
+    aggregate modes, window exchanges) for a window query, a multi-join
+    aggregate, and a grouping-sets query."""
+    from nomba_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, SF_SMALL)
+
+    pairs = {
+        "running_revenue": """
+            SELECT event_id, user_id, ts,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       AS running_value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       AS purchase_seq
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "supplier_part_volume": """
+            SELECT n_name AS supp_nation, p_brand AS brand,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue,
+                   count(1) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+            GROUP BY n_name, p_brand
+        """,
+        "revenue_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+                   count(1) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+    }
+    for name, sql in pairs.items():
+        df_plan = REGISTRY[name].fn(spark, SF_SMALL)._jdf.queryExecution().optimizedPlan()
+        sql_plan = spark.sql(sql)._jdf.queryExecution().optimizedPlan()
+        assert df_plan.sameResult(sql_plan), f"{name}: DataFrame and SQL optimized plans diverge"

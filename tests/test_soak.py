@@ -40,3 +40,29 @@ def test_sf01_pipeline_three_generations(spark, tmp_path):
     )
     assert multi_open == 0
     assert r.read_model("fact_transactions").count() > 400_000
+
+
+def test_twenty_cdc_cycles_no_rerun_degradation(spark, tmp_path):
+    """20 consecutive CDC reruns must not degrade: file counts stay
+    bounded (partition swaps, not appends) and the last cycles are not
+    dramatically slower than the first (no small-file creep)."""
+    import time
+
+    wh = os.path.join(tmp_path, "wh")
+    build_pipeline(spark, wh, "/root/testdata/sf0.1").run()
+    fact = build_pipeline(spark, wh, "/root/testdata/sf0.1").table("fact_transactions")
+    files0 = fact.file_count()
+    cycle_secs = []
+    for gen in range(1, 21):
+        ov = {
+            "stg_plans": lambda s, sf, g=gen: simulate_plan_updates(
+                M.stg_plans(s, sf), 0.01, seed=g
+            ),
+        }
+        t0 = time.perf_counter()
+        build_pipeline(spark, wh, "/root/testdata/sf0.1", source_override=ov).run()
+        cycle_secs.append(time.perf_counter() - t0)
+    assert fact.file_count() <= files0 + 5
+    early = sum(cycle_secs[:3]) / 3
+    late = sum(cycle_secs[-3:]) / 3
+    assert late < early * 2.5, f"rerun degraded: {early:.1f}s -> {late:.1f}s"
