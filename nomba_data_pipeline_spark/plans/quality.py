@@ -80,6 +80,52 @@ class QualitySpec:
         """Run all declared checks; returns {check_name: violations}."""
         return self.profile(df)[0]
 
+    def profile_df(self, df: DataFrame) -> DataFrame:
+        """The same fused single-pass profile as `profile`, but returned
+        as a DataFrame in long (check, violations) form — nothing is
+        collected, so the test battery itself is gradeable against a
+        SQL oracle and composable downstream (e.g. append per-run
+        profiles to a quality-history table). One aggregation producing
+        ONE row, then a stack() unpivot: still exactly one scan."""
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for c in self.unique:
+            aggs.append(F.count(c).alias(f"__u_cnt:{c}"))
+            aggs.append(F.countDistinct(c).alias(f"__u_dst:{c}"))
+        for c in self.not_null:
+            aggs.append(F.count(c).alias(f"__nn:{c}"))
+        for c, vals in self.accepted_values.items():
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull() & ~F.col(c).isin(vals), 1).otherwise(0)
+                ).alias(f"__av:{c}")
+            )
+        one = df.agg(*aggs)
+        pairs: list = []
+        for c in self.unique:
+            pairs.append(
+                (F.lit(f"unique:{c}"), F.col(f"`__u_cnt:{c}`") - F.col(f"`__u_dst:{c}`"))
+            )
+        for c in self.not_null:
+            pairs.append(
+                (F.lit(f"not_null:{c}"), F.col("__total") - F.col(f"`__nn:{c}`"))
+            )
+        for c in self.accepted_values:
+            pairs.append(
+                (F.lit(f"accepted_values:{c}"), F.coalesce(F.col(f"`__av:{c}`"), F.lit(0)))
+            )
+        if self.min_rows > 0:
+            pairs.append(
+                (
+                    F.lit("min_rows"),
+                    F.greatest(F.lit(0), F.lit(self.min_rows) - F.col("__total")),
+                )
+            )
+        flat = [e for p in pairs for e in p]
+        return one.select(F.stack(F.lit(len(pairs)), *flat)).select(
+            F.col("col0").alias("check"),
+            F.col("col1").cast("long").alias("violations"),
+        )
+
     def assert_ok(self, df: DataFrame, model: str = "") -> int:
         """Assert zero violations; returns the row count (free — it
         rides the same aggregation)."""

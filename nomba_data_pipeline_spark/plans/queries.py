@@ -565,6 +565,52 @@ FROM events GROUP BY user_id
 # ---------------------------------------------------------------------------
 # LLM-data extensions: text analysis
 # ---------------------------------------------------------------------------
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-per-key dedup as a graded row (§2.10):
+    the events table is doubled (every row twice), staged, and drained
+    through dropDuplicatesWithinWatermark across availableNow
+    micro-batches — the result must equal the ORIGINAL table exactly,
+    one surviving copy per event_id, which a plain SELECT oracle
+    grades. The watermark horizon here exceeds the data's time span so
+    state never evicts mid-drain and the dedup is exact regardless of
+    which micro-batch each copy lands in; the bounded-state eviction
+    behavior (the 100 TB operating mode, where the horizon is minutes
+    and state is O(keys in horizon)) is pinned separately in
+    tests/test_streaming.py."""
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        dedup_stream,
+        stream_events,
+    )
+
+    # watermarks require tz-aware TIMESTAMP (EVENT_TIME_IS_NOT_ON_
+    # TIMESTAMP_TYPE on NTZ); the session tz is pinned UTC so the cast
+    # preserves wall times and the oracle's NTZ rendering agrees
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    stage, done = _stage_dir("stream_dedup_src", sf_dir)
+    if not done:
+        events.unionByName(events).repartition(4).write.mode("overwrite").parquet(
+            stage
+        )
+    stream = stream_events(spark, stage, events.schema, max_files=1)
+    dd = dedup_stream(stream, ["event_id"], watermark="36500 days")
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_dedup")
+
+
+SQL_STREAMING_DEDUP = """
+SELECT event_id, user_id, ts, value FROM events
+"""
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality scoring, lang-id, fingerprinting per doc."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1448,6 +1494,41 @@ def q_cosine_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 as a graded row, not just a pytest: the fused single-pass
+    quality battery (dbt unique / not_null / accepted_values / volume
+    floor — reference schema.yml tests) in long (check, violations)
+    form via QualitySpec.profile_df. The accepted set deliberately
+    omits status 'P' and the checks run on columns with real duplicates
+    so the graded counts are non-trivial (violations > 0), proving the
+    counting math, not just the zero path."""
+    from nomba_data_pipeline_spark.plans.quality import QualitySpec
+
+    orders = load_table(spark, sf_dir, "orders")
+    spec = QualitySpec(
+        unique=["o_custkey"],
+        not_null=["o_orderpriority"],
+        accepted_values={"o_orderstatus": ["F", "O"]},
+        min_rows=10,
+    )
+    return spec.profile_df(orders)
+
+
+SQL_QUALITY_PROFILE = """
+SELECT 'unique:o_custkey' AS "check",
+       count(o_custkey) - count(DISTINCT o_custkey) AS violations FROM orders
+UNION ALL
+SELECT 'not_null:o_orderpriority', count(*) - count(o_orderpriority) FROM orders
+UNION ALL
+SELECT 'accepted_values:o_orderstatus',
+       coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F', 'O')
+                         THEN 1 ELSE 0 END), 0) FROM orders
+UNION ALL
+SELECT 'min_rows', greatest(0, 10 - count(*)) FROM orders
+"""
+
+
 def q_id_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 zero-padded id synthesis (reference generate_data.py:55
     `f"UID{str(i+1).zfill(8)}"`)."""
@@ -1612,4 +1693,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_percentiles_by_flag": QuerySpec(q_approx_percentiles, SQL_APPROX_PERCENTILES, "ext:percentile-approx"),
     "trailing_revenue_7d": QuerySpec(q_trailing_revenue_7d, SQL_TRAILING_REVENUE_7D, "§2.5:range-frame"),
     "cosine_topk_lsh_indexed": QuerySpec(q_cosine_topk_lsh_indexed, None, "ext:similarity-ann-index"),
+    "quality_profile": QuerySpec(q_quality_profile, SQL_QUALITY_PROFILE, "§2.12"),
+    "streaming_dedup": QuerySpec(q_streaming_dedup, SQL_STREAMING_DEDUP, "§2.10:dedup"),
 }
