@@ -132,6 +132,46 @@ def fingerprint_sql(expr: str) -> str:
     return f"md5({normalized_text_sql(expr)})"
 
 
+# PII scrubbing — pretraining-prep redaction. Patterns use [0-9] (not
+# \d) and plain classes so the SAME string is valid Java regex (Spark)
+# and RE2 (DuckDB oracle). Order matters: emails first (their local
+# part contains digit runs a phone pattern could eat), then IPs (dotted
+# quads would otherwise part-match as phones), then phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Chained global regexp_replace over PII_PATTERNS (JVM, codegen —
+    redaction is a map-only pass, no Python in the hot path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_redact_sql(expr: str) -> str:
+    out = expr
+    for _, pat, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind (pre-redaction audit metric)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = dict((k, p) for k, p, _ in PII_PATTERNS)[kind]
+    return F.regexp_count(c, F.lit(pat)).cast("long")
+
+
+def pii_count_sql(expr: str, kind: str) -> str:
+    pat = dict((k, p) for k, p, _ in PII_PATTERNS)[kind]
+    return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
+
+
 def sanitize_mongo_json(col: Column | str) -> Column:
     """P10 parity: the reference serializes Mongo docs through bson
     json_util and strips '$' characters to kill `$oid`/`$date` wrappers

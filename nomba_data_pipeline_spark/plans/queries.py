@@ -633,6 +633,133 @@ FROM documents
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrubbing as a graded row: deterministic
+    PII (email, phone, dotted-quad IP derived from doc_id — the
+    synthetic corpus has none naturally) is appended to each document,
+    then redacted by the chained global regexp pass
+    (functions/text.py PII_PATTERNS). Graded on the md5 of the redacted
+    text plus per-kind pre-redaction counts, so both the match
+    positions and the replacement text are pinned cross-engine.
+    Map-only JVM expressions — at 100 TB this is a zero-shuffle pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.lit("contact"),
+        F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com")),
+        F.concat(
+            F.lit("+1 (555) 010-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+        F.concat(
+            F.lit("ip 10.0."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+        ),
+    )
+    with_dirty = docs.select("doc_id", dirty.alias("dirty"))
+    return with_dirty.select(
+        "doc_id",
+        F.md5(T.pii_redact("dirty")).alias("redacted_digest"),
+        T.pii_count("dirty", "email").alias("n_emails"),
+        T.pii_count("dirty", "ip").alias("n_ips"),
+        F.length(T.pii_redact("dirty")).cast("long").alias("redacted_len"),
+    )
+
+
+SQL_PII_REDACT = f"""
+WITH d AS (
+    SELECT doc_id,
+           concat_ws(' ', text, 'contact',
+                     'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                     '+1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                     'ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                         CAST((doc_id * 7) % 256 AS VARCHAR)) AS dirty
+    FROM documents
+)
+SELECT doc_id,
+       md5({T.pii_redact_sql('dirty')}) AS redacted_digest,
+       {T.pii_count_sql('dirty', 'email')} AS n_emails,
+       {T.pii_count_sql('dirty', 'ip')} AS n_ips,
+       CAST(length({T.pii_redact_sql('dirty')}) AS BIGINT) AS redacted_len
+FROM d
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-document top-token
+    mass fraction and distinct-token fraction — the signals that flag
+    degenerate/boilerplate text for pretraining exclusion. Two
+    partial-aggregated shuffles ((doc, token) then doc), explode stays
+    in whole-stage codegen, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_token = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_token.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_token_frac"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "distinct_frac"
+        ),
+    )
+
+
+SQL_DOC_REPETITION = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({T.tokens_sql('text')}) AS token FROM documents
+),
+cnt AS (
+    SELECT doc_id, token, count(*) AS c FROM tok WHERE token <> '' GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_frac,
+       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_frac
+FROM cnt GROUP BY 1
+"""
+
+
+def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing any
+    word 3-gram shingle with a held-out 'benchmark' set (doc_id % 100
+    == 0 stands in for the eval suite). Shared-shingle equi-join over
+    distinct (doc, shingle) sets — the same co-occurrence-bounded shape
+    as n-gram Jaccard (operators/dedup.py:250), so the 100 TB guidance
+    is identical: cap shingle doc-frequency upstream (stop-gram drop)
+    and the join never degenerates into all-pairs."""
+    sh = D.shingle_set(load_table(spark, sf_dir, "documents"))
+    bench = sh.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    cand = sh.filter(F.col("doc_id") % 100 != 0)
+    return (
+        cand.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH sh AS ({D.shingle_set_sql('documents')}),
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 100 = 0),
+cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 100 <> 0)
+SELECT cand.doc_id,
+       count(DISTINCT cand.shingle) AS n_shared_shingles,
+       count(DISTINCT bench.bench_id) AS n_bench_docs
+FROM cand JOIN bench ON cand.shingle = bench.shingle
+GROUP BY 1
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
@@ -1695,4 +1822,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_topk_lsh_indexed": QuerySpec(q_cosine_topk_lsh_indexed, None, "ext:similarity-ann-index"),
     "quality_profile": QuerySpec(q_quality_profile, SQL_QUALITY_PROFILE, "§2.12"),
     "streaming_dedup": QuerySpec(q_streaming_dedup, SQL_STREAMING_DEDUP, "§2.10:dedup"),
+    "pii_redact": QuerySpec(q_pii_redact, SQL_PII_REDACT, "ext:pii-scrub"),
+    "doc_repetition": QuerySpec(q_doc_repetition, SQL_DOC_REPETITION, "ext:quality-repetition"),
+    "contamination_ngrams": QuerySpec(q_contamination_ngrams, SQL_CONTAMINATION, "ext:contamination"),
 }
