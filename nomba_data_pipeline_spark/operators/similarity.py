@@ -748,9 +748,13 @@ def near_dup_pairs_lsh(
                     {"vec_a": res[0], "vec_b": res[1], "sim": res[2]}
                 )
 
-    n_parts = banded.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    # no explicit partition count: with AQE on (session default) the
+    # post-shuffle partition count adapts to the actual banded size —
+    # small corpora coalesce to a few Python tasks instead of paying
+    # shuffle.partitions-many near-empty Arrow invocations, and at
+    # scale AQE splits skewed buckets toward the advisory size
     return (
-        banded.repartition(int(n_parts), "__bidx", "__bsig")
+        banded.repartition("__bidx", "__bsig")
         .sortWithinPartitions("__bidx", "__bsig")
         .mapInPandas(partition_pairs, out_schema)
         # the same pair collides in several bands with an identical
