@@ -760,6 +760,97 @@ GROUP BY 1
 """
 
 
+MIX_RATES = {"web": 0.35, "books": 1.0, "code": 0.8, "wiki": 1.0, "news": 0.5}
+MIX_DEFAULT = 0.25
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler for pretraining data: per-source keep
+    rates applied via DETERMINISTIC md5-bucket sampling (bucket =
+    first 8 md5 hex digits of the salted doc id, mod 10000) instead of
+    rand() — reproducible across runs, engines and partitionings, which
+    is what makes a data recipe auditable. Map-only, zero shuffles;
+    at 100 TB this composes with the quality/dedup filters as one
+    codegen'd scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate = F.lit(MIX_DEFAULT * 10000)
+    for src, r in MIX_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(int(r * 10000))).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "source", "lang")
+
+
+def _mix_rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {int(r * 10000)}" for s, r in MIX_RATES.items()
+    )
+    return f"CASE {whens} ELSE {int(MIX_DEFAULT * 10000)} END"
+
+
+SQL_DOMAIN_MIX_SAMPLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
+          % 10000
+      < {_mix_rate_case_sql()}
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing plan: assign each document a
+    (bin, offset) inside fixed token-budget bins, packed greedily in
+    doc_id order WITHIN each source domain — bin = where the doc's
+    cumulative token run starts. The per-domain partition keeps the
+    running-sum window parallel (a global ORDER BY cumsum would funnel
+    the corpus through one task); single-domain corpora should salt by
+    coarse id ranges. Docs longer than the budget straddle bins by
+    construction (documented greedy semantics, the standard pretraining
+    packing trade)."""
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tokens = docs.select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens")
+    )
+    running = F.sum("n_tokens").over(w)
+    return with_tokens.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        ((running - F.col("n_tokens")) / budget).cast("long").alias("pack_bin"),
+        ((running - F.col("n_tokens")) % budget).cast("long").alias("pack_offset"),
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH t AS (
+    SELECT doc_id, source, {T.token_count_sql('text')} AS n_tokens FROM documents
+),
+r AS (
+    SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((running - n_tokens) / 2048) AS BIGINT) AS pack_bin,
+       CAST((running - n_tokens) % 2048 AS BIGINT) AS pack_offset
+FROM r
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
@@ -1825,4 +1916,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "pii_redact": QuerySpec(q_pii_redact, SQL_PII_REDACT, "ext:pii-scrub"),
     "doc_repetition": QuerySpec(q_doc_repetition, SQL_DOC_REPETITION, "ext:quality-repetition"),
     "contamination_ngrams": QuerySpec(q_contamination_ngrams, SQL_CONTAMINATION, "ext:contamination"),
+    "domain_mix_sample": QuerySpec(q_domain_mix_sample, SQL_DOMAIN_MIX_SAMPLE, "ext:domain-mixing"),
+    "sequence_packing": QuerySpec(q_sequence_packing, SQL_SEQUENCE_PACKING, "ext:sequence-packing"),
 }
