@@ -1,0 +1,115 @@
+"""Command-line entry point — the reference's operational surface
+(`dagster job launch -j users_job` / cron schedules, reference
+dagster_code/nomba_elt_pipeline/all_jobs.py:6-22 and
+all_schedules.py:14-45) as one CLI. A cron line invoking `run --only`
+per source is the schedule equivalent; incremental state lives in the
+warehouse itself (high-water-marks), so reruns are idempotent with no
+daemon or external state store.
+
+    python -m nomba_data_pipeline_spark run --warehouse /data/wh [--only fact_transactions ...]
+    python -m nomba_data_pipeline_spark query flagship_revenue_by_region [--limit 20]
+    python -m nomba_data_pipeline_spark compact --warehouse /data/wh --model fact_transactions
+    python -m nomba_data_pipeline_spark list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _spark(args):
+    from nomba_data_pipeline_spark.session import get_spark
+
+    return get_spark(app_name=f"nomba-cli-{args.cmd}")
+
+
+def cmd_run(args) -> int:
+    from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    spark = _spark(args)
+    t0 = time.perf_counter()
+    runner = build_pipeline(spark, args.warehouse, args.sf_dir)
+    counts = runner.run(only=args.only or None)
+    out = {
+        "rows_written": counts,
+        "model_seconds": runner.last_timings,
+        "total_seconds": round(time.perf_counter() - t0, 3),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from nomba_data_pipeline_spark.plans.queries import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; `list` shows the registry", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+    spark = _spark(args)
+    t = ParquetTable(spark, os.path.join(args.warehouse, args.model))
+    before = t.file_count()
+    t.compact(partition_by=args.partition_by or None)
+    print(json.dumps({"model": args.model, "files_before": before, "files_after": t.file_count()}))
+    return 0
+
+
+def cmd_list(args) -> int:
+    from nomba_data_pipeline_spark.plans.queries import REGISTRY
+
+    for name, spec in sorted(REGISTRY.items()):
+        oracle = "oracle" if spec.oracle else "rows-only"
+        print(f"{name:32s} {oracle:9s} {spec.survey_ref}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nomba_data_pipeline_spark")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="source data directory (parquet tables)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="materialize the medallion DAG (full or incremental rerun)")
+    r.add_argument("--warehouse", required=True)
+    r.add_argument("--only", nargs="*", help="models to run (plus upstream closure)")
+    r.set_defaults(fn=cmd_run)
+
+    q = sub.add_parser("query", help="run one registry query and show rows")
+    q.add_argument("name")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true", help="print the physical plan instead")
+    q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact", help="small-file compaction for a warehouse model")
+    c.add_argument("--warehouse", required=True)
+    c.add_argument("--model", required=True)
+    c.add_argument("--partition-by", nargs="*")
+    c.set_defaults(fn=cmd_compact)
+
+    l = sub.add_parser("list", help="list registry queries")
+    l.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -149,3 +149,33 @@ def test_quality_profile_single_pass_semantics(spark):
     ok = QualitySpec(unique=["k"], not_null=["k"])
     clean = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
     assert ok.assert_ok(clean) == 2
+
+
+def test_cli_run_query_compact(spark, tmp_path, capsys):
+    """The CLI operational surface (python -m nomba_data_pipeline_spark):
+    run materializes the DAG and reports per-model timings; query runs a
+    registry entry; compact reports file counts. Driven in-process (the
+    session factory reuses the active session)."""
+    import json
+
+    from nomba_data_pipeline_spark.__main__ import main
+
+    wh = os.path.join(tmp_path, "wh")
+    rc = main(["--sf-dir", SF_SMALL, "run", "--warehouse", wh])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_written"]["fact_transactions"] > 0
+    assert "model_seconds" in out
+
+    rc = main(["--sf-dir", SF_SMALL, "query", "flagship_revenue_by_region", "--limit", "3"])
+    assert rc == 0
+    assert "revenue" in capsys.readouterr().out
+
+    rc = main(["--sf-dir", SF_SMALL, "compact", "--warehouse", wh, "--model", "stg_users"])
+    assert rc == 0
+    cj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cj["files_after"] <= cj["files_before"]
+
+    rc = main(["list"])
+    assert rc == 0
+    assert "flagship_revenue_by_region" in capsys.readouterr().out
