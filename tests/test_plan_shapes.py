@@ -195,3 +195,40 @@ def test_sql_api_plans_match_dataframe_plans(spark):
         df_plan = REGISTRY[name].fn(spark, SF_SMALL)._jdf.queryExecution().optimizedPlan()
         sql_plan = spark.sql(sql)._jdf.queryExecution().optimizedPlan()
         assert df_plan.sameResult(sql_plan), f"{name}: DataFrame and SQL optimized plans diverge"
+
+
+def test_training_prep_rows_are_map_only(spark):
+    """pii_redact and domain_mix_sample must stay single-scan map-only
+    plans (no Exchange, no Python): at 100 TB these compose with the
+    rest of corpus prep as pure codegen passes."""
+    for name in ("pii_redact", "domain_mix_sample"):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def _plan_tree(df) -> str:
+    """Just the operator tree of the formatted plan (the detail section
+    repeats every node name, which breaks substring counting)."""
+    plan = _plan(df)
+    return plan.split("\n\n")[0]
+
+
+def test_window_rows_single_shuffle(spark):
+    """trailing_revenue_7d and sequence_packing evaluate their frames in
+    ONE hash-partitioned exchange (user_id / source) — no extra sort or
+    global single-partition funnel."""
+    for name in ("trailing_revenue_7d", "sequence_packing"):
+        tree = _plan_tree(REGISTRY[name].fn(spark, SF_SMALL))
+        assert tree.count("Exchange") == 1, f"{name}:\n{tree}"
+        assert "SinglePartition" not in _plan(REGISTRY[name].fn(spark, SF_SMALL)), name
+
+
+def test_quality_profile_single_scan(spark):
+    """The graded quality battery reads the table ONCE (one scan, no
+    joins, no per-check subplans); the distinct-count rewrite may add
+    its own exchange but never a second pass over the data."""
+    df = REGISTRY["quality_profile"].fn(spark, SF_SMALL)
+    tree = _plan_tree(df)
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 1, tree
