@@ -127,3 +127,53 @@ def test_inference_vote_reads_values_as_literals(spark, tmp_path):
     out = read_with_inferred_schema(spark, path)
     assert dict(out.dtypes)["v"] == "string"
     assert sorted(r.v for r in out.collect()) == ["1", "2.5", "x"]
+
+
+def test_pii_redaction_leaves_no_matches(spark):
+    """Completeness property: after redaction, every PII pattern has
+    zero remaining matches — including adversarial adjacency (email
+    beside phone beside IP, patterns that could partially eat each
+    other) and unicode noise."""
+    from nomba_data_pipeline_spark.functions.text import PII_PATTERNS, pii_redact
+
+    rows = [
+        ("a@b.co",),
+        ("reach me at jane.doe+spam@mail.example.org or +1 (555) 123-4567 now",),
+        ("10.0.0.1 8.8.8.8 and 192.168.255.254: servers",),
+        ("x@y.io9.9.9.9+44 20 7946 0958",),  # adjacent, no separators
+        ("héllo wörld 例子 +123456789",),
+        ("not-pii: 1.2 v3.4 a@b (no tld) 12-34",),
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    red = df.select(pii_redact("text").alias("clean"))
+    for kind, pat, _ in PII_PATTERNS:
+        # lit() keeps the backslashes out of the SQL literal parser
+        leftover = red.filter(
+            F.regexp_count(F.col("clean"), F.lit(pat)) > 0
+        ).count()
+        assert leftover == 0, f"{kind} pattern survives redaction"
+
+
+def test_sequence_packing_invariants(spark):
+    """pack_offset < budget; bins start at 0 and are contiguous per
+    source; token totals are conserved."""
+    from nomba_data_pipeline_spark.plans.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    df = REGISTRY["sequence_packing"].fn(spark, SF_SMALL).cache()
+    assert df.filter("pack_offset >= 2048 OR pack_offset < 0").count() == 0
+    per_src = df.groupBy("source").agg(
+        F.min("pack_bin").alias("lo"),
+        F.max("pack_bin").alias("hi"),
+        F.countDistinct("pack_bin").alias("n_bins"),
+        F.sum("n_tokens").alias("toks"),
+    )
+    for r in per_src.collect():
+        assert r.lo == 0
+        assert r.n_bins == r.hi + 1, "bins must be contiguous"
+        # every bin except possibly the last is actually used by the
+        # greedy rule: running span covers [0, hi*budget + last_offset]
+        assert r.toks > r.hi * 2048 - 2048, "token mass inconsistent with bin span"
+    df.unpersist()
