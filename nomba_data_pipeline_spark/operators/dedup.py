@@ -150,13 +150,18 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     multiply the shuffle volume by NUM_PERM; at 100 TB that is the
     difference between 1x and 16x shuffle IO).
     """
+    # md5 once per shingle in its own projection; the 4 lane slices read
+    # the materialized hex (CollapseProject keeps non-cheap exprs with
+    # multiple consumers in their own project — inlining would run md5
+    # 4x per row, measured +0.4s on the sf0.1 pair query)
+    pre = shingles.select("doc_id", F.md5(F.col("shingle")).alias("__h"))
     lanes = [
-        F.conv(F.substring(F.md5(F.col("shingle")), off, ln), 16, 10)
+        F.conv(F.substring(F.col("__h"), off, ln), 16, 10)
         .cast("long")
         .alias(name)
         for name, (off, ln) in zip(("ha", "hb", "hc", "hd"), _LANES)
     ]
-    hashed = shingles.select("doc_id", *lanes)
+    hashed = pre.select("doc_id", *lanes)
     aggs = [F.min(F.expr(_perm_expr(s))).alias(f"mh{s}") for s in range(NUM_PERM)]
     return hashed.groupBy("doc_id").agg(*aggs)
 
