@@ -92,7 +92,9 @@ def test_windowed_agg_stream(spark, tmp_path):
         1
     ).write.mode("append").parquet(src)
 
-    schema = SCHEMA.add("event_type", T.StringType())
+    # StructType.add mutates in place — copy so the module-level SCHEMA
+    # stays 3 fields for the tests that run after this one
+    schema = T.StructType(SCHEMA.fields + [T.StructField("event_type", T.StringType())])
     run_windowed_agg_stream(spark, src, schema, out, ckpt)
     got = {
         (str(r.window_start), r.n)
@@ -184,3 +186,46 @@ def test_minute_rollup_stream_equals_batch(spark):
         for r in REGISTRY["streaming_minute_rollup"].fn(spark, SF_SMALL).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_dedup_stream_state_evicts_beyond_watermark(spark, tmp_path):
+    """The other half of bounded-state dedup: a duplicate arriving AFTER
+    the watermark horizon has passed its first occurrence finds the
+    state evicted and is emitted again. This is the deliberate trade
+    that keeps state O(keys in horizon) instead of O(all keys) — the
+    graded streaming_dedup row sidesteps it with a horizon wider than
+    the data span; this pins the eviction behavior itself."""
+    from datetime import datetime
+
+    from nomba_data_pipeline_spark.streaming.microbatch import dedup_stream, stream_events
+
+    src = os.path.join(tmp_path, "src")
+    out = os.path.join(tmp_path, "out")
+    ckpt = os.path.join(tmp_path, "ckpt")
+
+    def run_once():
+        q = (
+            dedup_stream(stream_events(spark, src, SCHEMA), ["id"], watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: id=1 plus a row that advances the watermark to ~00:20
+    spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 0, 0, 0), 1.0), (99, datetime(2026, 1, 1, 0, 30, 0), 9.0)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # batch 2 (new file, checkpoint carries the advanced watermark):
+    # id=1 again at 00:40 — far past 00:00 + 10min, state evicted
+    spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 0, 40, 0), 1.1)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    ones = sorted(r.v for r in spark.read.parquet(out).filter("id = 1").collect())
+    assert ones == [1.0, 1.1], "evicted key must be re-emitted, proving bounded state"
