@@ -263,9 +263,6 @@ def q_mongo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract_data/_process_mongo_document chain (mongo_loader.py:202-317)
     as one Catalyst plan. The oracle reproduces the semantics straight
     off the events table."""
-    import os
-    import tempfile
-
     from nomba_data_pipeline_spark.sources import mongo as MG
 
     events = load_table(spark, sf_dir, "events")
@@ -283,8 +280,9 @@ def q_mongo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("mongo").alias("src"),
         ).alias("meta"),
     )
-    stage = os.path.join(tempfile.mkdtemp(prefix="mongo_stage_"), "events")
-    MG.stage_mongo_dump(docs, stage)
+    stage, done = _stage_dir("mongo_stage", sf_dir)
+    if not done:
+        MG.stage_mongo_dump(docs, stage)
     return MG.extract_mongo_stage(
         spark,
         stage,
