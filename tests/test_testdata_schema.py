@@ -58,3 +58,45 @@ def test_epoch_seconds_keeps_microseconds(spark):
     # fixtures carry sub-second precision; a truncating implementation
     # would return exactly 0 here
     assert frac.mx > 0
+
+
+def test_graded_row_column_contract(spark):
+    """Column/type contract for every fixture column the graded rows
+    depend on. The driver regenerates fixtures between rounds; a
+    renamed or retyped column should fail HERE with a readable message,
+    not as 65 opaque driver mismatches."""
+    expectations = {
+        "documents": {
+            "doc_id": (T.LongType,),
+            "text": (T.StringType,),
+            "lang": (T.StringType,),
+            "source": (T.StringType,),
+            "n_chars": (T.LongType, T.IntegerType),
+        },
+        "embeddings": {
+            "vec_id": (T.LongType,),
+            "embedding": (T.ArrayType,),
+            "label": (T.LongType, T.IntegerType, T.StringType),
+        },
+        "events": {
+            "event_id": (T.LongType,),
+            "user_id": (T.LongType,),
+            "event_type": (T.StringType,),
+            "value": (T.DoubleType,),
+            "props": (T.StringType,),
+        },
+        "orders": {
+            "o_custkey": (T.LongType,),
+            "o_orderstatus": (T.StringType,),
+            "o_orderpriority": (T.StringType,),
+            "o_totalprice": (T.DoubleType, T.DecimalType),
+        },
+    }
+    for table, cols in expectations.items():
+        schema = {f.name: f.dataType for f in load_table(spark, SF_SMALL, table).schema}
+        for col, ok_types in cols.items():
+            assert col in schema, f"{table}.{col} vanished from fixtures"
+            assert isinstance(schema[col], ok_types), (
+                f"{table}.{col} arrived as {schema[col]}; graded rows "
+                f"expect one of {[t.__name__ for t in ok_types]}"
+            )
