@@ -100,29 +100,43 @@ def main() -> None:
             timings[name] = round(best, 3)
 
     # end-to-end medallion pipeline (BASELINE.md "full pipeline ~5 min"
-    # comparable) + incremental CDC rerun (BASELINE "delta load ~5 sec")
-    wh = tempfile.mkdtemp(prefix="bench-wh-")
-    try:
-        t0 = time.perf_counter()
-        build_pipeline(spark, wh, SF_DIR).run()
-        timings["pipeline_e2e_medallion"] = round(time.perf_counter() - t0, 3)
-        override = {
-            "stg_plans": lambda s, sfd: simulate_plan_updates(M.stg_plans(s, sfd), 0.01)
-        }
-        t0 = time.perf_counter()
-        cdc = build_pipeline(spark, wh, SF_DIR, source_override=override)
-        cdc.run()
-        timings["pipeline_cdc_rerun"] = round(time.perf_counter() - t0, 3)
-        # per-model split: the reference's "~5 s delta load" is ONE
-        # table's incremental merge; cdc_model:stg_plans (+ its fact
-        # merge) is the honest comparison, the rest is whole-DAG rerun
-        # cost the reference number never included
-        for mname, msec in cdc.last_timings.items():
-            timings[f"cdc_model:{mname}"] = msec
-    except Exception as e:  # noqa: BLE001 - keep the per-query numbers
-        errors["pipeline"] = f"{type(e).__name__}: {e}"[:500]
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+    # comparable) + incremental CDC rerun (BASELINE "delta load ~5 sec").
+    # Best-of-2 like every per-query entry: the first pass pays one-time
+    # codegen/file-listing costs that single-shot runs mistake for
+    # pipeline time (observed 20.7s cold vs 9.5s steady at sf0.1). Each
+    # rep gets a FRESH warehouse so e2e is always a from-empty build and
+    # the cdc rerun always merges into a just-built warehouse.
+    for rep in range(2):
+        wh = tempfile.mkdtemp(prefix="bench-wh-")
+        try:
+            t0 = time.perf_counter()
+            build_pipeline(spark, wh, SF_DIR).run()
+            e2e = round(time.perf_counter() - t0, 3)
+            timings["pipeline_e2e_medallion"] = min(
+                timings.get("pipeline_e2e_medallion", float("inf")), e2e
+            )
+            override = {
+                "stg_plans": lambda s, sfd: simulate_plan_updates(
+                    M.stg_plans(s, sfd), 0.01
+                )
+            }
+            t0 = time.perf_counter()
+            cdc = build_pipeline(spark, wh, SF_DIR, source_override=override)
+            cdc.run()
+            rerun = round(time.perf_counter() - t0, 3)
+            if rerun <= timings.get("pipeline_cdc_rerun", float("inf")):
+                timings["pipeline_cdc_rerun"] = rerun
+                # per-model split: the reference's "~5 s delta load" is
+                # ONE table's incremental merge; cdc_model:stg_plans (+
+                # its fact merge) is the honest comparison, the rest is
+                # whole-DAG rerun cost the reference number never included
+                for mname, msec in cdc.last_timings.items():
+                    timings[f"cdc_model:{mname}"] = msec
+        except Exception as e:  # noqa: BLE001 - keep the per-query numbers
+            errors["pipeline"] = f"{type(e).__name__}: {e}"[:500]
+            break
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
 
     # ANN scale demo: at sf0.1 the embeddings table is tiny (2k rows) and
     # every ANN timing above is fixed-overhead, not algorithm. Replicate

@@ -9,6 +9,7 @@ daemon or external state store.
     python -m nomba_data_pipeline_spark run --warehouse /data/wh [--only fact_transactions ...]
     python -m nomba_data_pipeline_spark query flagship_revenue_by_region [--limit 20]
     python -m nomba_data_pipeline_spark compact --warehouse /data/wh --model fact_transactions
+    python -m nomba_data_pipeline_spark cluster --warehouse /data/wh --model fact_transactions --by user_id
     python -m nomba_data_pipeline_spark list
 """
 
@@ -69,6 +70,16 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+    spark = _spark(args)
+    t = ParquetTable(spark, os.path.join(args.warehouse, args.model))
+    t.cluster(args.by, target_files=args.target_files)
+    print(json.dumps({"model": args.model, "clustered_by": args.by, "files": t.file_count()}))
+    return 0
+
+
 def cmd_list(args) -> int:
     from nomba_data_pipeline_spark.plans.queries import REGISTRY
 
@@ -103,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--model", required=True)
     c.add_argument("--partition-by", nargs="*")
     c.set_defaults(fn=cmd_compact)
+
+    cl = sub.add_parser(
+        "cluster", help="range-cluster a model on sort keys (parquet stats pruning)"
+    )
+    cl.add_argument("--warehouse", required=True)
+    cl.add_argument("--model", required=True)
+    cl.add_argument("--by", nargs="+", required=True, help="sort/cluster columns")
+    cl.add_argument("--target-files", type=int)
+    cl.set_defaults(fn=cmd_cluster)
 
     l = sub.add_parser("list", help="list registry queries")
     l.set_defaults(fn=cmd_list)

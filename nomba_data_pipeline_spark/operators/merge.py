@@ -313,22 +313,7 @@ class ParquetTable:
             return
         target = self.read()
         if not partition_by:
-            import math
-
-            fs, jpath = self._fs_and_path(self.path)
-            size = int(fs.getContentSummary(jpath).getLength())
-            raw = str(
-                self.spark.conf.get(
-                    "spark.sql.files.maxPartitionBytes", str(128 << 20)
-                )
-            ).lower()
-            digits = "".join(c for c in raw if c.isdigit())
-            unit = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(
-                raw.rstrip("b").strip()[-1:], 1
-            )
-            max_pb = int(digits) * unit if digits else 128 << 20
-            n = max(1, math.ceil(size / max_pb))
-            self.overwrite(target.coalesce(n))
+            self.overwrite(target.coalesce(self._scan_split_count()))
             return
         sl = (
             target.filter(partition_filter)
@@ -343,6 +328,51 @@ class ParquetTable:
             target, affected, partition_by, "left_semi"
         )
         self._stage_and_swap_partitions(target_slice, partition_by, affected_rows)
+
+    def _scan_split_count(self) -> int:
+        """ceil(table bytes / spark.sql.files.maxPartitionBytes): the
+        file count at which one data file == one scan split."""
+        import math
+
+        fs, jpath = self._fs_and_path(self.path)
+        size = int(fs.getContentSummary(jpath).getLength())
+        raw = str(
+            self.spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        ).lower()
+        digits = "".join(c for c in raw if c.isdigit())
+        unit = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(
+            raw.rstrip("b").strip()[-1:], 1
+        )
+        max_pb = int(digits) * unit if digits else 128 << 20
+        return max(1, math.ceil(size / max_pb))
+
+    def cluster(self, sort_cols: list[str], target_files: int | None = None) -> None:
+        """Layout verb: rewrite the table range-clustered on `sort_cols`
+        so parquet min/max statistics become selective for them.
+
+        `repartitionByRange` assigns each output file a DISJOINT range
+        of the sort key (sampled range boundaries — one shuffle), and
+        `sortWithinPartitions` makes the key monotonic inside each file
+        so every row group covers a narrow slice. A pushed-down filter
+        on the sort key then skips whole files and row groups via
+        footer stats — at 100 TB this is the difference between
+        scanning a table and scanning the few files a point/range
+        predicate touches. ClickHouse gets this from the MergeTree
+        ORDER BY key at insert time (reference init-clickhouse.sql);
+        on parquet it is a maintenance rewrite, run on the compaction
+        cadence for tables whose hot predicates are not the partition
+        key. Content-preserving: same rows, new physical order."""
+        if not self.exists():
+            return
+        n = target_files or self._scan_split_count()
+        out = (
+            self.read()
+            .repartitionByRange(n, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+        )
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        out.write.mode("overwrite").parquet(tmp)
+        self._swap_in(tmp)
 
     def merge_upsert_dedup(
         self,

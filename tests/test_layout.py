@@ -1,0 +1,111 @@
+"""ParquetTable.cluster: sort-on-write layout so parquet footer stats
+prune files and row groups for predicates on the cluster key.
+
+The assertions read the written parquet footers with pyarrow — the same
+min/max statistics Spark's pushed-down filters evaluate — so the test
+pins the physical property (disjoint per-file ranges, monotonic row
+groups) rather than a timing."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+from tests.conftest import SF_SMALL
+
+
+def _file_key_ranges(path: str, col: str) -> list[tuple[int, int]]:
+    """Per data file: (min, max) of `col` across its row groups, plus the
+    per-row-group mins (returned separately for the monotonicity check)."""
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        gmins, gmaxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max, f"{f} rg{rg}: no stats"
+            gmins.append(st.min)
+            gmaxs.append(st.max)
+        ranges.append((min(gmins), max(gmaxs), gmins))
+    return ranges
+
+
+def test_cluster_makes_file_ranges_disjoint(spark, tmp_path):
+    path = str(tmp_path / "orders")
+    tbl = ParquetTable(spark, path)
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    # write in hash order: key ranges overlap across every file
+    tbl.overwrite(src.repartition(4, "o_orderkey"))
+    before = _file_key_ranges(path, "o_orderkey")
+    assert len(before) == 4
+    overlaps = sum(
+        1
+        for i, a in enumerate(before)
+        for b in before[i + 1 :]
+        if a[0] <= b[1] and b[0] <= a[1]
+    )
+    assert overlaps > 0, "hash layout should interleave key ranges"
+
+    tbl.cluster(["o_orderkey"], target_files=4)
+
+    after = _file_key_ranges(path, "o_orderkey")
+    assert len(after) == 4
+    # disjoint file ranges: a pushed o_orderkey predicate prunes to one file
+    spans = sorted((lo, hi) for lo, hi, _ in after)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next, f"file ranges overlap: {spans}"
+    # monotonic row groups inside each file (sortWithinPartitions)
+    for _, _, gmins in after:
+        assert gmins == sorted(gmins)
+
+
+def test_cluster_preserves_content_and_swaps_atomically(spark, tmp_path):
+    path = str(tmp_path / "orders")
+    tbl = ParquetTable(spark, path)
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    tbl.overwrite(src.repartition(8))
+    expected = sorted(r["o_orderkey"] for r in src.select("o_orderkey").collect())
+
+    tbl.cluster(["o_orderdate", "o_orderkey"])
+
+    got = sorted(r["o_orderkey"] for r in tbl.read().select("o_orderkey").collect())
+    assert got == expected
+    # no stray tmp/backup dirs left behind by the rename dance
+    stray = [p for p in glob.glob(path + ".*") if ".tmp-" in p or ".old-" in p]
+    assert stray == []
+
+
+def test_cluster_default_sizes_to_scan_splits(spark, tmp_path):
+    path = str(tmp_path / "orders")
+    tbl = ParquetTable(spark, path)
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    tbl.overwrite(src.repartition(16))
+    tbl.cluster(["o_orderkey"])  # tiny table -> one scan split -> one file
+    assert tbl.file_count() == 1
+
+
+def test_cluster_missing_table_is_noop(spark, tmp_path):
+    tbl = ParquetTable(spark, str(tmp_path / "absent"))
+    tbl.cluster(["k"])  # must not raise
+    assert not tbl.exists()
+
+
+def test_clustered_scan_still_prunes_with_filter(spark, tmp_path):
+    """End-to-end: the pushed filter on the cluster key returns correct
+    rows off the clustered layout (stats pruning is a parquet-reader
+    fast path — correctness must be unchanged)."""
+    path = str(tmp_path / "orders")
+    tbl = ParquetTable(spark, path)
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    tbl.overwrite(src.repartition(4, "o_orderkey"))
+    tbl.cluster(["o_orderkey"], target_files=4)
+    probe = src.select(F.min("o_orderkey")).first()[0]
+    got = tbl.read().filter(F.col("o_orderkey") == probe).count()
+    want = src.filter(F.col("o_orderkey") == probe).count()
+    assert got == want and got >= 1
