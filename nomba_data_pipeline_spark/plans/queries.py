@@ -609,6 +609,77 @@ SELECT event_id, user_id, ts, value FROM events
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` sessionization through a streaming drain
+    (§2.10): events staged as one file, then a far-future sentinel row
+    (user_id -1) staged as a SECOND file. With a 0-second watermark
+    delay the sentinel batch advances the watermark past every real
+    session's end, so availableNow's final no-data micro-batch
+    finalizes and emits ALL sessions in append mode — the
+    watermark-flush pattern for draining a bounded corpus through a
+    stateful streaming operator. The real data rides in a single
+    micro-batch because in-batch rows are never late; cross-batch
+    session merging under partial watermarks is pinned separately in
+    tests/test_streaming.py. Oracle: gap-split cumsum in SQL with
+    session_window's interval semantics — an event at EXACTLY
+    last + gap starts a NEW session (windows [t, t+gap) merge only on
+    strict overlap), and session_end = last event + gap, unlike the
+    batch `sessionize` row whose end is max(ts)."""
+    import time as _time
+
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        sessionized_counts,
+        stream_events,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    stage, done = _stage_dir("stream_sess_src", sf_dir)
+    if not done:
+        events.coalesce(1).write.mode("overwrite").parquet(stage)
+        # the file source orders batches by modification time: the
+        # sentinel MUST land in a later batch than the data or its
+        # watermark would drop every real row
+        _time.sleep(1.05)
+        mx = events.agg(F.max("ts")).first()[0]
+        spark.createDataFrame(
+            [(-1, mx)], "user_id bigint, ts timestamp"
+        ).select(
+            "user_id", (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts")
+        ).coalesce(1).write.mode("append").parquet(stage)
+    stream = stream_events(spark, stage, events.schema, max_files=1)
+    sess = sessionized_counts(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessionize")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_sessionize").filter(F.col("user_id") != -1)
+
+
+SQL_STREAMING_SESSIONIZE = """
+WITH gapped AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST)
+),
+sessioned AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST
+                                     ROWS UNBOUNDED PRECEDING) AS seq
+    FROM gapped
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessioned GROUP BY user_id, seq
+"""
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality scoring, lang-id, fingerprinting per doc."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1603,6 +1674,44 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2.4, completing rollup/cube/pivot): an
+    ARBITRARY set list — (flag, status), (flag), () but deliberately NOT
+    (status) — which neither ROLLUP nor CUBE can express, through the
+    DataFrame `groupingSets` API (Spark 4). Plans identically to
+    cube/rollup: one Expand (3 projections here) + one hash aggregate,
+    so the cost model at 100 TB is rows x |sets| through a single
+    shuffle, not one aggregation pass per set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+SQL_REVENUE_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per segment (median + p90)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1916,4 +2025,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "contamination_ngrams": QuerySpec(q_contamination_ngrams, SQL_CONTAMINATION, "ext:contamination"),
     "domain_mix_sample": QuerySpec(q_domain_mix_sample, SQL_DOMAIN_MIX_SAMPLE, "ext:domain-mixing"),
     "sequence_packing": QuerySpec(q_sequence_packing, SQL_SEQUENCE_PACKING, "ext:sequence-packing"),
+    "revenue_grouping_sets": QuerySpec(q_revenue_grouping_sets, SQL_REVENUE_GROUPING_SETS, "§2.4:grouping-sets"),
+    "streaming_sessionize": QuerySpec(q_streaming_sessionize, SQL_STREAMING_SESSIONIZE, "§2.10:session-window"),
 }
