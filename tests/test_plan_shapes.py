@@ -224,6 +224,16 @@ def test_window_rows_single_shuffle(spark):
         assert "SinglePartition" not in _plan(REGISTRY[name].fn(spark, SF_SMALL)), name
 
 
+def test_grouping_sets_single_expand_single_agg_shuffle(spark):
+    """revenue_grouping_sets plans ONE Expand (3 projections) feeding a
+    partial + final hash aggregate through a single exchange — rows x
+    |sets| through one shuffle, never one aggregation pass per set."""
+    tree = _plan_tree(REGISTRY["revenue_grouping_sets"].fn(spark, SF_SMALL))
+    assert tree.count("Expand") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
 def test_quality_profile_single_scan(spark):
     """The graded quality battery reads the table ONCE (one scan, no
     joins, no per-check subplans); the distinct-count rewrite may add
