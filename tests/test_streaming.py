@@ -171,6 +171,60 @@ def test_session_window_stream_and_batch_equivalence(spark, tmp_path):
     assert ((7, "2026-01-01T00:00:00", 2) in got) and ((7, "2026-01-01T02:00:00", 1) in got)
 
 
+def test_session_merges_across_micro_batches(spark, tmp_path):
+    """A session whose events straddle a micro-batch boundary must merge
+    in state: file 1 holds the session's first two events, file 2 (a
+    later batch via maxFilesPerTrigger=1 + later mtime) holds a third
+    event within the gap, plus a far-future row that advances the
+    watermark and finalizes everything. The merged session must come
+    out as ONE row of 3 events — the stateful-merge behavior the graded
+    streaming_sessionize row's single-batch drain doesn't exercise."""
+    import os
+    import time
+    from datetime import datetime
+
+    src = os.path.join(tmp_path, "xsess_src")
+    out = os.path.join(tmp_path, "xsess_out")
+    ckpt = os.path.join(tmp_path, "xsess_ckpt")
+    spark.createDataFrame(
+        [(7, datetime(2026, 1, 1, 0, 0)), (7, datetime(2026, 1, 1, 0, 10))],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.05)  # file source orders batches by mtime
+    spark.createDataFrame(
+        [(7, datetime(2026, 1, 1, 0, 25)), (8, datetime(2026, 1, 1, 6, 0))],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        sessionized_counts,
+        stream_events,
+    )
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = stream_events(spark, src, schema, max_files=1)
+    q = (
+        sessionized_counts(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # one merged session: 00:00 -> 00:25, finalized end = last + gap
+    assert (7, "2026-01-01T00:00:00", "2026-01-01T00:55:00", 3) in got
+    # and NOT two fragments
+    assert not any(u == 7 and n < 3 for u, _, _, n in got), got
+
+
 def test_minute_rollup_stream_equals_batch(spark):
     """The graded streaming row: complete-mode availableNow rollup must
     equal the batch GROUP BY bit-for-bit (same oracle grades both)."""
