@@ -185,3 +185,46 @@ def minute_rollup_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    upper: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time interval bound:
+    right rows match a left row with the same key when
+    `left_ts <= right_ts <= left_ts + upper`.
+
+    Both sides carry watermarks, so Spark bounds each side's join state
+    to the watermark horizon plus the interval — without the time bound
+    a stream-stream join would have to buffer BOTH streams forever.
+    This is the streaming twin of the batch range join
+    (operators/rangejoin.py): same interval predicate, but evaluated
+    incrementally with O(keys x horizon) state instead of a bucketed
+    equi-join over data at rest. Works on batch frames too (the
+    interval condition degrades to a plain non-equi join), which the
+    test suite uses to pin stream/batch equivalence."""
+    l = left.alias("l")
+    r = right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_ts}").alias(left_ts),
+        F.col(f"r.{right_ts}").alias(right_ts),
+    )

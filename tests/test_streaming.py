@@ -283,3 +283,54 @@ def test_dedup_stream_state_evicts_beyond_watermark(spark, tmp_path):
     run_once()
     ones = sorted(r.v for r in spark.read.parquet(out).filter("id = 1").collect())
     assert ones == [1.0, 1.1], "evicted key must be re-emitted, proving bounded state"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """interval_join_streams: drain two file-source streams through a
+    watermarked stream-stream interval join; the emitted pairs must
+    equal the same join run as a plain batch non-equi join. Watermark
+    spans the data so no candidate pair is evicted before its partner
+    arrives."""
+    import os
+    from datetime import datetime, timedelta
+
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        interval_join_streams,
+    )
+
+    base = datetime(2026, 1, 1)
+    lrows = [(u, base + timedelta(minutes=m)) for u in (1, 2) for m in (0, 30)]
+    rrows = [
+        (1, base + timedelta(minutes=5)),    # joins 1@00:00 (within 10m)
+        (1, base + timedelta(minutes=29)),   # joins nothing (29m after 00:00, before 30:00)
+        (1, base + timedelta(minutes=31)),   # joins 1@00:30
+        (2, base + timedelta(minutes=45)),   # joins nothing (>10m after 00:30)
+        (3, base + timedelta(minutes=1)),    # no matching key
+    ]
+    lsrc = os.path.join(tmp_path, "ljoin_src")
+    rsrc = os.path.join(tmp_path, "rjoin_src")
+    lb = spark.createDataFrame(lrows, "user_id long, ts timestamp")
+    rb = spark.createDataFrame(rrows, "user_id long, rts timestamp")
+    lb.coalesce(1).write.parquet(lsrc)
+    rb.coalesce(1).write.parquet(rsrc)
+
+    ls = spark.readStream.schema(lb.schema).parquet(lsrc)
+    rs = spark.readStream.schema(rb.schema).parquet(rsrc)
+    q = (
+        interval_join_streams(ls, rs, upper="10 minutes", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssij")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(map(str, r)) for r in spark.table("ssij").collect()}
+
+    want = {
+        tuple(map(str, r))
+        for r in interval_join_streams(lb, rb, upper="10 minutes").collect()
+    }
+    assert got == want
+    # and the batch truth is what the scenario says it is
+    assert len(want) == 2
