@@ -74,8 +74,17 @@ def cmd_cluster(args) -> int:
     from nomba_data_pipeline_spark.operators.merge import ParquetTable
 
     spark = _spark(args)
+    from pyspark.sql import functions as F
+
     t = ParquetTable(spark, os.path.join(args.warehouse, args.model))
-    t.cluster(args.by, target_files=args.target_files)
+    t.cluster(
+        args.by,
+        target_files=args.target_files,
+        partition_by=args.partition_by or None,
+        partition_filter=F.expr(args.partition_filter)
+        if args.partition_filter
+        else None,
+    )
     print(json.dumps({"model": args.model, "clustered_by": args.by, "files": t.file_count()}))
     return 0
 
@@ -122,6 +131,8 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--model", required=True)
     cl.add_argument("--by", nargs="+", required=True, help="sort/cluster columns")
     cl.add_argument("--target-files", type=int)
+    cl.add_argument("--partition-by", nargs="*", help="hive partition columns (cluster within partitions)")
+    cl.add_argument("--partition-filter", help="SQL predicate over partition columns, e.g. \"month='2026-01'\"")
     cl.set_defaults(fn=cmd_cluster)
 
     l = sub.add_parser("list", help="list registry queries")

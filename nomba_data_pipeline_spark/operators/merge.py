@@ -237,16 +237,23 @@ class ParquetTable:
         self._stage_and_swap_partitions(merged, partition_by, affected_rows)
 
     def _stage_and_swap_partitions(
-        self, merged: DataFrame, partition_by: list[str], affected_rows
+        self,
+        merged: DataFrame,
+        partition_by: list[str],
+        affected_rows,
+        sort_cols: list[str] | None = None,
     ) -> None:
         """Stage `merged` partitioned in a temp dir (writing straight
         into self.path would delete input files while the plan still
-        reads them), then swap each affected partition directory in."""
+        reads them), then swap each affected partition directory in.
+        `sort_cols` additionally orders rows inside each partition's
+        file (cluster()'s within-partition layout)."""
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         # co-locate per partition before the write (see overwrite())
-        merged.repartition(*partition_by).write.mode("overwrite").partitionBy(
-            *partition_by
-        ).parquet(tmp)
+        staged = merged.repartition(*partition_by)
+        if sort_cols:
+            staged = staged.sortWithinPartitions(*partition_by, *sort_cols)
+        staged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
         fs, _ = self._fs_and_path(self.path)
         jvm = self.spark._jvm
         jvm_path = jvm.org.apache.hadoop.fs.Path
@@ -329,6 +336,14 @@ class ParquetTable:
         )
         self._stage_and_swap_partitions(target_slice, partition_by, affected_rows)
 
+    def _looks_partitioned(self) -> bool:
+        """True when the table root holds hive-style `col=value` dirs."""
+        fs, jpath = self._fs_and_path(self.path)
+        for st in fs.listStatus(jpath):
+            if st.isDirectory() and "=" in st.getPath().getName():
+                return True
+        return False
+
     def _scan_split_count(self) -> int:
         """ceil(table bytes / spark.sql.files.maxPartitionBytes): the
         file count at which one data file == one scan split."""
@@ -346,29 +361,65 @@ class ParquetTable:
         max_pb = int(digits) * unit if digits else 128 << 20
         return max(1, math.ceil(size / max_pb))
 
-    def cluster(self, sort_cols: list[str], target_files: int | None = None) -> None:
+    def cluster(
+        self,
+        sort_cols: list[str],
+        target_files: int | None = None,
+        partition_by: list[str] | None = None,
+        partition_filter=None,
+    ) -> None:
         """Layout verb: rewrite the table range-clustered on `sort_cols`
         so parquet min/max statistics become selective for them.
 
-        `repartitionByRange` assigns each output file a DISJOINT range
-        of the sort key (sampled range boundaries — one shuffle), and
-        `sortWithinPartitions` makes the key monotonic inside each file
-        so every row group covers a narrow slice. A pushed-down filter
-        on the sort key then skips whole files and row groups via
-        footer stats — at 100 TB this is the difference between
-        scanning a table and scanning the few files a point/range
-        predicate touches. ClickHouse gets this from the MergeTree
-        ORDER BY key at insert time (reference init-clickhouse.sql);
-        on parquet it is a maintenance rewrite, run on the compaction
-        cadence for tables whose hot predicates are not the partition
-        key. Content-preserving: same rows, new physical order."""
+        Unpartitioned: `repartitionByRange` assigns each output file a
+        DISJOINT range of the sort key (sampled range boundaries — one
+        shuffle), and `sortWithinPartitions` makes the key monotonic
+        inside each file so every row group covers a narrow slice. A
+        pushed-down filter on the sort key then skips whole files and
+        row groups via footer stats — at 100 TB this is the difference
+        between scanning a table and scanning the few files a
+        point/range predicate touches. ClickHouse gets this from the
+        MergeTree ORDER BY key at insert time (reference
+        init-clickhouse.sql); on parquet it is a maintenance rewrite,
+        run on the compaction cadence for tables whose hot predicates
+        are not the partition key.
+
+        Hive-partitioned tables pass `partition_by` (+ optional
+        `partition_filter`, compact()-style): only matching partitions
+        are rewritten — directory layout preserved, atomic per-dir swap
+        — with `sort_cols` ordered inside each partition's file for
+        row-group skipping WITHIN the partition. Never cluster a
+        partitioned table without `partition_by`: a flat rewrite would
+        silently drop the directory layout (guarded below). Content-
+        preserving either way: same rows, new physical order."""
         if not self.exists():
             return
+        target = self.read()
+        if partition_by:
+            sl = (
+                target.filter(partition_filter)
+                if partition_filter is not None
+                else target
+            )
+            affected = sl.select(*partition_by).dropDuplicates(partition_by)
+            affected_rows = affected.collect()
+            if not affected_rows:
+                return
+            target_slice = _semi_anti_null_safe(
+                target, affected, partition_by, "left_semi"
+            )
+            self._stage_and_swap_partitions(
+                target_slice, partition_by, affected_rows, sort_cols=sort_cols
+            )
+            return
+        if self._looks_partitioned():
+            raise ValueError(
+                f"{self.path} looks hive-partitioned; pass partition_by to "
+                "cluster within partitions instead of flattening the layout"
+            )
         n = target_files or self._scan_split_count()
-        out = (
-            self.read()
-            .repartitionByRange(n, *sort_cols)
-            .sortWithinPartitions(*sort_cols)
+        out = target.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
         )
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         out.write.mode("overwrite").parquet(tmp)

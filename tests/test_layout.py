@@ -109,3 +109,54 @@ def test_clustered_scan_still_prunes_with_filter(spark, tmp_path):
     got = tbl.read().filter(F.col("o_orderkey") == probe).count()
     want = src.filter(F.col("o_orderkey") == probe).count()
     assert got == want and got >= 1
+
+
+def test_cluster_partitioned_preserves_layout_and_sorts_within(spark, tmp_path):
+    """Partitioned cluster: directory layout survives, only matching
+    partitions are rewritten, and rows inside each rewritten partition
+    file are monotonic on the sort key (row-group skipping within the
+    partition)."""
+    path = str(tmp_path / "orders_p")
+    tbl = ParquetTable(spark, path)
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumn(
+        "flag", F.col("o_orderkey") % 2
+    )
+    tbl.overwrite(src.repartition(6), partition_by=["flag"])
+    dirs_before = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(path, "flag=*"))
+    )
+    f1_before = sorted(glob.glob(os.path.join(path, "flag=1", "*.parquet")))
+
+    tbl.cluster(
+        ["o_orderkey"], partition_by=["flag"], partition_filter=F.col("flag") == 0
+    )
+
+    dirs_after = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(path, "flag=*"))
+    )
+    assert dirs_before == dirs_after == ["flag=0", "flag=1"]
+    # rewritten partition: one file, sorted on the key
+    f0 = glob.glob(os.path.join(path, "flag=0", "*.parquet"))
+    assert len(f0) == 1
+    (lo, hi, gmins) = _file_key_ranges(os.path.join(path, "flag=0"), "o_orderkey")[0]
+    assert gmins == sorted(gmins)
+    # filtered-out partition untouched: literally the same files
+    f1_after = sorted(glob.glob(os.path.join(path, "flag=1", "*.parquet")))
+    assert f1_after == f1_before
+    # content preserved
+    got = sorted(r["o_orderkey"] for r in tbl.read().collect())
+    want = sorted(r["o_orderkey"] for r in src.collect())
+    assert got == want
+
+
+def test_cluster_refuses_flat_rewrite_of_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "orders_p2")
+    tbl = ParquetTable(spark, path)
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumn(
+        "flag", F.col("o_orderkey") % 2
+    )
+    tbl.overwrite(src, partition_by=["flag"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        tbl.cluster(["o_orderkey"])
