@@ -8,9 +8,11 @@ key-range slice in parallel; the incremental predicate
 (`WHERE tracking > hwm`, postgres_loader.py:135-137) is pushed into the
 remote query by Catalyst.
 
-No JDBC driver or database exists in this container, so the reader is
-import-gated: constructing the options is pure logic (tested); the
-actual `.load()` requires a live database + driver jar.
+No Postgres exists in this container, but Spark ships embedded Derby
+on its classpath, so the REAL `.load()` path — partitioned key-range
+scan + Catalyst filter pushdown into the remote query — is exercised
+against an in-memory Derby database in tests/test_jdbc.py; pointing
+the same reader at Postgres is a URL + driver-jar change.
 """
 
 from __future__ import annotations
