@@ -643,11 +643,12 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # watermark would drop every real row
         _time.sleep(1.05)
         mx = events.agg(F.max("ts")).first()[0]
-        spark.createDataFrame(
-            [(-1, mx)], "user_id bigint, ts timestamp"
-        ).select(
-            "user_id", (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts")
-        ).coalesce(1).write.mode("append").parquet(stage)
+        if mx is not None:  # empty corpus: no sentinel needed (0 sessions)
+            spark.createDataFrame(
+                [(-1, mx)], "user_id bigint, ts timestamp"
+            ).select(
+                "user_id", (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts")
+            ).coalesce(1).write.mode("append").parquet(stage)
     stream = stream_events(spark, stage, events.schema, max_files=1)
     sess = sessionized_counts(stream, gap="30 minutes", watermark="0 seconds")
     q = (
