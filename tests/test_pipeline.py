@@ -176,6 +176,23 @@ def test_cli_run_query_compact(spark, tmp_path, capsys):
     cj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert cj["files_after"] <= cj["files_before"]
 
+    rc = main(
+        [
+            "--sf-dir",
+            SF_SMALL,
+            "cluster",
+            "--warehouse",
+            wh,
+            "--model",
+            "stg_users",
+            "--by",
+            "user_id",
+        ]
+    )
+    assert rc == 0
+    clj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert clj["clustered_by"] == ["user_id"] and clj["files"] >= 1
+
     rc = main(["list"])
     assert rc == 0
     assert "flagship_revenue_by_region" in capsys.readouterr().out
