@@ -63,9 +63,16 @@ def cmd_compact(args) -> int:
     from nomba_data_pipeline_spark.operators.merge import ParquetTable
 
     spark = _spark(args)
+    from pyspark.sql import functions as F
+
     t = ParquetTable(spark, os.path.join(args.warehouse, args.model))
     before = t.file_count()
-    t.compact(partition_by=args.partition_by or None)
+    t.compact(
+        partition_by=args.partition_by or None,
+        partition_filter=F.expr(args.partition_filter)
+        if args.partition_filter
+        else None,
+    )
     print(json.dumps({"model": args.model, "files_before": before, "files_after": t.file_count()}))
     return 0
 
@@ -122,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--warehouse", required=True)
     c.add_argument("--model", required=True)
     c.add_argument("--partition-by", nargs="*")
+    c.add_argument("--partition-filter", help="SQL predicate over partition columns")
     c.set_defaults(fn=cmd_compact)
 
     cl = sub.add_parser(

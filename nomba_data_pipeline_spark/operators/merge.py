@@ -242,15 +242,26 @@ class ParquetTable:
         partition_by: list[str],
         affected_rows,
         sort_cols: list[str] | None = None,
+        target_files: int | None = None,
     ) -> None:
         """Stage `merged` partitioned in a temp dir (writing straight
         into self.path would delete input files while the plan still
         reads them), then swap each affected partition directory in.
         `sort_cols` additionally orders rows inside each partition's
-        file (cluster()'s within-partition layout)."""
+        files (cluster()'s within-partition layout). Default layout is
+        one task — one file — per partition; `target_files` (cluster of
+        a HOT partition bigger than one task should handle) switches to
+        a range repartition on (partition, sort) so a single partition
+        splits across tasks into multiple files with disjoint sort-key
+        ranges."""
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         # co-locate per partition before the write (see overwrite())
-        staged = merged.repartition(*partition_by)
+        if target_files and sort_cols:
+            staged = merged.repartitionByRange(
+                target_files, *partition_by, *sort_cols
+            )
+        else:
+            staged = merged.repartition(*partition_by)
         if sort_cols:
             staged = staged.sortWithinPartitions(*partition_by, *sort_cols)
         staged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
@@ -315,13 +326,38 @@ class ParquetTable:
         one file per partition, swapped atomically per directory — so
         maintenance on a hot partition never rewrites the table.
         Unpartitioned: full rewrite into ceil(bytes / maxPartitionBytes)
-        files, i.e. one scan-split per file."""
+        files, i.e. one scan-split per file. A hive-partitioned table
+        without `partition_by` is refused (a flat rewrite would silently
+        drop the directory layout), as is `partition_filter` without
+        `partition_by` (it would silently rewrite the whole table)."""
         if not self.exists():
             return
-        target = self.read()
         if not partition_by:
-            self.overwrite(target.coalesce(self._scan_split_count()))
+            if partition_filter is not None:
+                raise ValueError(
+                    "partition_filter requires partition_by — without it the "
+                    "scoped compact would silently become a full rewrite"
+                )
+            if self._looks_partitioned():
+                raise ValueError(
+                    f"{self.path} looks hive-partitioned; pass partition_by to "
+                    "compact per-partition instead of flattening the layout"
+                )
+            self.overwrite(self.read().coalesce(self._scan_split_count()))
             return
+        self._rewrite_scoped_partitions(partition_by, partition_filter)
+
+    def _rewrite_scoped_partitions(
+        self,
+        partition_by: list[str],
+        partition_filter=None,
+        sort_cols: list[str] | None = None,
+        target_files: int | None = None,
+    ) -> None:
+        """Shared scoping sequence for compact()/cluster(): find the
+        partitions matching `partition_filter`, slice them out with a
+        null-safe semi-join, and stage+swap only those directories."""
+        target = self.read()
         sl = (
             target.filter(partition_filter)
             if partition_filter is not None
@@ -334,7 +370,13 @@ class ParquetTable:
         target_slice = _semi_anti_null_safe(
             target, affected, partition_by, "left_semi"
         )
-        self._stage_and_swap_partitions(target_slice, partition_by, affected_rows)
+        self._stage_and_swap_partitions(
+            target_slice,
+            partition_by,
+            affected_rows,
+            sort_cols=sort_cols,
+            target_files=target_files,
+        )
 
     def _looks_partitioned(self) -> bool:
         """True when the table root holds hive-style `col=value` dirs."""
@@ -394,31 +436,26 @@ class ParquetTable:
         preserving either way: same rows, new physical order."""
         if not self.exists():
             return
-        target = self.read()
         if partition_by:
-            sl = (
-                target.filter(partition_filter)
-                if partition_filter is not None
-                else target
-            )
-            affected = sl.select(*partition_by).dropDuplicates(partition_by)
-            affected_rows = affected.collect()
-            if not affected_rows:
-                return
-            target_slice = _semi_anti_null_safe(
-                target, affected, partition_by, "left_semi"
-            )
-            self._stage_and_swap_partitions(
-                target_slice, partition_by, affected_rows, sort_cols=sort_cols
+            self._rewrite_scoped_partitions(
+                partition_by,
+                partition_filter,
+                sort_cols=sort_cols,
+                target_files=target_files,
             )
             return
+        if partition_filter is not None:
+            raise ValueError(
+                "partition_filter requires partition_by — without it the "
+                "scoped cluster would silently become a full rewrite"
+            )
         if self._looks_partitioned():
             raise ValueError(
                 f"{self.path} looks hive-partitioned; pass partition_by to "
                 "cluster within partitions instead of flattening the layout"
             )
         n = target_files or self._scan_split_count()
-        out = target.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+        out = self.read().repartitionByRange(n, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"

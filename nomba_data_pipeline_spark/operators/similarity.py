@@ -27,6 +27,35 @@ from pyspark.sql import functions as F
 
 SIM_DP = 6  # rounding for cross-engine determinism
 
+# cap on the (batch x query-chunk x tables) collision tensor: 1<<25
+# bools = 32 MiB per in-flight chunk, so per-task memory stays bounded
+# no matter how large the broadcast query set grows
+_COLL_CHUNK_ELEMS = 1 << 25
+
+
+def _any_table_collision(buck, qbuck):
+    """(row, query) index pairs colliding in ANY LSH table, computed in
+    query-axis chunks so the boolean broadcast tensor never exceeds
+    _COLL_CHUNK_ELEMS elements — the fully vectorized form allocates
+    O(batch x |Q| x tables) at once, a per-task memory cliff for large
+    query sets (a few thousand queries x a 10k-row Arrow batch x 16
+    tables is already ~0.4 GiB)."""
+    import numpy as np
+
+    n_rows, n_tables = buck.shape
+    n_q = len(qbuck)
+    if n_rows == 0 or n_q == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    step = max(1, _COLL_CHUNK_ELEMS // max(1, n_rows * n_tables))
+    ris, qis = [], []
+    for lo in range(0, n_q, step):
+        part = (buck[:, None, :] == qbuck[None, lo : lo + step, :]).any(axis=2)
+        ri, qi = np.nonzero(part)
+        ris.append(ri)
+        qis.append(qi + lo)
+    return np.concatenate(ris), np.concatenate(qis)
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -520,16 +549,25 @@ def cosine_topk_ivf(
             mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             lists = np.argmax(mat @ b_c.T, axis=1)  # corpus batch assignment
-            sims = np.round(mat @ b_qn.T, SIM_DP)  # batch x |Q|
-            # mask: query q sees row r only if lists[r] in probe[q]
-            mask = (b_probe[None, :, :] == lists[:, None, None]).any(axis=2)
-            rows_i, cols_j = np.where(mask)
+            # candidates: query q sees row r only if lists[r] in probe[q]
+            # (chunked like the LSH path — bounds the mask tensor)
+            rows_i, cols_j = _any_table_collision(lists.reshape(-1, 1), b_probe)
+            if len(rows_i) == 0:
+                continue
             nids = pdf["__id"].to_numpy()
+            # dense regime (high probe fraction, e.g. 8/16 lists): full
+            # matmul + fancy index; sparse regime (n_probe << n_lists,
+            # the 100 TB shape): gather only candidate pairs so flops
+            # AND memory track the candidate count, not batch x |Q|
+            if len(rows_i) > 0.25 * len(mat) * len(b_qids):
+                sims = np.round((mat @ b_qn.T)[rows_i, cols_j], SIM_DP)
+            else:
+                sims = np.round((mat[rows_i] * b_qn[cols_j]).sum(axis=1), SIM_DP)
             yield pd.DataFrame(
                 {
                     "query_id": b_qids[cols_j],
                     "neighbor_id": nids[rows_i],
-                    "sim": sims[rows_i, cols_j],
+                    "sim": sims,
                 }
             )
 
@@ -848,14 +886,13 @@ def cosine_topk_lsh(
                 continue
             mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
             buck = bucketize(mat)  # batch x tables
-            # candidate = collides with the query in ANY table. One
-            # broadcast equality over (batch x |Q| x tables) bools —
-            # no per-bucket Python loop, and the any() IS the
-            # cross-table dedup (the old bucket-loop + np.unique path
-            # cost more than brute force's matmul whenever the corpus
-            # is diffuse and most pairs collide somewhere).
-            coll = (buck[:, None, :] == b_qbuck[None, :, :]).any(axis=2)
-            ri, qi = np.nonzero(coll)
+            # candidate = collides with the query in ANY table — the
+            # broadcast equality is chunked over the query axis so the
+            # bool tensor stays memory-bounded per task, and the any()
+            # IS the cross-table dedup (the old bucket-loop + np.unique
+            # path cost more than brute force's matmul whenever the
+            # corpus is diffuse and most pairs collide somewhere).
+            ri, qi = _any_table_collision(buck, b_qbuck)
             if len(ri) == 0:
                 continue
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -863,7 +900,7 @@ def cosine_topk_lsh(
             # dense-candidate regime (pruning-hostile corpus): one BLAS
             # matmul + fancy-index beats materializing a |cand| x d
             # gather; sparse regime: gather only the candidates
-            if len(ri) > 0.25 * coll.size:
+            if len(ri) > 0.25 * len(mat) * len(b_qids):
                 sims = np.round((mat @ b_qn.T)[ri, qi], SIM_DP)
             else:
                 sims = np.round((mat[ri] * b_qn[qi]).sum(axis=1), SIM_DP)
@@ -998,9 +1035,8 @@ def cosine_topk_lsh_indexed(
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             buck = np.stack(pdf["buckets"].to_numpy()).astype(np.int64)
             nids = pdf["vec_id"].to_numpy()
-            # same vectorized any-table collision as cosine_topk_lsh
-            coll = (buck[:, None, :] == b_qbuck[None, :, :]).any(axis=2)
-            ri, qi = np.nonzero(coll)
+            # same chunked any-table collision as cosine_topk_lsh
+            ri, qi = _any_table_collision(buck, b_qbuck)
             if len(ri) == 0:
                 continue
             sims = np.round((mat[ri] * b_qn[qi]).sum(axis=1), SIM_DP)
@@ -1130,16 +1166,22 @@ def cosine_topk_ivf_indexed(
                 continue
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            lists = pdf["list_id"].to_numpy()
-            sims = np.round(mat @ b_qn.T, SIM_DP)  # batch x |Q|
-            mask = (b_probe[None, :, :] == lists[:, None, None]).any(axis=2)
-            rows_i, cols_j = np.where(mask)
+            lists = pdf["list_id"].to_numpy().astype(np.int64)
+            # chunked candidate mask + regime-adaptive scoring, same as
+            # the unindexed probe path
+            rows_i, cols_j = _any_table_collision(lists.reshape(-1, 1), b_probe)
+            if len(rows_i) == 0:
+                continue
             nids = pdf["vec_id"].to_numpy()
+            if len(rows_i) > 0.25 * len(mat) * len(b_qids):
+                sims = np.round((mat @ b_qn.T)[rows_i, cols_j], SIM_DP)
+            else:
+                sims = np.round((mat[rows_i] * b_qn[cols_j]).sum(axis=1), SIM_DP)
             yield pd.DataFrame(
                 {
                     "query_id": b_qids[cols_j],
                     "neighbor_id": nids[rows_i],
-                    "sim": sims[rows_i, cols_j],
+                    "sim": sims,
                 }
             )
 

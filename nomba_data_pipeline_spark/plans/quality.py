@@ -45,12 +45,10 @@ class QualitySpec:
     accepted_values: dict[str, list] = field(default_factory=dict)
     min_rows: int = 0  # volume floor: catch an accidentally-empty build
 
-    def profile(self, df: DataFrame) -> tuple[dict[str, int], int]:
-        """All declared checks + the row count in ONE aggregation pass.
-        Returns ({check_name: violations}, total_rows). The `unique`
-        metric is excess duplicate rows (count - countDistinct over
-        non-null values); 0 iff unique holds, same assert semantics as
-        the dbt test."""
+    def _build_aggs(self) -> list:
+        """The one aggregation list both profile() and profile_df() run:
+        a change to any check's counting semantics lands in both the
+        collected gate and the graded long-form profile."""
         aggs = [F.count(F.lit(1)).alias("__total")]
         for c in self.unique:
             aggs.append(F.count(c).alias(f"__u_cnt:{c}"))
@@ -63,7 +61,15 @@ class QualitySpec:
                     F.when(F.col(c).isNotNull() & ~F.col(c).isin(vals), 1).otherwise(0)
                 ).alias(f"__av:{c}")
             )
-        row = df.agg(*aggs).first()
+        return aggs
+
+    def profile(self, df: DataFrame) -> tuple[dict[str, int], int]:
+        """All declared checks + the row count in ONE aggregation pass.
+        Returns ({check_name: violations}, total_rows). The `unique`
+        metric is excess duplicate rows (count - countDistinct over
+        non-null values); 0 iff unique holds, same assert semantics as
+        the dbt test."""
+        row = df.agg(*self._build_aggs()).first()
         total = row["__total"]
         results: dict[str, int] = {}
         for c in self.unique:
@@ -87,19 +93,7 @@ class QualitySpec:
         SQL oracle and composable downstream (e.g. append per-run
         profiles to a quality-history table). One aggregation producing
         ONE row, then a stack() unpivot: still exactly one scan."""
-        aggs = [F.count(F.lit(1)).alias("__total")]
-        for c in self.unique:
-            aggs.append(F.count(c).alias(f"__u_cnt:{c}"))
-            aggs.append(F.countDistinct(c).alias(f"__u_dst:{c}"))
-        for c in self.not_null:
-            aggs.append(F.count(c).alias(f"__nn:{c}"))
-        for c, vals in self.accepted_values.items():
-            aggs.append(
-                F.sum(
-                    F.when(F.col(c).isNotNull() & ~F.col(c).isin(vals), 1).otherwise(0)
-                ).alias(f"__av:{c}")
-            )
-        one = df.agg(*aggs)
+        one = df.agg(*self._build_aggs())
         pairs: list = []
         for c in self.unique:
             pairs.append(

@@ -47,25 +47,32 @@ _STAGE_ROOT: Optional[str] = None
 _STAGED: set[str] = set()
 
 
-def _stage_dir(key: str, sf_dir: str) -> tuple[str, bool]:
-    """Return (path, already_staged) for a stage slot. The caller writes
-    the copy only when already_staged is False."""
+def _stage_dir(key: str, sf_dir: str, write) -> str:
+    """Return the stage path for a slot, invoking `write(path)` to
+    populate it on first use. The slot is marked staged only AFTER the
+    write succeeds — a failed staging attempt (disk full, interrupted
+    job) must not poison later invocations into reading a missing or
+    half-written directory — and any partial output from a previous
+    failed attempt is cleared before retrying."""
     global _STAGE_ROOT
+    import os
+    import shutil
+
     if _STAGE_ROOT is None:
         import atexit
-        import shutil
         import tempfile
 
         _STAGE_ROOT = tempfile.mkdtemp(prefix="nomba_stage_")
         atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
-    import os
 
     slot = f"{key}-{sf_dir.strip('/').replace('/', '_')}"
     path = os.path.join(_STAGE_ROOT, slot)
     if slot in _STAGED:
-        return path, True
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    write(path)
     _STAGED.add(slot)
-    return path, False
+    return path
 
 
 # ---------------------------------------------------------------------------
@@ -280,9 +287,7 @@ def q_mongo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("mongo").alias("src"),
         ).alias("meta"),
     )
-    stage, done = _stage_dir("mongo_stage", sf_dir)
-    if not done:
-        MG.stage_mongo_dump(docs, stage)
+    stage = _stage_dir("mongo_stage", sf_dir, lambda p: MG.stage_mongo_dump(docs, p))
     return MG.extract_mongo_stage(
         spark,
         stage,
@@ -485,9 +490,9 @@ def q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nomba_data_pipeline_spark.streaming.microbatch import minute_rollup_stream
 
     events = load_table(spark, sf_dir, "events")
-    stage, done = _stage_dir("stream_src", sf_dir)
-    if not done:
-        events.write.mode("overwrite").parquet(stage)
+    stage = _stage_dir(
+        "stream_src", sf_dir, lambda p: events.write.mode("overwrite").parquet(p)
+    )
     return minute_rollup_stream(spark, stage, events.schema)
 
 
@@ -528,9 +533,11 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nomba_data_pipeline_spark.streaming.stateful import running_user_totals
 
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    stage, done = _stage_dir("stateful_src", sf_dir)
-    if not done:
-        events.repartition(4).write.mode("overwrite").parquet(stage)
+    stage = _stage_dir(
+        "stateful_src",
+        sf_dir,
+        lambda p: events.repartition(4).write.mode("overwrite").parquet(p),
+    )
     stream = stream_events(spark, stage, events.schema, max_files=1)
     q = (
         running_user_totals(stream, timeout=False)
@@ -586,11 +593,14 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    stage, done = _stage_dir("stream_dedup_src", sf_dir)
-    if not done:
-        events.unionByName(events).repartition(4).write.mode("overwrite").parquet(
-            stage
-        )
+    stage = _stage_dir(
+        "stream_dedup_src",
+        sf_dir,
+        lambda p: events.unionByName(events)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     stream = stream_events(spark, stage, events.schema, max_files=1)
     dd = dedup_stream(stream, ["event_id"], watermark="36500 days")
     q = (
@@ -635,9 +645,8 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    stage, done = _stage_dir("stream_sess_src", sf_dir)
-    if not done:
-        events.coalesce(1).write.mode("overwrite").parquet(stage)
+    def _stage_with_sentinel(p: str) -> None:
+        events.coalesce(1).write.mode("overwrite").parquet(p)
         # the file source orders batches by modification time: the
         # sentinel MUST land in a later batch than the data or its
         # watermark would drop every real row
@@ -648,7 +657,9 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [(-1, mx)], "user_id bigint, ts timestamp"
             ).select(
                 "user_id", (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts")
-            ).coalesce(1).write.mode("append").parquet(stage)
+            ).coalesce(1).write.mode("append").parquet(p)
+
+    stage = _stage_dir("stream_sess_src", sf_dir, _stage_with_sentinel)
     stream = stream_events(spark, stage, events.schema, max_files=1)
     sess = sessionized_counts(stream, gap="30 minutes", watermark="0 seconds")
     q = (
@@ -1925,17 +1936,22 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_totalprice"
     )
-    base, done = _stage_dir("bucketed", sf_dir)
     # catalog table names carry the sf suffix: the stage slot is
     # per-sf, so the table pointers must be too (a shared name would be
     # re-pointed by an interleaved call at another sf)
     suffix = sf_dir.strip("/").rsplit("/", 1)[-1].replace(".", "_")
     tc, to = f"bkt_customer_{suffix}", f"bkt_orders_{suffix}"
-    # tableExists guards the staged-but-new-SparkSession edge (the files
-    # survive, the in-memory catalog entries may not)
-    if not done or not spark.catalog.tableExists(tc):
-        B.write_bucketed(cust, tc, 8, ["custkey"], ["custkey"], path=base + "/customer")
-        B.write_bucketed(orders, to, 8, ["custkey"], ["custkey"], path=base + "/orders")
+
+    def _write_both(p: str) -> None:
+        B.write_bucketed(cust, tc, 8, ["custkey"], ["custkey"], path=p + "/customer")
+        B.write_bucketed(orders, to, 8, ["custkey"], ["custkey"], path=p + "/orders")
+
+    base = _stage_dir("bucketed", sf_dir, _write_both)
+    # staged-but-new-SparkSession edge: the files survive but the
+    # in-memory catalog entries may not — re-register BOTH tables (a
+    # crash between the two writes must not leave a half-registered pair)
+    if not (spark.catalog.tableExists(tc) and spark.catalog.tableExists(to)):
+        _write_both(base)
     joined = B.bucketed_join(spark, to, tc, on=["custkey"])
     return joined.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_orders"),

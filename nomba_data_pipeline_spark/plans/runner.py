@@ -231,6 +231,7 @@ class PipelineRunner:
         # materialize closed rows BEFORE swapping the open table they
         # derive from (both plans read the old open files)
         if stats["n"] > 0:
+            self._migrate_legacy_closed(closed_path)
             bid = f"{(stats['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{stats['n']}"
             self._rm_dir(os.path.join(closed_path, f"batch_id={bid}"))
             closed_now.withColumn("batch_id", F.lit(bid)).withColumn(
@@ -239,6 +240,37 @@ class PipelineRunner:
                 closed_path
             )
         open_t.overwrite(open_new)
+
+    def _migrate_legacy_closed(self, closed_path: str) -> None:
+        """One-time layout upgrade: closed history written before the
+        replay-safe batch ids is partitioned by close_date only. Mixing
+        the two depths under one root makes Spark's partition discovery
+        throw 'Conflicting directory structures', so any top-level
+        `close_date=` dirs are renamed under a `batch_id=legacy`
+        umbrella before the first new-layout append (metadata-only FS
+        renames; 'legacy' cannot collide with real ids, which are
+        16-hex + '-' + count)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(closed_path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return
+        legacy = [
+            st.getPath()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory() and st.getPath().getName().startswith("close_date=")
+        ]
+        if not legacy:
+            return
+        umbrella = jvm.org.apache.hadoop.fs.Path(closed_path + "/batch_id=legacy")
+        fs.mkdirs(umbrella)
+        for src in legacy:
+            dst = jvm.org.apache.hadoop.fs.Path(
+                f"{closed_path}/batch_id=legacy/{src.getName()}"
+            )
+            if not fs.rename(src, dst):
+                raise IOError(f"legacy closed-history migration failed: {src}")
+        self.spark.catalog.refreshByPath(closed_path)
 
     def _rm_dir(self, path: str) -> None:
         """Recursively delete a directory if present (Hadoop FS API, so

@@ -177,3 +177,35 @@ def test_sequence_packing_invariants(spark):
         # greedy rule: running span covers [0, hi*budget + last_offset]
         assert r.toks > r.hi * 2048 - 2048, "token mass inconsistent with bin span"
     df.unpersist()
+
+
+def test_stage_dir_failed_write_does_not_poison_slot(tmp_path):
+    """A staging write that dies mid-flight must NOT mark the slot
+    staged: the next invocation retries from a clean directory instead
+    of reading a missing/partial stage (the failure mode that would
+    silently corrupt every later graded call in the process)."""
+    import os
+
+    import pytest as _pytest
+
+    from nomba_data_pipeline_spark.plans import queries as Q
+
+    calls = {"n": 0}
+
+    def flaky(path):
+        calls["n"] += 1
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "partial"), "w") as f:
+            f.write("x")
+        if calls["n"] == 1:
+            raise IOError("disk full")
+
+    with _pytest.raises(IOError):
+        Q._stage_dir("poison_probe", "/sf/test", flaky)
+    # retry runs the writer again on a cleared dir and commits the slot
+    p = Q._stage_dir("poison_probe", "/sf/test", flaky)
+    assert calls["n"] == 2
+    assert os.path.exists(os.path.join(p, "partial"))
+    # third call: cached, writer not invoked
+    Q._stage_dir("poison_probe", "/sf/test", flaky)
+    assert calls["n"] == 2

@@ -160,3 +160,52 @@ def test_cluster_refuses_flat_rewrite_of_partitioned_table(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="hive-partitioned"):
         tbl.cluster(["o_orderkey"])
+
+
+def test_compact_refuses_flat_rewrite_and_filter_without_partition_by(
+    spark, tmp_path
+):
+    """compact() guards mirror cluster(): a hive-partitioned table
+    without partition_by raises instead of silently flattening the
+    layout, and partition_filter without partition_by raises instead of
+    silently full-rewriting."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "orders_pc")
+    tbl = ParquetTable(spark, path)
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumn(
+        "flag", F.col("o_orderkey") % 2
+    )
+    tbl.overwrite(src, partition_by=["flag"])
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        tbl.compact()
+    with _pytest.raises(ValueError, match="partition_filter requires"):
+        tbl.compact(partition_filter=F.col("flag") == 0)
+    with _pytest.raises(ValueError, match="partition_filter requires"):
+        ParquetTable(spark, str(tmp_path / "absent2")).overwrite(src.drop("flag"))
+        t2 = ParquetTable(spark, str(tmp_path / "absent2"))
+        t2.cluster(["o_orderkey"], partition_filter=F.col("o_orderkey") > 0)
+
+
+def test_cluster_hot_partition_splits_into_ranged_files(spark, tmp_path):
+    """target_files on the partitioned path: a hot partition is rewritten
+    by multiple tasks into multiple files whose sort-key ranges are
+    disjoint — not funneled through one task into one giant file."""
+    path = str(tmp_path / "orders_hot")
+    tbl = ParquetTable(spark, path)
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumn(
+        "flag", F.lit(0)
+    )  # ONE hot partition holds everything
+    tbl.overwrite(src, partition_by=["flag"])
+
+    tbl.cluster(["o_orderkey"], partition_by=["flag"], target_files=4)
+
+    pdir = os.path.join(path, "flag=0")
+    ranges = _file_key_ranges(pdir, "o_orderkey")
+    assert len(ranges) == 4
+    spans = sorted((lo, hi) for lo, hi, _ in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next, f"ranges overlap: {spans}"
+    for _, _, gmins in ranges:
+        assert gmins == sorted(gmins)
+    assert tbl.read().count() == src.count()

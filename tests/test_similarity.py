@@ -283,3 +283,29 @@ def test_ivf_index_covers_corpus(spark):
     ).collect()[0]
     assert stats.n == emb.count()
     assert 0 <= stats.lo and stats.hi < 8
+
+
+def test_any_table_collision_chunking_matches_full_broadcast(monkeypatch):
+    """The chunked collision scan must return exactly the pairs the
+    single full-broadcast tensor would, regardless of chunk size."""
+    import numpy as np
+
+    from nomba_data_pipeline_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    buck = rng.integers(0, 8, size=(50, 3)).astype(np.int64)
+    qbuck = rng.integers(0, 8, size=(37, 3)).astype(np.int64)
+    full = (buck[:, None, :] == qbuck[None, :, :]).any(axis=2)
+    want = set(zip(*np.nonzero(full)))
+    for chunk in (1, 17, 1 << 25):
+        monkeypatch.setattr(S, "_COLL_CHUNK_ELEMS", chunk)
+        ri, qi = S._any_table_collision(buck, qbuck)
+        assert set(zip(ri.tolist(), qi.tolist())) == want
+    # scalar-list (IVF) shape: row list vs per-query probe set
+    lists = rng.integers(0, 8, size=40).astype(np.int64)
+    probe = rng.integers(0, 8, size=(11, 4)).astype(np.int64)
+    full2 = (probe[None, :, :] == lists[:, None, None]).any(axis=2)
+    want2 = set(zip(*np.where(full2)))
+    monkeypatch.setattr(S, "_COLL_CHUNK_ELEMS", 13)
+    ri, qi = S._any_table_collision(lists.reshape(-1, 1), probe)
+    assert set(zip(ri.tolist(), qi.tolist())) == want2
