@@ -8,10 +8,12 @@ Reference surface (cited into /root/reference):
              the s3() table function (:326-341).
   S8 GCS  — parallel gs:// branch (base_loader.py:300-301,792-794).
 
-Spark mapping: `df.write.json/parquet(stage_path)` + `spark.read...` —
-the path scheme (s3a://, gs://, file://) selects the connector, so the
-same code serves S3/GCS/HDFS. JSON is kept for reference parity;
-parquet is the default at-rest format (columnar, splittable, pushdown).
+Spark mapping: `df.write.json/parquet/orc(stage_path)` + `spark.read...`
+— the path scheme (s3a://, gs://, file://) selects the connector, so
+the same code serves S3/GCS/HDFS. JSON is kept for reference parity;
+parquet is the default at-rest format (columnar, splittable, pushdown);
+ORC is the third Spark-native columnar option for warehouses already
+standardized on it (same pushdown/pruning path as parquet).
 """
 
 from __future__ import annotations
@@ -34,6 +36,8 @@ def write_stage(df: DataFrame, stage_path: str, fmt: str = "parquet") -> None:
     writer = df.write.mode("overwrite")
     if fmt == "json":
         writer.json(stage_path)
+    elif fmt == "orc":
+        writer.orc(stage_path)
     else:
         writer.parquet(stage_path)
 
@@ -48,4 +52,6 @@ def read_stage(spark: SparkSession, stage_path: str, fmt: str = "parquet") -> Da
             .option("columnNameOfCorruptRecord", "_corrupt_record")
             .json(stage_path)
         )
+    if fmt == "orc":
+        return spark.read.orc(stage_path)
     return spark.read.parquet(stage_path)

@@ -209,3 +209,30 @@ def test_stage_dir_failed_write_does_not_poison_slot(tmp_path):
     # third call: cached, writer not invoked
     Q._stage_dir("poison_probe", "/sf/test", flaky)
     assert calls["n"] == 2
+
+
+def test_stage_round_trip_all_formats(spark, tmp_path):
+    """write_stage/read_stage round-trips identically through every
+    supported interchange format — json (reference parity), parquet
+    (default), orc (Spark-native columnar alternative) — and a filter
+    on the columnar formats is pushed to the scan."""
+    from nomba_data_pipeline_spark.sources.staged import read_stage, write_stage
+    from tests.conftest import SF_SMALL
+
+    src = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    want = sorted(map(tuple, src.collect()))
+    for fmt in ("json", "parquet", "orc"):
+        p = str(tmp_path / f"stage_{fmt}")
+        write_stage(src, p, fmt=fmt)
+        back = read_stage(spark, p, fmt=fmt)
+        got = sorted(map(tuple, back.select(*src.columns).collect()))
+        assert got == want, fmt
+    # pushdown reaches the ORC scan like parquet
+    orc = read_stage(spark, str(tmp_path / "stage_orc"), fmt="orc")
+    plan = (
+        orc.filter(F.col("n_nationkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "n_nationkey" in plan, plan
