@@ -77,9 +77,7 @@ def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     shingle_expr = f"""
         CASE WHEN size(toks) >= {SHINGLE_N}
              THEN transform(sequence(1, size(toks) - {SHINGLE_N - 1}),
-                            i -> concat_ws(' ', element_at(toks, i),
-                                                element_at(toks, i + 1),
-                                                element_at(toks, i + 2)))
+                            i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))
              ELSE array()
         END
     """
@@ -92,9 +90,10 @@ def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def shingle_set_sql(table: str = "documents") -> str:
     nt = normalized_text_sql("text")
     return f"""
-    SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS shingle
     FROM (
-        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        SELECT doc_id, t, unnest(range(1, len(t) - {SHINGLE_N - 2})) AS i
         FROM (SELECT doc_id, string_split({nt}, ' ') AS t FROM {table})
         WHERE len(t) >= {SHINGLE_N}
     )

@@ -70,7 +70,20 @@ def scd2_apply(
     with no successor. Default False matches the reference's config
     (users_snapshot.sql:1-18 does not set it).
     """
-    ts = load_ts if load_ts is not None else F.current_timestamp()
+    if load_ts is None:
+        # Freeze NOW() on the driver: F.current_timestamp() is fixed
+        # per ACTION, and the two returned frames are materialized by
+        # separate actions (closed append, then open overwrite) —
+        # per-action stamps would leave a [T1, T2) hole between each
+        # closed row's valid_to and its successor's valid_from. The
+        # session tz is pinned UTC, so a naive-UTC literal lands on the
+        # same instant current_timestamp() would have.
+        from datetime import datetime, timezone
+
+        load_ts = F.lit(
+            datetime.now(timezone.utc).replace(tzinfo=None, microsecond=0)
+        ).cast("timestamp")
+    ts = load_ts
 
     if order_within_batch is not None:
         w = Window.partitionBy(key).orderBy(F.col(order_within_batch).desc())

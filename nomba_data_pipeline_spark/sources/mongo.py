@@ -67,6 +67,12 @@ def stage_mongo_dump(df: DataFrame, stage_path: str) -> None:
         df.write.mode("overwrite")
         .option("timestampFormat", STAGE_TS_FORMAT)
         .option("timestampNTZFormat", STAGE_TS_FORMAT)
+        # keep all-null fields as explicit nulls: the default drops the
+        # key from every line, which drops the COLUMN from the inferred
+        # stage schema — a projection/delete referencing it would then
+        # fail, and an all-null delta would break unionByName against
+        # the target (the reference's bson serialization keeps null keys)
+        .option("ignoreNullFields", "false")
         .json(stage_path)
     )
 
@@ -74,8 +80,22 @@ def stage_mongo_dump(df: DataFrame, stage_path: str) -> None:
 def _strip_dollar_names(df: DataFrame) -> DataFrame:
     """P10: reference strips '$' from every serialized key
     (mongo_loader.py:143). Top-level column rename; nested fields get
-    theirs stripped when flatten_nested lifts them to top level."""
-    renames = {c: c.replace("$", "") for c in df.columns if "$" in c}
+    theirs stripped when flatten_nested lifts them to top level.
+    Collision-safe: a doc carrying both '$type' and 'type' must not
+    silently produce two columns named 'type' (the reference's dict
+    rebuild silently drops one — here the '$' becomes '_' instead, and
+    a still-colliding pathological pair raises)."""
+    taken = {c for c in df.columns if "$" not in c}
+    renames: dict[str, str] = {}
+    for c in df.columns:
+        if "$" not in c:
+            continue
+        t = c.replace("$", "")
+        if t in taken or t in renames.values():
+            t = c.replace("$", "_")
+        if t in taken or t in renames.values():
+            raise ValueError(f"cannot sanitize column {c!r}: {t!r} already exists")
+        renames[c] = t
     return df.withColumnsRenamed(renames) if renames else df
 
 
@@ -121,10 +141,11 @@ def extract_mongo_stage(
         if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
             # timestamp_ntz output: matches the parquet `timestamp[us]`
             # (no tz) type of the source tables, so round-tripped frames
-            # are schema-identical to what the oracle reads
-            df = df.withColumn(
-                f.name, F.to_timestamp(f.name).cast("timestamp_ntz")
-            )
+            # are schema-identical to what the oracle reads. Parsed
+            # DIRECTLY as NTZ: routing through to_timestamp (session-tz
+            # LTZ) shifts wall times that fall in a DST spring-forward
+            # gap by an hour before the cast back
+            df = df.withColumn(f.name, F.to_timestamp_ntz(f.name))
         elif isinstance(f.dataType, T.DateType):
             df = df.withColumn(f.name, F.to_date(f.name))
 
@@ -139,7 +160,15 @@ def extract_mongo_stage(
     if fields_to_delete:
         df = drop_field_paths(df, fields_to_delete)
     if flatten_nested:
-        df = flatten_structs(df)
+        # reference parity (P8): _flatten_document lifts ONE level of
+        # nesting (mongo_loader.py:83-115); anything still nested after
+        # that is serialized to a JSON string (base_loader.py:963-964) —
+        # recursive flattening would diverge the warehouse schema for
+        # collections nested more than one level deep
+        df = flatten_structs(df, recursive=False)
+        for name, dtype in df.dtypes:
+            if dtype.startswith("struct"):
+                df = df.withColumn(name, F.to_json(name))
     return _strip_dollar_names(df)
 
 
@@ -176,6 +205,10 @@ def mongo_ingest(
         last_value=hwm,
         **extract_kwargs,
     )
+    # the count below and the load each trigger an action; checkpoint
+    # lazily so the extraction plan (JSON scan, parsing, filters,
+    # flatten) runs ONCE instead of once per action
+    delta = delta.localCheckpoint(eager=False)
     n = delta.count()
     if mode == "full":
         table.overwrite(delta)

@@ -33,34 +33,43 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _accumulate(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+def _row(user_id, n, total, final: bool) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total], "final": [final]}
+    )
+
+
+def _accumulate_core(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    with_timeout: bool,
 ) -> Iterator[pd.DataFrame]:
+    """One accumulation body for both the timeout (production) and
+    no-timeout (bounded drain / graded) shapes — any change to the
+    counting/update logic lands in both paths."""
     (user_id,) = key
-    if state.hasTimedOut:
+    if with_timeout and state.hasTimedOut:
         n, total = state.get
         state.remove()
-        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total], "final": [True]})
+        yield _row(user_id, n, total, True)
         return
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((int(n), float(total)))
-    state.setTimeoutDuration(30_000)  # emit-final after 30s idle
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total], "final": [False]})
+    if with_timeout:
+        state.setTimeoutDuration(30_000)  # emit-final after 30s idle
+    yield _row(user_id, n, total, False)
 
 
-def _accumulate_no_timeout(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((int(n), float(total)))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total], "final": [False]})
+def _accumulate(key, pdfs, state):
+    return _accumulate_core(key, pdfs, state, with_timeout=True)
+
+
+def _accumulate_no_timeout(key, pdfs, state):
+    return _accumulate_core(key, pdfs, state, with_timeout=False)
 
 
 def running_user_totals(events: DataFrame, timeout: bool = True) -> DataFrame:

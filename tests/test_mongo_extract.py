@@ -118,3 +118,36 @@ def test_mongo_ingest_other_load_modes(spark, tmp_path):
     mongo_ingest(spark, path, t_s, mode="snapshot", flatten_nested=True)
     assert t_s.read().count() == 3
     assert "ingest_date" in t_s.read().columns
+
+
+def test_strip_dollar_collision_is_safe(spark):
+    """A doc with both '$type' and 'type' must not produce two columns
+    named 'type' (AMBIGUOUS_REFERENCE downstream) — the '$' falls back
+    to '_' on collision."""
+    from nomba_data_pipeline_spark.sources.mongo import _strip_dollar_names
+
+    df = spark.createDataFrame([(1, 2)], "`$type` int, type int")
+    out = _strip_dollar_names(df)
+    assert sorted(out.columns) == ["_type", "type"]
+    assert out.first()._type == 1 and out.first().type == 2
+
+
+def test_stage_preserves_all_null_columns(spark, tmp_path):
+    """A field that is null in EVERY staged row must survive the JSON
+    round-trip as a column (default ignoreNullFields drops the key from
+    every line and with it the column from the inferred schema)."""
+    import os
+
+    from nomba_data_pipeline_spark.sources.mongo import (
+        extract_mongo_stage,
+        stage_mongo_dump,
+    )
+
+    stage = os.path.join(tmp_path, "nullstage")
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id bigint, secret string"
+    )
+    stage_mongo_dump(df, stage)
+    back = extract_mongo_stage(spark, stage, projection=["id", "secret"])
+    assert sorted(back.columns) == ["id", "secret"]
+    assert back.filter("secret IS NULL").count() == 2

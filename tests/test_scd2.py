@@ -226,3 +226,23 @@ def test_split_scd2_migrates_legacy_close_date_layout(spark, tmp_path):
     closed = ParquetTable(spark, closed_path).read()
     assert closed.count() >= 5
     assert runner2.read_model("users_snapshot").count() > 0
+
+
+def test_default_load_ts_is_frozen_across_actions(spark, gen1):
+    """scd2_apply's default timestamp must be a driver-frozen literal:
+    the split runner materializes closed rows and the new open state in
+    SEPARATE actions, and a per-action current_timestamp() would leave
+    a [T1, T2) hole between each closed row's valid_to and its
+    successor's valid_from (no valid version at any t in the gap)."""
+    from nomba_data_pipeline_spark.operators.scd2 import scd2_apply
+
+    open1, _ = scd2_apply(None, gen1, "id", ["state", "occupation"], load_ts=ts("2026-01-01"))
+    changed = spark.createDataFrame([(1, "a", "KAN", "eng")], SCHEMA)
+    open2, closed2 = scd2_apply(open1, changed, "id", ["state", "occupation"])
+    # two separate actions, the way the runner drives them
+    closed_rows = {r.id: r.valid_to for r in closed2.collect()}
+    import time
+
+    time.sleep(1.1)  # a per-action NOW() would now differ by >= 1s
+    open_rows = {r.id: r.valid_from for r in open2.filter("id = 1").collect()}
+    assert closed_rows[1] == open_rows[1], (closed_rows, open_rows)
