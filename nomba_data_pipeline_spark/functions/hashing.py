@@ -37,6 +37,12 @@ def h64(col: Column | str, seed: int | None = None) -> Column:
 
 
 def h64_sql(expr: str, seed: int | None = None) -> str:
-    """The DuckDB-SQL rendering of :func:`h64` for oracle queries."""
+    """The DuckDB-SQL rendering of :func:`h64` for oracle queries.
+
+    NULL parity: Spark's concat/md5 propagate NULL so h64(NULL) IS
+    NULL, but DuckDB's concat SKIPS null arguments — the seeded form
+    would hash the bare 's{seed}:' prefix (silent value mismatch) and
+    the unseeded form would raise casting '0x'. Guard explicitly."""
     inner = f"concat('s{seed}:', {expr})" if seed is not None else expr
-    return f"CAST(concat('0x', substr(md5({inner}), 1, {HASH_HEX_CHARS})) AS BIGINT)"
+    hashed = f"CAST(concat('0x', substr(md5({inner}), 1, {HASH_HEX_CHARS})) AS BIGINT)"
+    return f"(CASE WHEN ({expr}) IS NULL THEN NULL ELSE {hashed} END)"

@@ -17,8 +17,10 @@ from pyspark.sql import types as T
 def flatten_structs(df: DataFrame, sep: str = "_", recursive: bool = True) -> DataFrame:
     """Flatten struct columns into top-level `parent{sep}child` columns.
 
-    One-level by default matches the reference; recursive=True keeps
-    flattening until no struct columns remain.
+    Default recursive=True flattens until no struct columns remain.
+    Reference parity (`_flatten_document` lifts exactly ONE level,
+    mongo_loader.py:178-187) needs recursive=False — which is what
+    sources/mongo.py passes, JSON-stringifying whatever stays nested.
     """
     while True:
         struct_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StructType)]

@@ -137,10 +137,24 @@ def fingerprint_sql(expr: str) -> str:
 # and RE2 (DuckDB oracle). Order matters: emails first (their local
 # part contains digit runs a phone pattern could eat), then IPs (dotted
 # quads would otherwise part-match as phones), then phones.
+# The phone pattern is an alternation of three explicitly phone-shaped
+# forms — +international, (area)-prefixed, and 3-3-4 separated runs —
+# NOT a bare "8+ digits with separators" class: that form also matched
+# ISO dates ('2024-01-01'), year ranges and ISBNs, silently mangling
+# every document containing a date in a corpus-prep redaction pass.
+# Bare unseparated digit runs (5551234567) are deliberately NOT treated
+# as phones: they are indistinguishable from ids/quantities. Patterns
+# must stay lookahead-free — DuckDB's RE2 oracle has no lookahead.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
-    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+    (
+        "phone",
+        r"(\+[0-9][0-9() .-]{6,}[0-9])"
+        r"|(\([0-9]{2,4}\)[ .-]?[0-9][0-9 .-]{4,}[0-9])"
+        r"|([0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4})",
+        "<PHONE>",
+    ),
 )
 
 

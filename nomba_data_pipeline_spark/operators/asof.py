@@ -38,8 +38,16 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join. `right` should be unique per (on, right_ts); pre-
     dedup it if not (tie-breaking among simultaneous right rows is
-    otherwise undefined in every engine)."""
+    otherwise undefined in every engine).
+
+    NULL semantics match SQL ASOF JOIN (`l.key = r.key AND l.ts >=
+    r.ts`): a right row with NULL key or NULL ts can never satisfy the
+    predicate, and a NULL-key left row matches nothing — both dropped
+    from the right side up front (the window's partitionBy would
+    otherwise group NULL keys together and a NULL-ts right row would
+    sort first and leak its payload into every row of its key)."""
     l_cols = left.columns
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     # the right payload travels as ONE struct so last(ignorenulls) carries
     # an atomic right ROW — carrying columns independently would stitch
     # values from different right rows whenever the latest one holds a

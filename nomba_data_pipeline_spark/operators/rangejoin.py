@@ -53,7 +53,20 @@ def range_join_count(
         F.col(right_ts).alias("__rts"),
         bucket(right_ts).alias("__bucket"),
     )
-    lg = left.groupBy(*left.columns).agg(F.count(F.lit(1)).alias("__mult"))
+    # MapType columns are not groupable — swap each for its key-sorted
+    # entry array (canonical + groupable) and restore at the end, so a
+    # left frame carrying e.g. parsed JSON props still works
+    map_cols = [
+        f.name
+        for f in left.schema.fields
+        if f.dataType.typeName() == "map"
+    ]
+    grouped_left = left
+    for c in map_cols:
+        grouped_left = grouped_left.withColumn(
+            c, F.array_sort(F.map_entries(F.col(c)))
+        )
+    lg = grouped_left.groupBy(*left.columns).agg(F.count(F.lit(1)).alias("__mult"))
     l = lg.withColumn(
         "__probe", F.explode(F.array(bucket(left_ts) - 1, bucket(left_ts)))
     )
@@ -68,9 +81,12 @@ def range_join_count(
         & (F.col("__rts") >= F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECONDS"))
         & (F.col("__rts") < F.col(left_ts))
     )
-    return (
+    out = (
         joined.groupBy(*[F.col(c) for c in left.columns], F.col("__mult"))
         .agg(F.sum(F.when(in_range, 1).otherwise(0)).alias(count_alias))
         .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col("__mult"))))
         .drop("__copy", "__mult")
     )
+    for c in map_cols:
+        out = out.withColumn(c, F.map_from_entries(F.col(c)))
+    return out

@@ -20,11 +20,24 @@ from pyspark.sql import functions as F
 
 
 def salted(df: DataFrame, n_salts: int = 16, salt_col: str = "__salt") -> DataFrame:
-    """Attach a deterministic-per-row salt in [0, n_salts)."""
+    """Attach a per-ROW salt in [0, n_salts).
+
+    Derived from monotonically_increasing_id, NOT a content hash: the
+    canonical skew case is a hot key whose rows are near-identical
+    (billions of ('click', 1.0) events), and hash(row content) maps all
+    of them to ONE salt — zero spread exactly when salting matters
+    most. The mono id is per-row-position, so identical rows land on
+    different salts; its low bits cycle within a partition, so pmod is
+    uniform by construction. Same nondeterminism class as the standard
+    rand()-salt idiom: stable within a plan evaluation, safe for
+    aggregation/join (a retried task recomputes its whole partition)."""
     # pmod, not abs(%): abs(Long.MIN_VALUE) is still negative and would
     # produce a salt outside [0, n_salts)
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
+        salt_col,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+            "int"
+        ),
     )
 
 
@@ -57,8 +70,6 @@ def broadcast_salted_join(
     shuffled join's tasks (e.g. a stateful downstream op repartitions by
     the join key anyway)."""
     salts = small.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
-    big_s = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int")
-    )
+    big_s = salted(big, n_salts)
     small_r = small.crossJoin(F.broadcast(salts))
     return big_s.join(small_r, on=[on, "__salt"], how="left").drop("__salt")

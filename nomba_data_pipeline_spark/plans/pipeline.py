@@ -84,6 +84,15 @@ def build_pipeline(
             ),
         )
     )
+    # NOTE on incremental staleness (deliberate dbt parity): dim_plans /
+    # fact_transactions filter on the FACT side's updated_at, exactly
+    # like the reference's dbt incremental models (dim_savings_plan.sql /
+    # fact_savings_transaction.sql `WHERE updated_at > (SELECT max ...)`)
+    # — so a user-attribute change (segment/region via SCD2) reaches
+    # only rows whose OWN plan/txn is re-stamped, never already-loaded
+    # rows. That is the reference's semantics, with the same remedy:
+    # a full refresh (rebuild into a fresh warehouse, or drop the model
+    # dir and rerun) re-derives every row against current dims.
     runner.register(
         ModelSpec(
             name="dim_plans",

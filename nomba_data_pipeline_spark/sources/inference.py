@@ -39,6 +39,12 @@ DATE_VOTE_SAMPLE = 20  # reference base_loader.py:949
 TYPE_VOTE_SAMPLE = 100  # reference base_loader.py:922 ("first 100 values")
 
 
+def _quote(name: str) -> str:
+    """Backtick-quote a column name for F.col (doubling any embedded
+    backticks), so JSON keys containing '.' resolve as plain columns."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _json_value_type(v) -> str:
     """The reference's type taxonomy for a parsed JSON value
     (base_loader.py:922-933). bool is tested before int — Python bools
@@ -123,9 +129,11 @@ def infer_stage_schema(
 def _date_vote(df: DataFrame, col: str) -> T.DataType:
     """>80% of up-to-20 non-null samples matching the date/datetime regex
     promotes the string column (reference base_loader.py:941-954)."""
+    # backtick-quoted reference: a JSON key containing '.' would
+    # otherwise be parsed as nested-field access and fail analysis
+    c = F.col(_quote(col))
     samples = [
-        r[0]
-        for r in df.select(col).filter(F.col(col).isNotNull()).limit(DATE_VOTE_SAMPLE).collect()
+        r[0] for r in df.select(c).filter(c.isNotNull()).limit(DATE_VOTE_SAMPLE).collect()
     ]
     if not samples:
         return T.StringType()
@@ -151,8 +159,11 @@ def read_with_inferred_schema(
     ]
     df = spark.read.schema(T.StructType(raw_fields)).json(path)
     for f in schema.fields:
+        # backtick-quoted references: dotted JSON keys must not be
+        # parsed as nested-field paths (withColumn's TARGET name is
+        # literal, only the reading side needs quoting)
         if isinstance(f.dataType, T.TimestampType):
-            df = df.withColumn(f.name, F.to_timestamp(f.name))
+            df = df.withColumn(f.name, F.to_timestamp(F.col(_quote(f.name))))
         elif isinstance(f.dataType, T.DateType):
-            df = df.withColumn(f.name, F.to_date(f.name))
+            df = df.withColumn(f.name, F.to_date(F.col(_quote(f.name))))
     return df

@@ -236,3 +236,30 @@ def test_stage_round_trip_all_formats(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "n_nationkey" in plan, plan
+
+
+def test_pii_phone_pattern_spares_dates_and_isbns(spark):
+    """Dates, year ranges, timestamps, and ISBNs must SURVIVE redaction
+    (the old bare digits-with-separators form ate all of them), while
+    real phone shapes are still caught."""
+    from nomba_data_pipeline_spark.functions.text import pii_redact
+
+    keep = [
+        "Meeting on 2024-01-01",
+        "Released 2024-01-01 12:34:56 UTC",
+        "years 1914 - 1918",
+        "ISBN 978-0-13-468599-1",
+        "order 12345678",
+    ]
+    redact = [
+        "+1 (555) 123-4567",
+        "+44 20 7946 0958",
+        "(555) 123 4567",
+        "call 555-123-4567 now",
+    ]
+    df = spark.createDataFrame([(t,) for t in keep + redact], "text string")
+    out = [r.clean for r in df.select(pii_redact("text").alias("clean")).collect()]
+    for original, cleaned in zip(keep, out[: len(keep)]):
+        assert cleaned == original, f"false positive: {original!r} -> {cleaned!r}"
+    for original, cleaned in zip(redact, out[len(keep) :]):
+        assert "<PHONE>" in cleaned, f"missed phone: {original!r} -> {cleaned!r}"

@@ -33,3 +33,14 @@ def test_broadcast_salted_join_matches_plain(spark):
     )
     want = sorted((r.k, r.payload, r.label) for r in big.join(small, "k", "left").collect())
     assert got == want
+
+
+def test_identical_rows_spread_across_salts(spark):
+    """The degenerate hot key: many IDENTICAL rows must still spread
+    over multiple salts (a content hash gives them all ONE salt and the
+    whole point of salting evaporates)."""
+    from nomba_data_pipeline_spark.operators.skew import salted
+
+    df = spark.createDataFrame([("hot", 1.0)] * 400, "k string, v double")
+    n = salted(df, n_salts=16).select("__salt").distinct().count()
+    assert n >= 8, f"identical rows collapsed onto {n} salts"
