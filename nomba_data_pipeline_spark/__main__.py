@@ -36,7 +36,7 @@ def cmd_run(args) -> int:
     runner = build_pipeline(spark, args.warehouse, args.sf_dir)
     counts = runner.run(only=args.only or None)
     out = {
-        "rows_written": counts,
+        "model_rows": counts,  # total post-run rows per model (quality-gate count)
         "model_seconds": runner.last_timings,
         "total_seconds": round(time.perf_counter() - t0, 3),
     }

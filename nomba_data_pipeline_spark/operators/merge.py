@@ -32,6 +32,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def fs_and_path(spark: SparkSession, p: str):
+    """Resolve a path to its (Hadoop FileSystem, Path) pair — THE one
+    copy of the JVM plumbing every writer/maintenance verb shares, so
+    FS resolution changes (per-bucket confs, new schemes) land once."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
 def _semi_anti_null_safe(
     left: DataFrame, right: DataFrame, cols: list[str], how: str
 ) -> DataFrame:
@@ -70,10 +80,7 @@ class ParquetTable:
 
     # -- filesystem plumbing -------------------------------------------------
     def _fs_and_path(self, p: str):
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs, jpath
+        return fs_and_path(self.spark, p)
 
     def exists(self) -> bool:
         fs, jpath = self._fs_and_path(self.path)

@@ -38,7 +38,10 @@ def simulate_user_updates(
 ) -> DataFrame:
     """Deterministically flip `segment` for ~fraction of users
     (reference simulate_cdc.py:126-155 mutates Mongo user state)."""
-    pick = (F.abs(F.hash(F.col("user_id"), F.lit(seed))) % 100) < int(fraction * 100)
+    # pmod, not abs(%): abs(Int.MinValue) stays negative (non-ANSI), so
+    # that row's remainder is < 0 and it would be "picked" even at
+    # fraction=0 (same pitfall operators/skew.py documents)
+    pick = F.pmod(F.hash(F.col("user_id"), F.lit(seed)), F.lit(100)) < int(fraction * 100)
     return users.withColumn(
         "segment", F.when(pick, F.lit(new_segment)).otherwise(F.col("segment"))
     )
@@ -49,7 +52,7 @@ def simulate_plan_updates(
 ) -> DataFrame:
     """Bump target_amount and updated_at for ~fraction of plans
     (reference simulate_cdc.py:52-86 updates plan rows + updated_at)."""
-    pick = (F.abs(F.hash(F.col("plan_id"), F.lit(seed))) % 100) < int(fraction * 100)
+    pick = F.pmod(F.hash(F.col("plan_id"), F.lit(seed)), F.lit(100)) < int(fraction * 100)
     # real CDC stamps updated_at = now(); model that as global-max + 1 day so
     # the rows clear the strict-'>' high-water-mark (SURVEY §7.4.3)
     max_ts = plans.agg(F.max("updated_at")).first()[0]
@@ -67,8 +70,13 @@ def simulate_new_transactions(
 ) -> DataFrame:
     """Append n synthetic new transactions with fresh ids/timestamps
     (reference simulate_cdc.py:89-118 inserts new txn rows)."""
-    max_id = txns.agg(F.max("transaction_id")).first()[0] or 0
-    max_ts = txns.agg(F.max("updated_at")).first()[0]
+    # one fused aggregation: two separate .first() calls are two full
+    # scan jobs over txns
+    mx = txns.agg(
+        F.max("transaction_id").alias("id"), F.max("updated_at").alias("ts")
+    ).first()
+    max_id = mx["id"] or 0
+    max_ts = mx["ts"]
     template = txns.orderBy(F.abs(F.hash("transaction_id", F.lit(seed)))).limit(n)
     # n is small (test harness); the single-partition window is fine here
     fresh = template.withColumn(

@@ -65,7 +65,11 @@ def _stage_dir(key: str, sf_dir: str, write) -> str:
         _STAGE_ROOT = tempfile.mkdtemp(prefix="nomba_stage_")
         atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
 
-    slot = f"{key}-{sf_dir.strip('/').replace('/', '_')}"
+    # hash the path into the slot: flattening '/' to '_' would alias
+    # distinct sf_dirs ('/d/x_y' vs '/d/x/y') onto one staged copy
+    import hashlib
+
+    slot = f"{key}-{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
     path = os.path.join(_STAGE_ROOT, slot)
     if slot in _STAGED:
         return path
@@ -670,7 +674,11 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table("stream_sessionize").filter(F.col("user_id") != -1)
+    # null-safe sentinel filter: plain != would also drop NULL-user
+    # sessions (NULL != -1 is NULL) that the oracle keeps
+    return spark.table("stream_sessionize").filter(
+        ~F.col("user_id").eqNullSafe(F.lit(-1))
+    )
 
 
 SQL_STREAMING_SESSIONIZE = """
@@ -1619,12 +1627,15 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_orders.unionByName(without)
 
 
+# EXISTS forms, not IN/NOT IN: one NULL o_custkey would make NOT IN
+# UNKNOWN for every customer (0 rows) while Spark's left_anti keeps
+# the no-orders cohort — the divergence merge.py documents rejecting
 SQL_SEMI_ANTI = """
-SELECT c_custkey AS user_id, 'has_orders' AS cohort FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders)
+SELECT c_custkey AS user_id, 'has_orders' AS cohort FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 UNION ALL
-SELECT c_custkey AS user_id, 'no_orders' AS cohort FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+SELECT c_custkey AS user_id, 'no_orders' AS cohort FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
@@ -1811,7 +1822,7 @@ SELECT event_id, user_id, ts,
            AS trailing_7d_value,
        count(*) OVER w AS n_trailing
 FROM events WHERE event_type = 'purchase'
-WINDOW w AS (PARTITION BY user_id ORDER BY ts
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST
              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
 """
 
@@ -1908,10 +1919,12 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RUNNING_REVENUE = """
 SELECT event_id, user_id, ts,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
            AS running_value,
-       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT)
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS INT)
            AS purchase_seq
 FROM events WHERE event_type = 'purchase'
 """
@@ -1936,10 +1949,14 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_totalprice"
     )
-    # catalog table names carry the sf suffix: the stage slot is
-    # per-sf, so the table pointers must be too (a shared name would be
-    # re-pointed by an interleaved call at another sf)
-    suffix = sf_dir.strip("/").rsplit("/", 1)[-1].replace(".", "_")
+    # catalog table names carry a FULL-path hash: the stage slot is
+    # per-sf_dir, so the table pointers must be too (a basename-only
+    # suffix would let two dirs named 'sf0.1' silently re-point each
+    # other's tables — the graded result would read the wrong dataset —
+    # and non-identifier basename chars would break saveAsTable)
+    import hashlib
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     tc, to = f"bkt_customer_{suffix}", f"bkt_orders_{suffix}"
 
     def _write_both(p: str) -> None:

@@ -95,7 +95,9 @@ class PipelineRunner:
         return ordered
 
     def run(self, only: list[str] | None = None) -> dict[str, int]:
-        """Run models in dependency order; returns rows written per model.
+        """Run models in dependency order; returns each model's TOTAL
+        post-run row count (the quality gate's count — NOT delta rows
+        written: a 10-row merge into a 1M-row table reports 1000000).
 
         `only` restricts the run to the named models PLUS their upstream
         dependency closure — the equivalent of the reference's per-source
@@ -201,16 +203,42 @@ class PipelineRunner:
         xxhash64(key, valid_from) — stable across replays because
         valid_from comes from history, while valid_to is the replay's
         NOW()), and the writer wipes any existing `batch_id=<id>`
-        subtree first: the closed history converges to exactly-once per
-        logical batch with zero read-side dedup cost (the dedup is a
-        directory delete, not a shuffle over history).
+        subtree first. The same-bid wipe alone is not enough when the
+        SOURCE changes between the crash and the replay (different
+        closed set => different bid, stale orphans survive), so every
+        run also sweeps ORPHANED batch dirs — a closed (key, valid_from)
+        whose version is still OPEN can only come from an uncommitted
+        append, because a committed close always swaps that version out
+        of the open table. The sweep is one column-pruned 3-column scan
+        of closed history per run; the dedup itself stays a directory
+        delete, never a shuffle over history.
         """
         from nomba_data_pipeline_spark.operators import scd2 as S2
+        from nomba_data_pipeline_spark.operators.merge import _semi_anti_null_safe
 
         open_t = self.table(spec.name + "__open")
         closed_path = os.path.join(self.warehouse_dir, spec.name + "__closed")
         open_old = open_t.read() if open_t.exists() else None
         key = spec.scd2_key or spec.upsert_key[0]
+        if open_old is not None and self.table(spec.name + "__closed").exists():
+            self._migrate_legacy_closed(closed_path)
+            existing = self.spark.read.parquet(closed_path).select(
+                key, S2.VALID_FROM, "batch_id"
+            )
+            orphaned = _semi_anti_null_safe(
+                existing,
+                open_old.select(key, S2.VALID_FROM),
+                [key, S2.VALID_FROM],
+                "left_semi",
+            )
+            orphan_bids = [
+                r["batch_id"]
+                for r in orphaned.select("batch_id").distinct().collect()
+            ]
+            for bid_ in orphan_bids:
+                self._rm_dir(os.path.join(closed_path, f"batch_id={bid_}"))
+            if orphan_bids:
+                self.spark.catalog.refreshByPath(closed_path)
         open_new, closed_now = S2.scd2_apply(
             open_old,
             batch,
@@ -250,9 +278,10 @@ class PipelineRunner:
         umbrella before the first new-layout append (metadata-only FS
         renames; 'legacy' cannot collide with real ids, which are
         16-hex + '-' + count)."""
+        from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
         jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(closed_path)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs, jpath = fs_and_path(self.spark, closed_path)
         if not fs.exists(jpath):
             return
         legacy = [
@@ -275,8 +304,8 @@ class PipelineRunner:
     def _rm_dir(self, path: str) -> None:
         """Recursively delete a directory if present (Hadoop FS API, so
         the same code path works against s3a/gs/hdfs)."""
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+        fs, jpath = fs_and_path(self.spark, path)
         if fs.exists(jpath):
             fs.delete(jpath, True)

@@ -164,7 +164,7 @@ def test_cli_run_query_compact(spark, tmp_path, capsys):
     rc = main(["--sf-dir", SF_SMALL, "run", "--warehouse", wh])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["rows_written"]["fact_transactions"] > 0
+    assert out["model_rows"]["fact_transactions"] > 0
     assert "model_seconds" in out
 
     rc = main(["--sf-dir", SF_SMALL, "query", "flagship_revenue_by_region", "--limit", "3"])

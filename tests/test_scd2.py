@@ -200,9 +200,16 @@ def test_split_scd2_migrates_legacy_close_date_layout(spark, tmp_path):
     runner = build_pipeline(spark, wh, SF_SMALL)
     runner.run(only=["users_snapshot"])
 
-    # fabricate a LEGACY-layout closed table: close_date= at the root
+    # fabricate a LEGACY-layout closed table: close_date= at the root.
+    # The rows must look like GENUINE history — a (key, valid_from)
+    # still open in the open table is the orphan signature the replay
+    # sweep deletes — so shift valid_from into the past
     closed_path = os.path.join(wh, "users_snapshot__closed")
-    legacy_rows = runner.read_model("users_snapshot").limit(5)
+    legacy_rows = (
+        runner.read_model("users_snapshot")
+        .limit(5)
+        .withColumn("valid_from", F.expr("valid_from - INTERVAL 365 DAYS"))
+    )
     legacy_rows.withColumn("close_date", F.lit("2025-12-31")).write.mode(
         "overwrite"
     ).partitionBy("close_date").parquet(closed_path)
@@ -246,3 +253,58 @@ def test_default_load_ts_is_frozen_across_actions(spark, gen1):
     time.sleep(1.1)  # a per-action NOW() would now differ by >= 1s
     open_rows = {r.id: r.valid_from for r in open2.filter("id = 1").collect()}
     assert closed_rows[1] == open_rows[1], (closed_rows, open_rows)
+
+
+def test_split_scd2_replay_with_changed_source_sweeps_orphans(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between closed append and open swap, then the SOURCE
+    changes before the replay: the stale batch (different batch id now)
+    must be swept as an orphan — its (key, valid_from) versions are
+    still open — or closed history would carry duplicate overlapping
+    intervals forever."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+    from nomba_data_pipeline_spark.plans import models as M
+    from nomba_data_pipeline_spark.plans.cdc_sim import simulate_user_updates
+    from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
+    from tests.conftest import SF_SMALL
+
+    wh = os.path.join(tmp_path, "wh")
+    build_pipeline(spark, wh, SF_SMALL).run(only=["users_snapshot"])
+
+    override1 = {
+        "stg_users": lambda s, sf: simulate_user_updates(
+            M.stg_users(s, sf), fraction=0.1
+        )
+    }
+    runner2 = build_pipeline(spark, wh, SF_SMALL, source_override=override1)
+
+    orig = ParquetTable.overwrite
+    state = {"crashed": False}
+
+    def crash_once(self, df, partition_by=None):
+        if not state["crashed"] and self.path.endswith("users_snapshot__open"):
+            state["crashed"] = True
+            raise RuntimeError("injected crash")
+        return orig(self, df, partition_by=partition_by)
+
+    monkeypatch.setattr(ParquetTable, "overwrite", crash_once)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        runner2.run(only=["users_snapshot"])
+    monkeypatch.setattr(ParquetTable, "overwrite", orig)
+
+    # source EVOLVES before the replay: different fraction -> different
+    # closed set -> different batch id than the crashed append
+    override2 = {
+        "stg_users": lambda s, sf: simulate_user_updates(
+            M.stg_users(s, sf), fraction=0.2
+        )
+    }
+    runner3 = build_pipeline(spark, wh, SF_SMALL, source_override=override2)
+    runner3.run(only=["users_snapshot"])
+
+    snap = runner3.read_model("users_snapshot")
+    dups = snap.groupBy("user_id", "valid_from").count().filter("count > 1").count()
+    assert dups == 0, f"{dups} duplicate (key, valid_from) intervals after replay"
