@@ -96,6 +96,20 @@ def cmd_cluster(args) -> int:
     return 0
 
 
+def cmd_zorder(args) -> int:
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+    spark = _spark(args)
+    t = ParquetTable(spark, os.path.join(args.warehouse, args.model))
+    t.zorder(args.by[0], args.by[1], bits=args.bits, target_files=args.target_files)
+    print(
+        json.dumps(
+            {"model": args.model, "zordered_by": args.by, "files": t.file_count()}
+        )
+    )
+    return 0
+
+
 def cmd_list(args) -> int:
     from nomba_data_pipeline_spark.plans.queries import REGISTRY
 
@@ -142,6 +156,17 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--partition-by", nargs="*", help="hive partition columns (cluster within partitions)")
     cl.add_argument("--partition-filter", help="SQL predicate over partition columns, e.g. \"month='2026-01'\"")
     cl.set_defaults(fn=cmd_cluster)
+
+    z = sub.add_parser(
+        "zorder",
+        help="z-order (Morton) cluster a model on TWO columns (both-dim stats pruning)",
+    )
+    z.add_argument("--warehouse", required=True)
+    z.add_argument("--model", required=True)
+    z.add_argument("--by", nargs=2, required=True, help="exactly two numeric columns")
+    z.add_argument("--bits", type=int, default=8)
+    z.add_argument("--target-files", type=int)
+    z.set_defaults(fn=cmd_zorder)
 
     l = sub.add_parser("list", help="list registry queries")
     l.set_defaults(fn=cmd_list)

@@ -469,6 +469,69 @@ class ParquetTable:
         out.write.mode("overwrite").parquet(tmp)
         self._swap_in(tmp)
 
+    def zorder(
+        self,
+        col_a: str,
+        col_b: str,
+        bits: int = 8,
+        target_files: int | None = None,
+    ) -> None:
+        """Two-dimension layout verb: rewrite the table ordered by the
+        Morton (z-order) interleave of `col_a` and `col_b` so footer
+        min/max stats prune for predicates on EITHER column alone.
+
+        `cluster([a, b])` is lexicographic — selective for `a`, useless
+        for `b`-only predicates (every file spans b's full range). The
+        z-key interleaves the two normalized bit codes, so sorting by
+        the single key tiles the (a, b) plane into per-file
+        sub-rectangles: each file's footer carries a narrow min/max on
+        BOTH columns and a predicate on either skips most files
+        (pinned by tests/test_layout.py's width comparison).
+
+        Normalization is linear via `width_bucket` over one tiny
+        min/max agg — no global sort anywhere; the rewrite is the same
+        one-shuffle repartitionByRange as cluster(). 2**bits buckets
+        per dimension bounds the code, not the data (ties within a
+        bucket are fine — pruning granularity is the file). Content-
+        preserving: the key is computed, sorted on, and dropped.
+        """
+        from nomba_data_pipeline_spark.functions.zorder import (
+            bounded_code,
+            zorder_key,
+        )
+
+        if not self.exists():
+            return
+        if self._looks_partitioned():
+            raise ValueError(
+                f"{self.path} looks hive-partitioned; zorder within "
+                "partitions is not supported — cluster the partition "
+                "columns via the directory layout and zorder flat tables"
+            )
+        df = self.read()
+        bounds = df.agg(
+            F.min(col_a).alias("alo"),
+            F.max(col_a).alias("ahi"),
+            F.min(col_b).alias("blo"),
+            F.max(col_b).alias("bhi"),
+        ).first()
+        if bounds is None or bounds["alo"] is None or bounds["blo"] is None:
+            return  # empty table or all-NULL key: nothing to order
+        keyed = (
+            df.withColumn("__za", bounded_code(col_a, bounds["alo"], bounds["ahi"], bits))
+            .withColumn("__zb", bounded_code(col_b, bounds["blo"], bounds["bhi"], bits))
+            .withColumn("__zkey", zorder_key("__za", "__zb", bits))
+        )
+        n = target_files or self._scan_split_count()
+        out = (
+            keyed.repartitionByRange(n, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__za", "__zb", "__zkey")
+        )
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        out.write.mode("overwrite").parquet(tmp)
+        self._swap_in(tmp)
+
     def merge_upsert_dedup(
         self,
         delta: DataFrame,

@@ -1986,6 +1986,75 @@ GROUP BY 1
 """
 
 
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting (HyperLogLog++): the bounded-state
+    scale path next to exact count(DISTINCT). Exact distinct plans an
+    Expand + a second shuffle keyed on (group, value) and its state
+    grows with the number of distinct values per group; the HLL++
+    sketch is a fixed ~KB register array per group, merged
+    associatively in partial aggregation — at 100 TB distinct-user
+    counts the sketch is the only answer that fits executor memory.
+
+    Graded with a real hash oracle via a tolerance witness: the row
+    returns the EXACT count (both engines agree bit-for-bit) plus a
+    boolean asserting the Spark-side sketch landed within 10% of it —
+    rsd is 2%, so 10% is a 5-sigma bound, and HLL++ is deterministic
+    for a given input, not sampled. The oracle emits literal TRUE: the
+    comparison passes iff the sketch honored its error bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_uniques"),
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_uniques",
+            (
+                F.abs(F.col("__approx") - F.col("exact_uniques"))
+                <= F.col("exact_uniques") * F.lit(0.1)
+            ).alias("approx_ok"),
+        )
+    )
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS exact_uniques, TRUE AS approx_ok
+FROM events GROUP BY 1
+"""
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) key computation — the math under the
+    `ParquetTable.zorder` layout verb, graded bit-for-bit against a
+    DuckDB rendering of the same interleave. Each lineitem row maps
+    (l_partkey mod 256, l_suppkey mod 256) to an 8-bit pair and
+    interleaves them into one 16-bit key; sorting a table by this key
+    tiles the two-dimensional space so parquet footer stats prune for
+    predicates on EITHER column (see functions/zorder.py and the
+    pruning-width test in tests/test_layout.py). Map-only, pure JVM
+    bit arithmetic, zero shuffles."""
+    from nomba_data_pipeline_spark.functions import zorder as Z
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        Z.zorder_key("(l_partkey % 256)", "(l_suppkey % 256)", 8).alias("zkey"),
+    )
+
+
+def _sql_zorder_keys() -> str:
+    from nomba_data_pipeline_spark.functions import zorder as Z
+
+    key = Z.zorder_key_sql("(l_partkey % 256)", "(l_suppkey % 256)", 8)
+    return f"SELECT l_orderkey, l_linenumber, {key} AS zkey FROM lineitem"
+
+
+SQL_ZORDER_KEYS = _sql_zorder_keys()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2061,4 +2130,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "sequence_packing": QuerySpec(q_sequence_packing, SQL_SEQUENCE_PACKING, "ext:sequence-packing"),
     "revenue_grouping_sets": QuerySpec(q_revenue_grouping_sets, SQL_REVENUE_GROUPING_SETS, "§2.4:grouping-sets"),
     "streaming_sessionize": QuerySpec(q_streaming_sessionize, SQL_STREAMING_SESSIONIZE, "§2.10:session-window"),
+    "approx_distinct_users": QuerySpec(q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS, "ext:distinct-sketch"),
+    "zorder_keys": QuerySpec(q_zorder_keys, SQL_ZORDER_KEYS, "ext:zorder-layout"),
 }

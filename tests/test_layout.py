@@ -209,3 +209,66 @@ def test_cluster_hot_partition_splits_into_ranged_files(spark, tmp_path):
     for _, _, gmins in ranges:
         assert gmins == sorted(gmins)
     assert tbl.read().count() == src.count()
+
+
+# ---------------------------------------------------------------------------
+# z-order (Morton) layout: per-file footer ranges narrow on BOTH dims
+# ---------------------------------------------------------------------------
+
+
+def _avg_width(path: str, col: str) -> float:
+    ranges = _file_key_ranges(path, col)
+    return sum(hi - lo for lo, hi, _ in ranges) / len(ranges)
+
+
+def test_zorder_narrows_both_dimensions(spark, tmp_path):
+    """Lexicographic cluster([a, b]) leaves every file spanning b's full
+    range (b-only predicates prune nothing); zorder(a, b) tiles the
+    plane so per-file footer ranges are narrow on BOTH columns. The
+    assertion compares the same physical quantity Spark's pushed-down
+    filters evaluate — per-file min/max — across the two layouts."""
+    from tests.conftest import SF_MED
+
+    src = spark.read.parquet(f"{SF_MED}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    glob_a = src.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
+    glob_b = src.agg(F.max("l_suppkey") - F.min("l_suppkey")).first()[0]
+
+    lex = ParquetTable(spark, str(tmp_path / "lex"))
+    lex.overwrite(src.repartition(4))
+    lex.cluster(["l_partkey", "l_suppkey"], target_files=16)
+
+    zo = ParquetTable(spark, str(tmp_path / "zo"))
+    zo.overwrite(src.repartition(4))
+    zo.zorder("l_partkey", "l_suppkey", bits=8, target_files=16)
+
+    # lexicographic: first column selective, second column useless
+    assert _avg_width(str(tmp_path / "lex"), "l_partkey") < glob_a * 0.2
+    assert _avg_width(str(tmp_path / "lex"), "l_suppkey") > glob_b * 0.8
+    # z-order: BOTH columns' per-file ranges are a fraction of global
+    assert _avg_width(str(tmp_path / "zo"), "l_partkey") < glob_a * 0.6
+    assert _avg_width(str(tmp_path / "zo"), "l_suppkey") < glob_b * 0.6
+
+    # content preserved and single-dimension filters still correct
+    probe = src.agg(F.min("l_suppkey")).first()[0]
+    got = zo.read().filter(F.col("l_suppkey") == probe).count()
+    want = src.filter(F.col("l_suppkey") == probe).count()
+    assert got == want and got >= 1
+    assert zo.read().count() == src.count()
+
+
+def test_zorder_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    absent = ParquetTable(spark, str(tmp_path / "absent_z"))
+    absent.zorder("a", "b")  # missing table: noop, no raise
+    assert not absent.exists()
+
+    part = ParquetTable(spark, str(tmp_path / "part_z"))
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumn(
+        "flag", F.col("o_orderkey") % 2
+    )
+    part.overwrite(src, partition_by=["flag"])
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        part.zorder("o_orderkey", "o_custkey")

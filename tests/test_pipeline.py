@@ -193,6 +193,24 @@ def test_cli_run_query_compact(spark, tmp_path, capsys):
     clj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert clj["clustered_by"] == ["user_id"] and clj["files"] >= 1
 
+    rc = main(
+        [
+            "--sf-dir",
+            SF_SMALL,
+            "zorder",
+            "--warehouse",
+            wh,
+            "--model",
+            "stg_users",
+            "--by",
+            "user_id",
+            "nation_key",
+        ]
+    )
+    assert rc == 0
+    zj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert zj["zordered_by"] == ["user_id", "nation_key"] and zj["files"] >= 1
+
     rc = main(["list"])
     assert rc == 0
     assert "flagship_revenue_by_region" in capsys.readouterr().out
