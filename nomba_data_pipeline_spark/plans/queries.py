@@ -1986,6 +1986,42 @@ GROUP BY 1
 """
 
 
+def q_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.11, the generator API beyond builtin
+    explode): documents fan out through a LATERAL table-function join
+    against a yield-based Python generator (functions/udtfs.py). The
+    UDTF is deliberately the SLOW path — row-at-a-time Python — and the
+    docstring there names the explode composition that replaces it at
+    scale; this row pins the API contract (original split positions
+    survive empty-segment filtering, streamed emission) against a
+    pure-SQL DuckDB oracle. LATERAL keeps the fan-out streaming: no
+    per-document buffering, ordinary shuffle-free map stage."""
+    from nomba_data_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words
+        FROM __udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )
+
+
+SQL_SENTENCE_SPLIT_UDTF = """
+SELECT doc_id, i - 1 AS sent_idx,
+       trim(parts[i], ' ' || chr(9) || chr(10) || chr(13)) AS sentence,
+       len(list_filter(
+           regexp_split_to_array(
+               trim(parts[i], ' ' || chr(9) || chr(10) || chr(13)), '\\s+'),
+           x -> x <> '')) AS n_words
+FROM (SELECT doc_id, string_split(text, '.') AS parts FROM documents),
+     LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+WHERE trim(parts[i], ' ' || chr(9) || chr(10) || chr(13)) <> ''
+"""
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (HyperLogLog++): the bounded-state
     scale path next to exact count(DISTINCT). Exact distinct plans an
@@ -2131,5 +2167,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "revenue_grouping_sets": QuerySpec(q_revenue_grouping_sets, SQL_REVENUE_GROUPING_SETS, "§2.4:grouping-sets"),
     "streaming_sessionize": QuerySpec(q_streaming_sessionize, SQL_STREAMING_SESSIONIZE, "§2.10:session-window"),
     "approx_distinct_users": QuerySpec(q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS, "ext:distinct-sketch"),
+    "sentence_split_udtf": QuerySpec(q_sentence_split_udtf, SQL_SENTENCE_SPLIT_UDTF, "§2.11:udtf"),
     "zorder_keys": QuerySpec(q_zorder_keys, SQL_ZORDER_KEYS, "ext:zorder-layout"),
 }
