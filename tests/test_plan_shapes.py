@@ -242,3 +242,43 @@ def test_quality_profile_single_scan(spark):
     tree = _plan_tree(df)
     assert "Join" not in tree
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
+    """Runtime bloom-filter join pruning (Catalyst runtime filters): when
+    a shuffle join's build side carries a selective filter, the optimizer
+    injects bloom_filter_might_contain on the probe side's scan, so fact
+    rows that cannot match are dropped BEFORE the shuffle — at 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the matching slice. Local tables sit under the default
+    size thresholds, so the test lowers them to force the decision the
+    optimizer would take at warehouse scale (creation side small enough
+    to build, application side large enough to be worth filtering)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_SMALL, "lineitem")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        plan = _plan(joined)
+        assert "might_contain" in plan, plan[:4000]
+        assert "bloom_filter_agg" in plan, plan[:4000]
+        # and the filter must sit on the PROBE (lineitem) side scan stage
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
