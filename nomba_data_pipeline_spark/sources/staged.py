@@ -13,7 +13,9 @@ Spark mapping: `df.write.json/parquet/orc(stage_path)` + `spark.read...`
 the same code serves S3/GCS/HDFS. JSON is kept for reference parity;
 parquet is the default at-rest format (columnar, splittable, pushdown);
 ORC is the third Spark-native columnar option for warehouses already
-standardized on it (same pushdown/pruning path as parquet).
+standardized on it (same pushdown/pruning path as parquet); CSV is the
+lowest-common-denominator interchange leg (header names only — pass the
+schema on read; no pushdown, so never the at-rest format).
 """
 
 from __future__ import annotations
@@ -38,11 +40,17 @@ def write_stage(df: DataFrame, stage_path: str, fmt: str = "parquet") -> None:
         writer.json(stage_path)
     elif fmt == "orc":
         writer.orc(stage_path)
+    elif fmt == "csv":
+        # header row so the stage is self-describing for names (types
+        # still need the schema on read — CSV carries none)
+        writer.option("header", "true").csv(stage_path)
     else:
         writer.parquet(stage_path)
 
 
-def read_stage(spark: SparkSession, stage_path: str, fmt: str = "parquet") -> DataFrame:
+def read_stage(
+    spark: SparkSession, stage_path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
     """S4-source equivalent with the reference's drift tolerance:
     PERMISSIVE mode + corrupt-record column stands in for ClickHouse's
     input_format_skip_unknown_fields (base_loader.py:830-841)."""
@@ -54,4 +62,14 @@ def read_stage(spark: SparkSession, stage_path: str, fmt: str = "parquet") -> Da
         )
     if fmt == "orc":
         return spark.read.orc(stage_path)
+    if fmt == "csv":
+        # schema=None falls back to inference (an extra pass — fine for
+        # a stage read-back, wrong for a 100 TB lake table; columnar
+        # formats are the at-rest default for exactly this reason)
+        reader = spark.read.option("header", "true").option(
+            "mode", "PERMISSIVE"
+        )
+        if schema is not None:
+            return reader.schema(schema).csv(stage_path)
+        return reader.option("inferSchema", "true").csv(stage_path)
     return spark.read.parquet(stage_path)

@@ -227,6 +227,13 @@ def test_stage_round_trip_all_formats(spark, tmp_path):
         back = read_stage(spark, p, fmt=fmt)
         got = sorted(map(tuple, back.select(*src.columns).collect()))
         assert got == want, fmt
+    # csv round-trips with the source schema passed on read (CSV
+    # carries names via header but no types)
+    pcsv = str(tmp_path / "stage_csv")
+    write_stage(src, pcsv, fmt="csv")
+    back = read_stage(spark, pcsv, fmt="csv", schema=src.schema)
+    assert sorted(map(tuple, back.select(*src.columns).collect())) == want
+    assert back.schema == src.schema
     # pushdown reaches the ORC scan like parquet
     orc = read_stage(spark, str(tmp_path / "stage_orc"), fmt="orc")
     plan = (

@@ -282,3 +282,35 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_window_over_bucketed_table_has_no_exchange(spark):
+    """The prepaid bucket shuffle serves WINDOW functions too, not just
+    joins: a window partitioned by the bucket key over a bucketed table
+    plans Sort+Window directly on the scan with ZERO Exchange. At
+    100 TB this means one at-rest layout amortizes across every
+    downstream per-key computation — dedup windows, sessionization,
+    running totals — not only the join that motivated it."""
+    import tempfile
+
+    from nomba_data_pipeline_spark.operators import bucketed as B
+    from pyspark.sql import Window
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="bkt_win_")
+    B.write_bucketed(
+        orders, "bktw_orders", 4, ["o_custkey"], ["o_custkey", "o_orderkey"],
+        path=base + "/o",
+    )
+    try:
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        df = spark.table("bktw_orders").select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        plan = _plan(df)
+        assert "Window" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktw_orders")
