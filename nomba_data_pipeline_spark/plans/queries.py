@@ -1986,6 +1986,93 @@ GROUP BY 1
 """
 
 
+def q_sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL, builtin in
+    Spark 4): the 100 TB mart pattern for distinct counts. Raw events
+    aggregate ONCE into per-(event_type, day) HLL sketches — the only
+    pass that touches raw data; any date-range distinct-user question
+    is then answered by `hll_union_agg` over the tiny sketch rows, no
+    rescan. This is what makes daily-rollup marts composable: exact
+    distinct counts cannot be merged across days (users repeat), but
+    sketches union losslessly w.r.t. their error bound.
+
+    Graded via the same witness pattern as approx_distinct_users: both
+    engines return the exact per-type count, plus a boolean pinning the
+    two-level (agg -> union) estimate within 10% of exact (default
+    lgConfigK=12 sketches are EXACT below ~thousands of uniques, and
+    deterministic per input — the witness is airtight at graded scale
+    and 6-sigma at lake scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_uniques")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_uniques",
+        (
+            F.abs(F.col("__est") - F.col("exact_uniques"))
+            <= F.col("exact_uniques") * F.lit(0.1)
+        ).alias("sketch_rollup_ok"),
+    )
+
+
+SQL_SKETCH_ROLLUP_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS exact_uniques,
+       TRUE AS sketch_rollup_ok
+FROM events GROUP BY 1
+"""
+
+
+def q_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: distinct-user INTERSECTION across event
+    cohorts ('how many users both clicked and purchased') without ever
+    materializing either cohort. HLL can only union; theta sketches
+    keep a hash sample that supports intersection/difference — at
+    100 TB the per-cohort sketches are KBs and the overlap question is
+    a driver-free one-row combine, versus an exact answer that needs a
+    distinct-shuffle of both cohorts. Witness-graded like the other
+    sketch rows: exact overlap from one flag-aggregation pass (both
+    engines agree), boolean pinning the sketch estimate within 10%
+    (exact below the 4096-entry nominal at graded scale)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("__est")
+        )
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("__c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("__p"),
+    )
+    exact = flags.filter((F.col("__c") == 1) & (F.col("__p") == 1)).agg(
+        F.count(F.lit(1)).alias("exact_overlap")
+    )
+    return exact.crossJoin(sk).select(
+        "exact_overlap",
+        (
+            F.abs(F.col("__est") - F.col("exact_overlap"))
+            <= F.col("exact_overlap") * F.lit(0.1)
+        ).alias("overlap_ok"),
+    )
+
+
+SQL_THETA_USER_OVERLAP = """
+SELECT count(*) AS exact_overlap, TRUE AS overlap_ok
+FROM (SELECT user_id FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL) t
+"""
+
+
 def q_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (§2.11, the generator API beyond builtin
     explode): documents fan out through a LATERAL table-function join
@@ -2168,5 +2255,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_sessionize": QuerySpec(q_streaming_sessionize, SQL_STREAMING_SESSIONIZE, "§2.10:session-window"),
     "approx_distinct_users": QuerySpec(q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS, "ext:distinct-sketch"),
     "sentence_split_udtf": QuerySpec(q_sentence_split_udtf, SQL_SENTENCE_SPLIT_UDTF, "§2.11:udtf"),
+    "sketch_rollup_distinct": QuerySpec(q_sketch_rollup_distinct, SQL_SKETCH_ROLLUP_DISTINCT, "ext:sketch-rollup"),
+    "theta_user_overlap": QuerySpec(q_theta_user_overlap, SQL_THETA_USER_OVERLAP, "ext:sketch-set-algebra"),
     "zorder_keys": QuerySpec(q_zorder_keys, SQL_ZORDER_KEYS, "ext:zorder-layout"),
 }
