@@ -1986,6 +1986,47 @@ GROUP BY 1
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> CLUSTERS: the step that turns every near-dup detector's
+    pair output into an actual dedup verdict. Connected components by
+    min-label propagation (operators/components.py — rounds = graph
+    diameter, each round one join + one groupBy-min, lineage cut by
+    localCheckpoint) over the simhash near-dup pairs, then a left join
+    assigns every document its component (singletons = self) and flags
+    the min-id doc per component canonical; filter(is_canonical) IS the
+    deduplicated corpus. Oracle: DuckDB recursive-CTE transitive
+    closure over the same banded pair SQL — an iterative DataFrame
+    algorithm graded against a declarative fixpoint."""
+    from nomba_data_pipeline_spark.operators.components import canonical_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup(docs)
+    return canonical_assignment(docs.select("doc_id"), pairs)
+
+
+def _sql_neardup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({D.simhash_near_dup_sql()}),
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+),
+comp AS (SELECT src AS node, least(src, min(dst)) AS comp FROM reach GROUP BY src)
+SELECT d.doc_id,
+       coalesce(c.comp, d.doc_id) AS comp,
+       coalesce(c.comp, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+SQL_NEARDUP_CLUSTERS = _sql_neardup_clusters()
+
+
 def q_sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (Apache DataSketches HLL, builtin in
     Spark 4): the 100 TB mart pattern for distinct counts. Raw events
@@ -2314,5 +2355,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "sketch_rollup_distinct": QuerySpec(q_sketch_rollup_distinct, SQL_SKETCH_ROLLUP_DISTINCT, "ext:sketch-rollup"),
     "theta_user_overlap": QuerySpec(q_theta_user_overlap, SQL_THETA_USER_OVERLAP, "ext:sketch-set-algebra"),
     "kll_quantile_rollup": QuerySpec(q_kll_quantile_rollup, SQL_KLL_QUANTILE_ROLLUP, "ext:sketch-quantile"),
+    "neardup_clusters": QuerySpec(q_neardup_clusters, SQL_NEARDUP_CLUSTERS, "ext:dedup-components"),
     "zorder_keys": QuerySpec(q_zorder_keys, SQL_ZORDER_KEYS, "ext:zorder-layout"),
 }

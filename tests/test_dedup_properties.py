@@ -64,3 +64,41 @@ def test_simhash_distance_orders_by_similarity(spark, corpus):
     ham = lambda a, b: bin(sh[a] ^ sh[b]).count("1")  # noqa: E731
     assert ham(0, 1) == 0 and ham(0, 2) == 0  # identical text, identical signature
     assert ham(0, 3) < ham(0, 4)  # near-dup closer than unrelated
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """Min-label propagation: a 4-chain collapses to its min id (the
+    diameter case), a clique converges in one round, and the canonical
+    assignment marks exactly one doc per component plus all untouched
+    singletons."""
+    from nomba_data_pipeline_spark.operators.components import (
+        canonical_assignment,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.range(1, 15).withColumnRenamed("id", "doc_id")
+    out = canonical_assignment(docs, pairs).collect()
+    canon = sorted(r["doc_id"] for r in out if r["is_canonical"])
+    # one canonical per component + singletons 5..9, 13, 14
+    assert canon == [1, 5, 6, 7, 8, 9, 10, 13, 14]
+    by_id = {r["doc_id"]: r["comp"] for r in out}
+    assert by_id[4] == 1 and by_id[12] == 10 and by_id[7] == 7
+
+
+def test_connected_components_convergence_guard(spark):
+    import pytest as _pytest
+
+    from nomba_data_pipeline_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
