@@ -412,6 +412,53 @@ FROM events
 """
 
 
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the question SCD2 history
+    exists to answer (reference O12 keeps is_current + valid ranges so
+    marts can ask 'what was true THEN'): reconstruct each user's value
+    in effect 30 days before the corpus horizon. Composes the interval
+    derivation with a broadcast one-row probe (scalar agg, no shuffle
+    added) and the half-open containment filter [valid_from, valid_to);
+    the probe is data-derived (max ts − 30d) so the row is reproducible
+    on any regenerated fixture without a wall-clock literal."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    iv = events.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "value",
+    )
+    probe = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 DAYS")).alias("__p")
+    )
+    return (
+        iv.crossJoin(F.broadcast(probe))
+        .filter(
+            (F.col("valid_from") <= F.col("__p"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("__p")))
+        )
+        .select("user_id", "version_id", "value")
+    )
+
+
+SQL_SCD2_ASOF_LOOKUP = """
+WITH iv AS (
+    SELECT user_id, event_id AS version_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS valid_to,
+           value
+    FROM events
+),
+p AS (SELECT max(ts) - INTERVAL 30 DAY AS p FROM events)
+SELECT user_id, version_id, value
+FROM iv, p
+WHERE valid_from <= p.p AND (valid_to IS NULL OR valid_to > p.p)
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) via lag + running sum — the batch
     equivalent of Structured Streaming session windows (SURVEY §2.10:
@@ -2293,6 +2340,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "top_users_by_revenue": QuerySpec(q_top_users_by_revenue, SQL_TOP_USERS, "O2,O3"),
     "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY, "A1,F11"),
     "scd2_intervals": QuerySpec(q_scd2_intervals, SQL_SCD2_INTERVALS, "O12,J5"),
+    "scd2_asof_lookup": QuerySpec(q_scd2_asof_lookup, SQL_SCD2_ASOF_LOOKUP, "O12:point-in-time"),
     "sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE, "§2.10"),
     "minute_rollup": QuerySpec(q_minute_rollup, SQL_MINUTE_ROLLUP, "F4"),
     "doc_stats": QuerySpec(q_doc_stats, SQL_DOC_STATS, "ext:text"),
