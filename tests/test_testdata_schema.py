@@ -100,3 +100,26 @@ def test_graded_row_column_contract(spark):
                 f"{table}.{col} arrived as {schema[col]}; graded rows "
                 f"expect one of {[t.__name__ for t in ok_types]}"
             )
+
+
+def test_graded_row_value_contract(spark):
+    """VALUE contract for graded rows that name fixture values: the
+    theta cohort-overlap row intersects the 'click' and 'purchase'
+    cohorts, and its witness semantics assume both cohorts exist and
+    share users (a regenerated fixture without them would surface as
+    an opaque driver mismatch — fail here instead, loudly)."""
+    ev = load_table(spark, SF_SMALL, "events")
+    types = {r[0] for r in ev.select("event_type").distinct().collect()}
+    assert {"click", "purchase"} <= types, (
+        f"events.event_type lost a cohort the theta_user_overlap row "
+        f"names: {sorted(types)}"
+    )
+    overlap = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .count()
+    )
+    assert overlap > 0, "click/purchase cohorts no longer share any users"
