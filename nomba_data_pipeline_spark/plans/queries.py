@@ -2206,7 +2206,16 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_values",
-            F.col("__frac").between(0.45, 0.55).alias("p50_rank_ok"),
+            # discrete-rank guard: below ~100 values the exact rank of
+            # ANY correct median moves in steps larger than the KLL
+            # error band (n=3 -> frac 0.67), so the witness is only
+            # meaningful for groups big enough to resolve 5% — tiny
+            # groups pass vacuously rather than failing on regenerated
+            # fixtures with a sparse event type
+            (
+                (F.col("n_values") < 100)
+                | F.col("__frac").between(0.45, 0.55)
+            ).alias("p50_rank_ok"),
         )
     )
 
