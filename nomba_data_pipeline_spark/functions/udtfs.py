@@ -24,7 +24,10 @@ import re
 from pyspark.sql.functions import udtf
 
 _WS = " \t\n\r"
-_TOKEN_RE = re.compile(r"\s+")
+# exactly RE2's \s ([\t\n\f\r ]) — Python's unicode \s is wider (nbsp,
+# vertical tab, …) and would diverge from the DuckDB oracle on any
+# regenerated fixture containing exotic whitespace
+_TOKEN_RE = re.compile(r"[ \t\n\f\r]+")
 
 
 @udtf(returnType="sent_idx: bigint, sentence: string, n_words: bigint")
