@@ -78,3 +78,73 @@ def test_scd2_invariants_over_generations(spark, batches):
     assert set(open_by_key) == {k for k in seen}
     # closed intervals: valid_from < valid_to
     assert all(r.valid_from < r.valid_to for r in rows if r.valid_to is not None)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_interleave_is_bijective_and_engine_exact(spark, pts):
+    """The Morton interleave must be (a) invertible — no two (a, b)
+    codes share a key, or file tiling would silently merge distinct
+    regions — and (b) bit-identical to the pure-Python reference the
+    DuckDB oracle rendering was derived from."""
+    from nomba_data_pipeline_spark.functions.zorder import zorder_key
+
+    def py_interleave(a: int, b: int, bits: int = 8) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    df = spark.createDataFrame(pts, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_key("a", "b", 8).alias("z")).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == py_interleave(a, b), (a, b, z)
+    # bijectivity over the distinct inputs
+    assert len({py_interleave(a, b) for a, b in set(pts)}) == len(set(pts))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 30), st.integers(1, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation ≡ a sequential union-find
+    reference on arbitrary small graphs (self-loops, parallel edges,
+    multiple components, arbitrary id order)."""
+    from nomba_data_pipeline_spark.operators.components import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == want
