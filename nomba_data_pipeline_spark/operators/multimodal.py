@@ -144,6 +144,61 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).mapInPandas(run, out_schema)
 
 
+def resize_media(
+    media: DataFrame, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Image resize (brief's decode→resize leg): aspect-preserving fit
+    of (width, height) into a (max_w, max_h) box — the dimension math
+    is REAL and tested (floor scaling, never upscale, min dim 1); the
+    pixel resample is stubbed as an area-ratio strided byte slice
+    (deterministic, no PIL in this container) behind the same
+    `_fake_decode`-style seam the feature extractor uses. Arrow-batched
+    mapInPandas, partition-preserving, payload never leaves the
+    executor; a real `Image.resize` drops into `_resample` only."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("out_w", T.IntegerType(), False),
+            T.StructField("out_h", T.IntegerType(), False),
+            T.StructField("resized_payload", T.BinaryType(), True),
+        ]
+    )
+
+    def fit(w: int, h: int) -> tuple[int, int]:
+        if w <= 0 or h <= 0:
+            return 1, 1
+        scale = min(max_w / w, max_h / h, 1.0)  # never upscale
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def _resample(payload: bytes, ratio: float) -> bytes:
+        # stub: keep every k-th byte so output size tracks the area
+        # ratio the way a real resample's pixel count would
+        if not payload:
+            return b""
+        k = max(1, int(round(1.0 / max(ratio, 1e-9))))
+        return payload[::k]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "out_w": [], "out_h": [], "resized_payload": []}
+            for _, r in pdf.iterrows():
+                w = 0 if pd.isna(r["width"]) else int(r["width"])
+                h = 0 if pd.isna(r["height"]) else int(r["height"])
+                ow, oh = fit(w, h)
+                ratio = (ow * oh) / (w * h) if w > 0 and h > 0 else 1.0
+                out["media_id"].append(r["media_id"])
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["resized_payload"].append(
+                    _resample(r["payload"] or b"", ratio)
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "width", "height", "payload"
+    ).mapInPandas(run, out_schema)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only rollup — must NOT read payload bytes (column
     pruning keeps the binary column out of the scan)."""
