@@ -517,9 +517,17 @@ class ParquetTable:
         ).first()
         if bounds is None or bounds["alo"] is None or bounds["blo"] is None:
             return  # empty table or all-NULL key: nothing to order
+
+        def code(col, lo, hi):
+            # width_bucket(x, lo, lo, n) is NULL — a constant column
+            # contributes bucket 0 (it carries no ordering information)
+            if lo == hi:
+                return F.lit(0).cast("bigint")
+            return bounded_code(col, lo, hi, bits)
+
         keyed = (
-            df.withColumn("__za", bounded_code(col_a, bounds["alo"], bounds["ahi"], bits))
-            .withColumn("__zb", bounded_code(col_b, bounds["blo"], bounds["bhi"], bits))
+            df.withColumn("__za", code(col_a, bounds["alo"], bounds["ahi"]))
+            .withColumn("__zb", code(col_b, bounds["blo"], bounds["bhi"]))
             .withColumn("__zkey", zorder_key("__za", "__zb", bits))
         )
         n = target_files or self._scan_split_count()

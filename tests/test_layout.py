@@ -272,3 +272,22 @@ def test_zorder_guards(spark, tmp_path):
     part.overwrite(src, partition_by=["flag"])
     with _pytest.raises(ValueError, match="hive-partitioned"):
         part.zorder("o_orderkey", "o_custkey")
+
+
+def test_zorder_constant_dimension_degrades_to_single_key_sort(spark, tmp_path):
+    """A constant column yields NULL from width_bucket's degenerate
+    bounds; the verb must substitute bucket 0 so the rewrite still
+    orders by the varying dimension instead of producing an all-NULL
+    key (one giant range partition)."""
+    t = ParquetTable(spark, str(tmp_path / "const_z"))
+    src = spark.range(1000).select(
+        F.col("id").alias("a"), F.lit(7).alias("b"), F.col("id").alias("v")
+    )
+    t.overwrite(src.repartition(4))
+    t.zorder("a", "b", bits=4, target_files=4)
+    ranges = _file_key_ranges(str(tmp_path / "const_z"), "a")
+    assert len(ranges) == 4
+    spans = sorted((lo, hi) for lo, hi, _ in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next, f"constant dim broke the a-ordering: {spans}"
+    assert t.read().count() == 1000
