@@ -228,3 +228,67 @@ def interval_join_streams(
         F.col(f"l.{left_ts}").alias(left_ts),
         F.col(f"r.{right_ts}").alias(right_ts),
     )
+
+
+def run_sketch_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    sketch_path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    max_files: int = 100,
+) -> None:
+    """Incremental sketch maintenance — the streaming half of the
+    mergeable-rollup pattern (`sketch_rollup_distinct` is the batch
+    half). Each micro-batch aggregates to per-group HLL sketches (KBs)
+    and MERGES them into a persisted sketch table via hll_union with a
+    full-outer join on the group key; distinct-count questions then read
+    the sketch table only. State per group is one fixed-size register
+    array regardless of stream length — the property exact streaming
+    distinct (dropDuplicates state) fundamentally lacks, since its
+    state grows with the number of distinct values seen. Blocks until
+    the available backlog drains (availableNow).
+
+    Replay-safe without any batch-id bookkeeping: a crash between the
+    store swap and the checkpoint commit replays the batch, and HLL
+    union is IDEMPOTENT (registers merge by max), so re-merging the
+    same delta is a no-op — the sketch algebra provides the
+    exactly-once effect the exact-count path needs machinery for.
+    """
+    store = ParquetTable(spark, sketch_path)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = batch_df.groupBy(group_col).agg(
+            F.hll_sketch_agg(value_col).alias("sk")
+        )
+        if store.exists():
+            cur = store.read()
+            merged = (
+                cur.withColumnRenamed("sk", "sk_old")
+                .join(delta.withColumnRenamed("sk", "sk_new"), group_col, "full_outer")
+                .select(
+                    group_col,
+                    F.when(
+                        F.col("sk_old").isNotNull() & F.col("sk_new").isNotNull(),
+                        F.hll_union("sk_old", "sk_new"),
+                    )
+                    .otherwise(F.coalesce("sk_new", "sk_old"))
+                    .alias("sk"),
+                )
+            )
+        else:
+            merged = delta
+        store.overwrite(merged)
+
+    q = (
+        stream_events(spark, source_dir, schema, max_files=max_files)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -334,3 +334,60 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == want
     # and the batch truth is what the scenario says it is
     assert len(want) == 2
+
+
+def test_sketch_rollup_stream_matches_exact_distinct(spark, tmp_path):
+    """Incremental HLL maintenance across micro-batches: after draining
+    the backlog (one file per trigger), estimates read from the sketch
+    STORE equal exact batch count(DISTINCT) — including re-observing
+    the same values in later batches (sketch union is idempotent on
+    duplicates) and groups that appear only in later batches."""
+    import pandas as pd
+
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        run_sketch_rollup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    src = os.path.join(tmp_path, "sksrc")
+    ckpt = os.path.join(tmp_path, "skckpt")
+    store = os.path.join(tmp_path, "skstore")
+
+    def w(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    w([("a", 1), ("a", 2), ("b", 10)])
+    w([("a", 2), ("a", 3), ("b", 10), ("b", 11)])  # overlaps batch 1
+    w([("c", 100)])  # new group late
+
+    run_sketch_rollup_stream(
+        spark, src, schema, store, ckpt,
+        group_col="event_type", value_col="user_id", max_files=1,
+    )
+
+    est = {
+        r["event_type"]: r["n"]
+        for r in ParquetTable(spark, store)
+        .read()
+        .select("event_type", F.hll_sketch_estimate("sk").alias("n"))
+        .collect()
+    }
+    assert est == {"a": 3, "b": 2, "c": 1}
+
+    # a second drain over an already-consumed source adds nothing
+    run_sketch_rollup_stream(
+        spark, src, schema, store, ckpt, group_col="event_type", value_col="user_id"
+    )
+    est2 = {
+        r["event_type"]: r["n"]
+        for r in ParquetTable(spark, store)
+        .read()
+        .select("event_type", F.hll_sketch_estimate("sk").alias("n"))
+        .collect()
+    }
+    assert est2 == est
