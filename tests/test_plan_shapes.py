@@ -314,3 +314,22 @@ def test_window_over_bucketed_table_has_no_exchange(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bktw_orders")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: joining a hive-partitioned fact with a
+    filtered dim must inject dynamicpruningexpression into the fact's
+    PartitionFilters — the partition list is computed from the dim AT
+    RUNTIME, so only matching directories are even listed. At 100 TB
+    this composes with static pruning: date filters prune statically,
+    join keys prune dynamically, and the scan touches the
+    intersection."""
+    base = str(tmp_path / "dpp_fact")
+    load_table(spark, SF_SMALL, "events").write.partitionBy("event_type").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "event_type string, grp int"
+    ).filter(F.col("grp") == 1)
+    j = fact.join(dim, "event_type").groupBy("grp").agg(F.sum("value").alias("s"))
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
