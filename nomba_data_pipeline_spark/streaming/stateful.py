@@ -11,6 +11,15 @@ Scale notes: state lives in the executor state store partitioned by key
 (same hash partitioning as any groupBy); Arrow batches cross the Python
 boundary per key-group. State size is O(active keys), bounded by the
 timeout eviction.
+
+API note: Spark 4's successor API (`transformWithStateInPandas`,
+StatefulProcessor with typed value/list/map state, timers, TTL) is
+present in this PySpark build but its driver worker requires a working
+`google.protobuf` — broken in this container (verified: the streaming
+runner crashes at init with `cannot import name 'descriptor'`), and
+installs are off-limits, so applyInPandasWithState is the implemented
+surface. The operator semantics here port mechanically: value state ->
+getValueState, timeout emission -> registerTimer.
 """
 
 from __future__ import annotations
