@@ -2375,24 +2375,26 @@ FROM (
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per document by
-    tf * ln((N+1)/(df+1)), ties broken by term. Three hash
-    aggregations (doc-term counts, doc frequency, corpus size) and one
-    per-doc window — every shuffle is on a real key (doc_id or token),
-    partial aggregation applies throughout, and the token explode runs
-    inside whole-stage codegen. At 100 TB the df table is vocabulary-
-    sized (MBs after the support floor), so the idf join broadcasts;
-    the ranking window partitions by doc_id — no global sort anywhere.
-    Scores rounded to 6 dp AND ranked on the rounded value so the
-    cross-engine ordering is identical."""
+    tf * ln((N+1)/(df+1)), ties broken by term. The corpus is
+    tokenized ONCE: doc frequency is a count-window over the
+    (doc, term, tf) frame partitioned by token — NOT a second
+    aggregation of a re-scanned corpus joined back (Spark would
+    recompute the whole explode+agg subtree for the df branch, doubling
+    the dominant tokenize cost; pinned by test_plan_shapes). N is a
+    count-star over parquet footers (no column data) broadcast in. Every
+    exchange after tokenization moves the tf frame, never raw text, and
+    keys are real (doc_id / token) — no global sort. Scores rounded to
+    6 dp AND ranked on the rounded value so cross-engine ordering is
+    identical."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(T.tokens("text")).alias("token")
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df_w = Window.partitionBy("token")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

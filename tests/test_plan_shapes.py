@@ -234,6 +234,49 @@ def test_grouping_sets_single_expand_single_agg_shuffle(spark):
     assert tree.count("Scan parquet") == 1, tree
 
 
+def test_train_split_is_map_only(spark):
+    """train_split_assign is a pure expression over the corpus scan:
+    no exchange, no Python — free to fuse into any corpus-prep pass."""
+    plan = _plan(REGISTRY["train_split_assign"].fn(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_tokenizes_corpus_once(spark):
+    """The df leg must be a window over the tf frame, not a second
+    aggregation of a re-scanned corpus: exactly ONE Generate (explode)
+    and at most two parquet scans (the second is the count-star N pass
+    that reads footer metadata, no column data). A join-based df leg
+    recomputes the whole tokenize subtree — 2x the dominant cost."""
+    tree = _plan_tree(REGISTRY["tfidf_top_terms"].fn(spark, SF_SMALL))
+    assert tree.count("Generate") == 1, tree
+    assert tree.count("Scan parquet") <= 2, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_single_agg_rows_one_exchange(spark):
+    """price_histogram and returnflag_corr are one partial+final hash
+    aggregate: a single exchange moving <= n_groups partial states."""
+    for name in ("price_histogram", "returnflag_corr"):
+        tree = _plan_tree(REGISTRY[name].fn(spark, SF_SMALL))
+        assert tree.count("Exchange") == 1, f"{name}:\n{tree}"
+        assert tree.count("Scan parquet") == 1, f"{name}:\n{tree}"
+
+
+def test_cohort_retention_dedups_before_wide_shuffle(spark):
+    """The distinct on (user, month) must sit UNDER the cohort window:
+    partial dedup collapses raw events map-side, so the window exchange
+    moves only deduplicated pairs. The plan is agg -> window -> agg with
+    one scan; a pre-repartition by user (shuffling raw events) would
+    show the Window directly over the scan's exchange with no partial
+    aggregate below it."""
+    tree = _plan_tree(REGISTRY["cohort_retention"].fn(spark, SF_SMALL))
+    assert tree.count("Scan parquet") == 1, tree
+    w = tree.index("Window")
+    first_agg_under_window = tree[w:].count("HashAggregate")
+    assert first_agg_under_window >= 2, tree  # distinct partial+final below window
+
+
 def test_quality_profile_single_scan(spark):
     """The graded quality battery reads the table ONCE (one scan, no
     joins, no per-check subplans); the distinct-count rewrite may add
