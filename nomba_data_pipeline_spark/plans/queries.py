@@ -2562,6 +2562,144 @@ FROM orders GROUP BY 1
 """
 
 
+def q_segment_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist (§2.5 rank-family completion) over
+    per-customer revenue WITHIN market segment: the window partitions
+    by segment, so no global sort exists anywhere — each segment's
+    ranking is an independent partition-local sort of already-aggregated
+    rows. The customer dim joins broadcast; ordering includes the key
+    for cross-engine determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+        .join(F.broadcast(cust), "o_custkey")
+    )
+    w = Window.partitionBy("segment").orderBy(F.asc("revenue"), F.asc("o_custkey"))
+    return rev.select(
+        "o_custkey",
+        "segment",
+        "revenue",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_SEGMENT_PERCENT_RANK = """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT rev.o_custkey, c.c_mktsegment AS segment, rev.revenue,
+       round(percent_rank() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY rev.revenue, rev.o_custkey), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY c.c_mktsegment
+                               ORDER BY rev.revenue, rev.o_custkey), 6) AS cume
+FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+"""
+
+
+def q_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution append (the drift-tolerance half of S7/§1.3 as
+    a query): a legacy extract without o_orderpriority unioned BY NAME
+    with the current schema (missing columns null-filled via
+    `unionByName(allowMissingColumns=True)`), then rolled up per
+    priority with the legacy rows in an explicit bucket. Union is a
+    zero-shuffle plan glue — both legs stay partition-local until the
+    final aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    legacy = orders.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("date")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    current = orders.filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    u = legacy.unionByName(current, allowMissingColumns=True)
+    return u.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("LEGACY")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("revenue"),
+    )
+
+
+SQL_SCHEMA_DRIFT_UNION = """
+WITH legacy AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < DATE '1995-01-01'
+),
+cur AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01'
+),
+u AS (SELECT * FROM legacy UNION ALL BY NAME SELECT * FROM cur)
+SELECT coalesce(o_orderpriority, 'LEGACY') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+FROM u GROUP BY 1
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (F.aggregate fold) on the vector
+    column: per-vector L2 norm computed JVM-side inside whole-stage
+    codegen — zero Python, zero shuffles, the map-only shape vector
+    normalization takes in an embedding pipeline. Both engines fold the
+    list left-to-right in list order over double accumulators, so the
+    6 dp rounding is engine-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+"""
+
+
+def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join as a graded row (§2.10): the event stream
+    enriched per micro-batch against the static user dimension (left
+    broadcast join, unmatched -> 'unknown'), rolled up by (segment,
+    event_type). Equals the batch join+rollup, so one DuckDB oracle
+    grades the streaming path."""
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        stream_static_enriched_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stage = _stage_dir(
+        "stream_src", sf_dir, lambda p: events.write.mode("overwrite").parquet(p)
+    )
+    dim = M.stg_users(spark, sf_dir)
+    return stream_static_enriched_counts(
+        spark, stage, events.schema, dim, query_name="stream_enriched_graded"
+    )
+
+
+SQL_STREAMING_ENRICHED = """
+SELECT coalesce(c.c_mktsegment, 'unknown') AS segment, e.event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2651,4 +2789,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "revenue_quartiles": QuerySpec(q_revenue_quartiles, SQL_REVENUE_QUARTILES, "§2.5:ntile"),
     "returnflag_corr": QuerySpec(q_returnflag_corr, SQL_RETURNFLAG_CORR, "ext:stats-corr"),
     "price_histogram": QuerySpec(q_price_histogram, SQL_PRICE_HISTOGRAM, "ext:histogram"),
+    "segment_percent_rank": QuerySpec(q_segment_percent_rank, SQL_SEGMENT_PERCENT_RANK, "§2.5:rank-family"),
+    "schema_drift_union": QuerySpec(q_schema_drift_union, SQL_SCHEMA_DRIFT_UNION, "S7,§1.3:drift"),
+    "embedding_norms": QuerySpec(q_embedding_norms, SQL_EMBEDDING_NORMS, "ext:array-hof"),
+    "streaming_enriched": QuerySpec(q_streaming_enriched, SQL_STREAMING_ENRICHED, "§2.10:stream-static-join"),
 }

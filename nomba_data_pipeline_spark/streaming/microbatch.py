@@ -187,6 +187,47 @@ def minute_rollup_stream(
     return spark.table(query_name)
 
 
+def stream_static_enriched_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    dim: DataFrame,
+    query_name: str = "stream_enriched",
+) -> DataFrame:
+    """Stream-static join: every micro-batch of the event stream is
+    enriched against a STATIC dimension (left join, unmatched users
+    bucketed 'unknown') before a complete-mode rollup. The static side
+    is re-resolved per micro-batch by Structured Streaming — which is
+    exactly the slowly-refreshing-dim deployment shape — and small
+    enough that each batch plans a broadcast hash join: the stream
+    never shuffles for the join, only for the aggregate. Complete-mode
+    memory sink is bounded by |segments| x |event types|."""
+    events = stream_events(spark, source_dir, schema)
+    d = F.broadcast(dim.select("user_id", "segment"))
+    agg = (
+        events.join(d, "user_id", "left")
+        .groupBy(
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

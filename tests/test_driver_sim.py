@@ -35,7 +35,8 @@ SCRIPT = textwrap.dedent(
     # window frames over ts, stateful streaming
     for name in ("mongo_extract_events", "sessionize", "minute_rollup",
                  "running_revenue", "trailing_revenue_7d",
-                 "streaming_minute_rollup", "streaming_dedup"):
+                 "streaming_minute_rollup", "streaming_dedup",
+                 "streaming_enriched"):
         n = qs[name](spark, "/root/testdata/sf0.001").count()
         assert n > 0, name
     print("BARE-SESSION-OK")
