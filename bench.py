@@ -44,6 +44,13 @@ HEADLINE = [
     "range_join_count",
     "revenue_rollup",
     "percentiles_by_flag",
+    # round-5 surfaces: keyword extraction, retention, packing, sketch
+    # rollups, pairs->clusters components
+    "tfidf_top_terms",
+    "cohort_retention",
+    "sequence_packing",
+    "sketch_rollup_distinct",
+    "neardup_clusters",
 ]
 
 
