@@ -2700,6 +2700,132 @@ GROUP BY 1, 2
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): a user
+    advances a stage only with an event at-or-after their previous
+    stage's timestamp. Three chained min-windows over the SAME user
+    partition — Catalyst plans one exchange for all three (identical
+    partitioning), each stage's timestamp is a per-partition constant
+    the next stage's CASE references — then a single global conditional
+    count. No self-joins: the classic 3-join funnel re-shuffles the
+    event table per stage; this shape shuffles it once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.agg(
+        F.countDistinct(F.when(F.col("t_view").isNotNull(), F.col("user_id"))).alias(
+            "n_viewed"
+        ),
+        F.countDistinct(F.when(F.col("t_click").isNotNull(), F.col("user_id"))).alias(
+            "n_clicked_after_view"
+        ),
+        F.countDistinct(
+            F.when(F.col("t_purchase").isNotNull(), F.col("user_id"))
+        ).alias("n_purchased_after_click"),
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t_view
+  FROM events
+),
+w2 AS (
+  SELECT user_id, ts, event_type, t_view,
+         min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+             OVER (PARTITION BY user_id) AS t_click
+  FROM w1
+),
+w3 AS (
+  SELECT user_id, t_view, t_click,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+             OVER (PARTITION BY user_id) AS t_purchase
+  FROM w2
+)
+SELECT count(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END) AS n_viewed,
+       count(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END) AS n_clicked_after_view,
+       count(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END) AS n_purchased_after_click
+FROM w3
+"""
+
+
+def q_minute_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (resample to a dense minute grid): one
+    day of events rolled up per (event_type, minute), then every
+    missing minute between each type's observed min and max
+    materialized with n = 0 via sequence + explode. The grid generator
+    runs over the tiny per-type bounds row (5 rows -> <=1440 minutes
+    each), so the explode is broadcast-sized and the fill join is a
+    broadcast left join — the dense grid never shuffles the fact side.
+    The dual of the rollup: downstream window/forecast ops need evenly
+    spaced series, not sparse observed minutes."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").cast("date") == F.lit("2024-01-15").cast("date")
+    )
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    bounds = counts.groupBy("event_type").agg(
+        F.min("minute").alias("mn"), F.max("minute").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 minute"))
+        ).alias("minute"),
+    )
+    return (
+        grid.join(F.broadcast(counts), ["event_type", "minute"], "left")
+        .select(
+            "event_type",
+            "minute",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n"),
+        )
+    )
+
+
+SQL_MINUTE_GAP_FILL = """
+WITH day AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute
+  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+),
+counts AS (SELECT event_type, minute, count(*) AS n_obs FROM day GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(minute) AS mn, max(minute) AS mx FROM counts GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute
+  FROM bounds
+)
+SELECT grid.event_type, grid.minute, coalesce(counts.n_obs, 0) AS n
+FROM grid LEFT JOIN counts
+  ON grid.event_type = counts.event_type AND grid.minute = counts.minute
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2793,4 +2919,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "schema_drift_union": QuerySpec(q_schema_drift_union, SQL_SCHEMA_DRIFT_UNION, "S7,§1.3:drift"),
     "embedding_norms": QuerySpec(q_embedding_norms, SQL_EMBEDDING_NORMS, "ext:array-hof"),
     "streaming_enriched": QuerySpec(q_streaming_enriched, SQL_STREAMING_ENRICHED, "§2.10:stream-static-join"),
+    "event_funnel": QuerySpec(q_event_funnel, SQL_EVENT_FUNNEL, "ext:funnel"),
+    "minute_gap_fill": QuerySpec(q_minute_gap_fill, SQL_MINUTE_GAP_FILL, "ext:gap-fill"),
 }

@@ -277,6 +277,26 @@ def test_cohort_retention_dedups_before_wide_shuffle(spark):
     assert first_agg_under_window >= 2, tree  # distinct partial+final below window
 
 
+def test_funnel_windows_share_one_exchange(spark):
+    """event_funnel's three chained min-windows must all ride ONE
+    user-partition exchange (identical partitioning); the only other
+    exchanges belong to the final distinct-count aggregate. Below the
+    lowest Window there is exactly the scan-side exchange."""
+    tree = _plan_tree(REGISTRY["event_funnel"].fn(spark, SF_SMALL))
+    assert tree.count("Window") == 3, tree
+    assert tree[tree.rindex("Window"):].count("Exchange") == 1, tree
+
+
+def test_gap_fill_join_is_broadcast(spark):
+    """minute_gap_fill's densification join must broadcast the
+    aggregated counts — the generated grid never shuffles for the fill,
+    and no nested-loop/cartesian appears."""
+    plan = _plan(REGISTRY["minute_gap_fill"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_quality_profile_single_scan(spark):
     """The graded quality battery reads the table ONCE (one scan, no
     joins, no per-check subplans); the distinct-count rewrite may add
