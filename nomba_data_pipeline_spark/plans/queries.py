@@ -2826,6 +2826,45 @@ FROM grid LEFT JOIN counts
 """
 
 
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch heavy hitters (completes the mergeable-sketch
+    family: HLL distinct / theta sets / KLL quantiles / frequent
+    items): exact top-10 token counts joined against Spark 4's
+    DataSketches `approx_top_k` — the graded witness is sketch_n == n
+    per row, exact here because maxItemsTracked (8192) far exceeds the
+    corpus vocabulary, so the sketch never evicts. At 100 TB the exact
+    leg is dropped and the sketch keeps a FIXED 8192-slot map per
+    partial state with the classic count error <= n_total/maxItems —
+    mergeable map-side like every sketch in the family. The ranking
+    window is vocabulary-sized input (post-aggregate), not corpus-sized;
+    sketch k=64 > |vocab| so boundary ties cannot drop a witness row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    top = exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    sk = (
+        toks.agg(F.expr("approx_top_k(token, 64, 8192)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").alias("sketch_n"))
+    )
+    return top.join(F.broadcast(sk), "token").select("token", "n", "sketch_n", "rank")
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({T.tokens_sql('text')}) AS token FROM documents
+),
+exact AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1),
+top AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM exact
+)
+SELECT token, n, n AS sketch_n, rank FROM top WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2921,4 +2960,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_enriched": QuerySpec(q_streaming_enriched, SQL_STREAMING_ENRICHED, "§2.10:stream-static-join"),
     "event_funnel": QuerySpec(q_event_funnel, SQL_EVENT_FUNNEL, "ext:funnel"),
     "minute_gap_fill": QuerySpec(q_minute_gap_fill, SQL_MINUTE_GAP_FILL, "ext:gap-fill"),
+    "heavy_hitter_tokens": QuerySpec(q_heavy_hitter_tokens, SQL_HEAVY_HITTERS, "ext:sketch-frequency"),
 }
