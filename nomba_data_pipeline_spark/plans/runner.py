@@ -205,14 +205,23 @@ class PipelineRunner:
         NOW()), and the writer wipes any existing `batch_id=<id>`
         subtree first. The same-bid wipe alone is not enough when the
         SOURCE changes between the crash and the replay (different
-        closed set => different bid, stale orphans survive), so every
-        run also sweeps ORPHANED batch dirs — a closed (key, valid_from)
+        closed set => different bid, stale orphans survive), so runs
+        also sweep ORPHANED batch dirs — a closed (key, valid_from)
         whose version is still OPEN can only come from an uncommitted
         append, because a committed close always swaps that version out
-        of the open table. The sweep is one column-pruned 3-column scan
-        of closed history per run; the dedup itself stays a directory
+        of the open table.
+
+        A committed batch dir carries a `_COMMITTED` marker (written
+        AFTER the open swap), so the steady-state sweep is a pure
+        FS listing — zero Spark jobs. Only UNMARKED dirs (a crash
+        window artifact) pay the column-pruned 3-column scan + semi-join
+        against the open table, scoped to just those dirs; survivors of
+        that check were committed-but-unmarked (crash between swap and
+        marker) and get marked. The dedup itself stays a directory
         delete, never a shuffle over history.
         """
+        from pyspark.storagelevel import StorageLevel
+
         from nomba_data_pipeline_spark.operators import scd2 as S2
         from nomba_data_pipeline_spark.operators.merge import _semi_anti_null_safe
 
@@ -222,23 +231,31 @@ class PipelineRunner:
         key = spec.scd2_key or spec.upsert_key[0]
         if open_old is not None and self.table(spec.name + "__closed").exists():
             self._migrate_legacy_closed(closed_path)
-            existing = self.spark.read.parquet(closed_path).select(
-                key, S2.VALID_FROM, "batch_id"
-            )
-            orphaned = _semi_anti_null_safe(
-                existing,
-                open_old.select(key, S2.VALID_FROM),
-                [key, S2.VALID_FROM],
-                "left_semi",
-            )
-            orphan_bids = [
-                r["batch_id"]
-                for r in orphaned.select("batch_id").distinct().collect()
-            ]
-            for bid_ in orphan_bids:
-                self._rm_dir(os.path.join(closed_path, f"batch_id={bid_}"))
-            if orphan_bids:
-                self.spark.catalog.refreshByPath(closed_path)
+            unmarked = self._unmarked_batch_dirs(closed_path)
+            if unmarked:
+                existing = (
+                    self.spark.read.option("basePath", closed_path)
+                    .parquet(*unmarked)
+                    .select(key, S2.VALID_FROM, "batch_id")
+                )
+                orphaned = _semi_anti_null_safe(
+                    existing,
+                    open_old.select(key, S2.VALID_FROM),
+                    [key, S2.VALID_FROM],
+                    "left_semi",
+                )
+                orphan_bids = {
+                    r["batch_id"]
+                    for r in orphaned.select("batch_id").distinct().collect()
+                }
+                for bid_ in orphan_bids:
+                    self._rm_dir(os.path.join(closed_path, f"batch_id={bid_}"))
+                if orphan_bids:
+                    self.spark.catalog.refreshByPath(closed_path)
+                for d in unmarked:  # survivors: committed but unmarked
+                    bid_ = d.rsplit("batch_id=", 1)[-1]
+                    if bid_ not in orphan_bids:
+                        self._touch(os.path.join(d, "_COMMITTED"))
         open_new, closed_now = S2.scd2_apply(
             open_old,
             batch,
@@ -246,28 +263,38 @@ class PipelineRunner:
             check_cols=spec.check_cols,
             order_within_batch=spec.tracking_column,
         )
-        # one pass gives both the emptiness check and the batch identity
-        # ((key, valid_from) is unique within a batch, so the xor never
-        # self-cancels); constant aggregation state, nothing collected
-        stats = (
-            closed_now.select(
-                F.xxhash64(F.col(key), F.col(S2.VALID_FROM)).alias("h")
+        # the closed set is computed twice (stats pass + append) — cache
+        # it so the change-detection join runs once; it is delta-sized
+        # (only versions closing this run), so the footprint is bounded
+        closed_now = closed_now.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # one pass gives both the emptiness check and the batch
+            # identity ((key, valid_from) is unique within a batch, so
+            # the xor never self-cancels); constant aggregation state
+            stats = (
+                closed_now.select(
+                    F.xxhash64(F.col(key), F.col(S2.VALID_FROM)).alias("h")
+                )
+                .agg(F.expr("bit_xor(h)").alias("x"), F.count(F.lit(1)).alias("n"))
+                .first()
             )
-            .agg(F.expr("bit_xor(h)").alias("x"), F.count(F.lit(1)).alias("n"))
-            .first()
-        )
-        # materialize closed rows BEFORE swapping the open table they
-        # derive from (both plans read the old open files)
-        if stats["n"] > 0:
-            self._migrate_legacy_closed(closed_path)
-            bid = f"{(stats['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{stats['n']}"
-            self._rm_dir(os.path.join(closed_path, f"batch_id={bid}"))
-            closed_now.withColumn("batch_id", F.lit(bid)).withColumn(
-                "close_date", F.to_date(F.col(S2.VALID_TO)).cast("string")
-            ).write.mode("append").partitionBy("batch_id", "close_date").parquet(
-                closed_path
-            )
-        open_t.overwrite(open_new)
+            # materialize closed rows BEFORE swapping the open table they
+            # derive from (both plans read the old open files)
+            bid = None
+            if stats["n"] > 0:
+                self._migrate_legacy_closed(closed_path)
+                bid = f"{(stats['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{stats['n']}"
+                self._rm_dir(os.path.join(closed_path, f"batch_id={bid}"))
+                closed_now.withColumn("batch_id", F.lit(bid)).withColumn(
+                    "close_date", F.to_date(F.col(S2.VALID_TO)).cast("string")
+                ).write.mode("append").partitionBy("batch_id", "close_date").parquet(
+                    closed_path
+                )
+            open_t.overwrite(open_new)
+        finally:
+            closed_now.unpersist()
+        if bid is not None:  # the commit point: swap done -> mark the batch
+            self._touch(os.path.join(closed_path, f"batch_id={bid}", "_COMMITTED"))
 
     def _migrate_legacy_closed(self, closed_path: str) -> None:
         """One-time layout upgrade: closed history written before the
@@ -299,7 +326,49 @@ class PipelineRunner:
             )
             if not fs.rename(src, dst):
                 raise IOError(f"legacy closed-history migration failed: {src}")
+        # pre-batch-id history predates replay safety — its rows cannot
+        # be attributed to an append, so it is grandfathered committed
+        self._touch(closed_path + "/batch_id=legacy/_COMMITTED")
         self.spark.catalog.refreshByPath(closed_path)
+
+    def _unmarked_batch_dirs(self, closed_path: str) -> list[str]:
+        """batch_id= dirs missing the `_COMMITTED` marker — the orphan
+        sweep's work list. Steady state returns [] from one FS listing."""
+        from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+        fs, jpath = fs_and_path(self.spark, closed_path)
+        if not fs.exists(jpath):
+            return []
+        out = []
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+        for st in fs.listStatus(jpath):
+            p = st.getPath()
+            if not (st.isDirectory() and p.getName().startswith("batch_id=")):
+                continue
+            if fs.exists(jvm_path(p, "_COMMITTED")):
+                continue
+            # a dir with no data files is a crashed append that never
+            # wrote a row — remove it here; feeding it to the parquet
+            # reader would fail schema inference
+            it = fs.listFiles(p, True)
+            has_data = False
+            while it.hasNext():
+                if not it.next().getPath().getName().startswith(("_", ".")):
+                    has_data = True
+                    break
+            if has_data:
+                out.append(p.toString())
+            else:
+                fs.delete(p, True)
+        return out
+
+    def _touch(self, path: str) -> None:
+        """Create an empty marker file (Hadoop FS, scheme-agnostic).
+        Underscore-prefixed names are invisible to parquet readers."""
+        from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+        fs, jpath = fs_and_path(self.spark, path)
+        fs.create(jpath, True).close()
 
     def _rm_dir(self, path: str) -> None:
         """Recursively delete a directory if present (Hadoop FS API, so

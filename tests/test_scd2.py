@@ -308,3 +308,34 @@ def test_split_scd2_replay_with_changed_source_sweeps_orphans(
     snap = runner3.read_model("users_snapshot")
     dups = snap.groupBy("user_id", "valid_from").count().filter("count > 1").count()
     assert dups == 0, f"{dups} duplicate (key, valid_from) intervals after replay"
+
+
+def test_split_scd2_commit_markers_make_sweep_metadata_only(spark, tmp_path):
+    """Clean runs must leave every closed batch dir carrying the
+    _COMMITTED marker, so the steady-state orphan sweep's work list is
+    empty — a pure FS listing, zero Spark jobs (the r04→r05 CDC rerun
+    cost the sweep added is paid only inside a crash window)."""
+    import os
+
+    from nomba_data_pipeline_spark.plans import models as M
+    from nomba_data_pipeline_spark.plans.cdc_sim import simulate_user_updates
+    from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
+    from tests.conftest import SF_SMALL
+
+    wh = os.path.join(tmp_path, "wh")
+    build_pipeline(spark, wh, SF_SMALL).run(only=["users_snapshot"])
+    for frac in (0.1, 0.2):  # two CDC cycles -> two closed batches
+        override = {
+            "stg_users": lambda s, sf, f=frac: simulate_user_updates(
+                M.stg_users(s, sf), fraction=f
+            )
+        }
+        runner = build_pipeline(spark, wh, SF_SMALL, source_override=override)
+        runner.run(only=["users_snapshot"])
+
+    closed_path = os.path.join(wh, "users_snapshot__closed")
+    batch_dirs = [d for d in os.listdir(closed_path) if d.startswith("batch_id=")]
+    assert len(batch_dirs) >= 2, batch_dirs
+    for d in batch_dirs:
+        assert os.path.exists(os.path.join(closed_path, d, "_COMMITTED")), d
+    assert runner._unmarked_batch_dirs(closed_path) == []
