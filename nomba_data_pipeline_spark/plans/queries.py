@@ -419,8 +419,10 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in effect 30 days before the corpus horizon. Composes the interval
     derivation with a broadcast one-row probe (scalar agg, no shuffle
     added) and the half-open containment filter [valid_from, valid_to);
-    the probe is data-derived (max ts − 30d) so the row is reproducible
-    on any regenerated fixture without a wall-clock literal."""
+    the probe is data-derived (max ts − 7d; the fixture spans ~30 days,
+    so the probe lands inside the span — max − 30d would precede every
+    interval and vacuously return 0 rows) so the row is reproducible on
+    any regenerated fixture without a wall-clock literal."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -433,7 +435,7 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     probe = events.agg(
-        (F.max("ts") - F.expr("INTERVAL 30 DAYS")).alias("__p")
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("__p")
     )
     return (
         iv.crossJoin(F.broadcast(probe))
@@ -452,7 +454,7 @@ WITH iv AS (
            value
     FROM events
 ),
-p AS (SELECT max(ts) - INTERVAL 30 DAY AS p FROM events)
+p AS (SELECT max(ts) - INTERVAL 7 DAY AS p FROM events)
 SELECT user_id, version_id, value
 FROM iv, p
 WHERE valid_from <= p.p AND (valid_to IS NULL OR valid_to > p.p)
