@@ -10,20 +10,65 @@ thin adapter over plans/queries.py's REGISTRY.
 
 from __future__ import annotations
 
+import functools
+import os
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from nomba_data_pipeline_spark.plans.queries import REGISTRY
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_PKG_ZIP: str | None = None
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `nomba_data_pipeline_spark` importable on EXECUTOR Python
+    workers regardless of the harness's cwd/PYTHONPATH. The Arrow-UDF
+    rows (multimodal, ANN BLAS, z-scores) cloudpickle references to
+    module-level functions, so workers must import the package; a
+    driver whose cwd is elsewhere would otherwise fail only those rows.
+    addPyFile distributes a zip once per SparkContext and prepends it
+    to the workers' sys.path; repeat calls with the same path no-op."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import tempfile
+
+        pkg_dir = os.path.join(_REPO, "nomba_data_pipeline_spark")
+        zpath = os.path.join(
+            tempfile.gettempdir(), "nomba_data_pipeline_spark_pkg.zip"
+        )
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _REPO))
+        _PKG_ZIP = zpath
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # e.g. Connect-only session; worker imports then rely on env
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     return REGISTRY["flagship_revenue_by_region"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: _wrap(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
