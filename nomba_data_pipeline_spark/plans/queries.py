@@ -2867,6 +2867,145 @@ SELECT token, n, n AS sketch_n, rank FROM top WHERE rank <= 10
 """
 
 
+CHUNK_TOKENS = 32  # context-window size (tokens per chunk)
+CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 8 tokens
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — split every document into overlapping
+    fixed-size token windows (32 tokens, stride 24), the canonical
+    pretraining/RAG prep step between cleaning and packing. Tokenize
+    ONCE (shared T.tokens normalizer), fan out chunk starts with
+    sequence+posexplode, and slice the token array per chunk — all
+    JVM codegen expressions, zero Python, zero shuffles: a map-only
+    plan that scales linearly with corpus bytes at 100 TB (the explode
+    multiplies rows ~n_tokens/stride, never materializing text twice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.filter(T.tokens("text"), lambda t: t != "").alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    return toks.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "s"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(
+            F.slice("toks", F.col("s") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("s"))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
+SQL_DOC_CHUNKING = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter({T.tokens_sql('text')}, t -> t <> '') AS toks
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(u.s // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       array_to_string(toks[u.s + 1 : u.s + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, n - u.s) AS INT) AS n_tokens
+FROM sized, LATERAL unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS u(s)
+"""
+
+
+def q_fuzzy_name_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join — record linkage's core
+    move: an all-pairs levenshtein is O(N²) and dead at scale, so pairs
+    are generated only WITHIN a blocking key (custkey div 100 here —
+    in production a phonetic code, name prefix, or sorted-neighborhood
+    key) and the distance filter runs on block-local candidates. The
+    plan is one hash shuffle on the block key + a codegen levenshtein
+    filter; per-task work is bounded by the largest block, never N².
+    Recall bound: matches straddling a block boundary are missed by
+    construction (199 vs 200) — the standard blocking trade; multi-pass
+    blocking on a second key recovers them at one more shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.expr("c_custkey div 100").alias("blk"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("left_key"),
+            F.col("b.k").alias("right_key"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )
+
+
+SQL_FUZZY_NAME_BLOCKED = """
+WITH c AS (
+    SELECT c_custkey AS k, c_name AS name, c_custkey // 100 AS blk
+    FROM customer
+)
+SELECT a.k AS left_key, b.k AS right_key,
+       levenshtein(a.name, b.name) AS dist
+FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time windows in batch — `F.window(ts, width,
+    slide)` with width 10 min / slide 5 min, so every event lands in
+    exactly width/slide = 2 overlapping windows. This is the batch twin
+    of the streaming windowed rollup (§2.10): same TimeWindow operator,
+    no state. The expansion happens JVM-side inside the window
+    expression (an internal explode over the window set), then one
+    hash-aggregate shuffle on (window, event_type) — at 100 TB the
+    row multiplier is the fixed width/slide ratio, not data-dependent.
+    Window starts are emitted as epoch seconds: both engines compute
+    UTC-aligned boundaries, and the integer avoids timestamp-rendering
+    drift in the cross-engine hash."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            epoch_seconds(F.col("w.start")).cast("bigint").alias("window_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+SQL_HOPPING_WINDOW_COUNTS = """
+WITH e AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS base
+    FROM events
+)
+SELECT CAST(base - k.k * 300 AS BIGINT) AS window_start_s,
+       event_type, count(*) AS n
+FROM e, LATERAL unnest([0, 1]) AS k(k)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2963,4 +3102,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_funnel": QuerySpec(q_event_funnel, SQL_EVENT_FUNNEL, "ext:funnel"),
     "minute_gap_fill": QuerySpec(q_minute_gap_fill, SQL_MINUTE_GAP_FILL, "ext:gap-fill"),
     "heavy_hitter_tokens": QuerySpec(q_heavy_hitter_tokens, SQL_HEAVY_HITTERS, "ext:sketch-frequency"),
+    "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING, "ext:chunking"),
+    "fuzzy_name_blocked": QuerySpec(q_fuzzy_name_blocked, SQL_FUZZY_NAME_BLOCKED, "ext:fuzzy-blocked-join"),
+    "hopping_window_counts": QuerySpec(q_hopping_window_counts, SQL_HOPPING_WINDOW_COUNTS, "ext:hopping-window"),
 }
