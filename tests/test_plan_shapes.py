@@ -396,3 +396,33 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     j = fact.join(dim, "event_type").groupBy("grp").agg(F.sum("value").alias("s"))
     plan = _plan(j)
     assert "dynamicpruning" in plan.lower(), plan[:4000]
+
+
+def test_doc_chunking_is_map_only(spark):
+    """Chunking must stay a pure fan-out over one text scan: no
+    exchange, no Python — the 100 TB cost is linear in corpus bytes."""
+    plan = _plan(REGISTRY["doc_chunking"].fn(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted explain lists each scan once in the tree and once in
+    # the detail section — a second scan would appear as node (2)
+    assert "(1) Scan parquet" in plan and "(2) Scan parquet" not in plan, plan
+
+
+def test_fuzzy_blocked_join_never_cartesian(spark):
+    """The levenshtein filter must ride a join keyed on the blocking
+    column — a CartesianProduct/BroadcastNestedLoop here is the O(N²)
+    all-pairs plan blocking exists to prevent."""
+    plan = _plan(REGISTRY["fuzzy_name_blocked"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_hopping_windows_partial_agg_before_exchange(spark):
+    """The width/slide=2 fan-out must be collapsed by a partial
+    aggregate BEFORE the shuffle: the wire carries ≤ |windows|×|types|
+    combined rows, not 2× the event count."""
+    tree = REGISTRY["hopping_window_counts"].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    ex = tree.index("Exchange")
+    assert "partial_count" in tree[ex:], tree
