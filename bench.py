@@ -51,6 +51,12 @@ HEADLINE = [
     "sequence_packing",
     "sketch_rollup_distinct",
     "neardup_clusters",
+    # round-5 third batch: chunking fan-out, blocked fuzzy join,
+    # sliding windows, int8 vector quantization
+    "doc_chunking",
+    "fuzzy_name_blocked",
+    "hopping_window_counts",
+    "embedding_quantize",
 ]
 
 
