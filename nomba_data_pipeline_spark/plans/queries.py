@@ -3067,6 +3067,53 @@ FROM qq
 """
 
 
+def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF — the §2.11 aggregate-UDF leg (the
+    registry already grades applyInPandas and a UDTF; this is the
+    third shape). Median absolute deviation per return flag: MAD needs
+    median-of-deviations-from-median — two dependent exact medians —
+    which no single built-in expresses; the UDAF computes it in one
+    Arrow batch per group. Scale caveat (same as exact percentile): a
+    GROUPED_AGG buffers each group's column in memory — fine for
+    low-cardinality groups like this; for per-user groups at 100 TB
+    switch to approx_percentile deviations or a two-pass join.
+    pandas' even-count median (mean of the two middle values) matches
+    DuckDB's continuous-interpolation median bit-for-bit on doubles."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module's `from __future__ import
+    # annotations` stringifies type hints, which defeats the
+    # hint-based GROUPED_AGG inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def med(v):
+        return float(v.median())
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mad(v):
+        return float((v - v.median()).abs().median())
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(med("p"), 6).alias("median_price"),
+        F.round(mad("p"), 6).alias("mad_price"),
+    )
+
+
+SQL_PRICE_MAD_BY_FLAG = """
+WITH m AS (
+    SELECT l_returnflag, median(CAST(l_extendedprice AS DOUBLE)) AS med
+    FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       round(any_value(m.med), 6) AS median_price,
+       round(median(abs(CAST(l.l_extendedprice AS DOUBLE) - m.med)), 6) AS mad_price
+FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3167,4 +3214,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "fuzzy_name_blocked": QuerySpec(q_fuzzy_name_blocked, SQL_FUZZY_NAME_BLOCKED, "ext:fuzzy-blocked-join"),
     "hopping_window_counts": QuerySpec(q_hopping_window_counts, SQL_HOPPING_WINDOW_COUNTS, "ext:hopping-window"),
     "embedding_quantize": QuerySpec(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, "ext:vector-quantization"),
+    "price_mad_by_flag": QuerySpec(q_price_mad_by_flag, SQL_PRICE_MAD_BY_FLAG, "§2.11:grouped-agg-udaf"),
 }
