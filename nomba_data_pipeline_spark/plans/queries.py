@@ -2940,7 +2940,14 @@ def q_fuzzy_name_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name"),
         F.expr("c_custkey div 100").alias("blk"),
     )
-    a, b = cust.alias("a"), cust.alias("b")
+    # hash-distribute the probe side by the blocking key: the quadratic
+    # per-block candidate expansion must run across cores, and a small
+    # dim read as one file is otherwise a single scan task doing ALL
+    # the levenshtein work serially (measured sf0.1: 4.2s -> 0.5s).
+    # This is also the canonical layout at scale — candidates of one
+    # block never cross tasks.
+    probe = cust.repartition(32, "blk")
+    a, b = probe.alias("a"), cust.alias("b")
     return (
         a.join(
             b,
