@@ -56,3 +56,44 @@ def test_bare_session_runs_conf_sensitive_queries():
         cwd=env["PYTHONPATH"],
     )
     assert "BARE-SESSION-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+FOREIGN_CWD_SCRIPT = textwrap.dedent(
+    """
+    import sys, tempfile
+    sys.path.insert(0, {repo!r})  # driver-side only — workers can't see this
+    from pyspark.sql import SparkSession
+    import __spark_entry__ as mod
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = mod.queries()
+    # Pandas-UDF rows cloudpickle module references: worker imports must
+    # come from the addPyFile-shipped zip, not cwd or PYTHONPATH
+    for name in ("user_zscores", "media_features", "cosine_topk_lsh"):
+        n = qs[name](spark, "/root/testdata/sf0.001").count()
+        assert n > 0, name
+    print("FOREIGN-CWD-OK")
+    """
+)
+
+
+def test_foreign_cwd_ships_package_to_workers(tmp_path):
+    """A harness running from an arbitrary cwd with no repo PYTHONPATH
+    must still execute the Arrow-UDF rows: entry()/queries() ship the
+    package zip via addPyFile. Regression: before the shim, exactly the
+    five Python-worker rows failed with worker ImportError while every
+    JVM-expression row passed."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", FOREIGN_CWD_SCRIPT.format(repo=repo)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert "FOREIGN-CWD-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
