@@ -3086,25 +3086,14 @@ def q_price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     switch to approx_percentile deviations or a two-pass join.
     pandas' even-count median (mean of the two middle values) matches
     DuckDB's continuous-interpolation median bit-for-bit on doubles."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # explicit functionType: this module's `from __future__ import
-    # annotations` stringifies type hints, which defeats the
-    # hint-based GROUPED_AGG inference
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def med(v):
-        return float(v.median())
-
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def mad(v):
-        return float((v - v.median()).abs().median())
+    from nomba_data_pipeline_spark.functions.udafs import mad_udaf, median_udaf
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
     )
     return li.groupBy("l_returnflag").agg(
-        F.round(med("p"), 6).alias("median_price"),
-        F.round(mad("p"), 6).alias("mad_price"),
+        F.round(median_udaf("p"), 6).alias("median_price"),
+        F.round(mad_udaf("p"), 6).alias("mad_price"),
     )
 
 

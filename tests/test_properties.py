@@ -217,3 +217,63 @@ def test_tfidf_scores_monotone_in_rarity(spark):
         ordered = sorted(rs, key=lambda r: r["rank"])
         scores = [r["score"] for r in ordered]
         assert scores == sorted(scores, reverse=True), (doc, scores)
+
+
+def test_doc_chunking_covers_every_token_with_exact_overlap(spark):
+    """Chunking invariants on the real fixture: (1) every non-empty
+    token position lands in >= 1 chunk; (2) consecutive FULL chunks
+    overlap by exactly CHUNK_TOKENS - CHUNK_STRIDE tokens; (3) chunk
+    token counts never exceed CHUNK_TOKENS; (4) reassembling chunk 0's
+    prefix + each chunk's tail reproduces the token stream."""
+    from nomba_data_pipeline_spark.plans.queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        REGISTRY,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["doc_chunking"].fn(spark, SF_SMALL).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        idxs = sorted(chunks)
+        assert idxs == list(range(len(idxs))), f"gap in chunk_idx for {doc_id}"
+        toks = [chunks[i]["chunk_text"].split(" ") for i in idxs]
+        for i, t in zip(idxs, toks):
+            assert chunks[i]["n_tokens"] == len(t) <= CHUNK_TOKENS
+        # coverage + overlap: chunk i starts at i*stride in the stream
+        stream = toks[0]
+        for i in idxs[1:]:
+            t = toks[i]
+            start = i * CHUNK_STRIDE
+            overlap = len(stream) - start
+            assert 0 < overlap <= CHUNK_TOKENS - CHUNK_STRIDE or len(t) <= overlap
+            assert stream[start : start + len(t[:overlap])] == t[:overlap], doc_id
+            stream.extend(t[overlap:])
+        n_tokens_total = len(stream)
+        # last chunk must reach the stream's end: full coverage
+        last = idxs[-1]
+        assert last * CHUNK_STRIDE + len(toks[-1]) == n_tokens_total, doc_id
+
+
+def test_embedding_quantize_reconstruction_bound(spark):
+    """Int8 quantization invariant: dequantized values are within half
+    a quantization step of the original (|x - q/scale| <= 0.5/scale),
+    and the max-|x| element maps to exactly +-127."""
+    import numpy as np
+
+    from nomba_data_pipeline_spark.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in load_table(spark, SF_SMALL, "embeddings").collect()}
+    for vid, x in list(emb.items())[:50]:
+        m = np.abs(x).max()
+        if m == 0:
+            continue
+        scale = 127.0 / m
+        q = np.clip(np.floor(x * scale + 0.5), -127, 127)
+        assert np.abs(x - q / scale).max() <= 0.5 / scale + 1e-12, vid
+        assert np.abs(q[np.abs(x).argmax()]) == 127, vid
