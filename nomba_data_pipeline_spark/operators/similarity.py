@@ -1069,15 +1069,31 @@ def ivf_index(
     The 100 TB shape: write this ONCE partitioned by list_id, and every
     query reads only its n_probe partitions — IVF probing becomes
     partition pruning at the parquet scan, zero assignment math at query
-    time. Centroids are reproducible from the index itself (same
-    deterministic trainer), so the index frame is self-describing.
+    time. (For the persisted form with append-only maintenance and a
+    centroid sidecar, see ivf_index_write / ivf_index_append.)
     """
+    C = ivf_train_centroids(embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    return assign_ivf_lists(embeddings, C, id_col=id_col, vec_col=vec_col)
+
+
+def assign_ivf_lists(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only BLAS assignment of each vector to its nearest coarse
+    centroid under a FIXED quantizer — the shared pass behind both the
+    initial ivf_index build and append-time maintenance (where the
+    quantizer must NOT be retrained or old assignments silently
+    disagree with new ones)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    C = ivf_train_centroids(embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
-    bc = embeddings.sparkSession.sparkContext.broadcast(C)
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
 
     out_schema = T.StructType(
         [
@@ -1194,3 +1210,140 @@ def cosine_topk_ivf_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted ANN indexes with append-only maintenance
+# ---------------------------------------------------------------------------
+# At 100 TB an ANN index is not rebuilt per batch of new vectors — it is
+# APPENDED to. Both families support that cheaply because assignment is
+# stateless under a fixed parameterization:
+#   * LSH: bucket ids are a pure function of (dim, n_planes, n_tables) —
+#     the hyperplane family is md5-derived constants — so indexing new
+#     vectors is the same map-only pass as the build.
+#   * IVF: assignment is a pure function of the trained centroids; the
+#     quantizer must be FROZEN at append time (retraining would silently
+#     disagree with the assignments already on disk), so the build
+#     persists a centroid sidecar that appends read back.
+# Layout: <path>/lists partitioned by the prune column (list_id / b0), so
+# queries partition-prune at the scan; appends only create files inside
+# the partitions the new vectors land in — existing files are never
+# touched (no read-modify-write, safe under concurrent readers).
+# Quantizer drift: after heavy appends the frozen IVF centroids describe
+# the corpus less well (recall decays at fixed n_probe). ivf_index_stats
+# reports per-list counts; rebalance by rebuilding when the hot/cold
+# list ratio degrades — a policy call, deliberately not automated here.
+
+
+def ivf_index_write(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the coarse quantizer, assign, and persist: lists
+    partitioned by list_id + a centroid sidecar (the frozen quantizer
+    appends and queries reuse)."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    C = ivf_train_centroids(embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    assign_ivf_lists(embeddings, C, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path + "/lists")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(np.asarray(C))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append-only maintenance: assign the new vectors under the FROZEN
+    sidecar centroids and append into the partitioned layout. Touches
+    only the ≤ n_lists partition dirs the new vectors land in."""
+    C = ivf_index_centroids(new_vectors.sparkSession, path)
+    assign_ivf_lists(new_vectors, C, id_col=id_col, vec_col=vec_col).write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(path + "/lists")
+
+
+def ivf_index_centroids(spark: SparkSession, path: str):
+    """The frozen quantizer: n_lists x dim numpy array from the sidecar."""
+    import numpy as np
+
+    rows = spark.read.parquet(path + "/centroids").orderBy("list_id").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_index_read(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted index as a DataFrame (same schema ivf_index
+    returns) — feed to cosine_topk_ivf_indexed with
+    centroids=ivf_index_centroids(...) so probing uses the frozen
+    quantizer, not a retrain over the drifted corpus."""
+    return spark.read.parquet(path + "/lists").select(
+        "vec_id", "embedding", F.col("list_id").cast("int").alias("list_id")
+    )
+
+
+def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-list row counts — the rebalance signal. A severely skewed
+    distribution after appends means the frozen quantizer no longer
+    fits the corpus: rebuild (retrain) on the maintenance cadence."""
+    return (
+        spark.read.parquet(path + "/lists")
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def lsh_index_write(
+    embeddings: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_planes: int = NUM_HYPERPLANES,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the LSH index partitioned by the table-0 bucket (the
+    prune column queries filter on) + a parameter sidecar so appends
+    provably use the same hyperplane family."""
+    spark = embeddings.sparkSession
+    idx = lsh_index(
+        embeddings, dim=dim, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    ).withColumn("b0", F.col("buckets")[0])
+    idx.write.mode("overwrite").partitionBy("b0").parquet(path + "/lists")
+    spark.createDataFrame(
+        [(dim, n_planes, n_tables)], "dim int, n_planes int, n_tables int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/params")
+
+
+def lsh_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append-only maintenance: signatures are a pure function of the
+    sidecar parameters (md5-derived hyperplanes), so appended rows get
+    bit-identical buckets to a full rebuild — no drift, ever."""
+    spark = new_vectors.sparkSession
+    p = spark.read.parquet(path + "/params").first()
+    idx = lsh_index(
+        new_vectors, dim=p["dim"], n_planes=p["n_planes"], n_tables=p["n_tables"],
+        id_col=id_col, vec_col=vec_col,
+    ).withColumn("b0", F.col("buckets")[0])
+    idx.write.mode("append").partitionBy("b0").parquet(path + "/lists")
+
+
+def lsh_index_read(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted index as a DataFrame (lsh_index schema); `b0` is
+    re-derivable from buckets[0] so it is dropped on read."""
+    return spark.read.parquet(path + "/lists").select("vec_id", "embedding", "buckets")

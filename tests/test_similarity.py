@@ -309,3 +309,84 @@ def test_any_table_collision_chunking_matches_full_broadcast(monkeypatch):
     monkeypatch.setattr(S, "_COLL_CHUNK_ELEMS", 13)
     ri, qi = S._any_table_collision(lists.reshape(-1, 1), probe)
     assert set(zip(ri.tolist(), qi.tolist())) == want2
+
+
+def test_ivf_index_append_equals_frozen_assignment(spark, tmp_path):
+    """Persisted-index maintenance: build on 80% of the corpus, append
+    the rest — loaded assignments must equal assigning the FULL corpus
+    under the frozen sidecar centroids (never a retrain), existing
+    files must be untouched by the append, and an appended vector must
+    be findable (its own top-1) through the partition-pruned query."""
+    import os
+
+    from nomba_data_pipeline_spark.catalog import load_table
+    from nomba_data_pipeline_spark.operators.similarity import (
+        assign_ivf_lists,
+        cosine_topk_ivf_indexed,
+        ivf_index_append,
+        ivf_index_centroids,
+        ivf_index_read,
+        ivf_index_stats,
+        ivf_index_write,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.8)")).first()[0]
+    base, extra = emb.filter(F.col("vec_id") <= cut), emb.filter(F.col("vec_id") > cut)
+    path = str(tmp_path / "ivf")
+    ivf_index_write(base, path, n_lists=8)
+
+    def data_files():
+        out = set()
+        for root, _d, files in os.walk(path + "/lists"):
+            out |= {os.path.join(root, f) for f in files if not f.startswith(("_", "."))}
+        return out
+
+    before = data_files()
+    ivf_index_append(extra, path)
+    after = data_files()
+    assert before <= after, "append rewrote existing index files"
+    assert len(after) > len(before)
+
+    C = ivf_index_centroids(spark, path)
+    got = {r["vec_id"]: r["list_id"] for r in ivf_index_read(spark, path).collect()}
+    want = {
+        r["vec_id"]: r["list_id"]
+        for r in assign_ivf_lists(emb, C).collect()
+    }
+    assert got == want, "appended index diverges from frozen-quantizer assignment"
+    assert ivf_index_stats(spark, path).agg(F.sum("n_vectors")).first()[0] == emb.count()
+
+    probe_id = int(extra.agg(F.max("vec_id")).first()[0])
+    res = cosine_topk_ivf_indexed(
+        ivf_index_read(spark, path), F.col("vec_id") == probe_id, k=3,
+        n_lists=8, centroids=C,
+    ).collect()
+    assert res, "appended vector not queryable"
+    assert all(r["query_id"] == probe_id for r in res)
+
+
+def test_lsh_index_append_matches_rebuild(spark, tmp_path):
+    """LSH signatures are a pure function of the sidecar params, so
+    append must be bit-identical to a full rebuild — including across
+    multi-table configurations."""
+    from nomba_data_pipeline_spark.catalog import load_table
+    from nomba_data_pipeline_spark.operators.similarity import (
+        lsh_index,
+        lsh_index_append,
+        lsh_index_read,
+        lsh_index_write,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.8)")).first()[0]
+    base, extra = emb.filter(F.col("vec_id") <= cut), emb.filter(F.col("vec_id") > cut)
+    path = str(tmp_path / "lsh")
+    lsh_index_write(base, path, n_tables=2)
+    lsh_index_append(extra, path)
+
+    got = {r["vec_id"]: list(r["buckets"]) for r in lsh_index_read(spark, path).collect()}
+    want = {r["vec_id"]: list(r["buckets"]) for r in lsh_index(emb, n_tables=2).collect()}
+    assert got == want
