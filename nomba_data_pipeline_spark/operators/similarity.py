@@ -1347,3 +1347,81 @@ def lsh_index_read(spark: SparkSession, path: str) -> DataFrame:
     """The persisted index as a DataFrame (lsh_index schema); `b0` is
     re-derivable from buckets[0] so it is dropped on read."""
     return spark.read.parquet(path + "/lists").select("vec_id", "embedding", "buckets")
+
+
+def lsh_index_stage_batch(
+    new_vectors: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Stage one micro-batch of new vectors into the index's LSM-style
+    incoming area: `<path>/incoming/batch=<id>` written with OVERWRITE.
+    Structured Streaming replays a crashed batch under the SAME batch id
+    (it is part of the checkpoint), so the overwrite makes streaming
+    maintenance replay-idempotent with zero bookkeeping — the replay
+    clobbers its own partial output, never duplicates it."""
+    spark = new_vectors.sparkSession
+    p = spark.read.parquet(path + "/params").first()
+    idx = lsh_index(
+        new_vectors, dim=p["dim"], n_planes=p["n_planes"], n_tables=p["n_tables"],
+        id_col=id_col, vec_col=vec_col,
+    ).withColumn("b0", F.col("buckets")[0])
+    idx.write.mode("overwrite").parquet(f"{path}/incoming/batch={batch_id}")
+
+
+def lsh_index_read_all(spark: SparkSession, path: str) -> DataFrame:
+    """The queryable index: folded lists ∪ staged incoming batches.
+    Incoming is small (recent micro-batches) and unpartitioned, so the
+    union costs a second scan of MBs, not the index; fold on the
+    maintenance cadence to restore pure partition pruning."""
+    from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+    base = spark.read.parquet(path + "/lists").select("vec_id", "embedding", "buckets")
+    fs, jp = fs_and_path(spark, path + "/incoming")
+    if not fs.exists(jp):
+        return base
+    inc = (
+        spark.read.option("basePath", path + "/incoming")
+        .parquet(path + "/incoming")
+        .select("vec_id", "embedding", "buckets")
+        # a vector delivered in two staged batches (at-least-once
+        # source) appears once; incoming is micro-batch-sized, so this
+        # dedup shuffle moves MBs. The lists∩incoming case is excluded
+        # by fold's anti-join; queries between a re-delivery and the
+        # next fold may see one transient duplicate neighbor — the
+        # top-k rank window is unaffected (same sim, id tiebreak).
+        .dropDuplicates(["vec_id"])
+    )
+    return base.unionByName(inc)
+
+
+def lsh_index_fold_incoming(spark: SparkSession, path: str) -> int:
+    """Fold staged batches into the partitioned lists layout. Replay-
+    idempotent via an anti-join on vec_id (a rerun after a crash
+    between the append and the staging delete re-appends nothing): the
+    anti-join's right side is the column-pruned vec_id scan of the
+    index — a maintenance-cadence cost, not a query-path one. Returns
+    the number of rows folded."""
+    from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+    fs, jp = fs_and_path(spark, path + "/incoming")
+    if not fs.exists(jp):
+        return 0
+    inc = (
+        spark.read.option("basePath", path + "/incoming")
+        .parquet(path + "/incoming")
+        .select("vec_id", "embedding", "buckets")
+        .dropDuplicates(["vec_id"])  # same vector in two staged batches
+    )
+    existing_ids = spark.read.parquet(path + "/lists").select("vec_id")
+    fresh = inc.join(existing_ids, "vec_id", "left_anti").withColumn(
+        "b0", F.col("buckets")[0]
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("b0").parquet(path + "/lists")
+    fs.delete(jp, True)
+    spark.catalog.refreshByPath(path + "/lists")
+    return n

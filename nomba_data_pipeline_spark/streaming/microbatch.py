@@ -333,3 +333,43 @@ def run_sketch_rollup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_index_maintenance_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files: int = 100,
+) -> None:
+    """Streaming ANN index maintenance — the vector firehose shape: a
+    file stream of new embeddings keeps a persisted LSH index current
+    without ever rebuilding it. Each micro-batch signs its vectors
+    under the index's frozen params and lands in the LSM-style
+    incoming area via `lsh_index_stage_batch` (batch-addressed
+    OVERWRITE, so a checkpoint replay clobbers its own partial output —
+    replay-idempotent with no bookkeeping). Queries read
+    `lsh_index_read_all` (lists ∪ incoming); `lsh_index_fold_incoming`
+    restores pure partition pruning on the maintenance cadence.
+    Blocks until the available backlog drains (availableNow)."""
+    from nomba_data_pipeline_spark.operators.similarity import lsh_index_stage_batch
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(source_dir)
+    )
+
+    def stage(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lsh_index_stage_batch(batch_df, index_path, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(stage)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

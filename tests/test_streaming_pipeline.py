@@ -97,3 +97,63 @@ def test_subgraph_run_only_touches_closure(spark, tmp_path):
     runner.register(ModelSpec(name="c", fn=mk("c"), depends_on=["a"]))
     runner.run(only=["b"])
     assert calls == ["a", "b"]  # c untouched
+
+
+def test_streaming_index_maintenance_stage_and_fold(spark, tmp_path):
+    """Vector-firehose index maintenance: stream new embeddings into a
+    persisted LSH index's incoming area, query the union, then fold.
+    Pins (1) streamed+staged index == full rebuild, (2) staging is
+    replay-idempotent (same batch id overwrites itself), (3) fold is
+    replay-idempotent (second fold appends nothing), (4) after fold the
+    partitioned lists alone carry the full corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nomba_data_pipeline_spark.catalog import load_table
+    from nomba_data_pipeline_spark.operators.similarity import (
+        lsh_index,
+        lsh_index_fold_incoming,
+        lsh_index_read,
+        lsh_index_read_all,
+        lsh_index_stage_batch,
+    )
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        run_index_maintenance_stream,
+    )
+    from tests.conftest import SF_SMALL
+    from nomba_data_pipeline_spark.operators.similarity import lsh_index_write
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.7)")).first()[0]
+    base = emb.filter(F.col("vec_id") <= cut)
+    extra = emb.filter(F.col("vec_id") > cut)
+
+    path = str(tmp_path / "lshidx")
+    lsh_index_write(base, path, n_tables=2)
+
+    src = str(tmp_path / "src")
+    extra.repartition(3).write.mode("overwrite").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    run_index_maintenance_stream(spark, src, extra.schema, path, ckpt, max_files=1)
+
+    want = {r["vec_id"]: list(r["buckets"]) for r in lsh_index(emb, n_tables=2).collect()}
+    got = {r["vec_id"]: list(r["buckets"]) for r in lsh_index_read_all(spark, path).collect()}
+    assert got == want
+
+    # replay-idempotent staging: a batch id restaged (same payload, as a
+    # checkpoint replay would) overwrites itself — no growth; and a
+    # vector re-delivered in a SECOND batch is deduped by read/fold
+    redelivered = extra.orderBy("vec_id").limit(20)
+    lsh_index_stage_batch(redelivered, path, 999)
+    lsh_index_stage_batch(redelivered, path, 999)  # replay
+    assert spark.read.parquet(path + "/incoming/batch=999").count() == 20
+    assert lsh_index_read_all(spark, path).count() == emb.count()
+
+    # fold: full corpus lands in lists exactly once; refold is a no-op
+    folded = lsh_index_fold_incoming(spark, path)
+    assert folded > 0
+    assert not os.path.exists(path + "/incoming")
+    lists_only = {r["vec_id"]: list(r["buckets"]) for r in lsh_index_read(spark, path).collect()}
+    assert lists_only == want
+    assert lsh_index_fold_incoming(spark, path) == 0
