@@ -221,6 +221,33 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings["ann_x64_ivf_indexed"] = round(best, 3)
 
+        # index MAINTENANCE: appending a 1x delta (2k rows) to the
+        # persisted 64x index must cost O(delta), not O(rebuild) —
+        # the number that makes per-batch rebuilds indefensible
+        import shutil as _sh
+        import tempfile as _tf
+
+        from nomba_data_pipeline_spark.operators.similarity import (
+            lsh_index_append,
+            lsh_index_write,
+        )
+
+        ipath = _tf.mkdtemp(prefix="bench-lshidx-")
+        try:
+            t0 = time.perf_counter()
+            lsh_index_write(big, ipath)
+            timings["ann_x64_lsh_index_write"] = round(time.perf_counter() - t0, 3)
+            delta = emb.select(
+                (F.col("vec_id") + 100_000_000).alias("vec_id"), "embedding"
+            )
+            t0 = time.perf_counter()
+            lsh_index_append(delta, ipath)
+            timings["ann_x64_lsh_index_append_1x"] = round(
+                time.perf_counter() - t0, 3
+            )
+        finally:
+            _sh.rmtree(ipath, ignore_errors=True)
+
         # speed without accuracy is meaningless for ANN: record recall@5
         # of each fast path against the brute-force ground truth on the
         # same corpus/queries (pair-set overlap, computed once). Both

@@ -1249,9 +1249,12 @@ def ivf_index_write(
 
     spark = embeddings.sparkSession
     C = ivf_train_centroids(embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
-    assign_ivf_lists(embeddings, C, id_col=id_col, vec_col=vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("list_id").parquet(path + "/lists")
+    # co-locate per list before the write (one file per partition dir,
+    # not one per task x dir — tasks x n_lists files is the small-file
+    # bomb merge.py's overwrite avoids the same way)
+    assign_ivf_lists(embeddings, C, id_col=id_col, vec_col=vec_col).repartition(
+        "list_id"
+    ).write.mode("overwrite").partitionBy("list_id").parquet(path + "/lists")
     spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(np.asarray(C))],
         "list_id int, centroid array<double>",
@@ -1268,9 +1271,9 @@ def ivf_index_append(
     sidecar centroids and append into the partitioned layout. Touches
     only the ≤ n_lists partition dirs the new vectors land in."""
     C = ivf_index_centroids(new_vectors.sparkSession, path)
-    assign_ivf_lists(new_vectors, C, id_col=id_col, vec_col=vec_col).write.mode(
-        "append"
-    ).partitionBy("list_id").parquet(path + "/lists")
+    assign_ivf_lists(new_vectors, C, id_col=id_col, vec_col=vec_col).repartition(
+        "list_id"
+    ).write.mode("append").partitionBy("list_id").parquet(path + "/lists")
 
 
 def ivf_index_centroids(spark: SparkSession, path: str):
@@ -1319,7 +1322,10 @@ def lsh_index_write(
         embeddings, dim=dim, n_planes=n_planes, n_tables=n_tables,
         id_col=id_col, vec_col=vec_col,
     ).withColumn("b0", F.col("buckets")[0])
-    idx.write.mode("overwrite").partitionBy("b0").parquet(path + "/lists")
+    # co-locate per bucket: one file per partition dir, not task x dir
+    idx.repartition("b0").write.mode("overwrite").partitionBy("b0").parquet(
+        path + "/lists"
+    )
     spark.createDataFrame(
         [(dim, n_planes, n_tables)], "dim int, n_planes int, n_tables int"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/params")
@@ -1340,7 +1346,9 @@ def lsh_index_append(
         new_vectors, dim=p["dim"], n_planes=p["n_planes"], n_tables=p["n_tables"],
         id_col=id_col, vec_col=vec_col,
     ).withColumn("b0", F.col("buckets")[0])
-    idx.write.mode("append").partitionBy("b0").parquet(path + "/lists")
+    idx.repartition("b0").write.mode("append").partitionBy("b0").parquet(
+        path + "/lists"
+    )
 
 
 def lsh_index_read(spark: SparkSession, path: str) -> DataFrame:
@@ -1421,7 +1429,9 @@ def lsh_index_fold_incoming(spark: SparkSession, path: str) -> int:
     )
     n = fresh.count()
     if n:
-        fresh.write.mode("append").partitionBy("b0").parquet(path + "/lists")
+        fresh.repartition("b0").write.mode("append").partitionBy("b0").parquet(
+            path + "/lists"
+        )
     fs.delete(jp, True)
     spark.catalog.refreshByPath(path + "/lists")
     return n
