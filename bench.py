@@ -229,6 +229,7 @@ def main() -> None:
 
         from nomba_data_pipeline_spark.operators.similarity import (
             lsh_index_append,
+            lsh_index_stage_batch,
             lsh_index_write,
         )
 
@@ -240,9 +241,18 @@ def main() -> None:
             delta = emb.select(
                 (F.col("vec_id") + 100_000_000).alias("vec_id"), "embedding"
             )
+            # direct append: O(delta) compute but one commit per touched
+            # bucket dir (~2^n_planes) — right for sizable batches
             t0 = time.perf_counter()
             lsh_index_append(delta, ipath)
             timings["ann_x64_lsh_index_append_1x"] = round(
+                time.perf_counter() - t0, 3
+            )
+            # LSM staging: single-dir commit, the micro-batch/firehose
+            # path (fold amortizes the dir fan-out across many batches)
+            t0 = time.perf_counter()
+            lsh_index_stage_batch(delta, ipath, 0)
+            timings["ann_x64_lsh_index_stage_1x"] = round(
                 time.perf_counter() - t0, 3
             )
         finally:
