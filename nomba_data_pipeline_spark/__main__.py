@@ -110,6 +110,41 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """ANN index lifecycle: build / append / fold / stats over the
+    persisted LSH or IVF layouts (operators/similarity.py)."""
+    from nomba_data_pipeline_spark.catalog import load_table
+    from nomba_data_pipeline_spark.operators import similarity as S
+
+    spark = _spark(args)
+    if args.action == "build":
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        if args.family == "lsh":
+            S.lsh_index_write(emb, args.path, n_tables=args.n_tables)
+        else:
+            S.ivf_index_write(emb, args.path, n_lists=args.n_lists)
+        print(json.dumps({"built": args.family, "path": args.path, "rows": emb.count()}))
+    elif args.action == "append":
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        delta = emb.filter(f"vec_id % 100 < {args.pct}") if args.pct else emb
+        if args.family == "lsh":
+            S.lsh_index_append(delta, args.path)
+        else:
+            S.ivf_index_append(delta, args.path)
+        print(json.dumps({"appended": delta.count()}))
+    elif args.action == "fold":
+        n = S.lsh_index_fold_incoming(spark, args.path)
+        print(json.dumps({"folded": n}))
+    else:  # stats
+        if args.family == "ivf":
+            rows = {r["list_id"]: r["n_vectors"] for r in S.ivf_index_stats(spark, args.path).collect()}
+            print(json.dumps({"lists": rows}))
+        else:
+            n = S.lsh_index_read_all(spark, args.path).count()
+            print(json.dumps({"rows": n}))
+    return 0
+
+
 def cmd_list(args) -> int:
     from nomba_data_pipeline_spark.plans.queries import REGISTRY
 
@@ -167,6 +202,17 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--bits", type=int, default=8)
     z.add_argument("--target-files", type=int)
     z.set_defaults(fn=cmd_zorder)
+
+    ix = sub.add_parser(
+        "index", help="ANN index lifecycle: build/append/fold/stats (LSH or IVF)"
+    )
+    ix.add_argument("action", choices=["build", "append", "fold", "stats"])
+    ix.add_argument("--family", choices=["lsh", "ivf"], default="lsh")
+    ix.add_argument("--path", required=True, help="index root directory")
+    ix.add_argument("--n-tables", type=int, default=1, help="LSH tables (build)")
+    ix.add_argument("--n-lists", type=int, default=16, help="IVF lists (build)")
+    ix.add_argument("--pct", type=int, help="append only vec_id %% 100 < pct (demo slice)")
+    ix.set_defaults(fn=cmd_index)
 
     l = sub.add_parser("list", help="list registry queries")
     l.set_defaults(fn=cmd_list)

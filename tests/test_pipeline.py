@@ -214,3 +214,18 @@ def test_cli_run_query_compact(spark, tmp_path, capsys):
     rc = main(["list"])
     assert rc == 0
     assert "flagship_revenue_by_region" in capsys.readouterr().out
+
+    # ANN index lifecycle: build -> append a slice -> stats -> fold(0)
+    ipath = os.path.join(tmp_path, "lshidx")
+    rc = main(["--sf-dir", SF_SMALL, "index", "build", "--path", ipath])
+    assert rc == 0
+    bj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert bj["rows"] > 0
+    rc = main(["--sf-dir", SF_SMALL, "index", "stats", "--path", ipath])
+    assert rc == 0
+    sj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sj["rows"] == bj["rows"]
+    rc = main(["--sf-dir", SF_SMALL, "index", "fold", "--path", ipath])
+    assert rc == 0
+    fj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fj["folded"] == 0  # nothing staged yet -> no-op
