@@ -123,3 +123,35 @@ def test_graded_row_value_contract(spark):
         .count()
     )
     assert overlap > 0, "click/purchase cohorts no longer share any users"
+
+
+def test_fixture_spans_support_probe_rows(spark):
+    """Drift guards for rows whose non-vacuousness depends on fixture
+    SHAPE, not schema: scd2_asof_lookup probes max(ts) - 7d (an events
+    span under 7 days would silently return 0 rows on both engines —
+    the exact vacuous-pass class the round-5 probe fix removed), and
+    doc_chunking/fuzzy_name_blocked assume multi-chunk documents and
+    multi-member name blocks."""
+    ev = load_table(spark, SF_SMALL, "events")
+    span = ev.agg(
+        (F.unix_timestamp(F.max("ts").cast("timestamp"))
+         - F.unix_timestamp(F.min("ts").cast("timestamp"))).alias("s")
+    ).first()["s"]
+    assert span >= 7 * 86400, (
+        f"events span shrank to {span}s; scd2_asof_lookup's max-7d probe "
+        "would land before every interval (vacuous 0-row pass)"
+    )
+
+    from nomba_data_pipeline_spark.plans.queries import CHUNK_STRIDE
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    multi = docs.filter(
+        F.size(F.split(F.trim("text"), r"\s+")) > CHUNK_STRIDE
+    ).count()
+    assert multi > 0, "no document yields more than one chunk"
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    per_block = (
+        cust.groupBy(F.expr("c_custkey div 100")).count().agg(F.max("count")).first()[0]
+    )
+    assert per_block >= 2, "fuzzy blocking key yields no multi-member blocks"
