@@ -36,8 +36,11 @@ def _ship_package(spark: SparkSession) -> None:
         import tempfile
 
         pkg_dir = os.path.join(_REPO, "nomba_data_pipeline_spark")
+        # per-process name: two concurrent harness processes sharing a
+        # fixed path could read each other's half-written zip
         zpath = os.path.join(
-            tempfile.gettempdir(), "nomba_data_pipeline_spark_pkg.zip"
+            tempfile.gettempdir(),
+            f"nomba_data_pipeline_spark_pkg_{os.getpid()}.zip",
         )
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):

@@ -1379,20 +1379,42 @@ def lsh_index_stage_batch(
     idx.write.mode("overwrite").parquet(f"{path}/incoming/batch={batch_id}")
 
 
+def _incoming_batch_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Staged batch dirs that hold data files. A crash mid-stage can
+    leave an empty `batch=<id>` dir; feeding it to the parquet reader
+    fails schema inference, and its replay will overwrite it anyway —
+    so empty dirs are simply excluded, not deleted (deleting would race
+    the very replay that is about to rewrite them)."""
+    from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+    fs, jp = fs_and_path(spark, path + "/incoming")
+    if not fs.exists(jp):
+        return []
+    out = []
+    for st in fs.listStatus(jp):
+        p = st.getPath()
+        if not (st.isDirectory() and p.getName().startswith("batch=")):
+            continue
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            if not it.next().getPath().getName().startswith(("_", ".")):
+                out.append(p.toString())
+                break
+    return out
+
+
 def lsh_index_read_all(spark: SparkSession, path: str) -> DataFrame:
     """The queryable index: folded lists ∪ staged incoming batches.
     Incoming is small (recent micro-batches) and unpartitioned, so the
     union costs a second scan of MBs, not the index; fold on the
     maintenance cadence to restore pure partition pruning."""
-    from nomba_data_pipeline_spark.operators.merge import fs_and_path
-
     base = spark.read.parquet(path + "/lists").select("vec_id", "embedding", "buckets")
-    fs, jp = fs_and_path(spark, path + "/incoming")
-    if not fs.exists(jp):
+    staged = _incoming_batch_dirs(spark, path)
+    if not staged:
         return base
     inc = (
         spark.read.option("basePath", path + "/incoming")
-        .parquet(path + "/incoming")
+        .parquet(*staged)
         .select("vec_id", "embedding", "buckets")
         # a vector delivered in two staged batches (at-least-once
         # source) appears once; incoming is micro-batch-sized, so this
@@ -1415,11 +1437,14 @@ def lsh_index_fold_incoming(spark: SparkSession, path: str) -> int:
     from nomba_data_pipeline_spark.operators.merge import fs_and_path
 
     fs, jp = fs_and_path(spark, path + "/incoming")
-    if not fs.exists(jp):
+    staged = _incoming_batch_dirs(spark, path)
+    if not staged:
+        if fs.exists(jp):  # only empty crash-artifact dirs: clear them
+            fs.delete(jp, True)
         return 0
     inc = (
         spark.read.option("basePath", path + "/incoming")
-        .parquet(path + "/incoming")
+        .parquet(*staged)
         .select("vec_id", "embedding", "buckets")
         .dropDuplicates(["vec_id"])  # same vector in two staged batches
     )
