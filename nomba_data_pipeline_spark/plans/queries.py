@@ -3110,6 +3110,44 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (§2.6's grouped twin of the global ORDER BY +
+    LIMIT): 3 priciest parts per brand via a rank window. Spark plans
+    this with WindowGroupLimit — rows beyond rank 3 are dropped DURING
+    the per-partition sort, before the window function runs — so the
+    exchange carries each group's survivors, not the whole table
+    (pinned in test_plan_shapes). Ties break on part key for a
+    deterministic graded result."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retail_price"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+SQL_TOP_PARTS_PER_BRAND = """
+SELECT p_brand, p_partkey,
+       CAST(p_retailprice AS DOUBLE) AS retail_price,
+       CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT p_brand, p_partkey, p_retailprice,
+           row_number() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+    FROM part
+)
+WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3211,4 +3249,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "hopping_window_counts": QuerySpec(q_hopping_window_counts, SQL_HOPPING_WINDOW_COUNTS, "ext:hopping-window"),
     "embedding_quantize": QuerySpec(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, "ext:vector-quantization"),
     "price_mad_by_flag": QuerySpec(q_price_mad_by_flag, SQL_PRICE_MAD_BY_FLAG, "§2.11:grouped-agg-udaf"),
+    "top_parts_per_brand": QuerySpec(q_top_parts_per_brand, SQL_TOP_PARTS_PER_BRAND, "§2.6:grouped-topk"),
 }

@@ -426,3 +426,12 @@ def test_hopping_windows_partial_agg_before_exchange(spark):
     tree = REGISTRY["hopping_window_counts"].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     ex = tree.index("Exchange")
     assert "partial_count" in tree[ex:], tree
+
+
+def test_grouped_topk_gets_window_group_limit(spark):
+    """top_parts_per_brand must plan with WindowGroupLimit: rank<=3
+    pushdown drops rows during the sort, before the window runs — at
+    scale the difference between sorting each group fully and keeping
+    3 rows per group in the sort buffer."""
+    plan = _plan(REGISTRY["top_parts_per_brand"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan
