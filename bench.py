@@ -57,6 +57,8 @@ HEADLINE = [
     "fuzzy_name_blocked",
     "hopping_window_counts",
     "embedding_quantize",
+    "price_mad_by_flag",
+    "top_parts_per_brand",
 ]
 
 
