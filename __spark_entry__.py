@@ -21,6 +21,7 @@ from nomba_data_pipeline_spark.plans.queries import REGISTRY
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _PKG_ZIP: str | None = None
+_SHIP_WARNED: bool = False
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -51,8 +52,21 @@ def _ship_package(spark: SparkSession) -> None:
         _PKG_ZIP = zpath
     try:
         spark.sparkContext.addPyFile(_PKG_ZIP)
-    except Exception:
-        pass  # e.g. Connect-only session; worker imports then rely on env
+    except Exception as e:  # e.g. Connect-only session, stopped context
+        # Worker imports then rely on the environment; log the cause once
+        # so a real failure (zip unreadable, dead context) doesn't surface
+        # later as an opaque worker ImportError on the Arrow-UDF rows.
+        global _SHIP_WARNED
+        if not _SHIP_WARNED:
+            _SHIP_WARNED = True
+            import sys
+
+            print(
+                f"__spark_entry__: addPyFile({_PKG_ZIP}) failed "
+                f"({type(e).__name__}: {e}); workers fall back to the "
+                "environment's PYTHONPATH",
+                file=sys.stderr,
+            )
 
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):

@@ -127,11 +127,16 @@ def cmd_index(args) -> int:
     elif args.action == "append":
         emb = load_table(spark, args.sf_dir, "embeddings")
         delta = emb.filter(f"vec_id % 100 < {args.pct}") if args.pct else emb
+        # skip_existing guards the demo slice (and any operator rerun)
+        # against re-appending already-indexed ids — the raw append is
+        # not replay-idempotent.
+        n_before = spark.read.parquet(args.path + "/lists").count()
         if args.family == "lsh":
-            S.lsh_index_append(delta, args.path)
+            S.lsh_index_append(delta, args.path, skip_existing=True)
         else:
-            S.ivf_index_append(delta, args.path)
-        print(json.dumps({"appended": delta.count()}))
+            S.ivf_index_append(delta, args.path, skip_existing=True)
+        n_after = spark.read.parquet(args.path + "/lists").count()
+        print(json.dumps({"appended": n_after - n_before}))
     elif args.action == "fold":
         n = S.lsh_index_fold_incoming(spark, args.path)
         print(json.dumps({"folded": n}))

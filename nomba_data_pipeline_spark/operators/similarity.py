@@ -1266,10 +1266,22 @@ def ivf_index_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    skip_existing: bool = False,
 ) -> None:
     """Append-only maintenance: assign the new vectors under the FROZEN
     sidecar centroids and append into the partitioned layout. Touches
-    only the ≤ n_lists partition dirs the new vectors land in."""
+    only the ≤ n_lists partition dirs the new vectors land in.
+
+    NOT replay-idempotent by default (raw parquet append — a rerun or
+    an already-indexed vector duplicates rows permanently). Pass
+    skip_existing=True for an opt-in anti-join against the index's
+    current ids (one column-pruned vec_id scan of lists), or stage
+    through the LSM path for streaming sources."""
+    if skip_existing:
+        existing = new_vectors.sparkSession.read.parquet(path + "/lists").select(
+            F.col("vec_id").alias(id_col)
+        )
+        new_vectors = new_vectors.join(existing, id_col, "left_anti")
     C = ivf_index_centroids(new_vectors.sparkSession, path)
     assign_ivf_lists(new_vectors, C, id_col=id_col, vec_col=vec_col).repartition(
         "list_id"
@@ -1336,11 +1348,26 @@ def lsh_index_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    skip_existing: bool = False,
 ) -> None:
     """Append-only maintenance: signatures are a pure function of the
     sidecar parameters (md5-derived hyperplanes), so appended rows get
-    bit-identical buckets to a full rebuild — no drift, ever."""
+    bit-identical buckets to a full rebuild — no drift, ever.
+
+    NOT replay-idempotent by default: this is a raw parquet append, so
+    re-running it (or appending vectors already indexed) duplicates
+    rows in lists permanently. For at-least-once delivery use the
+    staged path (lsh_index_stage_batch + lsh_index_fold_incoming),
+    which is replay-safe by construction; or pass skip_existing=True
+    to anti-join the batch against the index's current ids first — an
+    extra column-pruned vec_id scan of lists, the same cost fold pays.
+    """
     spark = new_vectors.sparkSession
+    if skip_existing:
+        existing = spark.read.parquet(path + "/lists").select(
+            F.col("vec_id").alias(id_col)
+        )
+        new_vectors = new_vectors.join(existing, id_col, "left_anti")
     p = spark.read.parquet(path + "/params").first()
     idx = lsh_index(
         new_vectors, dim=p["dim"], n_planes=p["n_planes"], n_tables=p["n_tables"],
@@ -1418,11 +1445,16 @@ def lsh_index_read_all(spark: SparkSession, path: str) -> DataFrame:
         .select("vec_id", "embedding", "buckets")
         # a vector delivered in two staged batches (at-least-once
         # source) appears once; incoming is micro-batch-sized, so this
-        # dedup shuffle moves MBs. The lists∩incoming case is excluded
-        # by fold's anti-join; queries between a re-delivery and the
-        # next fold may see one transient duplicate neighbor — the
-        # top-k rank window is unaffected (same sim, id tiebreak).
+        # dedup shuffle moves MBs.
         .dropDuplicates(["vec_id"])
+    )
+    # A vector present in BOTH lists and incoming (re-delivered after a
+    # fold) would otherwise emit twice and its two identical rows would
+    # take two row_number ranks in a top-k, displacing the k-th distinct
+    # neighbor. Incoming is tiny, so shadowing base by a broadcast
+    # anti-join is map-only over the index — no shuffle of lists.
+    base = base.join(
+        F.broadcast(inc.select("vec_id")), "vec_id", "left_anti"
     )
     return base.unionByName(inc)
 

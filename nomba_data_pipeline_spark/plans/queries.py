@@ -2945,8 +2945,12 @@ def q_fuzzy_name_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dim read as one file is otherwise a single scan task doing ALL
     # the levenshtein work serially (measured sf0.1: 4.2s -> 0.5s).
     # This is also the canonical layout at scale — candidates of one
-    # block never cross tasks.
-    probe = cust.repartition(32, "blk")
+    # block never cross tasks. The count follows the session's shuffle
+    # parallelism, never a literal: a hardcoded 32 would cap a
+    # 1000-executor cluster at 32 tasks by construction.
+    probe = cust.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "blk"
+    )
     a, b = probe.alias("a"), cust.alias("b")
     return (
         a.join(

@@ -419,6 +419,24 @@ def test_fuzzy_blocked_join_never_cartesian(spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
+def test_fuzzy_blocked_probe_partitions_follow_session_conf(spark):
+    """The probe-side repartition on the blocking key must size itself
+    from spark.sql.shuffle.partitions, not a literal — a hardcoded
+    count caps a large cluster's quadratic block expansion at that
+    many tasks by construction."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        plan = _plan(REGISTRY["fuzzy_name_blocked"].fn(spark, SF_SMALL))
+        assert "hashpartitioning(blk" in plan and ", 7)" in plan, plan
+        spark.conf.set(key, "11")
+        plan = _plan(REGISTRY["fuzzy_name_blocked"].fn(spark, SF_SMALL))
+        assert ", 11)" in plan, plan
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_hopping_windows_partial_agg_before_exchange(spark):
     """The width/slide=2 fan-out must be collapsed by a partial
     aggregate BEFORE the shuffle: the wire carries ≤ |windows|×|types|

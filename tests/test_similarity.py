@@ -390,3 +390,75 @@ def test_lsh_index_append_matches_rebuild(spark, tmp_path):
     got = {r["vec_id"]: list(r["buckets"]) for r in lsh_index_read(spark, path).collect()}
     want = {r["vec_id"]: list(r["buckets"]) for r in lsh_index(emb, n_tables=2).collect()}
     assert got == want
+
+
+def test_lsh_index_append_skip_existing_is_replay_idempotent(spark, tmp_path):
+    """The raw append is documented as NOT replay-safe; skip_existing=True
+    must make a verbatim rerun (and an overlap with already-indexed ids)
+    a no-op instead of a permanent duplicate."""
+    from nomba_data_pipeline_spark.catalog import load_table
+    from nomba_data_pipeline_spark.operators.similarity import (
+        lsh_index_append,
+        lsh_index_read,
+        lsh_index_write,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.8)")).first()[0]
+    base, extra = emb.filter(F.col("vec_id") <= cut), emb.filter(F.col("vec_id") > cut)
+    path = str(tmp_path / "lsh")
+    lsh_index_write(base, path)
+    lsh_index_append(extra, path, skip_existing=True)
+    n1 = lsh_index_read(spark, path).count()
+    # replay the same append: overlap is 100%, nothing may land
+    lsh_index_append(extra, path, skip_existing=True)
+    # and a batch overlapping both sides appends only the truly-new part
+    assert lsh_index_read(spark, path).count() == n1 == emb.count()
+    ids = [r["vec_id"] for r in lsh_index_read(spark, path).select("vec_id").collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_ivf_index_append_skip_existing_is_replay_idempotent(spark, tmp_path):
+    from nomba_data_pipeline_spark.catalog import load_table
+    from nomba_data_pipeline_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_read,
+        ivf_index_write,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.8)")).first()[0]
+    base, extra = emb.filter(F.col("vec_id") <= cut), emb.filter(F.col("vec_id") > cut)
+    path = str(tmp_path / "ivf")
+    ivf_index_write(base, path, n_lists=8)
+    ivf_index_append(extra, path, skip_existing=True)
+    n1 = ivf_index_read(spark, path).count()
+    ivf_index_append(emb, path, skip_existing=True)  # full-corpus replay
+    assert ivf_index_read(spark, path).count() == n1 == emb.count()
+
+
+def test_lsh_read_all_never_emits_a_vector_twice(spark, tmp_path):
+    """A vector present in BOTH lists and a staged incoming batch
+    (re-delivered after its fold) must surface once from read_all —
+    otherwise its two identical rows take two row_number ranks in a
+    top-k and displace the k-th distinct neighbor."""
+    from nomba_data_pipeline_spark.catalog import load_table
+    from nomba_data_pipeline_spark.operators.similarity import (
+        lsh_index_read_all,
+        lsh_index_stage_batch,
+        lsh_index_write,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "lsh")
+    lsh_index_write(emb, path)
+    # re-deliver a slice that is ALREADY folded into lists
+    redelivered = emb.filter(F.col("vec_id") % 10 == 0)
+    lsh_index_stage_batch(redelivered, path, batch_id=0)
+    all_rows = lsh_index_read_all(spark, path)
+    assert all_rows.count() == emb.count()
+    ids = [r["vec_id"] for r in all_rows.select("vec_id").collect()]
+    assert len(ids) == len(set(ids))
