@@ -341,12 +341,15 @@ def main() -> None:
             cosine_topk(synth, qf2, k=5).select("query_id", "neighbor_id").cache()
         )
         n_truth2 = truth2.count()
-        # single-table default vs multi-table: within-cluster top-5
-        # neighbors sit at sim ~0.99 (p ~ 0.97/plane, p^8 ~ 0.78), so
-        # ONE 8-plane table caps near 0.78 recall — the multi-table
-        # entry demonstrates the 1-(1-p^planes)^tables lever
+        # within-cluster top-5 neighbors sit at sim ~0.99 (p ~
+        # 0.97/plane, p^8 ~ 0.78), so ONE exact 8-plane bucket caps
+        # near 0.78 recall (p0 row, measured 0.725 in r5) — the
+        # default is now radius-1 multi-probe, which recovers the
+        # one-bit misses at one signature pass; the t8 entry
+        # demonstrates the independent 1-(1-p^planes)^tables lever
         for rname, rdf in (
             ("clustered_64k_lsh", cosine_topk_lsh(synth, qf2, k=5)),
+            ("clustered_64k_lsh_p0", cosine_topk_lsh(synth, qf2, k=5, probe_hamming=0)),
             ("clustered_64k_lsh_t8", cosine_topk_lsh(synth, qf2, k=5, n_tables=8)),
             ("clustered_64k_ivf", cosine_topk_ivf(synth, qf2, k=5, n_probe=8)),
         ):

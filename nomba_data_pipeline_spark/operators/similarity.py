@@ -33,13 +33,19 @@ SIM_DP = 6  # rounding for cross-engine determinism
 _COLL_CHUNK_ELEMS = 1 << 25
 
 
-def _any_table_collision(buck, qbuck):
+def _any_table_collision(buck, qbuck, probe_hamming: int = 0):
     """(row, query) index pairs colliding in ANY LSH table, computed in
     query-axis chunks so the boolean broadcast tensor never exceeds
     _COLL_CHUNK_ELEMS elements — the fully vectorized form allocates
     O(batch x |Q| x tables) at once, a per-task memory cliff for large
     query sets (a few thousand queries x a 10k-row Arrow batch x 16
-    tables is already ~0.4 GiB)."""
+    tables is already ~0.4 GiB).
+
+    probe_hamming=1 is multi-probe LSH (Lv et al., VLDB'07): a pair
+    collides if its bucket signatures differ in at most one bit in some
+    table. Computed WITHOUT expanding a probe set: for x = b ^ q,
+    popcount(x) <= 1 iff x & (x-1) == 0, so radius-1 probing costs the
+    same xor tensor the equality test already builds."""
     import numpy as np
 
     n_rows, n_tables = buck.shape
@@ -50,7 +56,23 @@ def _any_table_collision(buck, qbuck):
     step = max(1, _COLL_CHUNK_ELEMS // max(1, n_rows * n_tables))
     ris, qis = [], []
     for lo in range(0, n_q, step):
-        part = (buck[:, None, :] == qbuck[None, lo : lo + step, :]).any(axis=2)
+        if probe_hamming == 0:
+            part = (buck[:, None, :] == qbuck[None, lo : lo + step, :]).any(axis=2)
+        elif probe_hamming == 1:
+            x = buck[:, None, :] ^ qbuck[None, lo : lo + step, :]
+            part = ((x & (x - 1)) == 0).any(axis=2)
+        else:  # general radius: per-element popcount of the xor
+            x = np.ascontiguousarray(
+                buck[:, None, :] ^ qbuck[None, lo : lo + step, :]
+            )
+            if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+                pc = np.bitwise_count(x)
+            else:  # byte-LUT popcount over the int64 view
+                lut = np.array(
+                    [bin(i).count("1") for i in range(256)], dtype=np.uint8
+                )
+                pc = lut[x.view(np.uint8)].reshape(*x.shape, 8).sum(axis=-1)
+            part = (pc <= probe_hamming).any(axis=2)
         ri, qi = np.nonzero(part)
         ris.append(ri)
         qis.append(qi + lo)
@@ -808,6 +830,7 @@ def cosine_topk_lsh(
     dim: int = 64,
     n_planes: int = NUM_HYPERPLANES,
     n_tables: int = 1,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -831,6 +854,17 @@ def cosine_topk_lsh(
     1-(1-p^planes)^tables. Candidates are deduped inside the batch (a
     corpus row lives in exactly one batch, so no cross-batch dups), and
     scored pair-wise rather than by block matmul.
+
+    probe_hamming=1 (the default) is multi-probe LSH: a row is a
+    candidate if its signature is within Hamming distance 1 of the
+    query's in any table. On a tight-cluster corpus (neighbor sim
+    ~0.99, p ~ 0.97/plane) a single exact 8-plane bucket caps recall
+    near p^8 ~ 0.78 — measured 0.725 at 64k — while radius-1 probing
+    recovers the one-bit misses (recall ~ 0.97+) WITHOUT the 8x
+    signature pass of n_tables=8, because the xor trick in
+    _any_table_collision reuses the equality test's tensor. Candidate
+    volume grows from 2^-planes to (planes+1)*2^-planes of the corpus
+    per query; probe_hamming=0 restores exact-bucket probing.
 
     Why the candidate filter lives in numpy and NOT as a JVM expression
     prefilter: hyperplane signatures as Catalyst expressions
@@ -892,7 +926,7 @@ def cosine_topk_lsh(
             # IS the cross-table dedup (the old bucket-loop + np.unique
             # path cost more than brute force's matmul whenever the
             # corpus is diffuse and most pairs collide somewhere).
-            ri, qi = _any_table_collision(buck, b_qbuck)
+            ri, qi = _any_table_collision(buck, b_qbuck, probe_hamming)
             if len(ri) == 0:
                 continue
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -983,6 +1017,8 @@ def cosine_topk_lsh_indexed(
     query_filter: Column,
     k: int = 5,
     n_tables: int = 1,
+    n_planes: int = NUM_HYPERPLANES,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """ANN top-k over a prebuilt lsh_index frame. Query time does ZERO
     signature math on the corpus: candidate pruning is
@@ -990,8 +1026,16 @@ def cosine_topk_lsh_indexed(
     materialized longs (pushable to the scan when the index is stored
     partitioned by bucket) — and only surviving rows cross the Arrow
     boundary for exact scoring. Produces the same candidate set (hence
-    the same top-k) as cosine_topk_lsh with identical n_planes/n_tables,
-    because both use the same numpy bucketize.
+    the same top-k) as cosine_topk_lsh with identical
+    n_planes/n_tables/probe_hamming, because both use the same numpy
+    bucketize and collision test.
+
+    probe_hamming=1 (multi-probe, matching cosine_topk_lsh's default)
+    expands the IN-list per table with the one-bit flips of each query
+    bucket — still a pushable codegen filter / partition-prune list,
+    (n_planes+1)x longer; the exact radius test runs in-batch. n_planes
+    must match the value the index was built with (it sizes the flip
+    set, default NUM_HYPERPLANES for both).
     """
     import numpy as np
     import pandas as pd
@@ -1011,11 +1055,21 @@ def cosine_topk_lsh_indexed(
     qbuck = np.stack(qpdf["buckets"].to_numpy()).astype(np.int64)  # |Q| x tables
     bq = index.sparkSession.sparkContext.broadcast((qids, Qn, qbuck))
 
-    # codegen prune on the materialized bucket columns
+    # codegen prune on the materialized bucket columns; multi-probe adds
+    # each query bucket's one-bit flips to the IN-list (superset of the
+    # exact radius test applied in-batch below)
+    if probe_hamming > 1:
+        raise ValueError(
+            "cosine_topk_lsh_indexed supports probe_hamming <= 1: the "
+            "IN-list prune enumerates one-bit flips only"
+        )
     prune = F.lit(False)
     for t in range(n_tables):
-        allowed = [int(b) for b in np.unique(qbuck[:, t])]
-        prune = prune | F.col("buckets")[t].isin(allowed)
+        allowed = {int(b) for b in np.unique(qbuck[:, t])}
+        if probe_hamming >= 1:
+            for b in list(allowed):
+                allowed.update(b ^ (1 << j) for j in range(n_planes))
+        prune = prune | F.col("buckets")[t].isin(sorted(allowed))
     cand = index.filter(prune)
 
     out_schema = T.StructType(
@@ -1036,7 +1090,7 @@ def cosine_topk_lsh_indexed(
             buck = np.stack(pdf["buckets"].to_numpy()).astype(np.int64)
             nids = pdf["vec_id"].to_numpy()
             # same chunked any-table collision as cosine_topk_lsh
-            ri, qi = _any_table_collision(buck, b_qbuck)
+            ri, qi = _any_table_collision(buck, b_qbuck, probe_hamming)
             if len(ri) == 0:
                 continue
             sims = np.round((mat[ri] * b_qn[qi]).sum(axis=1), SIM_DP)

@@ -153,10 +153,16 @@ def test_lsh_single_table_matches_first_table_of_multi(spark):
 
     emb = load_table(spark, SF_SMALL, "embeddings")
     qf = F.col("vec_id") % 100 == 0
-    one = {(r.query_id, r.neighbor_id) for r in cosine_topk_lsh(emb, qf, k=50).collect()}
+    # exact-bucket probing isolates the table-sharing property; the
+    # multi-probe default would inflate candidate sets past k and the
+    # top-k truncation would mask the subset relation under test
+    one = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_lsh(emb, qf, k=50, probe_hamming=0).collect()
+    }
     multi = {
         (r.query_id, r.neighbor_id)
-        for r in cosine_topk_lsh(emb, qf, k=50, n_tables=4).collect()
+        for r in cosine_topk_lsh(emb, qf, k=50, n_tables=4, probe_hamming=0).collect()
     }
     assert one <= multi
 
@@ -462,3 +468,68 @@ def test_lsh_read_all_never_emits_a_vector_twice(spark, tmp_path):
     assert all_rows.count() == emb.count()
     ids = [r["vec_id"] for r in all_rows.select("vec_id").collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_multiprobe_radius1_matches_popcount_definition():
+    """The x & (x-1) trick must equal 'signature differs in <= 1 bit'."""
+    import numpy as np
+
+    from nomba_data_pipeline_spark.operators.similarity import _any_table_collision
+
+    rng = np.random.RandomState(7)
+    buck = rng.randint(0, 256, size=(40, 2)).astype(np.int64)
+    qbuck = rng.randint(0, 256, size=(9, 2)).astype(np.int64)
+    got = set(zip(*_any_table_collision(buck, qbuck, probe_hamming=1)))
+    want = {
+        (r, q)
+        for r in range(len(buck))
+        for q in range(len(qbuck))
+        if any(bin(int(buck[r, t] ^ qbuck[q, t])).count("1") <= 1 for t in range(2))
+    }
+    assert got == want and got  # non-vacuous
+    # radius-2 LUT fallback agrees with the bin() definition too
+    got2 = set(zip(*_any_table_collision(buck, qbuck, probe_hamming=2)))
+    want2 = {
+        (r, q)
+        for r in range(len(buck))
+        for q in range(len(qbuck))
+        if any(bin(int(buck[r, t] ^ qbuck[q, t])).count("1") <= 2 for t in range(2))
+    }
+    assert got == want and got2 == want2 and want < want2
+
+
+def test_multiprobe_recovers_clustered_recall(spark):
+    """On a tight-cluster corpus one exact 8-plane bucket drops ~quarter
+    of true neighbors (p^8 with p~0.97); radius-1 multi-probe must
+    recover nearly all of them with a single table."""
+    from nomba_data_pipeline_spark.operators.similarity import cosine_topk_lsh
+
+    centers = spark.range(64).select(
+        F.col("id").alias("cluster"),
+        F.array(*[(F.rand(seed=77 + i) - 0.5) for i in range(64)]).alias("center"),
+    )
+    noise = F.array(*[(F.rand(seed=5000 + i) - 0.5) * 0.1 for i in range(64)])
+    synth = (
+        spark.range(2000)
+        .select(F.col("id").alias("vec_id"), (F.col("id") % 64).alias("cluster"))
+        .join(F.broadcast(centers), "cluster")
+        .select("vec_id", F.zip_with("center", noise, lambda c, n: c + n).alias("embedding"))
+        .cache()
+    )
+    synth.count()
+    try:
+        qf = F.col("vec_id") % 100 == 0
+        truth = {
+            (r.query_id, r.neighbor_id) for r in cosine_topk(synth, qf, k=5).collect()
+        }
+        def recall(ph):
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in cosine_topk_lsh(synth, qf, k=5, probe_hamming=ph).collect()
+            }
+            return len(truth & got) / len(truth)
+        r0, r1 = recall(0), recall(1)
+        assert r1 >= 0.9, (r0, r1)
+        assert r1 >= r0
+    finally:
+        synth.unpersist()
