@@ -59,6 +59,7 @@ HEADLINE = [
     "embedding_quantize",
     "price_mad_by_flag",
     "top_parts_per_brand",
+    "incremental_agg_maintenance",
 ]
 
 

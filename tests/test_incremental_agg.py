@@ -1,0 +1,97 @@
+"""Incremental aggregate maintenance: fold algebra exactness, replay
+idempotence of the persisted state table, and the no-rescan property."""
+
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.catalog import load_table
+from nomba_data_pipeline_spark.operators.incremental_agg import (
+    IncrementalAggTable,
+    agg_state,
+    finalize_agg_state,
+    merge_agg_states,
+)
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    return {
+        tuple(r[k] for k in sorted(df.columns)): None for r in df.collect()
+    }.keys()
+
+
+def test_folded_state_equals_one_shot(spark):
+    """merge(merge(s0,s1),s2) must equal agg_state over the full frame —
+    decimal sums make the fold associative and order-independent."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    states = [
+        agg_state(orders.filter(F.col("o_orderkey") % 3 == i), ["o_custkey"], "o_totalprice")
+        for i in range(3)
+    ]
+    nested = finalize_agg_state(merge_agg_states(merge_agg_states(states[0], states[1]), states[2]))
+    flat = finalize_agg_state(merge_agg_states(*states))
+    oneshot = finalize_agg_state(agg_state(orders, ["o_custkey"], "o_totalprice"))
+    assert _rows(nested) == _rows(flat) == _rows(oneshot)
+    assert nested.count() > 0
+
+
+def test_merge_is_group_cardinality_not_rescan(spark):
+    """The merge plan must aggregate the two STATE scans — no join back
+    to source rows, no window: union + one hash aggregate."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    s0 = agg_state(orders.filter(F.col("o_orderkey") % 2 == 0), ["o_custkey"], "o_totalprice")
+    s1 = agg_state(orders.filter(F.col("o_orderkey") % 2 == 1), ["o_custkey"], "o_totalprice")
+    merged = merge_agg_states(s0, s1)
+    plan = merged._sc._jvm.PythonSQLUtils.explainString(
+        merged._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_apply_batch_replay_idempotent(spark, tmp_path):
+    """Re-applying a batch id must be a no-op (marker contract), and the
+    maintained result must equal a full recompute after every batch."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    t = IncrementalAggTable(spark, str(tmp_path / "agg"), ["o_custkey"], "o_totalprice")
+    seen = None
+    for i in range(3):
+        delta = orders.filter(F.col("o_orderkey") % 3 == i)
+        assert t.apply_batch(delta, batch_id=i) is True
+        assert t.apply_batch(delta, batch_id=i) is False  # replay no-op
+        seen = delta if seen is None else seen.unionByName(delta)
+        want = _rows(finalize_agg_state(agg_state(seen, ["o_custkey"], "o_totalprice")))
+        assert _rows(t.result()) == want
+    # a stale batch replayed after later batches is still a no-op
+    assert t.apply_batch(orders.filter(F.col("o_orderkey") % 3 == 0), batch_id=0) is False
+    assert _rows(t.result()) == _rows(
+        finalize_agg_state(agg_state(orders, ["o_custkey"], "o_totalprice"))
+    )
+
+
+def test_streaming_foreach_batch_maintains_state(spark, tmp_path):
+    """The epoch-id-as-marker contract: drive apply_batch from a real
+    Structured Streaming foreachBatch over file micro-batches and the
+    final state must equal the batch recompute."""
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = str(tmp_path / "src")
+    for i in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == i).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    t = IncrementalAggTable(spark, str(tmp_path / "agg"), ["o_custkey"], "o_totalprice")
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, epoch: t.apply_batch(df, epoch))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(t.result()) == _rows(
+        finalize_agg_state(agg_state(orders, ["o_custkey"], "o_totalprice"))
+    )
