@@ -60,6 +60,7 @@ HEADLINE = [
     "price_mad_by_flag",
     "top_parts_per_brand",
     "incremental_agg_maintenance",
+    "semantic_dedup_labels",
 ]
 
 
@@ -313,16 +314,26 @@ def main() -> None:
             .join(F.broadcast(centers), "cluster")
             .select(
                 "vec_id",
+                "cluster",
                 F.zip_with("center", noise, lambda c, n: c + n).alias("embedding"),
             )
             .cache()
         )
         synth.count()
+        from nomba_data_pipeline_spark.operators.similarity import semantic_dedup
+
         for bname, fn in (
             ("neardup_64k_exact", lambda df: near_dup_pairs(df, 0.9, n_blocks=16)),
             (
                 "neardup_64k_lsh",
                 lambda df: near_dup_pairs_lsh(df, 0.9, bands=8, rows_per_band=16),
+            ),
+            # SemDeDup shape at the same scale: quadratic work bounded
+            # to within-cluster pairs (true clusters here), vs the
+            # exact row's all-pairs block decomposition above
+            (
+                "semdedup_64k",
+                lambda df: semantic_dedup(df, 0.9, cluster_col="cluster"),
             ),
         ):
             best = float("inf")

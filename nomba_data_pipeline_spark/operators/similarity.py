@@ -1546,3 +1546,127 @@ def lsh_index_fold_incoming(spark: SparkSession, path: str) -> int:
     fs.delete(jp, True)
     spark.catalog.refreshByPath(path + "/lists")
     return n
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster, then dedup only within clusters
+# ---------------------------------------------------------------------------
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    cluster_col: str | None = None,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): partition the corpus into semantic clusters,
+    then drop every vector that has a SMALLER-id neighbor at cosine >=
+    threshold within its cluster (greedy min-id keep — the same
+    canonical-pick rule exact_dedup/keep-latest use, deliberately NOT
+    transitive closure; neardup_clusters is the closure operator when
+    that is wanted). Returns (id, cluster, keep).
+
+    Scale shape: all-pairs dedup is O(N²) and dead at 100 TB;
+    clustering first bounds the quadratic work to O(Σ c_i²) over
+    cluster sizes — the operator the SemDeDup paper runs on web-scale
+    corpora. One shuffle on the cluster id, then a per-cluster kernel:
+    the cluster matrix is scored in `chunk_rows`-row chunks against
+    itself (memory per task is O(chunk_rows x c_max), never c_max²)
+    with one BLAS matmul per chunk. Per-task bound = largest cluster;
+    size n_lists so c_max fits an executor (the same contract the
+    fuzzy blocked join documents for its blocks).
+
+    cluster_col=None trains the deterministic sample-based k-means
+    quantizer (ivf_train_centroids) and assigns map-only — recall then
+    depends on cluster granularity (cross-cluster near-dups are missed
+    by construction, the documented blocking trade). Passing an
+    existing cluster/domain column makes the operator exact within
+    that partition AND SQL-expressible — the graded registry row uses
+    the `label` column so a DuckDB oracle can replay the exact
+    semantics.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if cluster_col is None:
+        C = ivf_train_centroids(
+            embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+        )
+        assigned = assign_ivf_lists(embeddings, C, id_col=id_col, vec_col=vec_col)
+        assigned = assigned.select(
+            F.col("vec_id").alias("__id"),
+            F.col("embedding").alias("__vec"),
+            F.col("list_id").cast("long").alias("__cluster"),
+        )
+    else:
+        assigned = embeddings.select(
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__vec"),
+            F.col(cluster_col).cast("long").alias("__cluster"),
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf["__vec"].to_numpy()[order]).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        # rows sorted by id: row r is dropped iff some EARLIER row is a
+        # near-dup. Chunked scoring bounds memory at chunk_rows x n.
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            sims = np.round(M[lo:hi] @ M.T, SIM_DP)
+            # only columns strictly before each row count (smaller id)
+            col = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
+            keep[lo:hi] = ~((sims >= threshold) & col).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["__cluster"].iloc[0],
+                "keep": keep,
+            }
+        )
+
+    return assigned.groupBy("__cluster").applyInPandas(dedup_cluster, out_schema)
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings", cluster_col: str = "label", threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for semantic_dedup with an explicit cluster column:
+    drop a vector iff a smaller-id same-cluster row sits at cosine >=
+    threshold (greedy min-id keep, matching the kernel exactly)."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST({cluster_col} AS BIGINT) AS cluster,
+                      CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    comps AS (
+        SELECT a, b, sum(av[i] * bv[i]) AS dot, sum(av[i] * av[i]) AS aa,
+               sum(bv[i] * bv[i]) AS bb
+        FROM (SELECT x.vec_id AS a, y.vec_id AS b, x.v AS av, y.v AS bv,
+                     unnest(range(1, len(x.v) + 1)) AS i
+              FROM e x JOIN e y
+                ON x.cluster = y.cluster AND x.vec_id > y.vec_id)
+        GROUP BY 1, 2
+    ),
+    drops AS (
+        SELECT DISTINCT a AS vec_id FROM comps
+        WHERE round(dot / (sqrt(aa) * sqrt(bb)), {SIM_DP}) >= {threshold}
+    )
+    SELECT e.vec_id, e.cluster, NOT EXISTS (
+        SELECT 1 FROM drops d WHERE d.vec_id = e.vec_id
+    ) AS keep
+    FROM e
+    """

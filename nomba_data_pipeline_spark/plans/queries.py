@@ -3191,6 +3191,23 @@ GROUP BY o_custkey
 """
 
 
+def q_semantic_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (ext:dedup-semantic): cluster-then-dedup — drop every
+    vector with a smaller-id near-dup (cosine >= 0.35) INSIDE its
+    semantic cluster, keeping the min-id representative. Graded with
+    the `label` column as the cluster so DuckDB can replay the exact
+    semantics; the production path (cluster_col=None) k-means-assigns
+    clusters and is recall-tested instead (tests/test_similarity.py).
+    Quadratic work is bounded to O(Σ c_i²) over cluster sizes — the
+    shape that makes web-scale semantic dedup feasible where all-pairs
+    is dead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.35, cluster_col="label")
+
+
+SQL_SEMANTIC_DEDUP_LABELS = S.semantic_dedup_sql(threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3294,6 +3311,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "price_mad_by_flag": QuerySpec(q_price_mad_by_flag, SQL_PRICE_MAD_BY_FLAG, "§2.11:grouped-agg-udaf"),
     "top_parts_per_brand": QuerySpec(q_top_parts_per_brand, SQL_TOP_PARTS_PER_BRAND, "§2.6:grouped-topk"),
     "incremental_agg_maintenance": QuerySpec(q_incremental_agg, SQL_INCREMENTAL_AGG, "ext:ivm"),
+    "semantic_dedup_labels": QuerySpec(q_semantic_dedup_labels, SQL_SEMANTIC_DEDUP_LABELS, "ext:dedup-semantic"),
 }
 
 
@@ -3364,13 +3382,13 @@ _DRIVER_WINDOW: list[str] = [
     # new this round — a brand-new oracle-backed row outranks a
     # five-times-graded anchor for a driver slot
     "incremental_agg_maintenance",
-    # previously-green anchors kept under continuous driver grading (6 rows)
+    "semantic_dedup_labels",
+    # previously-green anchors kept under continuous driver grading (5 rows)
     "flagship_revenue_by_region",
     "bucketed_join_agg",
     "mongo_extract_events",
     "scd2_asof_lookup",
     "dim_users_enriched",
-    "fact_enriched",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -533,3 +533,60 @@ def test_multiprobe_recovers_clustered_recall(spark):
         assert r1 >= r0
     finally:
         synth.unpersist()
+
+
+def test_semantic_dedup_chunked_scoring_invariant(spark):
+    """The chunked within-cluster kernel must be chunk-size-independent."""
+    from nomba_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = sorted(
+        (r.vec_id, r.cluster, r.keep)
+        for r in semantic_dedup(emb, 0.35, cluster_col="label", chunk_rows=3).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster, r.keep)
+        for r in semantic_dedup(emb, 0.35, cluster_col="label").collect()
+    )
+    assert a == b and any(not k for _, _, k in a)
+
+
+def test_semantic_dedup_kmeans_matches_true_clusters(spark):
+    """On a tight-cluster corpus the k-means path must recover (nearly)
+    the same drop set as clustering by the ground-truth cluster id —
+    the SemDeDup premise that learned clusters localize near-dups."""
+    from nomba_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    centers = spark.range(16).select(
+        F.col("id").alias("cluster"),
+        F.array(*[(F.rand(seed=31 + i) - 0.5) for i in range(64)]).alias("center"),
+    )
+    noise = F.array(*[(F.rand(seed=900 + i) - 0.5) * 0.05 for i in range(64)])
+    synth = (
+        spark.range(800)
+        .select(F.col("id").alias("vec_id"), (F.col("id") % 16).alias("cluster"))
+        .join(F.broadcast(centers), "cluster")
+        .select("vec_id", "cluster", F.zip_with("center", noise, lambda c, n: c + n).alias("embedding"))
+        .cache()
+    )
+    synth.count()
+    try:
+        truth_drops = {
+            r.vec_id
+            for r in semantic_dedup(synth, 0.95, cluster_col="cluster").collect()
+            if not r.keep
+        }
+        kmeans_drops = {
+            r.vec_id
+            for r in semantic_dedup(synth, 0.95, n_lists=16).collect()
+            if not r.keep
+        }
+        assert truth_drops, "threshold produced no drops — test is vacuous"
+        recall = len(truth_drops & kmeans_drops) / len(truth_drops)
+        assert recall >= 0.9, f"drop recall {recall:.2f}"
+        # k-means must never invent drops the exact within-cluster pass
+        # would not (precision guard, small tolerance for split clusters)
+        extra = kmeans_drops - truth_drops
+        assert len(extra) <= 0.05 * len(truth_drops) + 1, len(extra)
+    finally:
+        synth.unpersist()
