@@ -111,12 +111,36 @@ def cmd_zorder(args) -> int:
 
 
 def cmd_index(args) -> int:
-    """ANN index lifecycle: build / append / fold / stats over the
-    persisted LSH or IVF layouts (operators/similarity.py)."""
+    """Index lifecycle: build / append / fold / stats over the persisted
+    ANN layouts (operators/similarity.py) or the MinHash band index for
+    incremental corpus dedup (operators/dedup.py)."""
     from nomba_data_pipeline_spark.catalog import load_table
     from nomba_data_pipeline_spark.operators import similarity as S
 
     spark = _spark(args)
+    if args.family == "minhash":
+        from nomba_data_pipeline_spark.operators import dedup as DD
+
+        docs = load_table(spark, args.sf_dir, "documents")
+        if args.action == "build":
+            corpus = docs.filter("doc_id % 10 != 0") if args.pct is None else docs
+            DD.minhash_index_write(corpus, args.path)
+            print(json.dumps({"built": "minhash", "path": args.path}))
+        elif args.action == "append":
+            delta = docs.filter(f"doc_id % 100 < {args.pct}") if args.pct else docs
+            n0 = spark.read.parquet(args.path).count()
+            DD.minhash_index_append(delta, args.path)
+            n1 = spark.read.parquet(args.path).count()
+            print(json.dumps({"appended_band_rows": n1 - n0}))
+        elif args.action == "dedup":
+            batch = docs.filter("doc_id % 10 = 0")
+            res = DD.dedup_against_bands(batch, DD.minhash_index_read(spark, args.path))
+            flagged = res.filter("is_dup").count()
+            print(json.dumps({"batch": res.count(), "flagged_dup": flagged}))
+        else:  # stats
+            n = spark.read.parquet(args.path).count()
+            print(json.dumps({"band_rows": n}))
+        return 0
     if args.action == "build":
         emb = load_table(spark, args.sf_dir, "embeddings")
         if args.family == "lsh":
@@ -209,10 +233,11 @@ def main(argv: list[str] | None = None) -> int:
     z.set_defaults(fn=cmd_zorder)
 
     ix = sub.add_parser(
-        "index", help="ANN index lifecycle: build/append/fold/stats (LSH or IVF)"
+        "index",
+        help="index lifecycle: build/append/fold/stats (LSH or IVF ANN), dedup (minhash)",
     )
-    ix.add_argument("action", choices=["build", "append", "fold", "stats"])
-    ix.add_argument("--family", choices=["lsh", "ivf"], default="lsh")
+    ix.add_argument("action", choices=["build", "append", "fold", "stats", "dedup"])
+    ix.add_argument("--family", choices=["lsh", "ivf", "minhash"], default="lsh")
     ix.add_argument("--path", required=True, help="index root directory")
     ix.add_argument("--n-tables", type=int, default=1, help="LSH tables (build)")
     ix.add_argument("--n-lists", type=int, default=16, help="IVF lists (build)")

@@ -528,3 +528,118 @@ def simhash_sql(table: str = "documents") -> str:
     )
     SELECT doc_id, {assemble} AS simhash FROM per_doc
     """
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against an indexed corpus
+# ---------------------------------------------------------------------------
+def dedup_against_bands(new_docs: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+    """Flag each NEW doc that collides with the indexed corpus in any
+    LSH band bucket: (doc_id, is_dup). This is the daily-crawl shape —
+    dedup an incoming batch against 100 TB of already-ingested text
+    WITHOUT self-joining the corpus:
+
+      * the batch's bands are broadcast, so the corpus band table only
+        STREAMS through a broadcast hash join — zero corpus shuffle,
+        zero corpus signature recompute (it is persisted, see
+        minhash_index_write);
+      * the match output is at most |batch| x BANDS rows, re-broadcast
+        for the final flag join — the corpus never appears after the
+        semi pass.
+
+    Same banded-candidate semantics as minhash_lsh_pairs (a collision
+    is a candidate near-dup; precision is the LSH band trade, tighten
+    with more rows per band or verify survivors with
+    ngram_jaccard_pairs on the collided subset).
+    """
+    batch_bands = lsh_bands(minhash_signatures(shingle_set(new_docs)))
+    matched = (
+        corpus_bands.join(
+            F.broadcast(batch_bands.withColumnRenamed("doc_id", "new_doc_id")),
+            ["band", "band_sig"],
+        )
+        .select("new_doc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        new_docs.select("doc_id")
+        .distinct()
+        .join(
+            F.broadcast(matched), new_docs["doc_id"] == matched["new_doc_id"], "left"
+        )
+        .select("doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
+def dedup_against_corpus_sql(table: str = "documents", batch_mod: int = 10) -> str:
+    """DuckDB oracle: batch = doc_id % batch_mod == 0, corpus = the
+    rest; a batch doc is a dup iff it shares an LSH band bucket with
+    any corpus doc. Reuses the exact minhash/band pipeline of
+    minhash_lsh_pairs_sql so both engines run the same hash family."""
+    mins = ",\n               ".join(
+        f"min({_perm_expr(seed, 'duckdb')}) AS mh{seed}" for seed in range(NUM_PERM)
+    )
+    band_rows = []
+    for b in range(BANDS):
+        members = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', {members}) AS band_sig FROM mh"
+        )
+    bands_union = "\n        UNION ALL ".join(band_rows)
+    return f"""
+    WITH sh AS ({shingle_set_sql(table)}),
+    hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS ha,
+               CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS hb,
+               CAST(concat('0x', substr(md5(shingle), 17, 8)) AS BIGINT) AS hc,
+               CAST(concat('0x', substr(md5(shingle), 25, 8)) AS BIGINT) AS hd
+        FROM sh
+    ),
+    mh AS (
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        {bands_union}
+    )
+    SELECT d.doc_id,
+           EXISTS (
+               SELECT 1
+               FROM bands x
+               JOIN bands y ON y.band = x.band AND y.band_sig = x.band_sig
+               WHERE x.doc_id = d.doc_id AND y.doc_id % {batch_mod} <> 0
+           ) AS is_dup
+    FROM (SELECT DISTINCT doc_id FROM bands WHERE doc_id % {batch_mod} = 0) d
+    """
+
+
+def minhash_index_write(docs: DataFrame, path: str) -> None:
+    """Persist the corpus's LSH band table partitioned by band — the
+    one-time signature pass a 100 TB corpus must never repeat. Each
+    partition dir holds co-located band_sig rows (repartition avoids
+    the tasks x dirs small-file bomb, same as the ANN index writers)."""
+    bands = lsh_bands(minhash_signatures(shingle_set(docs)))
+    bands.repartition("band").write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def minhash_index_append(
+    docs: DataFrame, path: str, skip_existing: bool = True
+) -> None:
+    """Append new docs' bands (signature pass over the DELTA only).
+    skip_existing anti-joins on doc_id first — one column-pruned scan —
+    because a raw parquet append is not replay-idempotent."""
+    spark = docs.sparkSession
+    if skip_existing:
+        existing = spark.read.parquet(path).select("doc_id").distinct()
+        docs = docs.join(existing, "doc_id", "left_anti")
+    bands = lsh_bands(minhash_signatures(shingle_set(docs)))
+    bands.repartition("band").write.mode("append").partitionBy("band").parquet(path)
+
+
+def minhash_index_read(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "band_sig"
+    )

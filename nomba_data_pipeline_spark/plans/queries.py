@@ -3208,6 +3208,25 @@ def q_semantic_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEMANTIC_DEDUP_LABELS = S.semantic_dedup_sql(threshold=0.35)
 
 
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (ext:dedup-incremental): flag an
+    incoming batch (doc_id % 10 == 0) against the already-ingested
+    corpus (the rest) by LSH band collision — the daily-crawl shape.
+    The corpus band table streams through a broadcast hash join against
+    the batch's bands (corpus never shuffles, batch side broadcast);
+    in production the corpus bands come from the persisted
+    minhash_index_write/append layout so the 100 TB signature pass
+    happens once, pytest-pinned equal to this inline form."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_bands = D.lsh_bands(D.minhash_signatures(D.shingle_set(corpus)))
+    return D.dedup_against_bands(batch, corpus_bands)
+
+
+SQL_DEDUP_INCREMENTAL = D.dedup_against_corpus_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3312,6 +3331,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "top_parts_per_brand": QuerySpec(q_top_parts_per_brand, SQL_TOP_PARTS_PER_BRAND, "§2.6:grouped-topk"),
     "incremental_agg_maintenance": QuerySpec(q_incremental_agg, SQL_INCREMENTAL_AGG, "ext:ivm"),
     "semantic_dedup_labels": QuerySpec(q_semantic_dedup_labels, SQL_SEMANTIC_DEDUP_LABELS, "ext:dedup-semantic"),
+    "dedup_incremental_batch": QuerySpec(q_dedup_incremental_batch, SQL_DEDUP_INCREMENTAL, "ext:dedup-incremental"),
 }
 
 
@@ -3383,12 +3403,12 @@ _DRIVER_WINDOW: list[str] = [
     # five-times-graded anchor for a driver slot
     "incremental_agg_maintenance",
     "semantic_dedup_labels",
-    # previously-green anchors kept under continuous driver grading (5 rows)
+    "dedup_incremental_batch",
+    # previously-green anchors kept under continuous driver grading (4 rows)
     "flagship_revenue_by_region",
     "bucketed_join_agg",
     "mongo_extract_events",
     "scd2_asof_lookup",
-    "dim_users_enriched",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -1,0 +1,80 @@
+
+
+"""Incremental corpus dedup: persisted MinHash band index vs inline
+bands, replay-safe appends, and the no-corpus-shuffle plan pin."""
+
+from nomba_data_pipeline_spark.catalog import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_index_persisted_equals_inline(spark, tmp_path):
+    """The persisted band index must give the SAME dedup verdicts as
+    the inline band computation (one-time 100 TB signature pass), and
+    index append must be replay-safe via the skip_existing anti-join."""
+    from pyspark.sql import functions as F
+
+    from nomba_data_pipeline_spark.operators.dedup import (
+        dedup_against_bands,
+        lsh_bands,
+        minhash_index_append,
+        minhash_index_read,
+        minhash_index_write,
+        minhash_signatures,
+        shingle_set,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "mhidx")
+    minhash_index_write(corpus, path)
+
+    inline = sorted(
+        (r.doc_id, r.is_dup)
+        for r in dedup_against_bands(
+            batch, lsh_bands(minhash_signatures(shingle_set(corpus)))
+        ).collect()
+    )
+    via_index = sorted(
+        (r.doc_id, r.is_dup)
+        for r in dedup_against_bands(batch, minhash_index_read(spark, path)).collect()
+    )
+    assert inline == via_index and len(inline) > 0
+    assert any(d for _, d in inline), "no dup flagged — vacuous fixture"
+    assert any(not d for _, d in inline), "all dup — vacuous fixture"
+
+    # fold the batch in, then replay the fold: second append is a no-op
+    n0 = minhash_index_read(spark, path).count()
+    minhash_index_append(batch, path)
+    n1 = minhash_index_read(spark, path).count()
+    assert n1 > n0
+    minhash_index_append(batch, path)  # replay
+    assert minhash_index_read(spark, path).count() == n1
+    # once folded, every batch doc collides with the index (itself)
+    again = dedup_against_bands(batch, minhash_index_read(spark, path))
+    assert all(r.is_dup for r in again.collect())
+
+
+def test_dedup_against_bands_corpus_never_shuffles(spark):
+    """Scale pin: the corpus band table must reach the collision join
+    via broadcast hash join (batch side broadcast) — an Exchange of the
+    corpus bands would be a full-corpus shuffle at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from nomba_data_pipeline_spark.operators.dedup import (
+        dedup_against_bands,
+        lsh_bands,
+        minhash_signatures,
+        shingle_set,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus_bands = lsh_bands(
+        minhash_signatures(shingle_set(docs.filter(F.col("doc_id") % 10 != 0)))
+    )
+    res = dedup_against_bands(docs.filter(F.col("doc_id") % 10 == 0), corpus_bands)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
