@@ -61,6 +61,7 @@ HEADLINE = [
     "top_parts_per_brand",
     "incremental_agg_maintenance",
     "semantic_dedup_labels",
+    "dedup_incremental_batch",
 ]
 
 
