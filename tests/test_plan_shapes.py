@@ -437,42 +437,6 @@ def test_fuzzy_blocked_probe_partitions_follow_session_conf(spark):
         spark.conf.set(key, old)
 
 
-def test_runtime_bloom_filter_prunes_fact_scan(spark):
-    """Catalyst's runtime bloom-filter join pruning must fire on the
-    selective-dim → fact shape: the filtered creation side builds a
-    bloom_filter_agg and the fact side gains a might_contain() filter
-    ahead of the shuffle — at 100 TB this drops most fact rows before
-    they ever reach the exchange. Locally the application-side scan is
-    far below the 10 GB default threshold, so the test emulates the
-    at-scale regime by lowering the thresholds; the session keeps the
-    feature enabled (Spark default) so the real cluster gets it free."""
-    confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-    }
-    old = {k: spark.conf.get(k) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
-        li = load_table(spark, SF_SMALL, "lineitem")
-        orders = load_table(spark, SF_SMALL, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        )
-        j = (
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .groupBy("o_orderpriority")
-            .count()
-        )
-        plan = _plan(j)
-        assert "might_contain" in plan, plan
-        assert "bloom_filter_agg" in plan, plan
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
-
-
 def test_hopping_windows_partial_agg_before_exchange(spark):
     """The width/slide=2 fan-out must be collapsed by a partial
     aggregate BEFORE the shuffle: the wire carries ≤ |windows|×|types|
