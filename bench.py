@@ -62,6 +62,8 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "semantic_dedup_labels",
     "dedup_incremental_batch",
+    "winsorized_stats",
+    "stratified_sample_k",
 ]
 
 

@@ -3227,6 +3227,95 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_INCREMENTAL = D.dedup_against_corpus_sql()
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping / winsorization (ext:winsorize) — standard
+    training-data numeric hygiene: per-segment p05/p95 fences, values
+    clamped to the fences, then the clipped mean + clip counts. Two
+    passes over the fact by construction (exact percentiles need their
+    own aggregation; the fence table is group-cardinality and
+    broadcasts back, so the fact never shuffles for the join). At
+    100 TB swap the fence pass to approx_percentile (GK, bounded
+    state) — identical plan shape, documented rank-error bound.
+    Fences are rounded to 4dp BEFORE clamping so the clipped values
+    stay exactly representable as DECIMAL(18,4): the clipped sum is
+    then decimal-exact and fold-order-independent, same convention as
+    every graded revenue row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fences = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.round(
+                F.sum(clipped.cast("decimal(18,4)")) / F.count(F.lit(1)), 6
+            ).cast("double").alias("clipped_mean"),
+            F.count(F.when(F.col("l_extendedprice") < F.col("lo"), 1)).alias("n_lo"),
+            F.count(F.when(F.col("l_extendedprice") > F.col("hi"), 1)).alias("n_hi"),
+        )
+    )
+
+
+SQL_WINSORIZED_STATS = """
+WITH fences AS (
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+    FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag, f.lo, f.hi,
+       CAST(round(sum(CAST(least(greatest(l.l_extendedprice, f.lo), f.hi)
+                           AS DECIMAL(18,4))) / count(*), 6) AS DOUBLE) AS clipped_mean,
+       count(CASE WHEN l.l_extendedprice < f.lo THEN 1 END) AS n_lo,
+       count(CASE WHEN l.l_extendedprice > f.hi THEN 1 END) AS n_hi
+FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+GROUP BY 1, 2, 3
+"""
+
+
+def q_stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic stratified sample (ext:sample-exact-k):
+    k=5 docs per source stratum, ranked by md5 of the id — a uniform
+    but reproducible draw (same engine-independent hash family as
+    train_split_assign). Complements domain_mix_sample's FRACTION
+    sampling with exact-count balance — the shape class-balanced
+    fine-tuning sets need. NOT growth-stable by construction (a new
+    doc can displace a sampled one); use the fraction sampler when
+    stability across corpus growth matters.
+
+    Scale shape: rank<=k over a partition triggers Spark's
+    WindowGroupLimit — each map task keeps only its local top-k per
+    stratum BEFORE the exchange, so the shuffle carries
+    O(tasks x strata x k) rows, not the corpus (plan-pinned, same as
+    top_parts_per_brand)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+SQL_STRATIFIED_SAMPLE_K = """
+SELECT doc_id, source, CAST(rk AS INT) AS rk
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3332,6 +3421,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_agg_maintenance": QuerySpec(q_incremental_agg, SQL_INCREMENTAL_AGG, "ext:ivm"),
     "semantic_dedup_labels": QuerySpec(q_semantic_dedup_labels, SQL_SEMANTIC_DEDUP_LABELS, "ext:dedup-semantic"),
     "dedup_incremental_batch": QuerySpec(q_dedup_incremental_batch, SQL_DEDUP_INCREMENTAL, "ext:dedup-incremental"),
+    "winsorized_stats": QuerySpec(q_winsorized_stats, SQL_WINSORIZED_STATS, "ext:winsorize"),
+    "stratified_sample_k": QuerySpec(q_stratified_sample_k, SQL_STRATIFIED_SAMPLE_K, "ext:sample-exact-k"),
 }
 
 
@@ -3404,11 +3495,13 @@ _DRIVER_WINDOW: list[str] = [
     "incremental_agg_maintenance",
     "semantic_dedup_labels",
     "dedup_incremental_batch",
-    # previously-green anchors kept under continuous driver grading (4 rows)
+    "winsorized_stats",
+    "stratified_sample_k",
+    # previously-green anchors kept under continuous driver grading:
+    # the flagship, plus bucketed_join_agg (graded r04, evicted by
+    # r05's insertion, still awaiting a re-grade)
     "flagship_revenue_by_region",
     "bucketed_join_agg",
-    "mongo_extract_events",
-    "scd2_asof_lookup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -437,6 +437,23 @@ def test_fuzzy_blocked_probe_partitions_follow_session_conf(spark):
         spark.conf.set(key, old)
 
 
+def test_stratified_sample_uses_window_group_limit(spark):
+    """rank<=k over the stratum partition must trigger WindowGroupLimit:
+    each map task keeps its local top-k per stratum BEFORE the shuffle,
+    so the exchange carries O(tasks x strata x k), not the corpus."""
+    plan = _plan(REGISTRY["stratified_sample_k"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_winsorized_fences_broadcast_back(spark):
+    """The group-cardinality fence table must broadcast into the clip
+    join — a shuffled join here would reshuffle the whole fact at
+    100 TB for a k-row lookup."""
+    plan = _plan(REGISTRY["winsorized_stats"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_hopping_windows_partial_agg_before_exchange(spark):
     """The width/slide=2 fan-out must be collapsed by a partial
     aggregate BEFORE the shuffle: the wire carries ≤ |windows|×|types|
