@@ -3316,6 +3316,58 @@ WHERE rk <= 5
 """
 
 
+def q_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregate maintenance as a graded row (ext:ivm +
+    §2.10): the events table staged as four files drains through
+    foreachBatch into an IncrementalAggTable (epoch id = replay
+    marker), and the maintained per-user state must equal the one-shot
+    GROUP BY — the full streaming-refresh lifecycle audited by a plain
+    SQL oracle. Fresh state/checkpoint dirs per invocation keep the
+    row deterministic; replay safety itself is pinned in
+    tests/test_incremental_agg.py."""
+    import tempfile
+
+    from nomba_data_pipeline_spark.operators.incremental_agg import (
+        IncrementalAggTable,
+    )
+    from nomba_data_pipeline_spark.streaming.microbatch import stream_events
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    stage = _stage_dir(
+        "ivm_stream_src",
+        sf_dir,
+        lambda p: events.repartition(4).write.mode("overwrite").parquet(p),
+    )
+    work = tempfile.mkdtemp(prefix="ivm_stream_")
+    t = IncrementalAggTable(spark, work + "/state", ["user_id"], "value")
+    q = (
+        stream_events(spark, stage, events.schema, max_files=1)
+        .writeStream.foreachBatch(lambda df, epoch: t.apply_batch(df, epoch))
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t.state().select(
+        "user_id",
+        "cnt",
+        F.round(F.col("sum_m"), 4).cast("double").alias("sum_v"),
+        F.col("min_m").alias("min_v"),
+        F.col("max_m").alias("max_v"),
+    )
+
+
+SQL_STREAMING_INCREMENTAL_AGG = """
+SELECT user_id,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_v,
+       CAST(min(value) AS DOUBLE) AS min_v,
+       CAST(max(value) AS DOUBLE) AS max_v
+FROM events
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3423,6 +3475,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_incremental_batch": QuerySpec(q_dedup_incremental_batch, SQL_DEDUP_INCREMENTAL, "ext:dedup-incremental"),
     "winsorized_stats": QuerySpec(q_winsorized_stats, SQL_WINSORIZED_STATS, "ext:winsorize"),
     "stratified_sample_k": QuerySpec(q_stratified_sample_k, SQL_STRATIFIED_SAMPLE_K, "ext:sample-exact-k"),
+    "streaming_incremental_agg": QuerySpec(
+        q_streaming_incremental_agg, SQL_STREAMING_INCREMENTAL_AGG, "ext:ivm,§2.10"
+    ),
 }
 
 
@@ -3454,7 +3509,6 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_user_totals",
     "approx_percentiles_by_flag",
     "trailing_revenue_7d",
-    "cosine_topk_lsh_indexed",
     "quality_profile",
     "streaming_dedup",
     "pii_redact",
@@ -3497,6 +3551,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_incremental_batch",
     "winsorized_stats",
     "stratified_sample_k",
+    "streaming_incremental_agg",
     # previously-green anchors kept under continuous driver grading:
     # the flagship, plus bucketed_join_agg (graded r04, evicted by
     # r05's insertion, still awaiting a re-grade)

@@ -28,10 +28,14 @@ def test_window_rows_exist_in_registry():
 def test_never_driver_graded_rows_are_all_in_window():
     # Rows with no driver CORRECTNESS entry through round 5; each must sit
     # inside the graded window until it has a driver-green row on record.
+    # cosine_topk_lsh_indexed is deliberately excluded: it has no SQL
+    # oracle, so a driver slot only buys a rows-only check while its
+    # indexed==direct equivalence is already pytest-pinned — the slot
+    # went to an oracle-bearing round-6 row instead.
     never_graded = {
         "running_revenue", "streaming_minute_rollup", "token_freq",
         "revenue_cube", "streaming_user_totals", "approx_percentiles_by_flag",
-        "trailing_revenue_7d", "cosine_topk_lsh_indexed", "quality_profile",
+        "trailing_revenue_7d", "quality_profile",
         "streaming_dedup", "pii_redact", "doc_repetition",
         "contamination_ngrams", "domain_mix_sample", "sequence_packing",
         "revenue_grouping_sets", "streaming_sessionize",
