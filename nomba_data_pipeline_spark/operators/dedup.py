@@ -643,3 +643,152 @@ def minhash_index_read(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "doc_id", F.col("band").cast("int").alias("band"), "band_sig"
     )
+
+
+def dedup_against_bands_verified(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """dedup_against_bands + an exact verification stage: every band
+    collision is re-scored with the TRUE n-gram Jaccard, so precision
+    is exact (no LSH false positives survive) while the quadratic work
+    stays bounded by |collisions|, never |batch| x |corpus|:
+
+      * candidate (batch, corpus) doc pairs come from the broadcast
+        band join — the corpus still only streams;
+      * corpus shingles are recomputed ONLY for docs that appear in a
+        candidate pair (semi-join pushdown before the shingle explode),
+        so verification text IO is proportional to the collision set;
+      * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) via a shared-shingle count
+        join — the ngram_jaccard_pairs shape restricted to candidates.
+
+    Returns (doc_id, is_dup, best_jac): is_dup ⇔ some candidate pair
+    verifies at >= threshold; best_jac is the max verified Jaccard
+    (0.0 when the batch doc had no collisions at all). Recall is still
+    the LSH band trade — verification can only LOWER flag counts.
+    """
+    batch_bands = lsh_bands(minhash_signatures(shingle_set(new_docs)))
+    cand = (
+        corpus_bands.join(
+            F.broadcast(batch_bands.withColumnRenamed("doc_id", "new_doc_id")),
+            ["band", "band_sig"],
+        )
+        .select(F.col("new_doc_id"), F.col("doc_id").alias("corpus_doc_id"))
+        .distinct()
+    )
+    b_sh = shingle_set(new_docs.join(
+        cand.select("new_doc_id").distinct(),
+        new_docs["doc_id"] == F.col("new_doc_id"),
+        "left_semi",
+    ))
+    c_sh = shingle_set(corpus_docs.join(
+        cand.select("corpus_doc_id").distinct(),
+        corpus_docs["doc_id"] == F.col("corpus_doc_id"),
+        "left_semi",
+    ))
+    b_sizes = b_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    c_sizes = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        b_sh.withColumnRenamed("doc_id", "new_doc_id")
+        .join(c_sh.withColumnRenamed("doc_id", "corpus_doc_id"), "shingle")
+        .join(F.broadcast(cand), ["new_doc_id", "corpus_doc_id"], "left_semi")
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    scored = (
+        cand.join(inter, ["new_doc_id", "corpus_doc_id"], "left")
+        .join(b_sizes.withColumnRenamed("doc_id", "new_doc_id"), "new_doc_id")
+        .join(c_sizes.withColumnRenamed("doc_id", "corpus_doc_id"), "corpus_doc_id")
+        .select(
+            "new_doc_id",
+            F.round(
+                F.coalesce(F.col("ninter"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ninter"), F.lit(0))),
+                6,
+            ).alias("jac"),
+        )
+        .groupBy("new_doc_id")
+        .agg(F.max("jac").alias("best_jac"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .distinct()
+        .join(
+            F.broadcast(scored),
+            new_docs["doc_id"] == scored["new_doc_id"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.coalesce("best_jac", F.lit(0.0)) >= threshold).alias("is_dup"),
+            F.coalesce("best_jac", F.lit(0.0)).alias("best_jac"),
+        )
+    )
+
+
+def dedup_against_corpus_verified_sql(
+    table: str = "documents", batch_mod: int = 10, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for the verified variant: candidates from the band
+    join, exact n-gram Jaccard per candidate pair, max per batch doc."""
+    mins = ",\n               ".join(
+        f"min({_perm_expr(seed, 'duckdb')}) AS mh{seed}" for seed in range(NUM_PERM)
+    )
+    band_rows = []
+    for b in range(BANDS):
+        members = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', {members}) AS band_sig FROM mh"
+        )
+    bands_union = "\n        UNION ALL ".join(band_rows)
+    return f"""
+    WITH sh AS ({shingle_set_sql(table)}),
+    hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS ha,
+               CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS hb,
+               CAST(concat('0x', substr(md5(shingle), 17, 8)) AS BIGINT) AS hc,
+               CAST(concat('0x', substr(md5(shingle), 25, 8)) AS BIGINT) AS hd
+        FROM sh
+    ),
+    mh AS (
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        {bands_union}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS new_doc_id, y.doc_id AS corpus_doc_id
+        FROM bands x JOIN bands y
+          ON y.band = x.band AND y.band_sig = x.band_sig
+        WHERE x.doc_id % {batch_mod} = 0 AND y.doc_id % {batch_mod} <> 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.new_doc_id, c.corpus_doc_id, count(*) AS ninter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.new_doc_id
+        JOIN sh b ON b.doc_id = c.corpus_doc_id AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.new_doc_id,
+               max(round(COALESCE(i.ninter, 0)::DOUBLE
+                   / (sa.n + sb.n - COALESCE(i.ninter, 0)), 6)) AS best_jac
+        FROM cand c
+        LEFT JOIN inter i
+          ON i.new_doc_id = c.new_doc_id AND i.corpus_doc_id = c.corpus_doc_id
+        JOIN sizes sa ON sa.doc_id = c.new_doc_id
+        JOIN sizes sb ON sb.doc_id = c.corpus_doc_id
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(s.best_jac, 0.0) >= {threshold} AS is_dup,
+           COALESCE(s.best_jac, 0.0) AS best_jac
+    FROM (SELECT DISTINCT doc_id FROM {table} WHERE doc_id % {batch_mod} = 0) d
+    LEFT JOIN scored s ON s.new_doc_id = d.doc_id
+    """

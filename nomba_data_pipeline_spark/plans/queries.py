@@ -3227,6 +3227,24 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_INCREMENTAL = D.dedup_against_corpus_sql()
 
 
+def q_dedup_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified incremental dedup (ext:dedup-incremental-verified): the
+    band-collision candidates of q_dedup_incremental_batch re-scored
+    with the TRUE n-gram Jaccard, so every surviving flag is exact
+    (LSH false positives die in verification) while the exact-compare
+    work stays bounded by the collision count. Corpus shingles are
+    recomputed only for collided docs (semi-join before the explode) —
+    verification IO tracks |collisions|, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_bands = D.lsh_bands(D.minhash_signatures(D.shingle_set(corpus)))
+    return D.dedup_against_bands_verified(batch, corpus_bands, corpus, threshold=0.5)
+
+
+SQL_DEDUP_INCREMENTAL_VERIFIED = D.dedup_against_corpus_verified_sql(threshold=0.5)
+
+
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier clipping / winsorization (ext:winsorize) — standard
     training-data numeric hygiene: per-segment p05/p95 fences, values
@@ -3478,6 +3496,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_incremental_agg": QuerySpec(
         q_streaming_incremental_agg, SQL_STREAMING_INCREMENTAL_AGG, "ext:ivm,§2.10"
     ),
+    "dedup_incremental_verified": QuerySpec(
+        q_dedup_incremental_verified, SQL_DEDUP_INCREMENTAL_VERIFIED, "ext:dedup-incremental-verified"
+    ),
 }
 
 
@@ -3548,7 +3569,7 @@ _DRIVER_WINDOW: list[str] = [
     # five-times-graded anchor for a driver slot
     "incremental_agg_maintenance",
     "semantic_dedup_labels",
-    "dedup_incremental_batch",
+    "dedup_incremental_verified",
     "winsorized_stats",
     "stratified_sample_k",
     "streaming_incremental_agg",

@@ -78,3 +78,32 @@ def test_dedup_against_bands_corpus_never_shuffles(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_verified_dedup_never_flags_more_than_banded(spark):
+    """Verification can only LOWER flag counts (exact Jaccard kills LSH
+    false positives, never invents candidates), and every verified flag
+    must be a banded flag."""
+    from pyspark.sql import functions as F
+
+    from nomba_data_pipeline_spark.operators.dedup import (
+        dedup_against_bands,
+        dedup_against_bands_verified,
+        lsh_bands,
+        minhash_signatures,
+        shingle_set,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    bands = lsh_bands(minhash_signatures(shingle_set(corpus)))
+    banded = {r.doc_id for r in dedup_against_bands(batch, bands).collect() if r.is_dup}
+    rows = dedup_against_bands_verified(batch, bands, corpus, threshold=0.0).collect()
+    rows9 = dedup_against_bands_verified(batch, bands, corpus, threshold=0.9).collect()
+    verified9 = {r.doc_id for r in rows9 if r.is_dup}
+    assert verified9 <= banded
+    assert len(verified9) <= len(banded)
+    # jaccard values sit in [0, 1] and flagged docs carry a real score
+    for r in rows:
+        assert 0.0 <= r.best_jac <= 1.0
