@@ -27,9 +27,11 @@ Semantics and limits (stated, not hidden):
   maintenance shape, bounded state.
 
 `IncrementalAggTable` adds the operational half: a parquet state table
-whose `apply_batch` is replay-idempotent via per-batch `_APPLIED-<id>`
-markers (the crash-rerun contract runner.py's SCD2 batches use) — a
-Structured Streaming `foreachBatch` can point at it directly.
+whose `apply_batch` is replay-idempotent via per-batch `_BATCH-<id>`
+marker files committed INSIDE the atomically-swapped state directory
+(fold and marker land in one rename — no crash window double-counts or
+loses a delta) — a Structured Streaming `foreachBatch` can point at it
+directly.
 """
 
 from __future__ import annotations
@@ -99,11 +101,15 @@ class IncrementalAggTable:
     """A maintained aggregate state table at `path`.
 
     apply_batch(delta, batch_id) folds the delta's state into the
-    stored state with an atomic swap; a `_APPLIED-<batch_id>` marker
-    makes the verb replay-idempotent: a crash between write and marker
-    re-runs the fold (the swap makes the partial write invisible), a
-    crash after the marker makes the rerun a no-op. Point a streaming
-    foreachBatch at apply_batch directly — the epoch id is the marker.
+    stored state with an atomic swap. Replay markers `_BATCH-<id>` live
+    INSIDE the swapped state directory (underscore-prefixed, invisible
+    to parquet readers), so the folded state and the fact that batch_id
+    is folded commit in ONE rename — there is no window where a crash
+    can leave the fold applied but unmarked (double count on rerun) or
+    marked but unapplied (lost delta). A crash before the swap leaves
+    the old directory intact and the rerun refolds cleanly. Point a
+    streaming foreachBatch at apply_batch directly — the epoch id is
+    the marker.
     """
 
     def __init__(
@@ -119,31 +125,48 @@ class IncrementalAggTable:
         self.keys = keys
         self.measure = measure
         self._table = ParquetTable(spark, path + "/state")
-        self._markers = path + "/markers"
 
-    def _marker(self, batch_id: int):
+    def _fs(self, p: str):
         from nomba_data_pipeline_spark.operators.merge import fs_and_path
 
-        return fs_and_path(self.spark, f"{self._markers}/_APPLIED-{batch_id}")
+        return fs_and_path(self.spark, p)
+
+    def _applied_ids(self) -> set[int]:
+        if not self._table.exists():
+            return set()
+        fs, p = self._fs(self._table.path)
+        out = set()
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("_BATCH-"):
+                out.add(int(name[len("_BATCH-"):]))
+        return out
 
     def applied(self, batch_id: int) -> bool:
-        fs, p = self._marker(batch_id)
-        return bool(fs.exists(p))
+        return batch_id in self._applied_ids()
 
     def apply_batch(self, delta: DataFrame, batch_id: int) -> bool:
         """Fold one delta batch; returns False if batch_id was already
         applied (replay no-op). State write is group-cardinality-sized;
-        the swap is the same rename dance every writer here uses."""
-        if self.applied(batch_id):
+        the swap is the same rename dance every writer here uses, and
+        the marker files ride inside it (atomic state+marker commit)."""
+        import uuid
+
+        applied = self._applied_ids()
+        if batch_id in applied:
             return False
         delta_state = agg_state(delta, self.keys, self.measure)
         if self._table.exists():
             new_state = merge_agg_states(self._table.read(), delta_state)
         else:
             new_state = delta_state
-        self._table.overwrite(new_state)
-        fs, p = self._marker(batch_id)
-        fs.mkdirs(p)
+        tmp = f"{self._table.path}.tmp-{uuid.uuid4().hex[:8]}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        fs, _ = self._fs(tmp)
+        for bid in applied | {batch_id}:  # carry history + this batch
+            _, mp = self._fs(f"{tmp}/_BATCH-{bid}")
+            fs.createNewFile(mp)
+        self._table._swap_in(tmp)
         return True
 
     def state(self) -> DataFrame:

@@ -95,3 +95,55 @@ def test_streaming_foreach_batch_maintains_state(spark, tmp_path):
     assert _rows(t.result()) == _rows(
         finalize_agg_state(agg_state(orders, ["o_custkey"], "o_totalprice"))
     )
+
+
+def test_crash_between_fold_and_swap_never_double_counts(spark, tmp_path):
+    """Atomicity of state+marker: markers ride inside the swapped state
+    directory, so a crash at ANY point either commits (fold + marker
+    together, replay = no-op) or leaves the old state (replay refolds
+    cleanly). Inject a failure in the swap to exercise the crash-before
+    path, then replay."""
+    import pytest
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    t = IncrementalAggTable(spark, str(tmp_path / "agg"), ["o_custkey"], "o_totalprice")
+    b0 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b1 = orders.filter(F.col("o_orderkey") % 3 == 1)
+    assert t.apply_batch(b0, 0) is True
+
+    real_swap = t._table._swap_in
+    calls = {"n": 0}
+
+    def exploding_swap(tmp):
+        calls["n"] += 1
+        raise IOError("injected crash before swap")
+
+    t._table._swap_in = exploding_swap
+    with pytest.raises(IOError):
+        t.apply_batch(b1, 1)
+    t._table._swap_in = real_swap
+    # crash before swap: batch 1 unmarked, state untouched — replay folds once
+    assert t.applied(1) is False
+    assert t.apply_batch(b1, 1) is True
+    assert t.apply_batch(b1, 1) is False  # and the marker survived the swap
+    seen = b0.unionByName(b1)
+    want = sorted(
+        tuple(r[c] for c in sorted(r.asDict()))
+        for r in finalize_agg_state(agg_state(seen, ["o_custkey"], "o_totalprice")).collect()
+    )
+    got = sorted(
+        tuple(r[c] for c in sorted(r.asDict())) for r in t.result().collect()
+    )
+    assert got == want
+
+
+def test_markers_carry_forward_across_folds(spark, tmp_path):
+    """Every applied batch id must stay marked after later folds (the
+    marker set is rewritten into each new state directory)."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    t = IncrementalAggTable(spark, str(tmp_path / "agg"), ["o_custkey"], "o_totalprice")
+    for i in range(3):
+        t.apply_batch(orders.filter(F.col("o_orderkey") % 3 == i), i)
+    for i in range(3):
+        assert t.applied(i), i
+    assert not t.applied(99)
