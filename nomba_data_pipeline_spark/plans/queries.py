@@ -3499,6 +3499,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_incremental_verified": QuerySpec(
         q_dedup_incremental_verified, SQL_DEDUP_INCREMENTAL_VERIFIED, "ext:dedup-incremental-verified"
     ),
+    "semantic_dedup_kmeans": QuerySpec(
+        # production path: clusters learned by the deterministic k-means
+        # quantizer rather than a given column — cluster boundaries are
+        # data-dependent, so no SQL oracle (rows-only); drop recall vs
+        # ground-truth clusters is pinned in tests/test_similarity.py
+        lambda spark, sf: S.semantic_dedup(
+            load_table(spark, sf, "embeddings"), threshold=0.35, n_lists=8
+        ),
+        None,
+        "ext:dedup-semantic-kmeans",
+    ),
 }
 
 
