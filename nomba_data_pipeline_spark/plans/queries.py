@@ -1483,6 +1483,35 @@ FROM orders GROUP BY 1
 """
 
 
+def q_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (§2.4 inverse of status_pivot): the pivoted wide
+    frame back to (priority, status, n) long form via DataFrame
+    `unpivot` — Spark compiles it to a map-only Expand (|values|
+    projections, zero shuffle beyond the upstream pivot agg), the same
+    operator family as rollup/cube. Round-trips the pivot exactly, so
+    the oracle is the plain conditional-agg + UNPIVOT."""
+    wide = q_status_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["priority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )
+
+
+SQL_STATUS_UNPIVOT = """
+WITH wide AS (
+    SELECT o_orderpriority AS priority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY 1
+)
+SELECT priority, status, n
+FROM wide UNPIVOT (n FOR status IN (n_f, n_o, n_p))
+"""
+
+
 def q_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders with at least one late-shipped lineitem
     (EXISTS decorrelated to a left-semi join), counted by priority."""
@@ -3499,6 +3528,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_incremental_verified": QuerySpec(
         q_dedup_incremental_verified, SQL_DEDUP_INCREMENTAL_VERIFIED, "ext:dedup-incremental-verified"
     ),
+    "status_unpivot": QuerySpec(q_status_unpivot, SQL_STATUS_UNPIVOT, "§2.4:unpivot"),
     "semantic_dedup_kmeans": QuerySpec(
         # production path: clusters learned by the deterministic k-means
         # quantizer rather than a given column — cluster boundaries are
@@ -3584,10 +3614,12 @@ _DRIVER_WINDOW: list[str] = [
     "winsorized_stats",
     "stratified_sample_k",
     "streaming_incremental_agg",
-    # previously-green anchors kept under continuous driver grading:
-    # the flagship, plus bucketed_join_agg (graded r04, evicted by
-    # r05's insertion, still awaiting a re-grade)
-    "flagship_revenue_by_region",
+    "status_unpivot",
+    # previously-green anchor: bucketed_join_agg (graded r04, evicted
+    # by r05's insertion, still awaiting a re-grade). The flagship is
+    # NOT in the window this round — it has five consecutive driver
+    # greens AND the driver exercises it every round anyway through
+    # entry(), so its slot went to a new oracle row.
     "bucketed_join_agg",
 ]
 
