@@ -287,6 +287,49 @@ def main() -> None:
         truth.unpersist()
         ividx.unpersist()
 
+        # text-dedup index economics, mirroring the ANN entries: a 54k
+        # synthetic corpus pays its shingle+signature pass once
+        # (build); a 6k incoming batch then dedups against the index
+        # with the corpus only streaming (query), and folds in via the
+        # anti-joined append. The three numbers are the daily-crawl
+        # cost model.
+        from nomba_data_pipeline_spark.operators import dedup as DD
+
+        words = [f"w{i}" for i in range(10)]
+        tdocs = (
+            spark.range(60_000)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(
+                            F.array(*[F.lit(w) for w in words]),
+                            ((F.col("id") * (i + 7) + i * 13) % 10 + 1).cast("int"),
+                        )
+                        for i in range(40)
+                    ],
+                ).alias("text"),
+            )
+        )
+        tcorpus = tdocs.filter("doc_id % 10 != 0")
+        tbatch = tdocs.filter("doc_id % 10 = 0")
+        tpath = _tf.mkdtemp(prefix="bench-txtidx-") + "/idx"
+        try:
+            t0 = time.perf_counter()
+            DD.minhash_index_write(tcorpus, tpath)
+            timings["txtidx_54k_build"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            DD.dedup_against_bands(
+                tbatch, DD.minhash_index_read(spark, tpath)
+            ).count()
+            timings["txtidx_6k_dedup"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            DD.minhash_index_append(tbatch, tpath)
+            timings["txtidx_6k_append"] = round(time.perf_counter() - t0, 3)
+        finally:
+            _sh.rmtree(tpath.rsplit("/", 1)[0], ignore_errors=True)
+
         # near-dup crossover: exact is O(N^2 d) — at 64k rows that is
         # ~2G pair-sims regardless of data; banded LSH only touches
         # colliding buckets. Corpus: 2048 clusters of ~31 rows (center =
@@ -383,7 +426,7 @@ def main() -> None:
         sum(
             v
             for k, v in timings.items()
-            if not k.startswith(("cdc_model:", "ann_x64_", "neardup_64k_"))
+            if not k.startswith(("cdc_model:", "ann_x64_", "neardup_64k_", "txtidx_", "semdedup_64k"))
         ),
         3,
     )
@@ -399,7 +442,7 @@ def main() -> None:
         # (64k-row clustered synthetic) entries are where brute-force
         # and LSH/IVF costs actually separate — read those for the
         # fast-path-beats-brute-force evidence.
-        "notes": "ann_x64_*/neardup_64k_* are the at-scale ANN comparisons; sf0.1 ANN rows are overhead-bound (2k-row corpus)",
+        "notes": "ann_x64_*/neardup_64k_*/semdedup_64k/txtidx_* are synthetic at-scale demos excluded from the headline total; sf0.1 ANN rows are overhead-bound (2k-row corpus)",
         # recall@5 fractions (0..1) for the ANN fast paths vs brute-force
         # ground truth — separate key so consumers of `queries` never
         # read a recall as seconds
