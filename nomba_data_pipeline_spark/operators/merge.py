@@ -26,6 +26,7 @@ partitions present in the incoming batch — no full rewrite at 100 TB.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -118,6 +119,73 @@ class ParquetTable:
         if not self.exists():
             return None
         return self.read().agg(F.max(tracking_col).alias("hwm")).first()["hwm"]
+
+    def high_water_mark_stats(self, tracking_col: str):
+        """HWM from parquet FOOTER statistics — zero data scan.
+
+        Every Spark-written file carries per-row-group min/max stats;
+        max(tracking) is their max, so the incremental runner's
+        every-run HWM read costs one footer per file instead of a
+        column scan over the whole table — at 100 TB that is the
+        difference between a metadata read and rescanning the fact's
+        tracking column on every refresh.
+
+        Exactness guard: string stats may be TRUNCATED by writers
+        (parquet allows bound prefixes), so only numeric / date /
+        timestamp columns use the stats path; anything else — or a
+        non-locally-readable filesystem, or any file missing stats —
+        falls back to the exact scan agg. On object stores the same
+        footer reads are range requests (cheap); this implementation
+        reads them with pyarrow and therefore gates on local paths,
+        falling back to the scan elsewhere.
+        """
+        if not self.exists():
+            return None
+        local = self.path
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+        if "://" in local or not os.path.isdir(local):
+            return self.high_water_mark(tracking_col)
+        try:
+            import datetime
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            files = sorted(
+                _glob.glob(os.path.join(local, "**", "*.parquet"), recursive=True)
+            )
+            if not files:
+                return self.high_water_mark(tracking_col)
+            best = None
+            for f in files:
+                md = _pq.ParquetFile(f).metadata
+                try:
+                    idx = md.schema.names.index(tracking_col)
+                except ValueError:  # partition column — not in data files
+                    return self.high_water_mark(tracking_col)
+                typ = md.schema.column(idx).logical_type.type
+                phys = md.schema.column(idx).physical_type
+                stats_safe = phys in (
+                    "INT32", "INT64", "FLOAT", "DOUBLE",
+                ) or typ in ("TIMESTAMP", "DATE", "DECIMAL")
+                if not stats_safe:
+                    return self.high_water_mark(tracking_col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return self.high_water_mark(tracking_col)
+                    v = st.max
+                    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                        # Spark returns session-tz-naive datetimes; the
+                        # runner compares via F.lit, which accepts aware
+                        # datetimes too — normalize to UTC-naive to
+                        # match the catalog's pinned UTC session
+                        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                    best = v if best is None else max(best, v)
+            return best
+        except Exception:  # any footer surprise → exact scan
+            return self.high_water_mark(tracking_col)
 
     # -- write modes ---------------------------------------------------------
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:

@@ -132,7 +132,10 @@ class PipelineRunner:
         df = spec.fn(self.spark, self.sf_dir)
 
         if spec.materialization == "incremental" and target.exists() and spec.tracking_column:
-            hwm = target.high_water_mark(spec.tracking_column)
+            # footer-statistics HWM: metadata-only on local layouts,
+            # exact-scan fallback otherwise (merge.py docstring) — the
+            # every-refresh MAX(tracking) stops costing a column scan
+            hwm = target.high_water_mark_stats(spec.tracking_column)
             if hwm is not None:
                 # strict '>' matching the dbt models' delta predicate
                 # (stg_savings_plan.sql:24; documented tie policy SURVEY §7.4.3)

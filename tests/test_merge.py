@@ -105,6 +105,34 @@ def test_high_water_mark(spark, tmp_path, base_df):
     assert t.high_water_mark("v") == 10
 
 
+def test_high_water_mark_stats_matches_scan(spark, tmp_path):
+    """Footer-statistics HWM must equal the scan agg on every layout the
+    runner produces: flat, partitioned, and after merges; unsupported
+    cases (string column — parquet allows truncated string bounds,
+    partition column — absent from data-file footers) must fall back
+    to the scan, never return a wrong value."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"s{i:03d}", i % 3) for i in range(1, 51)], "id int, s string, p int"
+    ).withColumn("ts", F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, id)"))
+    t = ParquetTable(spark, os.path.join(tmp_path, "flat"))
+    assert t.high_water_mark_stats("id") is None  # absent table
+    t.overwrite(df)
+    for col in ("id", "ts", "s"):
+        assert t.high_water_mark_stats(col) == t.high_water_mark(col), col
+    # after an upsert the footers must reflect the new maximum
+    t.merge_upsert(
+        df.filter("id = 50").withColumn("id", F.lit(99)), ["id"]
+    )
+    assert t.high_water_mark_stats("id") == t.high_water_mark("id") == 99
+
+    tp = ParquetTable(spark, os.path.join(tmp_path, "part"))
+    tp.overwrite(df, partition_by=["p"])
+    assert tp.high_water_mark_stats("id") == tp.high_water_mark("id")
+    assert tp.high_water_mark_stats("p") == tp.high_water_mark("p")  # fallback
+
+
 def test_merge_roundtrip_explicit_file_scheme(spark, tmp_path):
     """S8: the writer must be filesystem-scheme-clean — the same code
     path serves file://, s3a://, gs:// via the Hadoop FileSystem API.
