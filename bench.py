@@ -63,6 +63,7 @@ HEADLINE = [
     "semantic_dedup_labels",
     "dedup_incremental_batch",
     "winsorized_stats",
+    "winsorized_stats_approx",
     "stratified_sample_k",
 ]
 

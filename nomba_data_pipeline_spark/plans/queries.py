@@ -3323,6 +3323,56 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_winsorized_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale twin of q_winsorized_stats: fences from
+    approx_percentile (Greenwald-Khanna, bounded state per group)
+    instead of the exact percentile's value buffer. With accuracy 1e6
+    and groups far below 1M rows the sketch returns the EXACT discrete
+    percentile element (the approx_percentiles_by_flag argument), so
+    the row still grades against a hash oracle — DuckDB quantile_disc.
+    Fences are actual data values (2dp prices), so the clipped sum is
+    decimal-exact with no fence rounding at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fences = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.05, 0.95), 1000000)"
+        ).alias("ap")
+    ).select(
+        "l_returnflag",
+        F.col("ap")[0].alias("lo"),
+        F.col("ap")[1].alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.round(
+                F.sum(clipped.cast("decimal(18,4)")) / F.count(F.lit(1)), 6
+            ).cast("double").alias("clipped_mean"),
+            F.count(F.when(F.col("l_extendedprice") < F.col("lo"), 1)).alias("n_lo"),
+            F.count(F.when(F.col("l_extendedprice") > F.col("hi"), 1)).alias("n_hi"),
+        )
+    )
+
+
+SQL_WINSORIZED_STATS_APPROX = """
+WITH fences AS (
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.05) AS lo,
+           quantile_disc(l_extendedprice, 0.95) AS hi
+    FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag, f.lo, f.hi,
+       CAST(round(sum(CAST(least(greatest(l.l_extendedprice, f.lo), f.hi)
+                           AS DECIMAL(18,4))) / count(*), 6) AS DOUBLE) AS clipped_mean,
+       count(CASE WHEN l.l_extendedprice < f.lo THEN 1 END) AS n_lo,
+       count(CASE WHEN l.l_extendedprice > f.hi THEN 1 END) AS n_hi
+FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+GROUP BY 1, 2, 3
+"""
+
+
 def q_stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k deterministic stratified sample (ext:sample-exact-k):
     k=5 docs per source stratum, ranked by md5 of the id — a uniform
@@ -3529,6 +3579,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_dedup_incremental_verified, SQL_DEDUP_INCREMENTAL_VERIFIED, "ext:dedup-incremental-verified"
     ),
     "status_unpivot": QuerySpec(q_status_unpivot, SQL_STATUS_UNPIVOT, "§2.4:unpivot"),
+    "winsorized_stats_approx": QuerySpec(
+        q_winsorized_stats_approx, SQL_WINSORIZED_STATS_APPROX, "ext:winsorize-approx"
+    ),
     "semantic_dedup_kmeans": QuerySpec(
         # production path: clusters learned by the deterministic k-means
         # quantizer rather than a given column — cluster boundaries are
