@@ -43,6 +43,34 @@ def fs_and_path(spark: SparkSession, p: str):
     return fs, jpath
 
 
+
+def _align_to_target(delta: DataFrame, target: DataFrame) -> DataFrame:
+    """Project a delta onto the TARGET schema — the drift tolerance the
+    reference loader gets from `input_format_skip_unknown_fields=1` +
+    string-for-ambiguous settings (base_loader.py:830-841): source-only
+    columns are DROPPED, target columns absent from the delta are
+    NULL-FILLED at the target's type (ClickHouse fills defaults for
+    omitted insert columns), and shared columns are cast to the
+    target's type. The table schema is the contract; quality gates
+    (not_null/unique) remain the guard against a drifted source
+    null-filling something load-bearing."""
+    from pyspark.sql.types import NullType
+
+    dtypes = {f.name: f.dataType for f in delta.schema.fields}
+    cols = []
+    for f in target.schema.fields:
+        if f.name not in dtypes:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif dtypes[f.name] == f.dataType or isinstance(f.dataType, NullType):
+            # no-op cast skipped; a VOID target column (all-NULL table
+            # from inference) keeps the delta's concrete type and the
+            # union coerces — casting TO void is not allowed
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+    return delta.select(*cols)
+
+
 def _semi_anti_null_safe(
     left: DataFrame, right: DataFrame, cols: list[str], how: str
 ) -> DataFrame:
@@ -242,8 +270,9 @@ class ParquetTable:
             self._merge_upsert_partitioned(delta, keys, partition_by, partition_stable)
             return
         target = self.read()
+        delta = _align_to_target(delta, target)
         kept = _semi_anti_null_safe(target, delta.select(*keys), keys, "left_anti")
-        merged = kept.unionByName(delta.select(*target.columns))
+        merged = kept.unionByName(delta)
         self.overwrite(merged)
 
     def _merge_upsert_partitioned(
@@ -254,7 +283,7 @@ class ParquetTable:
         partition_stable: bool = False,
     ) -> None:
         target = self.read()
-        delta = delta.select(*target.columns)
+        delta = _align_to_target(delta, target)
         dkeys = delta.select(*keys).dropDuplicates(keys)
         self._merge_scoped_partitions(
             delta,
@@ -286,7 +315,7 @@ class ParquetTable:
         currently hold the delta's keys.
         """
         target = self.read()
-        delta = delta.select(*target.columns)
+        delta = _align_to_target(delta, target)
         dkeys = delta.select(*keys).dropDuplicates(keys)
         if partition_stable:
             affected = delta.select(*partition_by).dropDuplicates(partition_by)
@@ -652,7 +681,7 @@ class ParquetTable:
             )
             return
         target = self.read()
-        delta = delta.select(*target.columns)
+        delta = _align_to_target(delta, target)
         if partition_by:
             self._merge_scoped_partitions(
                 delta,

@@ -210,3 +210,43 @@ def test_file_count_bounded_over_merge_cycles_and_compact(spark, tmp_path):
     up.compact()
     assert up.file_count() == 1
     assert up.read().count() == n_before
+
+
+def test_merge_schema_drift_tolerance(spark, tmp_path):
+    """Reference drift parity (base_loader.py:830-841): a delta with a
+    source-only column merges with that column DROPPED; a delta missing
+    a target column merges with NULL fill at the target's type; a
+    shared column arriving as a narrower type is cast to the target's."""
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, os.path.join(tmp_path, "drift"))
+    t.overwrite(spark.createDataFrame([(1, "a", 5.0)], "id int, v string, w double"))
+    # extra column dropped
+    t.merge_upsert(
+        spark.createDataFrame([(2, "b", 6.0, "junk")], "id int, v string, w double, extra string"),
+        ["id"],
+    )
+    assert sorted(t.read().columns) == ["id", "v", "w"]
+    # missing column null-filled
+    t.merge_upsert(spark.createDataFrame([(3, "c")], "id int, v string"), ["id"])
+    rows = {r.id: (r.v, r.w) for r in t.read().collect()}
+    assert rows == {1: ("a", 5.0), 2: ("b", 6.0), 3: ("c", None)}
+    # narrower shared type cast to target (int -> double)
+    t.merge_upsert(
+        spark.createDataFrame([(4, "d", 7)], "id int, v string, w int"), ["id"]
+    )
+    assert t.read().schema["w"].dataType.typeName() == "double"
+    assert {r.w for r in t.read().filter("id = 4").collect()} == {7.0}
+    # partitioned path gets the same tolerance
+    tp = ParquetTable(spark, os.path.join(tmp_path, "driftp"))
+    tp.overwrite(
+        spark.createDataFrame([(1, "a", 10)], "id int, v string, p int"),
+        partition_by=["p"],
+    )
+    tp.merge_upsert(
+        spark.createDataFrame([(2, "b", 10, True)], "id int, v string, p int, junk boolean"),
+        ["id"],
+        partition_by=["p"],
+    )
+    assert sorted(tp.read().columns) == ["id", "p", "v"]
+    assert tp.read().count() == 2
