@@ -46,20 +46,51 @@ from pyspark.sql import functions as F
 _SUM_DEC = "decimal(38,4)"
 
 
-def agg_state(df: DataFrame, keys: list[str], measure: str | Column) -> DataFrame:
+def _suffixes(measure) -> list[tuple[str, str]]:
+    """(suffix, source column) pairs: the single-measure form keeps the
+    legacy `_m` suffix (sum_m/min_m/max_m); a list of columns gets one
+    state triple per measure, suffixed by column name (sum_<col>, …)."""
+    if isinstance(measure, str):
+        return [("m", measure)]
+    return [(m, m) for m in measure]
+
+
+def agg_state(
+    df: DataFrame, keys: list[str], measure: str | list[str] | Column
+) -> DataFrame:
     """Collapse a (delta) frame to per-group mergeable state.
 
     One hash aggregation — Spark's partial/final split applies, so the
     shuffle carries group-cardinality rows, not the batch. Schema:
-    keys..., cnt long, sum_m decimal, min_m double, max_m double.
+    keys..., cnt long, then per measure: sum_<s> decimal, min_<s>
+    double, max_<s> double (s = 'm' for the single-measure form, the
+    column name for the multi-measure list — real rollups carry
+    several measures in ONE state table and one fold).
     """
-    m = F.col(measure) if isinstance(measure, str) else measure
-    return df.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(m.cast(_SUM_DEC)).alias("sum_m"),
-        F.min(m.cast("double")).alias("min_m"),
-        F.max(m.cast("double")).alias("max_m"),
-    )
+    if isinstance(measure, Column):
+        aggs = [
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(measure.cast(_SUM_DEC)).alias("sum_m"),
+            F.min(measure.cast("double")).alias("min_m"),
+            F.max(measure.cast("double")).alias("max_m"),
+        ]
+        return df.groupBy(*keys).agg(*aggs)
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for sfx, src in _suffixes(measure):
+        c = F.col(src)
+        aggs += [
+            F.sum(c.cast(_SUM_DEC)).alias(f"sum_{sfx}"),
+            F.min(c.cast("double")).alias(f"min_{sfx}"),
+            F.max(c.cast("double")).alias(f"max_{sfx}"),
+        ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _state_cols(df: DataFrame) -> list[str]:
+    return [
+        c for c in df.columns
+        if c == "cnt" or c.startswith(("sum_", "min_", "max_"))
+    ]
 
 
 def merge_agg_states(*states: DataFrame) -> DataFrame:
@@ -69,32 +100,44 @@ def merge_agg_states(*states: DataFrame) -> DataFrame:
     standard partial-state algebra, so merge(merge(a,b),c) ==
     merge(a,b,c) == agg_state(a∪b∪c) exactly (decimal sums make the
     float caveat moot). Cost: a shuffle of Σ|state_i| rows — group
-    cardinality per input, never source rows.
+    cardinality per input, never source rows. Works on any measure
+    set: state columns are recognized by their cnt/sum_/min_/max_
+    names, so single- and multi-measure states fold identically.
     """
     if not states:
         raise ValueError("merge_agg_states needs at least one state frame")
     u = reduce(lambda a, b: a.unionByName(b), states)
-    keys = [c for c in u.columns if c not in ("cnt", "sum_m", "min_m", "max_m")]
-    return u.groupBy(*keys).agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("sum_m").alias("sum_m"),
-        F.min("min_m").alias("min_m"),
-        F.max("max_m").alias("max_m"),
-    )
+    scols = set(_state_cols(u))
+    keys = [c for c in u.columns if c not in scols]
+    aggs = []
+    for c in u.columns:
+        if c == "cnt" or c.startswith("sum_"):
+            aggs.append(F.sum(c).alias(c))
+        elif c.startswith("min_"):
+            aggs.append(F.min(c).alias(c))
+        elif c.startswith("max_"):
+            aggs.append(F.max(c).alias(c))
+    return u.groupBy(*keys).agg(*aggs)
 
 
 def finalize_agg_state(state: DataFrame, dp: int = 2) -> DataFrame:
-    """Presentation row: cnt, sum, avg (= sum/cnt at full precision,
-    then rounded), min, max. Rounding happens ONLY here — state stays
-    exact so repeated maintenance never accumulates rounding error."""
-    return state.select(
-        *[c for c in state.columns if c not in ("cnt", "sum_m", "min_m", "max_m")],
-        F.col("cnt"),
-        F.round(F.col("sum_m"), dp).cast("double").alias("sum_m"),
-        F.round(F.col("sum_m") / F.col("cnt"), 6).cast("double").alias("avg_m"),
-        F.col("min_m"),
-        F.col("max_m"),
-    )
+    """Presentation row: cnt, then per measure sum (rounded), avg
+    (= sum/cnt at full precision, then rounded), min, max. Rounding
+    happens ONLY here — state stays exact so repeated maintenance
+    never accumulates rounding error."""
+    scols = set(_state_cols(state))
+    out = [F.col(c) for c in state.columns if c not in scols]
+    out.append(F.col("cnt"))
+    for c in state.columns:
+        if c.startswith("sum_"):
+            sfx = c[len("sum_"):]
+            out.append(F.round(F.col(c), dp).cast("double").alias(c))
+            out.append(
+                F.round(F.col(c) / F.col("cnt"), 6).cast("double").alias(f"avg_{sfx}")
+            )
+        elif c.startswith(("min_", "max_")):
+            out.append(F.col(c))
+    return state.select(*out)
 
 
 class IncrementalAggTable:
@@ -117,7 +160,7 @@ class IncrementalAggTable:
         spark: SparkSession,
         path: str,
         keys: list[str],
-        measure: str,
+        measure: str | list[str],
     ):
         from nomba_data_pipeline_spark.operators.merge import ParquetTable
 

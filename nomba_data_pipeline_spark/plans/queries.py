@@ -3220,6 +3220,42 @@ GROUP BY o_custkey
 """
 
 
+def q_incremental_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure IVM (ext:ivm-multi): one state table carrying a
+    (sum/min/max) triple PER MEASURE — quantity and price here — folded
+    across two delta batches and still equal to the one-shot GROUP BY.
+    Real rollups track several measures; the fold shape is identical."""
+    from nomba_data_pipeline_spark.operators.incremental_agg import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ms = ["l_quantity", "l_extendedprice"]
+    states = [
+        agg_state(li.filter(F.col("l_orderkey") % 2 == i), ["l_returnflag"], ms)
+        for i in range(2)
+    ]
+    return finalize_agg_state(merge_agg_states(*states))
+
+
+SQL_INCREMENTAL_AGG_MULTI = """
+SELECT l_returnflag,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))), 2) AS DOUBLE) AS sum_l_quantity,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))) / count(*), 6) AS DOUBLE) AS avg_l_quantity,
+       CAST(min(l_quantity) AS DOUBLE) AS min_l_quantity,
+       CAST(max(l_quantity) AS DOUBLE) AS max_l_quantity,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))), 2) AS DOUBLE) AS sum_l_extendedprice,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))) / count(*), 6) AS DOUBLE) AS avg_l_extendedprice,
+       CAST(min(l_extendedprice) AS DOUBLE) AS min_l_extendedprice,
+       CAST(max(l_extendedprice) AS DOUBLE) AS max_l_extendedprice
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def q_semantic_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (ext:dedup-semantic): cluster-then-dedup — drop every
     vector with a smaller-id near-dup (cosine >= 0.35) INSIDE its
@@ -3581,6 +3617,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "status_unpivot": QuerySpec(q_status_unpivot, SQL_STATUS_UNPIVOT, "§2.4:unpivot"),
     "winsorized_stats_approx": QuerySpec(
         q_winsorized_stats_approx, SQL_WINSORIZED_STATS_APPROX, "ext:winsorize-approx"
+    ),
+    "incremental_agg_multi": QuerySpec(
+        q_incremental_agg_multi, SQL_INCREMENTAL_AGG_MULTI, "ext:ivm-multi"
     ),
     "semantic_dedup_kmeans": QuerySpec(
         # production path: clusters learned by the deterministic k-means

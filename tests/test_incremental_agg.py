@@ -147,3 +147,25 @@ def test_markers_carry_forward_across_folds(spark, tmp_path):
     for i in range(3):
         assert t.applied(i), i
     assert not t.applied(99)
+
+
+def test_multi_measure_state_folds_like_one_shot(spark):
+    """A list of measures carries one (sum/min/max) triple per measure
+    in ONE state table; the fold must equal the one-shot aggregate for
+    every measure simultaneously."""
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    ms = ["l_quantity", "l_extendedprice"]
+    states = [
+        agg_state(li.filter(F.col("l_orderkey") % 2 == i), ["l_returnflag"], ms)
+        for i in range(2)
+    ]
+    folded = finalize_agg_state(merge_agg_states(*states))
+    oneshot = finalize_agg_state(agg_state(li, ["l_returnflag"], ms))
+    assert sorted(folded.columns) == sorted(oneshot.columns)
+    for want in ("sum_l_quantity", "avg_l_extendedprice", "min_l_quantity", "max_l_extendedprice"):
+        assert want in folded.columns, want
+    a = sorted(tuple(r[c] for c in sorted(folded.columns)) for r in folded.collect())
+    b = sorted(tuple(r[c] for c in sorted(oneshot.columns)) for r in oneshot.collect())
+    assert a == b and a
