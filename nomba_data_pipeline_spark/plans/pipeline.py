@@ -107,7 +107,13 @@ def build_pipeline(
             upsert_key=["plan_id"],
             tracking_column="updated_at",
             depends_on=["stg_plans", "dim_users"],
-            quality=QualitySpec(unique=["plan_id"], not_null=["plan_id"]),
+            quality=QualitySpec(
+                unique=["plan_id"],
+                not_null=["plan_id"],
+                # dbt `relationships`: every plan's owner must exist in
+                # the user dim (anti-join count; dim side broadcasts)
+                relationships={"user_id": ("dim_users", "user_id")},
+            ),
         )
     )
     runner.register(
@@ -146,7 +152,11 @@ def build_pipeline(
             # updated_at so a corrected txn DOES move partitions ->
             # keep the default key-location scan (not partition_stable)
             depends_on=["stg_transactions", "dim_plans"],
-            quality=QualitySpec(unique=["transaction_id"], not_null=["transaction_id"]),
+            quality=QualitySpec(
+                unique=["transaction_id"],
+                not_null=["transaction_id"],
+                relationships={"plan_id": ("dim_plans", "plan_id")},
+            ),
         )
     )
     return runner

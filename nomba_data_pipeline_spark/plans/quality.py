@@ -38,12 +38,30 @@ def accepted_values_violations(df: DataFrame, col: str, values: list) -> int:
     return df.filter(F.col(col).isNotNull() & ~F.col(col).isin(values)).count()
 
 
+def relationship_violations(df: DataFrame, col: str, parent: DataFrame, parent_col: str) -> int:
+    """dbt's `relationships` test (the 4th standard generic): non-null
+    child keys with no matching parent row. One left_anti join on the
+    key — when the parent is a dim it broadcasts; a fact-sized parent
+    falls back to a shuffle join, still one pass of each side's key
+    column (both sides column-pruned to the key)."""
+    child_keys = df.select(F.col(col)).filter(F.col(col).isNotNull())
+    parent_keys = parent.select(F.col(parent_col).alias(col)).dropDuplicates()
+    return child_keys.join(parent_keys, col, "left_anti").count()
+
+
 @dataclass
 class QualitySpec:
     unique: list[str] = field(default_factory=list)
     not_null: list[str] = field(default_factory=list)
     accepted_values: dict[str, list] = field(default_factory=dict)
     min_rows: int = 0  # volume floor: catch an accidentally-empty build
+    # dbt `relationships`: child col -> (parent model name, parent col).
+    # Referential checks need the parent table, so they cannot ride the
+    # fused single-scan aggregation — assert_ok runs them as separate
+    # anti-join counts when given a resolver (the runner passes
+    # read_model); without a resolver they are skipped, preserving the
+    # one-scan contract for standalone QualitySpec users.
+    relationships: dict[str, tuple[str, str]] = field(default_factory=dict)
 
     def _build_aggs(self) -> list:
         """The one aggregation list both profile() and profile_df() run:
@@ -120,10 +138,17 @@ class QualitySpec:
             F.col("col1").cast("long").alias("violations"),
         )
 
-    def assert_ok(self, df: DataFrame, model: str = "") -> int:
+    def assert_ok(self, df: DataFrame, model: str = "", resolve=None) -> int:
         """Assert zero violations; returns the row count (free — it
-        rides the same aggregation)."""
+        rides the same aggregation). `resolve(name) -> DataFrame` gives
+        relationships their parent tables; each declared relationship
+        costs one key-pruned anti-join on top of the fused scan."""
         results, total = self.profile(df)
+        if resolve is not None:
+            for col, (parent_name, parent_col) in self.relationships.items():
+                results[f"relationship:{col}->{parent_name}.{parent_col}"] = (
+                    relationship_violations(df, col, resolve(parent_name), parent_col)
+                )
         bad = {k: v for k, v in results.items() if v > 0}
         if bad:
             raise AssertionError(f"quality failures on {model or 'model'}: {bad}")

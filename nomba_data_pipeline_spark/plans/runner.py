@@ -146,7 +146,7 @@ class PipelineRunner:
                 # hwm predicate pushes into the source scan
                 if df.limit(1).count() == 0:
                     out = self.read_model(spec.name)
-                    return spec.quality.assert_ok(out, model=spec.name)
+                    return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
 
         if spec.materialization == "scd2":
             if spec.scd2_split:
@@ -177,7 +177,7 @@ class PipelineRunner:
         # one fused aggregation runs the whole test battery AND returns
         # the row count — a model pays one post-write scan, not one per test
         out = self.read_model(spec.name)
-        return spec.quality.assert_ok(out, model=spec.name)
+        return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
 
     def read_model(self, name: str) -> DataFrame:
         """Read a materialized model; reassembles split-SCD2 storage."""
