@@ -117,6 +117,14 @@ def cmd_index(args) -> int:
     from nomba_data_pipeline_spark.catalog import load_table
     from nomba_data_pipeline_spark.operators import similarity as S
 
+    # action/family matrix: fail loudly instead of falling through to a
+    # plausible-looking stats answer for an unsupported combination
+    if args.action == "dedup" and args.family != "minhash":
+        print("`index dedup` requires --family minhash", file=sys.stderr)
+        return 2
+    if args.action == "fold" and args.family != "lsh":
+        print("`index fold` applies to the LSH LSM staging (--family lsh)", file=sys.stderr)
+        return 2
     spark = _spark(args)
     if args.family == "minhash":
         from nomba_data_pipeline_spark.operators import dedup as DD

@@ -215,17 +215,22 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     return _bucket_pairs(bands, ["band", "band_sig"])
 
 
-def minhash_lsh_pairs_sql(table: str = "documents") -> str:
+def _minhash_bands_cte(table: str = "documents") -> str:
+    """The shared WITH-clause prefix every banded-LSH oracle builds on:
+    shingles → 4-lane md5 split → per-doc minhash signatures → stacked
+    band rows. ONE copy, so a NUM_PERM/BANDS/lane change cannot drift
+    between the pair, incremental, and verified oracles."""
     mins = ",\n               ".join(
         f"min({_perm_expr(seed, 'duckdb')}) AS mh{seed}" for seed in range(NUM_PERM)
     )
     band_rows = []
     for b in range(BANDS):
         members = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        band_rows.append(f"SELECT doc_id, {b} AS band, concat_ws(',', {members}) AS band_sig FROM mh")
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', {members}) AS band_sig FROM mh"
+        )
     bands_union = "\n        UNION ALL ".join(band_rows)
-    return f"""
-    WITH sh AS ({shingle_set_sql(table)}),
+    return f"""sh AS ({shingle_set_sql(table)}),
     hashed AS (
         SELECT doc_id,
                CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS ha,
@@ -241,11 +246,17 @@ def minhash_lsh_pairs_sql(table: str = "documents") -> str:
     ),
     bands AS (
         {bands_union}
-    )
+    )"""
+
+
+def minhash_lsh_pairs_sql(table: str = "documents") -> str:
+    return f"""
+    WITH {_minhash_bands_cte(table)}
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     FROM bands x JOIN bands y ON x.band = y.band AND x.band_sig = y.band_sig
     WHERE x.doc_id < y.doc_id
     """
+
 
 
 # ---------------------------------------------------------------------------
@@ -575,36 +586,10 @@ def dedup_against_bands(new_docs: DataFrame, corpus_bands: DataFrame) -> DataFra
 def dedup_against_corpus_sql(table: str = "documents", batch_mod: int = 10) -> str:
     """DuckDB oracle: batch = doc_id % batch_mod == 0, corpus = the
     rest; a batch doc is a dup iff it shares an LSH band bucket with
-    any corpus doc. Reuses the exact minhash/band pipeline of
-    minhash_lsh_pairs_sql so both engines run the same hash family."""
-    mins = ",\n               ".join(
-        f"min({_perm_expr(seed, 'duckdb')}) AS mh{seed}" for seed in range(NUM_PERM)
-    )
-    band_rows = []
-    for b in range(BANDS):
-        members = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        band_rows.append(
-            f"SELECT doc_id, {b} AS band, concat_ws(',', {members}) AS band_sig FROM mh"
-        )
-    bands_union = "\n        UNION ALL ".join(band_rows)
+    any corpus doc. Shares _minhash_bands_cte with every banded oracle
+    so both engines run the same hash family."""
     return f"""
-    WITH sh AS ({shingle_set_sql(table)}),
-    hashed AS (
-        SELECT doc_id,
-               CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS ha,
-               CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS hb,
-               CAST(concat('0x', substr(md5(shingle), 17, 8)) AS BIGINT) AS hc,
-               CAST(concat('0x', substr(md5(shingle), 25, 8)) AS BIGINT) AS hd
-        FROM sh
-    ),
-    mh AS (
-        SELECT doc_id,
-               {mins}
-        FROM hashed GROUP BY doc_id
-    ),
-    bands AS (
-        {bands_union}
-    )
+    WITH {_minhash_bands_cte(table)}
     SELECT d.doc_id,
            EXISTS (
                SELECT 1
@@ -612,9 +597,11 @@ def dedup_against_corpus_sql(table: str = "documents", batch_mod: int = 10) -> s
                JOIN bands y ON y.band = x.band AND y.band_sig = x.band_sig
                WHERE x.doc_id = d.doc_id AND y.doc_id % {batch_mod} <> 0
            ) AS is_dup
-    FROM (SELECT DISTINCT doc_id FROM bands WHERE doc_id % {batch_mod} = 0) d
+    -- batch docs come from the TABLE, not from bands: a doc shorter
+    -- than the shingle width has no band rows but the operator still
+    -- reports it (is_dup = false)
+    FROM (SELECT DISTINCT doc_id FROM {table} WHERE doc_id % {batch_mod} = 0) d
     """
-
 
 def minhash_index_write(docs: DataFrame, path: str) -> None:
     """Persist the corpus's LSH band table partitioned by band — the
@@ -722,7 +709,12 @@ def dedup_against_bands_verified(
         )
         .select(
             "doc_id",
-            (F.coalesce("best_jac", F.lit(0.0)) >= threshold).alias("is_dup"),
+            # a doc with NO collisions is never a dup, regardless of how
+            # low the threshold is — coalescing before the compare would
+            # flag every collision-free doc at threshold <= 0
+            (
+                F.col("best_jac").isNotNull() & (F.col("best_jac") >= threshold)
+            ).alias("is_dup"),
             F.coalesce("best_jac", F.lit(0.0)).alias("best_jac"),
         )
     )
@@ -733,34 +725,8 @@ def dedup_against_corpus_verified_sql(
 ) -> str:
     """DuckDB oracle for the verified variant: candidates from the band
     join, exact n-gram Jaccard per candidate pair, max per batch doc."""
-    mins = ",\n               ".join(
-        f"min({_perm_expr(seed, 'duckdb')}) AS mh{seed}" for seed in range(NUM_PERM)
-    )
-    band_rows = []
-    for b in range(BANDS):
-        members = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        band_rows.append(
-            f"SELECT doc_id, {b} AS band, concat_ws(',', {members}) AS band_sig FROM mh"
-        )
-    bands_union = "\n        UNION ALL ".join(band_rows)
     return f"""
-    WITH sh AS ({shingle_set_sql(table)}),
-    hashed AS (
-        SELECT doc_id,
-               CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS ha,
-               CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS hb,
-               CAST(concat('0x', substr(md5(shingle), 17, 8)) AS BIGINT) AS hc,
-               CAST(concat('0x', substr(md5(shingle), 25, 8)) AS BIGINT) AS hd
-        FROM sh
-    ),
-    mh AS (
-        SELECT doc_id,
-               {mins}
-        FROM hashed GROUP BY doc_id
-    ),
-    bands AS (
-        {bands_union}
-    ),
+    WITH {_minhash_bands_cte(table)},
     cand AS (
         SELECT DISTINCT x.doc_id AS new_doc_id, y.doc_id AS corpus_doc_id
         FROM bands x JOIN bands y
@@ -787,7 +753,7 @@ def dedup_against_corpus_verified_sql(
         GROUP BY 1
     )
     SELECT d.doc_id,
-           COALESCE(s.best_jac, 0.0) >= {threshold} AS is_dup,
+           s.best_jac IS NOT NULL AND s.best_jac >= {threshold} AS is_dup,
            COALESCE(s.best_jac, 0.0) AS best_jac
     FROM (SELECT DISTINCT doc_id FROM {table} WHERE doc_id % {batch_mod} = 0) d
     LEFT JOIN scored s ON s.new_doc_id = d.doc_id

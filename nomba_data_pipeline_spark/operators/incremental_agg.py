@@ -55,6 +55,21 @@ def _suffixes(measure) -> list[tuple[str, str]]:
     return [(m, m) for m in measure]
 
 
+def _check_key_names(keys: list[str]) -> None:
+    """merge/finalize recognize state columns BY NAME (cnt, sum_*,
+    min_*, max_*); a grouping key colliding with that namespace would be
+    silently aggregated instead of grouped — fail fast instead."""
+    bad = [
+        k for k in keys
+        if k == "cnt" or k.startswith(("sum_", "min_", "max_", "avg_"))
+    ]
+    if bad:
+        raise ValueError(
+            f"grouping keys {bad} collide with the state-column namespace "
+            "(cnt / sum_* / min_* / max_* / avg_*); rename the key columns"
+        )
+
+
 def agg_state(
     df: DataFrame, keys: list[str], measure: str | list[str] | Column
 ) -> DataFrame:
@@ -67,6 +82,7 @@ def agg_state(
     column name for the multi-measure list — real rollups carry
     several measures in ONE state table and one fold).
     """
+    _check_key_names(keys)
     if isinstance(measure, Column):
         aggs = [
             F.count(F.lit(1)).alias("cnt"),
@@ -164,6 +180,7 @@ class IncrementalAggTable:
     ):
         from nomba_data_pipeline_spark.operators.merge import ParquetTable
 
+        _check_key_names(keys)
         self.spark = spark
         self.keys = keys
         self.measure = measure

@@ -3458,6 +3458,8 @@ def q_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle. Fresh state/checkpoint dirs per invocation keep the
     row deterministic; replay safety itself is pinned in
     tests/test_incremental_agg.py."""
+    import atexit
+    import shutil
     import tempfile
 
     from nomba_data_pipeline_spark.operators.incremental_agg import (
@@ -3471,7 +3473,11 @@ def q_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda p: events.repartition(4).write.mode("overwrite").parquet(p),
     )
+    # fresh per invocation (deterministic epochs); reclaimed at exit —
+    # the returned DataFrame lazily reads the state dir, so an eager
+    # rmtree here would break the driver's later collect
     work = tempfile.mkdtemp(prefix="ivm_stream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     t = IncrementalAggTable(spark, work + "/state", ["user_id"], "value")
     q = (
         stream_events(spark, stage, events.schema, max_files=1)

@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) writes NO column statistics, which
+        # silently defeats footer-stat readers (high_water_mark_stats)
+        # and min/max pruning on timestamp columns; TIMESTAMP_MICROS is
+        # the modern standards-track physical type WITH stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark cannot
         # scan natively; read as long and convert in catalog.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -100,10 +100,14 @@ def test_verified_dedup_never_flags_more_than_banded(spark):
     bands = lsh_bands(minhash_signatures(shingle_set(corpus)))
     banded = {r.doc_id for r in dedup_against_bands(batch, bands).collect() if r.is_dup}
     rows = dedup_against_bands_verified(batch, bands, corpus, threshold=0.0).collect()
+    # even at threshold 0, a doc with NO band collision is never a dup —
+    # the verified flag set is a subset of the banded one at EVERY
+    # threshold (a coalesce-before-compare bug would flag everything)
+    verified0 = {r.doc_id for r in rows if r.is_dup}
+    assert verified0 <= banded
     rows9 = dedup_against_bands_verified(batch, bands, corpus, threshold=0.9).collect()
     verified9 = {r.doc_id for r in rows9 if r.is_dup}
-    assert verified9 <= banded
-    assert len(verified9) <= len(banded)
+    assert verified9 <= verified0 <= banded
     # jaccard values sit in [0, 1] and flagged docs carry a real score
     for r in rows:
         assert 0.0 <= r.best_jac <= 1.0

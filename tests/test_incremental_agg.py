@@ -169,3 +169,13 @@ def test_multi_measure_state_folds_like_one_shot(spark):
     a = sorted(tuple(r[c] for c in sorted(folded.columns)) for r in folded.collect())
     b = sorted(tuple(r[c] for c in sorted(oneshot.columns)) for r in oneshot.collect())
     assert a == b and a
+
+
+def test_key_name_collision_fails_fast(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2.0)], "min_tier int, price double")
+    with pytest.raises(ValueError, match="state-column namespace"):
+        agg_state(df, ["min_tier"], "price")
+    with pytest.raises(ValueError, match="state-column namespace"):
+        IncrementalAggTable(spark, "/tmp/never", ["cnt"], "price")

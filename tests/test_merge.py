@@ -121,6 +121,19 @@ def test_high_water_mark_stats_matches_scan(spark, tmp_path):
     t.overwrite(df)
     for col in ("id", "ts", "s"):
         assert t.high_water_mark_stats(col) == t.high_water_mark(col), col
+    # numeric AND timestamp columns must take the REAL stats path, not
+    # the scan fallback (INT96 output would silently drop timestamp
+    # stats and make the equality above vacuous) — prove it by making
+    # the fallback explode
+    real_scan = t.high_water_mark
+    t.high_water_mark = lambda c: (_ for _ in ()).throw(AssertionError("fell back to scan"))
+    try:
+        got_id = t.high_water_mark_stats("id")
+        got_ts = t.high_water_mark_stats("ts")
+    finally:
+        t.high_water_mark = real_scan
+    assert got_id == t.high_water_mark("id")
+    assert got_ts == t.high_water_mark("ts")
     # after an upsert the footers must reflect the new maximum
     t.merge_upsert(
         df.filter("id = 50").withColumn("id", F.lit(99)), ["id"]
