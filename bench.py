@@ -443,7 +443,16 @@ def main() -> None:
         # (64k-row clustered synthetic) entries are where brute-force
         # and LSH/IVF costs actually separate — read those for the
         # fast-path-beats-brute-force evidence.
-        "notes": "ann_x64_*/neardup_64k_*/semdedup_64k/txtidx_* are synthetic at-scale demos excluded from the headline total; sf0.1 ANN rows are overhead-bound (2k-row corpus)",
+        "notes": (
+            "ann_x64_*/neardup_64k_*/semdedup_64k/txtidx_* are synthetic "
+            "at-scale demos excluded from the headline total; sf0.1 ANN rows "
+            "are overhead-bound (2k-row corpus). Round 6: pipeline_e2e/cdc "
+            "rows now ALSO run two referential-integrity gates per build "
+            "(dbt `relationships`, anti-join per declared FK) and write "
+            "TIMESTAMP_MICROS parquet (footer stats enable the "
+            "metadata-only HWM read) — compare to r5 with that added work "
+            "in mind."
+        ),
         # recall@5 fractions (0..1) for the ANN fast paths vs brute-force
         # ground truth — separate key so consumers of `queries` never
         # read a recall as seconds
