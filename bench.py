@@ -65,6 +65,7 @@ HEADLINE = [
     "winsorized_stats",
     "winsorized_stats_approx",
     "stratified_sample_k",
+    "unigram_logppl",
 ]
 
 

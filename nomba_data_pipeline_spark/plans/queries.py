@@ -3220,6 +3220,54 @@ GROUP BY o_custkey
 """
 
 
+def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-perplexity quality score (ext:quality-ppl): the
+    model-free version of the perplexity filter every LLM data pipeline
+    runs — score each document by the mean negative log-probability of
+    its tokens under a unigram LM trained on the CORPUS ITSELF
+    (p(tok) = corpus_count/total). High score = improbable token mix =
+    filter candidate. Fully SQL-expressible, so it grades against a
+    hash oracle, unlike a neural-perplexity stub.
+
+    Scale shape: one tokenize+explode pass feeds BOTH the LM (token
+    counts, group-cardinality = vocabulary) and the per-doc score (join
+    token→logp then one per-doc average). The vocabulary table joins
+    broadcast when it fits (typical: ≤ millions of tokens) and falls
+    back to a shuffle join on the token otherwise — Catalyst/AQE
+    decides from sizes. Two shuffles total: vocab agg + per-doc agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n")).select("n")
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 6).alias("logppl"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return scored
+
+
+SQL_UNIGRAM_LOGPPL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({T.tokens_sql('text')}) AS token FROM documents
+),
+t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+total AS (SELECT sum(cnt) AS n FROM vocab)
+SELECT t.doc_id,
+       round(avg(-ln(vocab.cnt / total.n)), 6) AS logppl,
+       count(*) AS n_tokens
+FROM t JOIN vocab USING (token) CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
 def q_incremental_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-measure IVM (ext:ivm-multi): one state table carrying a
     (sum/min/max) triple PER MEASURE — quantity and price here — folded
@@ -3627,6 +3675,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_agg_multi": QuerySpec(
         q_incremental_agg_multi, SQL_INCREMENTAL_AGG_MULTI, "ext:ivm-multi"
     ),
+    "unigram_logppl": QuerySpec(q_unigram_logppl, SQL_UNIGRAM_LOGPPL, "ext:quality-ppl"),
     "semantic_dedup_kmeans": QuerySpec(
         # production path: clusters learned by the deterministic k-means
         # quantizer rather than a given column — cluster boundaries are
