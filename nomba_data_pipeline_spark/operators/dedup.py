@@ -758,3 +758,25 @@ def dedup_against_corpus_verified_sql(
     FROM (SELECT DISTINCT doc_id FROM {table} WHERE doc_id % {batch_mod} = 0) d
     LEFT JOIN scored s ON s.new_doc_id = d.doc_id
     """
+
+
+def streaming_corpus_dedup_sql(table: str = "documents", batch_mod: int = 10) -> str:
+    """DuckDB oracle for the STREAMING corpus-dedup ledger
+    (streaming/microbatch.py corpus_dedup_apply_batch) under ascending
+    doc_id arrival: a batch doc is a dup iff it band-collides with the
+    standing corpus OR with an earlier-arriving (lower doc_id) batch
+    doc. `y % m <> 0 OR y < x` folds both cases: corpus docs block
+    regardless of id, batch docs block only the docs after them.
+    Non-transitive by design — every batch doc enters the index, so
+    this stays a plain EXISTS instead of a recursive greedy set."""
+    return f"""
+    WITH {_minhash_bands_cte(table)}
+    SELECT d.doc_id,
+           EXISTS (
+               SELECT 1 FROM bands x
+               JOIN bands y ON y.band = x.band AND y.band_sig = x.band_sig
+               WHERE x.doc_id = d.doc_id
+                 AND (y.doc_id % {batch_mod} <> 0 OR y.doc_id < x.doc_id)
+           ) AS is_dup
+    FROM (SELECT DISTINCT doc_id FROM {table} WHERE doc_id % {batch_mod} = 0) d
+    """

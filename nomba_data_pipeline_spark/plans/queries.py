@@ -3555,6 +3555,64 @@ GROUP BY user_id
 """
 
 
+def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus dedup as a graded row (ext:dedup-streaming +
+    §2.10): 90% of `documents` is pre-indexed as the standing corpus
+    (MinHash band index on disk), the remaining 10% arrives as a file
+    stream in three ascending-doc_id micro-batches, and each batch is
+    flagged against the index THEN folded into it — the crawl-firehose
+    lifecycle end-to-end. Ascending arrival makes the flags
+    batch-boundary-invariant (see corpus_dedup_apply_batch), so a plain
+    SQL EXISTS pair is the oracle; replay/crash safety is pinned in
+    tests/test_corpus_dedup_stream.py. Fresh work dir per invocation —
+    the index is stateful and must start identical every run."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        run_corpus_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    work = tempfile.mkdtemp(prefix="corpus_dedup_stream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    D.minhash_index_write(corpus, work + "/index")
+    # arrival files: three ascending doc_id ranges with strictly
+    # ascending mtimes — the file source drains oldest-first, and
+    # arrival order is the dedup priority
+    src = work + "/src"
+    os.makedirs(src)
+    chunked = batch.withColumn("chunk", F.ntile(3).over(Window.orderBy("doc_id")))
+    now = time.time()
+    for i in (1, 2, 3):
+        part_dir = f"{work}/part{i}"
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.copyfile(glob.glob(part_dir + "/part-*.parquet")[0], dst)
+        os.utime(dst, (now - 300 + i * 10, now - 300 + i * 10))
+    run_corpus_dedup_stream(
+        spark,
+        src,
+        batch.schema,
+        work + "/index",
+        work + "/flags",
+        work + "/ckpt",
+        max_files=1,
+    )
+    return spark.read.parquet(work + "/flags").select("doc_id", "is_dup")
+
+
+SQL_STREAMING_CORPUS_DEDUP = D.streaming_corpus_dedup_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3686,6 +3744,9 @@ REGISTRY: dict[str, QuerySpec] = {
         ),
         None,
         "ext:dedup-semantic-kmeans",
+    ),
+    "streaming_corpus_dedup": QuerySpec(
+        q_streaming_corpus_dedup, SQL_STREAMING_CORPUS_DEDUP, "ext:dedup-streaming,§2.10"
     ),
 }
 

@@ -373,3 +373,140 @@ def run_index_maintenance_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def corpus_dedup_apply_batch(
+    batch_df: DataFrame, batch_id: int, index_path: str, flags_path: str
+) -> None:
+    """One micro-batch of streaming corpus dedup (the crawl-firehose
+    shape): flag each incoming doc that near-dup-collides with the
+    already-ingested corpus OR with an earlier arrival, then grow the
+    persisted MinHash band index with this batch's bands.
+
+    Arrival order IS the dedup priority: within a batch "earlier" means
+    lower doc_id, and across batches the index itself encodes priority
+    (batch N's bands are in the index before batch N+1 is checked).
+    When batches drain in ascending doc_id order the result is
+    batch-boundary-invariant — splitting the same docs into 1 or 10
+    micro-batches yields identical flags, which is what makes the row
+    oracle-checkable by a plain (non-recursive) SQL EXISTS pair.
+
+    Flags are NON-transitive by design (matching dedup's "record what
+    was novel at arrival" ledger semantics): a doc flagged dup still
+    enters the index, so a later doc colliding only with a dup is still
+    a dup of that cluster — the same policy GROUPS by cluster rather
+    than chaining survivor-only comparisons, and the one that stays
+    SQL-expressible.
+
+    Replay safety, with zero bookkeeping beyond the checkpoint:
+      * flags land in `<flags_path>/batch=<id>` with OVERWRITE — a
+        checkpoint replay clobbers its own partial output;
+      * the index append anti-joins on doc_id, so a replay after a
+        completed append adds nothing;
+      * the index side of the collision check anti-joins out the
+        CURRENT batch's ids — a replay that finds its own rows already
+        indexed (crash between append and checkpoint commit) computes
+        the same flags as the first attempt, not all-dup self-matches.
+
+    Cost shape at 100 TB: the corpus band table only STREAMS through a
+    broadcast hash join (batch bands are broadcast; the corpus is never
+    shuffled or re-signed), and the maintenance anti-join is a
+    column-pruned doc_id scan riding the same per-batch cadence — both
+    O(index) sequential reads, zero index rewrites. Cite: reference has
+    no streaming dedup at all (SURVEY §2.10); the batch primitive this
+    wraps is operators/dedup.py dedup_against_bands.
+    """
+    if batch_df.isEmpty():
+        return
+    from nomba_data_pipeline_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+        shingle_set,
+    )
+    from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+    spark = batch_df.sparkSession
+    ids = batch_df.select("doc_id").distinct()
+    bands = lsh_bands(minhash_signatures(shingle_set(batch_df)))
+    # used three times (index probe, self-join both sides, append) —
+    # micro-batch-sized, so cache instead of re-signing three times
+    bands.cache()
+    try:
+        fs, jp = fs_and_path(spark, index_path)
+        has_index = fs.exists(jp)
+        if has_index:
+            idx = (
+                spark.read.parquet(index_path)
+                .select("doc_id", "band", "band_sig")
+                # replay determinism: a crashed prior attempt may have
+                # appended THIS batch already — its rows must not count
+                .join(F.broadcast(ids), "doc_id", "left_anti")
+            )
+            hit_index = (
+                idx.withColumnRenamed("doc_id", "corpus_doc_id")
+                .join(F.broadcast(bands), ["band", "band_sig"])
+                .select("doc_id")
+                .distinct()
+            )
+        else:
+            hit_index = spark.createDataFrame([], "doc_id long")
+        x, y = bands.alias("x"), bands.alias("y")
+        hit_earlier = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_sig") == F.col("y.band_sig"))
+                & (F.col("y.doc_id") < F.col("x.doc_id")),
+            )
+            .select(F.col("x.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        dup_ids = hit_index.unionByName(hit_earlier).distinct().withColumn(
+            "is_dup", F.lit(True)
+        )
+        flags = ids.join(F.broadcast(dup_ids), "doc_id", "left").select(
+            "doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+        )
+        flags.write.mode("overwrite").parquet(f"{flags_path}/batch={batch_id}")
+        if has_index:
+            existing = spark.read.parquet(index_path).select("doc_id").distinct()
+            fresh = bands.join(existing, "doc_id", "left_anti")
+            fresh.repartition("band").write.mode("append").partitionBy(
+                "band"
+            ).parquet(index_path)
+        else:
+            bands.repartition("band").write.mode("overwrite").partitionBy(
+                "band"
+            ).parquet(index_path)
+    finally:
+        bands.unpersist()
+
+
+def run_corpus_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    index_path: str,
+    flags_path: str,
+    checkpoint_dir: str,
+    max_files: int = 100,
+) -> None:
+    """Streaming corpus dedup over a document file stream: drains the
+    available backlog (availableNow), one corpus_dedup_apply_batch per
+    micro-batch. Read the verdicts from `<flags_path>/batch=*` (the
+    `batch` partition column is the micro-batch id); the index at
+    `index_path` is left current for the next drain."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: corpus_dedup_apply_batch(df, bid, index_path, flags_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
