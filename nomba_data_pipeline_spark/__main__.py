@@ -119,8 +119,8 @@ def cmd_index(args) -> int:
 
     # action/family matrix: fail loudly instead of falling through to a
     # plausible-looking stats answer for an unsupported combination
-    if args.action == "dedup" and args.family != "minhash":
-        print("`index dedup` requires --family minhash", file=sys.stderr)
+    if args.action in ("dedup", "stream-dedup") and args.family != "minhash":
+        print(f"`index {args.action}` requires --family minhash", file=sys.stderr)
         return 2
     if args.action == "fold" and args.family != "lsh":
         print("`index fold` applies to the LSH LSM staging (--family lsh)", file=sys.stderr)
@@ -145,6 +145,31 @@ def cmd_index(args) -> int:
             res = DD.dedup_against_bands(batch, DD.minhash_index_read(spark, args.path))
             flagged = res.filter("is_dup").count()
             print(json.dumps({"batch": res.count(), "flagged_dup": flagged}))
+        elif args.action == "stream-dedup":
+            # crawl-firehose demo: the %10 batch docs drain as a file
+            # stream in ascending micro-batches; each is flagged against
+            # the index then folded into it (the index GROWS — rerun
+            # verdicts change accordingly, unlike the pure `dedup` probe)
+            import tempfile
+
+            from nomba_data_pipeline_spark.streaming.microbatch import (
+                run_corpus_dedup_stream,
+                stage_ascending_chunks,
+            )
+
+            batch = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+            work = tempfile.mkdtemp(prefix="cli_corpus_stream_")
+            stage_ascending_chunks(batch, "doc_id", work + "/src", n_chunks=3)
+            run_corpus_dedup_stream(
+                spark, work + "/src", batch.schema, args.path,
+                work + "/flags", work + "/ckpt", max_files=1,
+            )
+            flags = spark.read.parquet(work + "/flags")
+            print(json.dumps({
+                "batches": flags.select("batch").distinct().count(),
+                "docs": flags.count(),
+                "flagged_dup": flags.filter("is_dup").count(),
+            }))
         else:  # stats
             n = spark.read.parquet(args.path).count()
             print(json.dumps({"band_rows": n}))
@@ -244,7 +269,10 @@ def main(argv: list[str] | None = None) -> int:
         "index",
         help="index lifecycle: build/append/fold/stats (LSH or IVF ANN), dedup (minhash)",
     )
-    ix.add_argument("action", choices=["build", "append", "fold", "stats", "dedup"])
+    ix.add_argument(
+        "action",
+        choices=["build", "append", "fold", "stats", "dedup", "stream-dedup"],
+    )
     ix.add_argument("--family", choices=["lsh", "ivf", "minhash"], default="lsh")
     ix.add_argument("--path", required=True, help="index root directory")
     ix.add_argument("--n-tables", type=int, default=1, help="LSH tables (build)")

@@ -3567,14 +3567,12 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_corpus_dedup_stream.py. Fresh work dir per invocation —
     the index is stateful and must start identical every run."""
     import atexit
-    import glob
-    import os
     import shutil
     import tempfile
-    import time
 
     from nomba_data_pipeline_spark.streaming.microbatch import (
         run_corpus_dedup_stream,
+        stage_ascending_chunks,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3587,17 +3585,7 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ascending mtimes — the file source drains oldest-first, and
     # arrival order is the dedup priority
     src = work + "/src"
-    os.makedirs(src)
-    chunked = batch.withColumn("chunk", F.ntile(3).over(Window.orderBy("doc_id")))
-    now = time.time()
-    for i in (1, 2, 3):
-        part_dir = f"{work}/part{i}"
-        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part_dir)
-        dst = os.path.join(src, f"{i:04d}.parquet")
-        shutil.copyfile(glob.glob(part_dir + "/part-*.parquet")[0], dst)
-        os.utime(dst, (now - 300 + i * 10, now - 300 + i * 10))
+    stage_ascending_chunks(batch, "doc_id", src, n_chunks=3)
     run_corpus_dedup_stream(
         spark,
         src,

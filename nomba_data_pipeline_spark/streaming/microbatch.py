@@ -375,6 +375,43 @@ def run_index_maintenance_stream(
     q.awaitTermination()
 
 
+def stage_ascending_chunks(
+    df: DataFrame, order_col: str, dst_dir: str, n_chunks: int = 3
+) -> None:
+    """Stage `df` as `n_chunks` single-file parquet chunks covering
+    ascending `order_col` ranges, with strictly ascending mtimes — a
+    deterministic arrival order for file-source streams (the source
+    drains oldest-first). Used where arrival order carries semantics
+    (corpus dedup priority); pure aggregates don't need it. The global
+    ntile sort is driver-visible staging of a stream DEMO slice, not a
+    distributed-operator shape."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    os.makedirs(dst_dir, exist_ok=True)
+    chunked = df.withColumn(
+        "__chunk", F.ntile(n_chunks).over(Window.orderBy(order_col))
+    )
+    parts = tempfile.mkdtemp(prefix="stage_chunks_")
+    now = time.time()
+    try:
+        for i in range(1, n_chunks + 1):
+            part_dir = os.path.join(parts, f"p{i}")
+            chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(
+                1
+            ).write.mode("overwrite").parquet(part_dir)
+            dst = os.path.join(dst_dir, f"{i:04d}.parquet")
+            shutil.copyfile(glob.glob(part_dir + "/part-*.parquet")[0], dst)
+            os.utime(dst, (now - 300 + i * 10, now - 300 + i * 10))
+    finally:
+        shutil.rmtree(parts, ignore_errors=True)
+
+
 def corpus_dedup_apply_batch(
     batch_df: DataFrame, batch_id: int, index_path: str, flags_path: str
 ) -> None:
