@@ -27,8 +27,11 @@ Semantics and limits (stated, not hidden):
   maintenance shape, bounded state.
 
 `IncrementalAggTable` adds the operational half: a parquet state table
-whose `apply_batch` is replay-idempotent via per-batch `_BATCH-<id>`
-marker files committed INSIDE the atomically-swapped state directory
+whose `apply_batch` is replay-idempotent via batch-id markers (a
+`_BATCH_HWM-<n>` high-water file plus `_BATCH-<id>` per out-of-order
+id above it — O(1) ledger under monotone epochs, not one file per
+batch ever applied) committed INSIDE the atomically-swapped state
+directory
 (fold and marker land in one rename — no crash window double-counts or
 loses a delta) — a Structured Streaming `foreachBatch` can point at it
 directly.
@@ -160,7 +163,8 @@ class IncrementalAggTable:
     """A maintained aggregate state table at `path`.
 
     apply_batch(delta, batch_id) folds the delta's state into the
-    stored state with an atomic swap. Replay markers `_BATCH-<id>` live
+    stored state with an atomic swap. Replay markers (`_BATCH_HWM-<n>`
+    high-water + `_BATCH-<id>` for out-of-order ids above it) live
     INSIDE the swapped state directory (underscore-prefixed, invisible
     to parquet readers), so the folded state and the fact that batch_id
     is folded commit in ONE rename — there is no window where a crash
@@ -191,19 +195,33 @@ class IncrementalAggTable:
 
         return fs_and_path(self.spark, p)
 
-    def _applied_ids(self) -> set[int]:
+    def _applied_state(self) -> tuple[int, set[int]]:
+        """Replay ledger as (hwm, sparse): every batch id <= hwm is
+        applied, plus the sparse ids above it. Markers are filenames
+        (`_BATCH_HWM-<n>` + one `_BATCH-<id>` per sparse id), so the
+        ledger costs ONE directory listing to read and O(gaps) files to
+        carry — with monotone streaming epoch ids that is a single hwm
+        marker forever, not the one-file-per-batch-ever-applied history
+        the first version re-created on every swap (O(total batches)
+        filesystem calls per micro-batch, unbounded growth). Legacy
+        dirs holding only per-id markers read as pure sparse and
+        compact into the hwm on the next apply. Batch ids are assumed
+        >= 0 (Structured Streaming epochs are)."""
         if not self._table.exists():
-            return set()
+            return -1, set()
         fs, p = self._fs(self._table.path)
-        out = set()
+        hwm, sparse = -1, set()
         for st in fs.listStatus(p):
             name = st.getPath().getName()
-            if name.startswith("_BATCH-"):
-                out.add(int(name[len("_BATCH-"):]))
-        return out
+            if name.startswith("_BATCH_HWM-"):
+                hwm = max(hwm, int(name[len("_BATCH_HWM-"):]))
+            elif name.startswith("_BATCH-"):
+                sparse.add(int(name[len("_BATCH-"):]))
+        return hwm, {i for i in sparse if i > hwm}
 
     def applied(self, batch_id: int) -> bool:
-        return batch_id in self._applied_ids()
+        hwm, sparse = self._applied_state()
+        return batch_id <= hwm or batch_id in sparse
 
     def apply_batch(self, delta: DataFrame, batch_id: int) -> bool:
         """Fold one delta batch; returns False if batch_id was already
@@ -212,8 +230,8 @@ class IncrementalAggTable:
         the marker files ride inside it (atomic state+marker commit)."""
         import uuid
 
-        applied = self._applied_ids()
-        if batch_id in applied:
+        hwm, sparse = self._applied_state()
+        if batch_id <= hwm or batch_id in sparse:
             return False
         delta_state = agg_state(delta, self.keys, self.measure)
         if self._table.exists():
@@ -222,8 +240,15 @@ class IncrementalAggTable:
             new_state = delta_state
         tmp = f"{self._table.path}.tmp-{uuid.uuid4().hex[:8]}"
         new_state.write.mode("overwrite").parquet(tmp)
+        sparse = sparse | {batch_id}
+        while hwm + 1 in sparse:  # fold the contiguous prefix into hwm
+            hwm += 1
+            sparse.discard(hwm)
         fs, _ = self._fs(tmp)
-        for bid in applied | {batch_id}:  # carry history + this batch
+        if hwm >= 0:
+            _, mp = self._fs(f"{tmp}/_BATCH_HWM-{hwm}")
+            fs.createNewFile(mp)
+        for bid in sparse:  # out-of-order arrivals above the hwm only
             _, mp = self._fs(f"{tmp}/_BATCH-{bid}")
             fs.createNewFile(mp)
         self._table._swap_in(tmp)

@@ -149,6 +149,62 @@ def test_markers_carry_forward_across_folds(spark, tmp_path):
     assert not t.applied(99)
 
 
+def _marker_names(tmp_path):
+    import os
+
+    return sorted(
+        n for n in os.listdir(tmp_path / "agg" / "state") if n.startswith("_BATCH")
+    )
+
+
+def test_marker_ledger_is_constant_size_under_monotone_epochs(spark, tmp_path):
+    """Sequential epoch ids must leave ONE high-water marker, never a
+    per-batch file history (which would cost O(total batches) filesystem
+    calls per micro-batch at streaming cadence)."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    t = IncrementalAggTable(spark, str(tmp_path / "agg"), ["o_custkey"], "o_totalprice")
+    for i in range(4):
+        t.apply_batch(orders.filter(F.col("o_orderkey") % 4 == i), i)
+    assert _marker_names(tmp_path) == ["_BATCH_HWM-3"]
+
+
+def test_out_of_order_ids_stay_sparse_then_compact(spark, tmp_path):
+    """A gap keeps a sparse marker; filling the gap folds everything
+    into the high-water mark. Replay stays a no-op throughout."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    t = IncrementalAggTable(spark, str(tmp_path / "agg"), ["o_custkey"], "o_totalprice")
+    third = lambda i: orders.filter(F.col("o_orderkey") % 3 == i)  # noqa: E731
+    t.apply_batch(third(0), 0)
+    t.apply_batch(third(2), 2)
+    assert _marker_names(tmp_path) == ["_BATCH-2", "_BATCH_HWM-0"]
+    assert t.applied(2) and not t.applied(1)
+    assert not t.apply_batch(third(2), 2)  # sparse replay no-op
+    t.apply_batch(third(1), 1)
+    assert _marker_names(tmp_path) == ["_BATCH_HWM-2"]
+    one_shot = finalize_agg_state(
+        agg_state(orders, ["o_custkey"], "o_totalprice")
+    )
+    assert _rows(t.result()) == _rows(one_shot)
+
+
+def test_legacy_per_id_markers_read_and_compact(spark, tmp_path):
+    """State dirs written by the per-id marker layout must read as
+    applied and compact into the high-water mark on the next fold."""
+    import os
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    t = IncrementalAggTable(spark, str(tmp_path / "agg"), ["o_custkey"], "o_totalprice")
+    t.apply_batch(orders.filter(F.col("o_orderkey") % 3 == 0), 0)
+    state_dir = tmp_path / "agg" / "state"
+    os.remove(state_dir / "_BATCH_HWM-0")  # rewrite as the old layout
+    (state_dir / "_BATCH-0").touch()
+    (state_dir / "_BATCH-1").touch()
+    assert t.applied(0) and t.applied(1) and not t.applied(2)
+    assert not t.apply_batch(orders.limit(0), 1)
+    t.apply_batch(orders.filter(F.col("o_orderkey") % 3 == 2), 2)
+    assert _marker_names(tmp_path) == ["_BATCH_HWM-2"]
+
+
 def test_multi_measure_state_folds_like_one_shot(spark):
     """A list of measures carries one (sum/min/max) triple per measure
     in ONE state table; the fold must equal the one-shot aggregate for
