@@ -941,6 +941,58 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS
 """
 
 
+def q_domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain sampler (the multilingual-LM
+    exponential-smoothing recipe at alpha = 0.5): per-language keep rate
+    r_i = sqrt(n_min / n_i), so the rarest language keeps everything and
+    bigger languages are downsampled toward a flattened mix — rates come
+    FROM the data, unlike q_domain_mix_sample's fixed recipe. The
+    threshold floor(r_i * 10000) uses only IEEE correctly-rounded ops
+    (divide, sqrt, multiply, floor), so Spark and the oracle compute
+    bit-identical cutoffs; membership reuses the md5-bucket determinism
+    of the mix sampler. Plan: one tiny groupBy(lang) agg broadcast
+    back onto a map-only codegen'd scan filter — at 100 TB the counts
+    pass is the only shuffle and it carries |languages| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(F.sqrt(F.col("n_min") / F.col("n")) * 10000).alias("thr"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("thr"))
+        .select("doc_id", "lang")
+    )
+
+
+SQL_DOMAIN_TEMPERATURE_SAMPLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+r AS (
+    SELECT lang,
+           CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) * 10000)
+                AS BIGINT) AS thr
+    FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8)) AS BIGINT)
+          % 10000
+      < r.thr
+"""
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window sequence packing plan: assign each document a
     (bin, offset) inside fixed token-budget bins, packed greedily in
@@ -3735,6 +3787,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "streaming_corpus_dedup": QuerySpec(
         q_streaming_corpus_dedup, SQL_STREAMING_CORPUS_DEDUP, "ext:dedup-streaming,§2.10"
+    ),
+    "domain_temperature_sample": QuerySpec(
+        q_domain_temperature_sample,
+        SQL_DOMAIN_TEMPERATURE_SAMPLE,
+        "ext:training-mix-temperature",
     ),
 }
 

@@ -155,3 +155,12 @@ def test_fixture_spans_support_probe_rows(spark):
         cust.groupBy(F.expr("c_custkey div 100")).count().agg(F.max("count")).first()[0]
     )
     assert per_block >= 2, "fuzzy blocking key yields no multi-member blocks"
+
+    langs = docs.groupBy("lang").count().agg(
+        F.min("count").alias("lo"), F.max("count").alias("hi")
+    ).first()
+    assert langs["hi"] > langs["lo"], (
+        "documents.lang became uniform; domain_temperature_sample's "
+        "thresholds would all be 10000 and the filter never fires "
+        "(vacuous full-table pass)"
+    )
