@@ -470,3 +470,12 @@ def test_grouped_topk_gets_window_group_limit(spark):
     3 rows per group in the sort buffer."""
     plan = _plan(REGISTRY["top_parts_per_brand"].fn(spark, SF_SMALL))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_temperature_sample_rates_broadcast_back(spark):
+    """The |languages|-row rate table must broadcast into the keep
+    filter — a shuffled join would reshuffle the whole corpus at 100 TB
+    for a handful of thresholds."""
+    plan = _plan(REGISTRY["domain_temperature_sample"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
