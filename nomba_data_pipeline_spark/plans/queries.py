@@ -993,6 +993,34 @@ WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8))
 """
 
 
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle into training shards
+    (operators/shards.py): (doc_id, shard, pos) where shard is an md5
+    bucket and pos the document's position in the shard's shuffled
+    read order (an independent md5 stream breaks shard/order
+    correlation). One hash-partition exchange + per-shard sort — the
+    same physical layout write_training_shards materializes, graded
+    here as a window query so the export order itself is
+    oracle-checked."""
+    from nomba_data_pipeline_spark.operators.shards import shard_assignment
+
+    return shard_assignment(load_table(spark, sf_dir, "documents"), n_shards=8)
+
+
+SQL_CORPUS_SHUFFLE_SHARDS = """
+WITH s AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))
+                AS BIGINT) % 8 AS shard,
+           md5(CAST(doc_id AS VARCHAR) || ':shard:order') AS ok
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS pos
+FROM s
+"""
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window sequence packing plan: assign each document a
     (bin, offset) inside fixed token-budget bins, packed greedily in
@@ -3792,6 +3820,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_domain_temperature_sample,
         SQL_DOMAIN_TEMPERATURE_SAMPLE,
         "ext:training-mix-temperature",
+    ),
+    "corpus_shuffle_shards": QuerySpec(
+        q_corpus_shuffle_shards, SQL_CORPUS_SHUFFLE_SHARDS, "ext:training-shards"
     ),
 }
 
