@@ -207,6 +207,23 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Retention for split-SCD2 closed history: drop close_date
+    partitions strictly before the cutoff (partition-scoped directory
+    deletes; surviving history and the open table are never touched)."""
+    from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    spark = _spark(args)
+    runner = build_pipeline(spark, args.warehouse, args.sf_dir)
+    n = runner.vacuum_closed(args.model, args.older_than)
+    print(
+        json.dumps(
+            {"model": args.model, "older_than": args.older_than, "partitions_removed": n}
+        )
+    )
+    return 0
+
+
 def cmd_list(args) -> int:
     from nomba_data_pipeline_spark.plans.queries import REGISTRY
 
@@ -242,6 +259,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--partition-by", nargs="*")
     c.add_argument("--partition-filter", help="SQL predicate over partition columns")
     c.set_defaults(fn=cmd_compact)
+
+    v = sub.add_parser(
+        "vacuum", help="drop split-SCD2 closed history older than a cutoff date"
+    )
+    v.add_argument("--warehouse", required=True)
+    v.add_argument("--model", required=True)
+    v.add_argument("--older-than", required=True, help="YYYY-MM-DD cutoff (exclusive)")
+    v.set_defaults(fn=cmd_vacuum)
 
     cl = sub.add_parser(
         "cluster", help="range-cluster a model on sort keys (parquet stats pruning)"

@@ -365,6 +365,58 @@ class PipelineRunner:
                 fs.delete(p, True)
         return out
 
+    def vacuum_closed(self, name: str, older_than: str) -> int:
+        """Retention maintenance for split-SCD2 closed history: drop
+        every `close_date=<d>` partition with d strictly before
+        `older_than` (ISO date — lexicographic compare IS date order).
+        Partition-scoped directory deletes only — surviving history is
+        never rewritten, so at 100 TB vacuum cost is O(expired dirs),
+        zero data IO. A batch dir whose partitions are all expired is
+        removed whole, `_COMMITTED` marker included (the orphan sweep
+        only concerns UNMARKED — i.e. recently crashed — batches, never
+        old committed ones). Returns the number of partition dirs
+        dropped. The open table is untouched: retention applies to
+        closed versions only, current state never expires."""
+        import re
+
+        from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", older_than):
+            raise ValueError(f"older_than must be YYYY-MM-DD, got {older_than!r}")
+        closed_path = os.path.join(self.warehouse_dir, name + "__closed")
+        fs, root = fs_and_path(self.spark, closed_path)
+        if not fs.exists(root):
+            return 0
+        removed = 0
+        for bst in fs.listStatus(root):
+            bp = bst.getPath()
+            if not (bst.isDirectory() and bp.getName().startswith("batch_id=")):
+                continue
+            kept = 0
+            for cst in fs.listStatus(bp):
+                cp = cst.getPath()
+                nm = cp.getName()
+                if not (cst.isDirectory() and nm.startswith("close_date=")):
+                    continue
+                if nm[len("close_date="):] < older_than:
+                    fs.delete(cp, True)
+                    removed += 1
+                else:
+                    kept += 1
+            if kept == 0:
+                fs.delete(bp, True)
+        # everything expired: remove the root as well, so read_model's
+        # exists() check sees "no closed history" rather than an empty
+        # directory that would fail parquet schema inference
+        if not any(
+            st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+            for st in fs.listStatus(root)
+        ):
+            fs.delete(root, True)
+        if removed:
+            self.spark.catalog.refreshByPath(closed_path)
+        return removed
+
     def _touch(self, path: str) -> None:
         """Create an empty marker file (Hadoop FS, scheme-agnostic).
         Underscore-prefixed names are invisible to parquet readers."""

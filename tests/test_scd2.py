@@ -339,3 +339,56 @@ def test_split_scd2_commit_markers_make_sweep_metadata_only(spark, tmp_path):
     for d in batch_dirs:
         assert os.path.exists(os.path.join(closed_path, d, "_COMMITTED")), d
     assert runner._unmarked_batch_dirs(closed_path) == []
+
+
+def test_vacuum_closed_expires_history_partition_scoped(spark, tmp_path):
+    """Retention verb: close_date partitions strictly before the cutoff
+    are dropped by directory delete (no rewrite of survivors), a fully
+    expired history removes its root so read_model degrades to
+    open-rows-only, and the verb is a no-op on absent history."""
+    import os
+
+    from nomba_data_pipeline_spark.plans import models as M
+    from nomba_data_pipeline_spark.plans.cdc_sim import simulate_user_updates
+    from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
+    from tests.conftest import SF_SMALL
+
+    wh = os.path.join(tmp_path, "wh")
+    build_pipeline(spark, wh, SF_SMALL).run(only=["users_snapshot"])
+    override = {
+        "stg_users": lambda s, sf: simulate_user_updates(
+            M.stg_users(s, sf), fraction=0.1
+        )
+    }
+    runner = build_pipeline(spark, wh, SF_SMALL, source_override=override)
+    runner.run(only=["users_snapshot"])
+
+    closed_root = os.path.join(wh, "users_snapshot__closed")
+    parts = [
+        (b, d)
+        for b in os.listdir(closed_root)
+        if b.startswith("batch_id=")
+        for d in os.listdir(os.path.join(closed_root, b))
+        if d.startswith("close_date=")
+    ]
+    assert parts, "CDC rerun closed no versions; fixture drifted"
+    oldest = min(d.split("=", 1)[1] for _, d in parts)
+    before = runner.read_model("users_snapshot").count()
+
+    # cutoff at the oldest date: strictly-before semantics keep everything
+    assert runner.vacuum_closed("users_snapshot", oldest) == 0
+    assert runner.read_model("users_snapshot").count() == before
+
+    # cutoff beyond everything: whole history expires, root removed,
+    # snapshot degrades to open rows only
+    removed = runner.vacuum_closed("users_snapshot", "9999-12-31")
+    assert removed == len(parts)
+    assert not os.path.exists(closed_root)
+    snap = runner.read_model("users_snapshot")
+    assert snap.filter(F.col("valid_to").isNotNull()).count() == 0
+    assert snap.count() > 0
+
+    # absent history: no-op; malformed cutoff: rejected
+    assert runner.vacuum_closed("users_snapshot", "9999-12-31") == 0
+    with pytest.raises(ValueError, match="YYYY-MM-DD"):
+        runner.vacuum_closed("users_snapshot", "eventually")
