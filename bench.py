@@ -66,6 +66,10 @@ HEADLINE = [
     "winsorized_stats_approx",
     "stratified_sample_k",
     "unigram_logppl",
+    # round-6 second batch: data-dependent language flattening and the
+    # reproducible training-shard shuffle (one exchange + window)
+    "domain_temperature_sample",
+    "corpus_shuffle_shards",
 ]
 
 
