@@ -96,3 +96,52 @@ def write_training_shards(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def shard_manifest(shards_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-shard integrity manifest: (shard, n_docs, checksum) where
+    checksum is the bit-xor of a 60-bit md5 fold of the ids —
+    order-insensitive and incrementally recomputable, so a manifest of
+    the written export can be compared against one computed from the
+    source snapshot without re-reading either in any particular order.
+    One partial-aggregated shuffle of |shards| rows."""
+    fold = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    return shards_df.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor(fold).alias("checksum"),
+    )
+
+
+def verify_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Compare a written export against the source snapshot it claims
+    to hold: rows where the written manifest differs from the expected
+    one (missing shard, row-count drift, membership drift via the xor
+    checksum). Empty result == export verified. Reads only id_col from
+    the export (column-pruned scan)."""
+    spark = docs.sparkSession
+    shard, _ = shard_key_cols(n_shards, id_col, salt)
+    expected = shard_manifest(
+        docs.select(id_col, shard.alias("shard")), id_col
+    ).withColumnRenamed("n_docs", "exp_n").withColumnRenamed("checksum", "exp_sum")
+    written = shard_manifest(
+        spark.read.parquet(path).select(id_col, "shard"), id_col
+    )
+    return (
+        expected.join(written, "shard", "full_outer")
+        .filter(
+            F.col("n_docs").isNull()
+            | F.col("exp_n").isNull()
+            | (F.col("n_docs") != F.col("exp_n"))
+            | (F.col("checksum") != F.col("exp_sum"))
+        )
+        .select("shard", "exp_n", "n_docs", "exp_sum", "checksum")
+    )

@@ -91,3 +91,49 @@ def test_assignment_plan_is_single_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_manifest_verifies_export_and_catches_tampering(spark, tmp_path):
+    """verify_shards is empty for a faithful export; deleting one
+    shard's file surfaces exactly that shard (count + checksum drift),
+    and a same-count membership swap is caught by the xor checksum."""
+    import glob
+    import os
+
+    from nomba_data_pipeline_spark.operators.shards import verify_shards
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4)
+    assert verify_shards(docs, path, 4).count() == 0
+
+    # drop one shard's data file -> that shard reports missing/short
+    victim = glob.glob(path + "/shard=2/*.parquet")[0]
+    os.remove(victim)
+    spark.catalog.refreshByPath(path)
+    bad = verify_shards(docs, path, 4).collect()
+    assert [r.shard for r in bad] == [2]
+
+    # same-shard, same-count membership swap: counts agree everywhere,
+    # so ONLY the xor checksum can catch it. Engineer a replacement id
+    # that buckets into the same shard as an existing id.
+    import hashlib
+
+    def py_shard(i: int, n: int = 4) -> int:
+        return int(hashlib.md5(f"{i}:shard".encode()).hexdigest()[:8], 16) % n
+
+    write_training_shards(docs, path, n_shards=4)
+    victim_id = docs.agg(F.min("doc_id")).first()[0]
+    replacement = next(
+        i for i in range(10**6, 10**6 + 10**4)
+        if py_shard(i) == py_shard(victim_id)
+    )
+    swapped = docs.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") == victim_id, F.lit(replacement)).otherwise(
+            F.col("doc_id")
+        ),
+    )
+    drift = verify_shards(swapped, path, 4).collect()
+    assert [r.shard for r in drift] == [py_shard(victim_id)]
+    assert drift[0].exp_n == drift[0].n_docs  # counts agree: checksum caught it
