@@ -993,6 +993,103 @@ WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8))
 """
 
 
+def q_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: population stability index of the
+    event value distribution, first half of the event window (baseline)
+    vs second half (current), per event_type — the ops check that runs
+    after every ingest to catch silent upstream shifts before they
+    poison training mixes. Fixed-width value bins (10 x 50, range
+    pinned by the fixture guard), Laplace 0.5 smoothing so empty bins
+    are defined, psi = sum((p_new - p_old) * ln(p_new/p_old)) rounded
+    to 4dp. Everything before the |types| x |bins| dense frame is one
+    partial-aggregated shuffle of the events scan; the midpoint is an
+    integer (floored epochs), so the old/new split is engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(epoch_seconds("ts")).cast("long").alias("s"),
+        F.least(F.lit(9), F.floor(F.col("value") / 50)).cast("int").alias("bin"),
+    )
+    mid = ev.agg(F.floor((F.min("s") + F.max("s")) / 2).cast("long").alias("mid"))
+    sided = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(F.col("s") <= F.col("mid"), F.lit("old"))
+        .otherwise(F.lit("new"))
+        .alias("side"),
+        "bin",
+    )
+    counts = sided.groupBy("event_type", "side", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = (
+        sided.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
+        .crossJoin(spark.createDataFrame([("old",), ("new",)], "side string"))
+    )
+    dense = (
+        grid.join(counts, ["event_type", "side", "bin"], "left")
+        .fillna(0, ["n"])
+        .join(
+            counts.groupBy("event_type", "side").agg(F.sum("n").alias("tot")),
+            ["event_type", "side"],
+        )
+        .withColumn("p", (F.col("n") + 0.5) / (F.col("tot") + 5.0))
+    )
+    byb = dense.groupBy("event_type", "bin").agg(
+        F.max(F.when(F.col("side") == "old", F.col("p"))).alias("po"),
+        F.max(F.when(F.col("side") == "new", F.col("p"))).alias("pn"),
+    )
+    return byb.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("pn") - F.col("po")) * F.log(F.col("pn") / F.col("po"))), 4
+        )
+        .cast("double")
+        .alias("psi")
+    )
+
+
+SQL_SNAPSHOT_DRIFT_PSI = """
+WITH e AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(least(9, floor(value / 50)) AS INT) AS bin
+    FROM events
+),
+m AS (SELECT CAST(floor((min(s) + max(s)) / 2) AS BIGINT) AS mid FROM e),
+c AS (
+    SELECT event_type,
+           CASE WHEN s <= (SELECT mid FROM m) THEN 'old' ELSE 'new' END AS side,
+           bin, count(*) AS n
+    FROM e GROUP BY 1, 2, 3
+),
+grid AS (
+    SELECT t.event_type, sd.side, CAST(b.range AS INT) AS bin
+    FROM (SELECT DISTINCT event_type FROM e) t
+    CROSS JOIN (SELECT 'old' AS side UNION ALL SELECT 'new') sd
+    CROSS JOIN range(10) b
+),
+d AS (
+    SELECT g.event_type, g.side, g.bin, coalesce(c.n, 0) AS n
+    FROM grid g LEFT JOIN c USING (event_type, side, bin)
+),
+tot AS (SELECT event_type, side, sum(n) AS tot FROM d GROUP BY 1, 2),
+p AS (
+    SELECT d.event_type, d.side, d.bin,
+           (d.n + 0.5) / (tot.tot + 5.0) AS p
+    FROM d JOIN tot USING (event_type, side)
+),
+byb AS (
+    SELECT event_type, bin,
+           max(CASE WHEN side = 'old' THEN p END) AS po,
+           max(CASE WHEN side = 'new' THEN p END) AS pn
+    FROM p GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(round(sum((pn - po) * ln(pn / po)), 4) AS DOUBLE) AS psi
+FROM byb GROUP BY event_type
+"""
+
+
 def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle into training shards
     (operators/shards.py): (doc_id, shard, pos) where shard is an md5
@@ -3823,6 +3920,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "corpus_shuffle_shards": QuerySpec(
         q_corpus_shuffle_shards, SQL_CORPUS_SHUFFLE_SHARDS, "ext:training-shards"
+    ),
+    "snapshot_drift_psi": QuerySpec(
+        q_snapshot_drift_psi, SQL_SNAPSHOT_DRIFT_PSI, "ext:quality-drift"
     ),
 }
 

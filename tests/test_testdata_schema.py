@@ -164,3 +164,13 @@ def test_fixture_spans_support_probe_rows(spark):
         "thresholds would all be 10000 and the filter never fires "
         "(vacuous full-table pass)"
     )
+
+    nbins = (
+        ev.select(F.least(F.lit(9), F.floor(F.col("value") / 50)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert nbins >= 5, (
+        "events.value collapsed into few 50-wide bins; snapshot_drift_psi "
+        "would compare near-degenerate histograms"
+    )
