@@ -780,3 +780,199 @@ def streaming_corpus_dedup_sql(table: str = "documents", batch_mod: int = 10) ->
            ) AS is_dup
     FROM (SELECT DISTINCT doc_id FROM {table} WHERE doc_id % {batch_mod} = 0) d
     """
+
+
+# ---------------------------------------------------------------------------
+# C4-style boilerplate span removal
+# ---------------------------------------------------------------------------
+# C4's corpus cleaner removed any three-sentence span that occurred more
+# than once across the whole corpus. The fixture's documents carry no
+# sentence punctuation, so the span unit here is a fixed non-overlapping
+# token window (CHUNK words) — the algorithm is identical: chunk, count
+# corpus-wide document frequency per chunk, drop every instance of a
+# chunk seen in >= min_df distinct documents, and reassemble what's left
+# in original order.
+#
+# 100 TB shape: chunking is map-only codegen (tokenize once, slice);
+# the doc-frequency pass is one hash shuffle on chunk_text with
+# map-side partial aggregation; the removal join is a broadcast-able
+# equi-join in practice (boilerplate chunks are the df>=2 tail — tiny
+# relative to the corpus) but is written as a plain left join so the
+# planner can pick broadcast vs shuffle by size (AQE). Reassembly is
+# one more shuffle on doc_id. No Python, no explode of raw text twice.
+BOILER_CHUNK = 8
+BOILER_MIN_DF = 2
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = BOILER_CHUNK,
+    min_df: int = BOILER_MIN_DF,
+) -> DataFrame:
+    """Per-document result of corpus-wide boilerplate span removal:
+    (doc_id, n_chunks, n_kept, kept_tokens, kept_digest). kept_digest
+    is md5 of the surviving chunks re-joined in original order, so the
+    oracle checks the reconstructed text byte-for-byte without
+    shipping it."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(text_col), lambda t: t != "").alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    chunks = toked.filter(F.col("n") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(chunk))
+        ).alias("chunk_id", "s"),
+        F.col("toks"),
+        F.col("n"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(F.slice("toks", F.col("s") + 1, F.lit(chunk)), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk), F.col("n") - F.col("s")).cast("long").alias("c_toks"),
+    )
+    boiler = (
+        chunks.groupBy("chunk_text")
+        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        .filter(F.col("dfreq") >= min_df)
+        .select("chunk_text", F.lit(True).alias("is_boiler"))
+    )
+    flagged = chunks.join(boiler, "chunk_text", "left").select(
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        "c_toks",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("is_boiler"), F.struct("chunk_id", "chunk_text"))
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~F.col("is_boiler"), F.col("c_toks")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(kept_structs, lambda s: s.getField("chunk_text")), " "
+            )
+        ).alias("kept_digest"),
+    )
+
+
+def boilerplate_removal_sql(
+    table: str = "documents", chunk: int = BOILER_CHUNK, min_df: int = BOILER_MIN_DF
+) -> str:
+    nt = normalized_text_sql("text")
+    return f"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split({nt}, ' '), t -> t <> '') AS toks
+        FROM {table}
+    ),
+    sized AS (SELECT doc_id, toks, len(toks) AS n FROM toked WHERE len(toks) > 0),
+    chunks AS (
+        SELECT doc_id,
+               CAST(u.s // {chunk} AS INT) AS chunk_id,
+               array_to_string(toks[u.s + 1 : u.s + {chunk}], ' ') AS chunk_text,
+               CAST(least({chunk}, n - u.s) AS BIGINT) AS c_toks
+        FROM sized, LATERAL unnest(generate_series(0, n - 1, {chunk})) AS u(s)
+    ),
+    boiler AS (
+        SELECT chunk_text FROM chunks
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_df}
+    ),
+    flagged AS (
+        SELECT c.*, b.chunk_text IS NOT NULL AS is_boiler
+        FROM chunks c LEFT JOIN boiler b USING (chunk_text)
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN NOT is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN NOT is_boiler THEN c_toks ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN chunk_text END,
+                                   ' ' ORDER BY chunk_id), '')) AS kept_digest
+    FROM flagged GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# source-precedence dedup (RefinedWeb / multi-source corpus merge)
+# ---------------------------------------------------------------------------
+def precedence_dedup(
+    docs: DataFrame,
+    priority_col: str = "prio",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplicate resolution: same content appearing in
+    several sources keeps the copy from the highest-priority source
+    (lowest `priority_col`), tie-broken by lowest id — the merge rule
+    corpus builders apply when combining curated + crawled collections.
+
+    Plan: one fingerprint projection, then a row_number window and a
+    group aggregate, both hash-partitioned on the fingerprint — AQE
+    reuses the exchange, so at 100 TB this costs one shuffle on a
+    32-char key with map-side partial aggregation on the count leg.
+    Window ordering (prio, id) is a total order (ids unique), so the
+    winner is deterministic on both engines."""
+    from pyspark.sql import Window
+
+    withfp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(priority_col).alias("prio"),
+        fingerprint(text_col).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("prio", "doc_id")
+    winners = (
+        withfp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fp",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("source").alias("keeper_source"),
+            F.col("prio").alias("keeper_prio"),
+        )
+    )
+    groups = withfp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return winners.join(groups, "fp").filter(F.col("n_copies") > 1)
+
+
+def precedence_dedup_sql(union_cte: str) -> str:
+    """Oracle twin over a CTE named `u(doc_id, source, prio, text_fp)`
+    supplied by the caller (the fingerprint is applied upstream so the
+    caller controls normalization)."""
+    return f"""
+    WITH {union_cte},
+    ranked AS (
+        SELECT u.*, row_number() OVER (
+                   PARTITION BY text_fp ORDER BY prio, doc_id) AS rn,
+               count(*) OVER (PARTITION BY text_fp) AS n_copies
+        FROM u
+    ),
+    srcs AS (
+        SELECT text_fp, count(DISTINCT source) AS n_sources
+        FROM u GROUP BY 1
+    )
+    SELECT r.text_fp AS fp,
+           r.doc_id AS keeper_id,
+           r.source AS keeper_source,
+           r.prio AS keeper_prio,
+           CAST(r.n_copies AS BIGINT) AS n_copies,
+           CAST(s.n_sources AS BIGINT) AS n_sources
+    FROM ranked r JOIN srcs s USING (text_fp)
+    WHERE r.rn = 1 AND r.n_copies > 1
+    """

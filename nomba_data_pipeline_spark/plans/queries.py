@@ -3778,6 +3778,130 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_CORPUS_DEDUP = D.streaming_corpus_dedup_sql()
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate span removal (operators/dedup.py
+    boilerplate_removal): chunk every document into fixed 8-token
+    spans, drop every instance of a span that occurs in >= 2 distinct
+    documents corpus-wide, and report the per-doc survivor set with a
+    digest of the reconstructed text. One chunk-text shuffle + one
+    doc_id shuffle; the removal join's build side is just the df>=2
+    tail, so AQE broadcasts it at any corpus size where boilerplate is
+    sparse. At sf0.01 153 spans (328 instances) are boilerplate —
+    non-vacuous, pinned by tests/test_testdata_schema.py fixture shape."""
+    return D.boilerplate_removal(load_table(spark, sf_dir, "documents"))
+
+
+SQL_BOILERPLATE_REMOVAL = D.boilerplate_removal_sql()
+
+
+def q_source_precedence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source corpus merge with precedence (RefinedWeb-style):
+    the same content arriving from a curated collection, the base
+    corpus, and a web crawl keeps exactly one copy — the
+    highest-priority source's, tie-broken by id. The fixture has no
+    cross-source exact dups, so two deterministic mirror slices stand
+    in for the curated/crawl feeds: doc_id % 6 == 0 re-keyed +1_000_000
+    as 'curated' (prio 0, outranks the base copy) and doc_id % 6 == 3
+    re-keyed +2_000_000 as 'webcrawl' (prio 3, loses to the base copy)
+    — so the keeper flips direction across groups and a
+    winner-selection bug cannot pass vacuously. One fingerprint
+    shuffle; window + count legs share the exchange (AQE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", F.lit(2).alias("prio"), "text")
+    curated = (
+        docs.filter(F.col("doc_id") % 6 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("curated").alias("source"),
+            F.lit(0).alias("prio"),
+            "text",
+        )
+    )
+    web = (
+        docs.filter(F.col("doc_id") % 6 == 3)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.lit("webcrawl").alias("source"),
+            F.lit(3).alias("prio"),
+            "text",
+        )
+    )
+    merged = base.unionByName(curated).unionByName(web)
+    return D.precedence_dedup(merged)
+
+
+SQL_SOURCE_PRECEDENCE_DEDUP = D.precedence_dedup_sql(
+    f"""u AS (
+        SELECT doc_id, source, 2 AS prio,
+               {T.fingerprint_sql('text')} AS text_fp
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, 'curated', 0, {T.fingerprint_sql('text')}
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, 'webcrawl', 3, {T.fingerprint_sql('text')}
+        FROM documents WHERE doc_id % 6 = 3
+    )"""
+)
+
+
+def q_snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (operators/diff.py snapshot_diff): what
+    changed between two loads of orders. The two snapshots are derived
+    deterministically from the same scan — old drops o_orderkey % 89
+    == 0 (those keys surface as 'added'), new drops % 97 == 0
+    ('removed'), bumps o_totalprice by 10 where % 13 == 0 and
+    reclassifies o_orderpriority where % 17 == 0 ('changed', with
+    n_changed_cols counting 1 or 2 as the mods overlap). All change
+    detection is null-safe equality INSIDE each engine — no
+    cross-engine float comparison — and the output ships keys +
+    change metadata only, never a second copy of the table."""
+    from nomba_data_pipeline_spark.operators.diff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = orders.filter(key % 89 != 0)
+    new = (
+        orders.filter(key % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 13 == 0, F.col("o_totalprice") + 10.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(key % 17 == 0, F.lit("9-RECLASS")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    return snapshot_diff(
+        old,
+        new,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority"],
+    )
+
+
+from nomba_data_pipeline_spark.operators.diff import snapshot_diff_sql as _sdiff_sql
+
+SQL_SNAPSHOT_TABLE_DIFF = _sdiff_sql(
+    "SELECT * FROM orders WHERE o_orderkey % 89 <> 0",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+              CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+                   ELSE o_totalprice END AS o_totalprice,
+              o_orderdate,
+              CASE WHEN o_orderkey % 17 = 0 THEN '9-RECLASS'
+                   ELSE o_orderpriority END AS o_orderpriority
+       FROM orders WHERE o_orderkey % 97 <> 0""",
+    ["o_orderkey"],
+    ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+     "o_orderpriority"],
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3923,6 +4047,15 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "snapshot_drift_psi": QuerySpec(
         q_snapshot_drift_psi, SQL_SNAPSHOT_DRIFT_PSI, "ext:quality-drift"
+    ),
+    "boilerplate_removal": QuerySpec(
+        q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL, "ext:corpus-boilerplate"
+    ),
+    "source_precedence_dedup": QuerySpec(
+        q_source_precedence_dedup, SQL_SOURCE_PRECEDENCE_DEDUP, "ext:dedup-precedence"
+    ),
+    "snapshot_table_diff": QuerySpec(
+        q_snapshot_table_diff, SQL_SNAPSHOT_TABLE_DIFF, "ext:cdc-diff"
     ),
 }
 

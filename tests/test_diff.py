@@ -1,0 +1,53 @@
+"""snapshot_diff unit tests — null-safe compare semantics the sf
+fixture can't exercise (NULL payload columns, include_unchanged)."""
+
+from __future__ import annotations
+
+from nomba_data_pipeline_spark.operators.diff import snapshot_diff
+
+SCHEMA = "id int, a string, b int"
+
+
+def _result(df):
+    return {r.id: (r.change_type, r.n_changed_cols) for r in df.collect()}
+
+
+def test_added_removed_changed(spark):
+    old = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 2), (3, "z", 3)], SCHEMA
+    )
+    new = spark.createDataFrame(
+        [(2, "y", 2), (3, "z", 30), (4, "w", 4)], SCHEMA
+    )
+    out = _result(snapshot_diff(old, new, ["id"]))
+    assert out == {1: ("removed", 0), 3: ("changed", 1), 4: ("added", 0)}
+
+
+def test_null_to_value_counts_as_change(spark):
+    old = spark.createDataFrame([(1, None, 1), (2, None, 2)], SCHEMA)
+    new = spark.createDataFrame([(1, "x", 1), (2, None, 2)], SCHEMA)
+    out = _result(snapshot_diff(old, new, ["id"]))
+    # NULL -> 'x' is a change; NULL -> NULL is not (null-safe equality)
+    assert out == {1: ("changed", 1)}
+
+
+def test_multi_column_change_count(spark):
+    old = spark.createDataFrame([(1, "x", 1)], SCHEMA)
+    new = spark.createDataFrame([(1, "y", 9)], SCHEMA)
+    out = _result(snapshot_diff(old, new, ["id"]))
+    assert out == {1: ("changed", 2)}
+
+
+def test_include_unchanged_and_compare_subset(spark):
+    old = spark.createDataFrame([(1, "x", 1), (2, "y", 2)], SCHEMA)
+    new = spark.createDataFrame([(1, "x", 99), (2, "y", 2)], SCHEMA)
+    # only compare `a` -> the b-column change is invisible
+    out = _result(
+        snapshot_diff(old, new, ["id"], ["a"], include_unchanged=True)
+    )
+    assert out == {1: ("unchanged", 0), 2: ("unchanged", 0)}
+
+
+def test_identical_snapshots_emit_nothing(spark):
+    df = spark.createDataFrame([(1, "x", 1)], SCHEMA)
+    assert snapshot_diff(df, df, ["id"]).count() == 0
