@@ -70,6 +70,11 @@ HEADLINE = [
     # reproducible training-shard shuffle (one exchange + window)
     "domain_temperature_sample",
     "corpus_shuffle_shards",
+    # round-6 third batch: C4-style span removal (chunk shuffle + doc
+    # reassembly), precedence merge, and the full-outer snapshot diff
+    "boilerplate_removal",
+    "source_precedence_dedup",
+    "snapshot_table_diff",
 ]
 
 

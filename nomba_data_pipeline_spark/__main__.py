@@ -224,6 +224,28 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_erase(args) -> int:
+    """Right-to-be-forgotten: physically remove the subject's rows
+    from every medallion layer (staging, dims, facts, split-SCD2 open
+    + closed history) and write an audit manifest under
+    <warehouse>/_erasures/."""
+    from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    spark = _spark(args)
+    runner = build_pipeline(spark, args.warehouse, args.sf_dir)
+    removed = runner.erase_subject(args.user_ids, erasure_id=args.erasure_id)
+    print(
+        json.dumps(
+            {
+                "erasure_id": args.erasure_id,
+                "user_ids": args.user_ids,
+                "rows_removed": removed,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_list(args) -> int:
     from nomba_data_pipeline_spark.plans.queries import REGISTRY
 
@@ -304,6 +326,15 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--n-lists", type=int, default=16, help="IVF lists (build)")
     ix.add_argument("--pct", type=int, help="append only vec_id %% 100 < pct (demo slice)")
     ix.set_defaults(fn=cmd_index)
+
+    er = sub.add_parser(
+        "erase",
+        help="GDPR erasure: purge user ids from every medallion layer incl. SCD2 history",
+    )
+    er.add_argument("--warehouse", required=True)
+    er.add_argument("--user-ids", nargs="+", type=int, required=True)
+    er.add_argument("--erasure-id", required=True, help="audit manifest name")
+    er.set_defaults(fn=cmd_erase)
 
     l = sub.add_parser("list", help="list registry queries")
     l.set_defaults(fn=cmd_list)

@@ -417,6 +417,162 @@ class PipelineRunner:
             self.spark.catalog.refreshByPath(closed_path)
         return removed
 
+    def erase_subject(self, user_ids: list, erasure_id: str) -> dict[str, int]:
+        """Right-to-be-forgotten erasure: physically remove every row
+        belonging to `user_ids` from every materialized layer of the
+        medallion — staging, SCD2 history (open AND closed versions),
+        dims, and facts — and record an audit manifest. The reference
+        pipeline has no erasure path (its warehouse grows append/upsert
+        only); regulators require one, so this is part of the
+        "complete engine" surface rather than reference parity.
+
+        Scope per table (only tables that exist are touched):
+          * stg_users / users_snapshot__open / dim_users / stg_plans /
+            dim_plans: rows with a matching user_id.
+          * users_snapshot__closed: matching rows in the append-only
+            history — rewritten PARTITION-SCOPED: one column-pruned
+            scan finds the affected (batch_id, close_date) dirs, and
+            only those dirs are rewritten (or dropped when emptied),
+            so at 100 TB the cost is O(partitions holding the subject)
+            + one pruned scan, never a history rewrite. `_COMMITTED`
+            batch markers live at the batch level and are untouched;
+            a batch dir emptied entirely is removed marker-and-all
+            (same rule as vacuum_closed: the orphan sweep only ever
+            inspects unmarked dirs).
+          * stg_transactions / fact_transactions: rows whose plan_id
+            belongs to the subject (resolved from stg_plans BEFORE any
+            deletion), plus fact rows carrying the user_id directly.
+
+        The ids ship as a broadcast anti-join build side, not an
+        isin() literal — a bulk erasure list of millions of keys stays
+        a join, and Spark demotes the broadcast if it outgrows the
+        threshold. Idempotent: a replay finds zero matching rows and
+        rewrites nothing. Returns {table: rows_removed}; the manifest
+        lands at <warehouse>/_erasures/<erasure_id>.json (underscore
+        prefix keeps it invisible to parquet readers).
+        """
+        import json
+
+        from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+        ids_df = self.spark.createDataFrame(
+            [(int(u),) for u in user_ids], "user_id bigint"
+        )
+
+        # resolve the subject's plan ids BEFORE deleting anything
+        plans_t = self.table("stg_plans")
+        plan_ids = None
+        if plans_t.exists():
+            rows = (
+                plans_t.read()
+                .join(F.broadcast(ids_df), "user_id", "left_semi")
+                .select("plan_id")
+                .distinct()
+                .collect()
+            )
+            if rows:
+                plan_ids = self.spark.createDataFrame(
+                    [(r["plan_id"],) for r in rows],
+                    plans_t.read().select("plan_id").schema,
+                )
+
+        removed: dict[str, int] = {}
+
+        def erase_plain(name: str, match_on: list[tuple[DataFrame, str]]) -> None:
+            t = self.table(name)
+            if not t.exists():
+                return
+            cur = t.read()
+            kept = cur
+            for match_df, col in match_on:
+                if match_df is None or col not in cur.columns:
+                    continue
+                kept = kept.join(F.broadcast(match_df), col, "left_anti")
+            spec = self.models.get(name)
+            n_before = cur.count()
+            n_kept = kept.count()
+            if n_kept < n_before:
+                t.overwrite(
+                    kept, partition_by=(spec.partition_by or None) if spec else None
+                )
+            removed[name] = n_before - n_kept
+
+        erase_plain("stg_users", [(ids_df, "user_id")])
+        erase_plain("users_snapshot__open", [(ids_df, "user_id")])
+        erase_plain("dim_users", [(ids_df, "user_id")])
+        erase_plain("stg_plans", [(ids_df, "user_id")])
+        erase_plain("dim_plans", [(ids_df, "user_id")])
+        erase_plain("stg_transactions", [(plan_ids, "plan_id")])
+        erase_plain(
+            "fact_transactions", [(ids_df, "user_id"), (plan_ids, "plan_id")]
+        )
+
+        # closed SCD2 history: partition-scoped rewrite
+        closed_path = os.path.join(self.warehouse_dir, "users_snapshot__closed")
+        fs, root = fs_and_path(self.spark, closed_path)
+        n_hist = 0
+        if fs.exists(root):
+            affected = (
+                self.spark.read.parquet(closed_path)
+                .join(F.broadcast(ids_df), "user_id", "left_semi")
+                .select(
+                    F.col("batch_id").cast("string"),
+                    F.col("close_date").cast("string"),
+                )
+                .distinct()
+                .collect()
+            )
+            for r in affected:
+                part = os.path.join(
+                    closed_path,
+                    f"batch_id={r['batch_id']}",
+                    f"close_date={r['close_date']}",
+                )
+                pt = ParquetTable(self.spark, part)
+                cur = pt.read()
+                kept = cur.join(F.broadcast(ids_df), "user_id", "left_anti")
+                n_before, n_kept = cur.count(), kept.count()
+                n_hist += n_before - n_kept
+                if n_kept == 0:
+                    self._rm_dir(part)
+                elif n_kept < n_before:
+                    pt.overwrite(kept)
+            # drop batch dirs emptied of every close_date partition
+            for bst in fs.listStatus(root):
+                bp = bst.getPath()
+                if not (
+                    bst.isDirectory() and bp.getName().startswith("batch_id=")
+                ):
+                    continue
+                if not any(
+                    cst.isDirectory()
+                    and cst.getPath().getName().startswith("close_date=")
+                    for cst in fs.listStatus(bp)
+                ):
+                    fs.delete(bp, True)
+            if not any(
+                st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+                for st in fs.listStatus(root)
+            ):
+                fs.delete(root, True)
+            if affected:
+                self.spark.catalog.refreshByPath(closed_path)
+        removed["users_snapshot__closed"] = n_hist
+
+        manifest = {
+            "erasure_id": erasure_id,
+            "user_ids": sorted(int(u) for u in user_ids),
+            "rows_removed": removed,
+        }
+        mpath = os.path.join(self.warehouse_dir, "_erasures", erasure_id + ".json")
+        mfs, mp = fs_and_path(self.spark, mpath)
+        out = mfs.create(mp, True)
+        try:
+            out.write(json.dumps(manifest, indent=2).encode())
+        finally:
+            out.close()
+        return removed
+
     def _touch(self, path: str) -> None:
         """Create an empty marker file (Hadoop FS, scheme-agnostic).
         Underscore-prefixed names are invisible to parquet readers."""
