@@ -129,3 +129,109 @@ def canonical_assignment(
         )
         .withColumn("is_canonical", F.col("comp") == F.col(id_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, unrolled)
+# ---------------------------------------------------------------------------
+# Link-graph centrality is a standard corpus-quality signal (Common
+# Crawl ranks hosts with harmonic centrality / PageRank before
+# selecting what to fetch and keep). This is the power-iteration
+# PageRank with a FIXED iteration count, so the computation is a
+# finite declarative plan both engines can evaluate identically —
+# r_{k+1}(v) = (1-d)/N + d * sum_{u->v} r_k(u)/deg(u) — rather than a
+# converge-until-epsilon loop whose stopping point is
+# float-environment dependent.
+#
+# 100 TB shape: each iteration is one equi-join of the edge list with
+# the (|V|-row) rank table plus one groupBy(dst) — the rank table is
+# dimension-sized relative to edges, so AQE broadcasts it when it
+# fits; otherwise both legs hash-partition on the node id and the
+# exchange is reused across iterations. The driver holds nothing but
+# the loop counter. For >10 iterations or epsilon stopping, truncate
+# lineage per round with localCheckpoint exactly as
+# connected_components does above.
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """PageRank over a directed edge list (pass both directions for an
+    undirected graph). Nodes = every id appearing as src or dst; every
+    node is assumed to have at least one out-edge (true for
+    undirected graphs; add self-loops upstream for dangling nodes).
+    Returns (node, pagerank) with pagerank rounded to 6 dp."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ew = e.join(deg, "src")
+    n_total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def pagerank_sql(
+    edges_cte: str,
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+) -> str:
+    """DuckDB oracle twin: `edges_cte` is a full CTE body defining
+    e(src, dst). The iteration chain is unrolled into r0..r{iters}
+    CTEs computing the identical recurrence."""
+    parts = [
+        f"e AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n_nodes FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""c{k} AS (
+                SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+                FROM e JOIN r{k} r ON r.node = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY 1
+            ),
+            r{k + 1} AS (
+                SELECT n.node,
+                       (1.0 - {damping}) / (SELECT n_nodes FROM nn)
+                       + {damping} * COALESCE(c.s, 0.0) AS rank
+                FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, round(rank, 6) AS pagerank FROM r{iters}"
+    )

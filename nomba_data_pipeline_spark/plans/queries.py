@@ -3902,6 +3902,42 @@ SQL_SNAPSHOT_TABLE_DIFF = _sdiff_sql(
 )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph centrality (operators/components.py pagerank) — the
+    corpus-quality signal web-scale pipelines compute over the host
+    graph before selecting what to keep. Graph here: the bipartite
+    part<->supplier graph from lineitem (distinct pairs, both edge
+    directions, 2.1k nodes / 103k directed edges at sf0.01), nodes
+    prefixed 'p'/'s'. Fixed 3-iteration power method: the recurrence
+    is a finite declarative plan, identical on both engines; per-node
+    contribution sums are doubles rounded to 6 dp (sum-order error
+    ~1e-15, far below the rounding grain)."""
+    from nomba_data_pipeline_spark.operators.components import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+    ).distinct()
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges)
+
+
+from nomba_data_pipeline_spark.operators.components import pagerank_sql as _pr_sql
+
+SQL_GRAPH_PAGERANK = _pr_sql(
+    """SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+              's' || CAST(l_suppkey AS VARCHAR) AS dst
+       FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+       UNION ALL
+       SELECT 's' || CAST(l_suppkey AS VARCHAR),
+              'p' || CAST(l_partkey AS VARCHAR)
+       FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4056,6 +4092,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "snapshot_table_diff": QuerySpec(
         q_snapshot_table_diff, SQL_SNAPSHOT_TABLE_DIFF, "ext:cdc-diff"
+    ),
+    "graph_pagerank": QuerySpec(
+        q_graph_pagerank, SQL_GRAPH_PAGERANK, "ext:graph-centrality"
     ),
 }
 
