@@ -307,6 +307,31 @@ class ParquetTable:
             partition_stable=partition_stable,
         )
 
+    def insert_overwrite_partitions(
+        self, delta: DataFrame, partition_by: list[str]
+    ) -> None:
+        """dbt's `insert_overwrite` incremental strategy: replace
+        exactly the partitions present in the delta with the delta's
+        rows — no key matching, no join against existing data. The
+        natural load mode for backfills and late-arriving reprocessing
+        of event-time-partitioned facts: recompute a day/month, swap
+        those directories, touch nothing else.
+
+        Cost at 100 TB: one shuffle of the delta (co-locate per
+        partition) + O(affected dirs) renames — the target is never
+        scanned, unlike merge_upsert's key-location pass. Idempotent:
+        replaying the same delta swaps in identical content. Atomic
+        per partition via the shared stage-then-swap path (never
+        writes into the live directory)."""
+        if not self.exists():
+            self.overwrite(delta, partition_by=partition_by)
+            return
+        delta = _align_to_target(delta, self.read())
+        affected = delta.select(*partition_by).dropDuplicates(partition_by).collect()
+        if not affected:
+            return
+        self._stage_and_swap_partitions(delta, partition_by, affected)
+
     def _merge_scoped_partitions(
         self,
         delta: DataFrame,

@@ -159,6 +159,17 @@ class PipelineRunner:
                     order_within_batch=spec.tracking_column,
                 )
                 target.overwrite(merged)
+        elif spec.materialization == "insert_overwrite":
+            # dbt insert_overwrite strategy: the model's delta replaces
+            # whole partitions (backfill/reprocess semantics) — requires
+            # partition_by. Deliberately NOT hwm-gated: a backfill
+            # recomputes partitions whose rows predate the high-water
+            # mark; the model fn itself decides which partitions to emit
+            if not spec.partition_by:
+                raise ValueError(
+                    f"model {spec.name}: insert_overwrite requires partition_by"
+                )
+            target.insert_overwrite_partitions(df, spec.partition_by)
         elif spec.materialization == "incremental":
             pb = spec.partition_by or None
             if spec.dedup and spec.tracking_column:

@@ -125,3 +125,75 @@ def test_null_partition_dedup_merge(spark, tmp_path):
     delta = spark.createDataFrame([(1, "zz", None)], SCHEMA)
     t.merge_upsert_dedup(delta, ["id"], tracking_col="v", partition_by=["m"])
     assert _state(t) == [(1, "zz", None), (9, "z", None)]
+
+
+# ---------------------------------------------------------------------------
+# insert_overwrite (dbt incremental strategy: replace whole partitions)
+# ---------------------------------------------------------------------------
+def test_insert_overwrite_replaces_only_delta_partitions(spark, tmp_path):
+    t = _t(
+        spark,
+        tmp_path,
+        [(1, "a", "2026-01"), (2, "b", "2026-01"), (3, "c", "2026-02")],
+    )
+    mtime_feb = os.path.getmtime(os.path.join(t.path, "m=2026-02"))
+    import time
+
+    time.sleep(1.1)
+    # backfill 2026-01: ONE row replaces the partition's two; row 2 is
+    # NOT carried over (no key matching — partition replacement)
+    delta = spark.createDataFrame([(9, "x", "2026-01")], SCHEMA)
+    t.insert_overwrite_partitions(delta, ["m"])
+    assert _state(t) == [(3, "c", "2026-02"), (9, "x", "2026-01")]
+    assert os.path.getmtime(os.path.join(t.path, "m=2026-02")) == mtime_feb
+
+
+def test_insert_overwrite_adds_new_partition_and_replays(spark, tmp_path):
+    t = _t(spark, tmp_path, [(1, "a", "2026-01")])
+    delta = spark.createDataFrame(
+        [(2, "b", "2026-02"), (3, "c", "2026-02")], SCHEMA
+    )
+    t.insert_overwrite_partitions(delta, ["m"])
+    expect = [(1, "a", "2026-01"), (2, "b", "2026-02"), (3, "c", "2026-02")]
+    assert _state(t) == expect
+    # idempotent replay
+    t.insert_overwrite_partitions(delta, ["m"])
+    assert _state(t) == expect
+
+
+def test_insert_overwrite_bootstraps_missing_table(spark, tmp_path):
+    t = ParquetTable(spark, os.path.join(tmp_path, "fresh"))
+    delta = spark.createDataFrame([(1, "a", "2026-01")], SCHEMA)
+    t.insert_overwrite_partitions(delta, ["m"])
+    assert _state(t) == [(1, "a", "2026-01")]
+
+
+def test_insert_overwrite_empty_delta_is_noop(spark, tmp_path):
+    t = _t(spark, tmp_path, [(1, "a", "2026-01")])
+    t.insert_overwrite_partitions(
+        spark.createDataFrame([], SCHEMA), ["m"]
+    )
+    assert _state(t) == [(1, "a", "2026-01")]
+
+
+def test_runner_insert_overwrite_materialization(spark, tmp_path):
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    wh = os.path.join(tmp_path, "wh")
+    state = {"rows": [(1, "a", "2026-01"), (2, "b", "2026-02")]}
+    runner = PipelineRunner(spark, wh, sf_dir="unused")
+    runner.register(
+        ModelSpec(
+            name="daily",
+            fn=lambda s, sf: s.createDataFrame(state["rows"], SCHEMA),
+            materialization="insert_overwrite",
+            partition_by=["m"],
+        )
+    )
+    runner.run()
+    t = runner.table("daily")
+    assert _state(t) == [(1, "a", "2026-01"), (2, "b", "2026-02")]
+    # backfill round: the model now emits ONLY the recomputed partition
+    state["rows"] = [(5, "a2", "2026-01")]
+    runner.run()
+    assert _state(t) == [(2, "b", "2026-02"), (5, "a2", "2026-01")]
