@@ -479,3 +479,35 @@ def test_temperature_sample_rates_broadcast_back(spark):
     plan = _plan(REGISTRY["domain_temperature_sample"].fn(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Scale guard: when a selective dim-side filter feeds a SHUFFLE
+    join (broadcast disabled/infeasible), Spark's runtime bloom filter
+    must inject on the probe side — at 100 TB this is what keeps a
+    selective join from shuffling the full fact table. Pinned here
+    with the injection thresholds opened up (local fixture tables are
+    below the default 10 MB creation threshold); production relies on
+    the same defaults-on optimizer rule."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMALL, "lineitem")
+        orders = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys, phys[:2000]
+        assert "bloom_filter_agg" in phys
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
