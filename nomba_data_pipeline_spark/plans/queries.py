@@ -3938,6 +3938,112 @@ SQL_GRAPH_PAGERANK = _pr_sql(
 )
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection — fill a training-token budget
+    (25% of the corpus's total tokens here) with the best documents
+    first: rank by an integer quality key (distinct-token count,
+    doc_id tie-break — a deliberate ALL-INTEGER ordering so the
+    cumulative cut is bit-identical across engines), take documents
+    while the running token total stays within budget. The
+    pretraining-data operation behind "select the best N-billion
+    tokens". Plan: one (doc, token) shuffle for the two integer
+    stats, one single-partition window for the running sum — the
+    ranking state is |docs| rows, not corpus bytes; at 100 TB you'd
+    range-partition the cumsum by score bucket (the same two-phase
+    trick as shards.py) before the global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("score"),
+        )
+    )
+    total = stats.agg((F.sum("n_tokens") / 4).cast("long").alias("budget"))
+    w = Window.orderBy(F.desc("score"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        stats.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "n_tokens", "score", "cum_tokens")
+    )
+
+
+SQL_TOKEN_BUDGET_SELECT = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({T.tokens_sql('text')}) AS tok FROM documents
+),
+stats AS (
+    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS score
+    FROM tok WHERE tok <> '' GROUP BY 1
+),
+ranked AS (
+    SELECT doc_id, n_tokens, score,
+           sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM stats
+)
+SELECT doc_id, n_tokens, CAST(score AS BIGINT) AS score,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked
+WHERE cum_tokens <= (SELECT CAST(sum(n_tokens) / 4 AS BIGINT) FROM stats)
+"""
+
+
+def q_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / quality-ramp sampling (the DCLM/FineWeb move):
+    bucket documents into quality deciles and keep a rate that ramps
+    down the ranking — decile 1 keeps 95%, decile 10 keeps 5%
+    (rate_permille = 1050 - 100*d). Decile assignment is ntile over
+    the same all-integer (score DESC, doc_id) order as
+    token_budget_select; the keep decision is an integer compare of a
+    portable md5-derived hash mod 1000 against the decile's
+    threshold, so sampling is deterministic, engine-identical, and
+    growth-stable per document. One token-stats shuffle + one
+    |docs|-row window; the hash filter is map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("score"))
+    )
+    d = F.ntile(10).over(Window.orderBy(F.desc("score"), "doc_id"))
+    from nomba_data_pipeline_spark.functions.hashing import h64
+
+    return (
+        stats.withColumn("decile", d)
+        .withColumn("u", h64(F.col("doc_id").cast("string"), seed=7) % 1000)
+        .filter(F.col("u") < 1050 - 100 * F.col("decile"))
+        .select("doc_id", "decile")
+    )
+
+
+from nomba_data_pipeline_spark.functions.hashing import h64_sql as _h64_sql
+
+SQL_CURRICULUM_SAMPLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({T.tokens_sql('text')}) AS tok FROM documents
+),
+stats AS (
+    SELECT doc_id, count(DISTINCT tok) AS score
+    FROM tok WHERE tok <> '' GROUP BY 1
+),
+ranked AS (
+    SELECT doc_id,
+           ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+    FROM stats
+)
+SELECT doc_id, decile
+FROM ranked
+WHERE {_h64_sql('CAST(doc_id AS VARCHAR)', seed=7)} % 1000 < 1050 - 100 * decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4095,6 +4201,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "graph_pagerank": QuerySpec(
         q_graph_pagerank, SQL_GRAPH_PAGERANK, "ext:graph-centrality"
+    ),
+    "token_budget_select": QuerySpec(
+        q_token_budget_select, SQL_TOKEN_BUDGET_SELECT, "ext:budget-selection"
+    ),
+    "curriculum_sample": QuerySpec(
+        q_curriculum_sample, SQL_CURRICULUM_SAMPLE, "ext:curriculum-sampling"
     ),
 }
 
