@@ -73,3 +73,59 @@ def read_stage(
             return reader.schema(schema).csv(stage_path)
         return reader.option("inferSchema", "true").csv(stage_path)
     return spark.read.parquet(stage_path)
+
+
+def read_stage_with_dlq(
+    spark: SparkSession,
+    stage_path: str,
+    schema,
+    dlq_path: str,
+    batch_id: str,
+) -> tuple[DataFrame, int]:
+    """Dead-letter-queue ingestion for a JSON stage: rows that fail to
+    parse against `schema` are quarantined (raw line + source file +
+    batch id) under `dlq_path/batch_id=<id>` instead of poisoning the
+    load, and the good rows come back schema-clean. The reference
+    simply skips unknown fields (base_loader.py:830-841) and LOSES
+    malformed lines; a production ingest needs them kept, inspectable,
+    and replayable.
+
+    Replay-idempotent: the quarantine write overwrites its own
+    batch_id directory, so re-running a batch never duplicates DLQ
+    rows. The batch is cached for the two passes (good + bad split) —
+    also required because Spark disallows queries referencing ONLY
+    the internal corrupt-record column; stage batches are
+    micro-batch-sized by construction (one load's delta), so the
+    cache footprint is the delta, not the lake.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructType
+
+    full = StructType(list(schema.fields)).add("_corrupt_record", StringType())
+    raw = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .json(stage_path)
+        .withColumn("_src_file", F.input_file_name())
+        .cache()
+    )
+    try:
+        bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+            F.col("_corrupt_record").alias("record"),
+            F.col("_src_file").alias("src_file"),
+        )
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("overwrite").parquet(f"{dlq_path}/batch_id={batch_id}")
+        good = (
+            raw.filter(F.col("_corrupt_record").isNull())
+            .drop("_corrupt_record", "_src_file")
+        )
+        return good, n_bad
+    finally:
+        # `bad` was already counted/written under the cache; `good`
+        # references every schema column, so it evaluates fine after
+        # unpersist (the corrupt-column-only restriction never applies
+        # to it) — eviction just re-reads the stage
+        raw.unpersist(False)
