@@ -75,6 +75,10 @@ HEADLINE = [
     "boilerplate_removal",
     "source_precedence_dedup",
     "snapshot_table_diff",
+    # round-6 fourth batch: iterative graph joins and the selection rows
+    "graph_pagerank",
+    "token_budget_select",
+    "curriculum_sample",
 ]
 
 
