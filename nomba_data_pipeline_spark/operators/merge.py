@@ -434,6 +434,27 @@ class ParquetTable:
         self.spark.catalog.refreshByPath(self.path)
 
     # -- maintenance ---------------------------------------------------------
+    def sweep_tmp(self) -> int:
+        """Remove orphaned staging directories (`<table>.tmp-*`) left
+        by writes that crashed between staging and swap. Every writer
+        in this class stages into a sibling tmp dir and deletes it
+        after the swap, so any survivor is a crash artifact — never
+        referenced by the live table, safe to drop. Single-writer
+        assumption (same as the writers themselves): don't sweep while
+        a write to THIS table is in flight. Returns dirs removed;
+        pure FS listing of the parent, zero data IO."""
+        fs, jpath = self._fs_and_path(self.path)
+        parent = jpath.getParent()
+        if parent is None or not fs.exists(parent):
+            return 0
+        prefix = jpath.getName() + ".tmp-"
+        removed = 0
+        for st in fs.listStatus(parent):
+            if st.getPath().getName().startswith(prefix):
+                fs.delete(st.getPath(), True)
+                removed += 1
+        return removed
+
     def file_count(self) -> int:
         """Number of data files backing the table (observability for the
         small-file soak: merge/append cadence must keep this bounded)."""

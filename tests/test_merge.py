@@ -263,3 +263,18 @@ def test_merge_schema_drift_tolerance(spark, tmp_path):
     )
     assert sorted(tp.read().columns) == ["id", "p", "v"]
     assert tp.read().count() == 2
+
+
+def test_sweep_tmp_removes_only_crash_orphans(spark, tmp_path, base_df):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(base_df)
+    # fake two crash leftovers + an unrelated sibling that must survive
+    os.makedirs(os.path.join(tmp_path, "t.tmp-deadbeef"))
+    os.makedirs(os.path.join(tmp_path, "t.tmp-cafe0001/sub"))
+    os.makedirs(os.path.join(tmp_path, "t_other"))
+    assert t.sweep_tmp() == 2
+    assert not os.path.exists(os.path.join(tmp_path, "t.tmp-deadbeef"))
+    assert os.path.exists(os.path.join(tmp_path, "t_other"))
+    # table contents untouched; idempotent
+    assert _rows(t) == [(1, "a", 10), (2, "b", 10), (3, "c", 10)]
+    assert t.sweep_tmp() == 0
