@@ -287,6 +287,85 @@ class ParquetTable:
         merged = kept.unionByName(delta)
         self.overwrite(merged)
 
+    def merge_upsert_cdf(
+        self,
+        delta: DataFrame,
+        keys: list[str],
+        cdf_path: str,
+        batch_id: str,
+        partition_by: list[str] | None = None,
+        partition_stable: bool = False,
+    ) -> int:
+        """merge_upsert + a change-data-feed: before applying the
+        merge, emit the batch's row-level changes (Delta-CDF shape —
+        `insert` rows, `update_preimage`/`update_postimage` pairs; a
+        matched row with identical payload emits NOTHING) to
+        `cdf_path/batch_id=<id>`. Downstream incremental consumers
+        read the feed instead of diffing snapshots — the streaming
+        complement to operators/diff.py's batch snapshot_diff.
+
+        Replay-idempotent at BOTH ends: the feed write overwrites its
+        own batch_id partition, and the merge itself converges; a
+        replayed batch produces an identical feed, never duplicates.
+        Cost at 100 TB: the change computation joins the target's
+        delta-keyed slice (semi-join, delta-sized) against the delta —
+        broadcast in steady-state CDC — on top of the merge's own
+        work; the feed ships changed rows only. Returns the number of
+        change rows written."""
+        target = self.read() if self.exists() else None
+        if target is not None:
+            d = _align_to_target(delta, target)
+            dkeys = d.select(*keys).dropDuplicates(keys)
+            before = _semi_anti_null_safe(target, dkeys, keys, "left_semi")
+        else:
+            d = delta
+            before = None
+        compare = [c for c in d.columns if c not in keys]
+        if before is not None:
+            n = d.alias("n")
+            # presence probe needs a guaranteed-non-null marker (upsert
+            # keys may legitimately be NULL and still match null-safely)
+            b = before.withColumn("__m", F.lit(1)).alias("b")
+            cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+            j = n.join(b, cond, "left")
+            matched = F.col("__m").isNotNull()
+            diffs = [
+                ~F.col(f"b.{c}").eqNullSafe(F.col(f"n.{c}")) for c in compare
+            ]
+            if diffs:
+                acc = diffs[0]
+                for x in diffs[1:]:
+                    acc = acc | x
+                changed = matched & acc
+            else:
+                changed = F.lit(False)
+            inserts = j.filter(~matched).select([F.col(f"n.{c}") for c in d.columns])
+            post = j.filter(changed).select([F.col(f"n.{c}") for c in d.columns])
+            pre = j.filter(changed).select(
+                [F.col(f"b.{c}").alias(c) for c in d.columns]
+            )
+            feed = (
+                inserts.withColumn("_op", F.lit("insert"))
+                .unionByName(pre.withColumn("_op", F.lit("update_preimage")))
+                .unionByName(post.withColumn("_op", F.lit("update_postimage")))
+            )
+        else:
+            feed = d.withColumn("_op", F.lit("insert"))
+        feed = feed.withColumn("_batch_id", F.lit(batch_id))
+        n_changes = feed.count()
+        fs, jpath = self._fs_and_path(f"{cdf_path}/batch_id={batch_id}")
+        if n_changes:
+            feed.drop("_batch_id").write.mode("overwrite").parquet(
+                f"{cdf_path}/batch_id={batch_id}"
+            )
+        elif fs.exists(jpath):
+            # replay of a no-change batch must clear a stale feed dir
+            fs.delete(jpath, True)
+        self.merge_upsert(
+            delta, keys, partition_by=partition_by, partition_stable=partition_stable
+        )
+        return n_changes
+
     def _merge_upsert_partitioned(
         self,
         delta: DataFrame,

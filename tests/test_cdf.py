@@ -1,0 +1,86 @@
+"""Change-data-feed on merge_upsert: insert / update_preimage /
+update_postimage emission, no-change silence, replay idempotency."""
+
+from __future__ import annotations
+
+import os
+
+from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+SCHEMA = "id int, v string, amt int"
+
+
+def _feed(spark, cdf, batch):
+    p = os.path.join(cdf, f"batch_id={batch}")
+    if not os.path.exists(p):
+        return []
+    return sorted(
+        (r._op, r.id, r.v, r.amt) for r in spark.read.parquet(p).collect()
+    )
+
+
+def test_cdf_emits_inserts_updates_and_skips_unchanged(spark, tmp_path):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    cdf = os.path.join(tmp_path, "cdf")
+    t.overwrite(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20), (3, "c", 30)], SCHEMA)
+    )
+    # 2 changes, 3 unchanged (no emission), 4 new
+    delta = spark.createDataFrame(
+        [(2, "b", 99), (3, "c", 30), (4, "d", 40)], SCHEMA
+    )
+    n = t.merge_upsert_cdf(delta, ["id"], cdf, "b1")
+    assert n == 3
+    assert _feed(spark, cdf, "b1") == [
+        ("insert", 4, "d", 40),
+        ("update_postimage", 2, "b", 99),
+        ("update_preimage", 2, "b", 20),
+    ]
+    # table state merged normally
+    assert sorted((r.id, r.amt) for r in t.read().collect()) == [
+        (1, 10),
+        (2, 99),
+        (3, 30),
+        (4, 40),
+    ]
+
+
+def test_cdf_replay_converges_feed_and_table(spark, tmp_path):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    cdf = os.path.join(tmp_path, "cdf")
+    t.overwrite(spark.createDataFrame([(1, "a", 10)], SCHEMA))
+    delta = spark.createDataFrame([(1, "a", 11), (2, "b", 20)], SCHEMA)
+    t.merge_upsert_cdf(delta, ["id"], cdf, "b1")
+    feed1 = _feed(spark, cdf, "b1")
+    # replay: table already holds the post state -> key 1 unchanged now,
+    # key 2 matched-unchanged -> feed for the batch becomes EMPTY (the
+    # stale dir must be cleared, not left with the old rows)
+    n2 = t.merge_upsert_cdf(delta, ["id"], cdf, "b1")
+    assert n2 == 0
+    assert _feed(spark, cdf, "b1") == []
+    assert len(feed1) == 3  # 1 insert + pre/post pair the first time
+
+
+def test_cdf_bootstrap_all_inserts(spark, tmp_path):
+    t = ParquetTable(spark, os.path.join(tmp_path, "fresh"))
+    cdf = os.path.join(tmp_path, "cdf")
+    delta = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], SCHEMA)
+    n = t.merge_upsert_cdf(delta, ["id"], cdf, "b0")
+    assert n == 2
+    assert [op for op, *_ in _feed(spark, cdf, "b0")] == ["insert", "insert"]
+
+
+def test_cdf_batches_accumulate_per_partition(spark, tmp_path):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    cdf = os.path.join(tmp_path, "cdf")
+    t.merge_upsert_cdf(
+        spark.createDataFrame([(1, "a", 10)], SCHEMA), ["id"], cdf, "b1"
+    )
+    t.merge_upsert_cdf(
+        spark.createDataFrame([(1, "a", 11)], SCHEMA), ["id"], cdf, "b2"
+    )
+    allfeed = spark.read.parquet(cdf)
+    assert allfeed.count() == 3  # b1 insert + b2 pre/post
+    assert sorted(
+        r.batch_id for r in allfeed.select("batch_id").distinct().collect()
+    ) == ["b1", "b2"]
