@@ -366,6 +366,43 @@ class ParquetTable:
         )
         return n_changes
 
+    def apply_cdf(self, cdf_path: str, keys: list[str]) -> list[str]:
+        """Replicate from a change-data-feed (the consumer half of
+        merge_upsert_cdf): apply every not-yet-applied feed batch to
+        THIS table, in lexicographic batch_id order, and return the
+        batch ids applied. Batch ids must therefore sort in commit
+        order (zero-padded sequence numbers or timestamps).
+
+        Exactly-once effect without a transaction log: each applied
+        batch is recorded as an `_APPLIED-<id>` marker file in a
+        SIBLING ledger directory (`<table>._cdf_applied/` — outside
+        the data dir, because every writer here swaps the data dir
+        whole and would wipe in-dir markers). A crash between merge
+        and marker replays that batch, and replaying a CDF batch
+        converges (the upsert re-writes the same post-images). Cost
+        per batch is one merge of feed-batch-sized rows — the replica
+        never rescans the feed's history, only unapplied partitions."""
+        fs, jroot = self._fs_and_path(cdf_path)
+        if not fs.exists(jroot):
+            return []
+        batches = sorted(
+            st.getPath().getName()[len("batch_id="):]
+            for st in fs.listStatus(jroot)
+            if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+        )
+        applied: list[str] = []
+        for bid in batches:
+            marker = f"{self.path}._cdf_applied/_APPLIED-{bid}"
+            mfs, mpath = self._fs_and_path(marker)
+            if mfs.exists(mpath):
+                continue
+            feed = self.spark.read.parquet(f"{cdf_path}/batch_id={bid}")
+            post = feed.filter(F.col("_op") != "update_preimage").drop("_op")
+            self.merge_upsert(post, keys)
+            mfs.create(mpath, True).close()
+            applied.append(bid)
+        return applied
+
     def _merge_upsert_partitioned(
         self,
         delta: DataFrame,

@@ -84,3 +84,56 @@ def test_cdf_batches_accumulate_per_partition(spark, tmp_path):
     assert sorted(
         r.batch_id for r in allfeed.select("batch_id").distinct().collect()
     ) == ["b1", "b2"]
+
+
+def test_apply_cdf_replicates_source(spark, tmp_path):
+    src = ParquetTable(spark, os.path.join(tmp_path, "src"))
+    replica = ParquetTable(spark, os.path.join(tmp_path, "replica"))
+    cdf = os.path.join(tmp_path, "cdf")
+    batches = [
+        [(1, "a", 10), (2, "b", 20)],
+        [(2, "b", 99), (3, "c", 30)],
+        [(1, "a2", 10)],
+    ]
+    for i, rows in enumerate(batches):
+        src.merge_upsert_cdf(
+            spark.createDataFrame(rows, SCHEMA), ["id"], cdf, f"b{i:04d}"
+        )
+    applied = replica.apply_cdf(cdf, ["id"])
+    assert applied == ["b0000", "b0001", "b0002"]
+    assert sorted(map(tuple, replica.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )
+    # nothing new -> no re-application
+    assert replica.apply_cdf(cdf, ["id"]) == []
+
+
+def test_apply_cdf_crash_between_merge_and_marker(spark, tmp_path):
+    src = ParquetTable(spark, os.path.join(tmp_path, "src"))
+    replica = ParquetTable(spark, os.path.join(tmp_path, "replica"))
+    cdf = os.path.join(tmp_path, "cdf")
+    src.merge_upsert_cdf(
+        spark.createDataFrame([(1, "a", 10)], SCHEMA), ["id"], cdf, "b0000"
+    )
+    replica.apply_cdf(cdf, ["id"])
+    # simulate the crash window: merge done, marker lost
+    os.remove(
+        os.path.join(tmp_path, "replica._cdf_applied", "_APPLIED-b0000")
+    )
+    assert replica.apply_cdf(cdf, ["id"]) == ["b0000"]  # replays
+    assert sorted(map(tuple, replica.read().collect())) == [(1, "a", 10)]
+
+
+def test_apply_cdf_catches_up_incrementally(spark, tmp_path):
+    src = ParquetTable(spark, os.path.join(tmp_path, "src"))
+    replica = ParquetTable(spark, os.path.join(tmp_path, "replica"))
+    cdf = os.path.join(tmp_path, "cdf")
+    src.merge_upsert_cdf(
+        spark.createDataFrame([(1, "a", 10)], SCHEMA), ["id"], cdf, "b0000"
+    )
+    assert replica.apply_cdf(cdf, ["id"]) == ["b0000"]
+    src.merge_upsert_cdf(
+        spark.createDataFrame([(1, "a", 77)], SCHEMA), ["id"], cdf, "b0001"
+    )
+    assert replica.apply_cdf(cdf, ["id"]) == ["b0001"]  # only the new batch
+    assert sorted(map(tuple, replica.read().collect())) == [(1, "a", 77)]
