@@ -907,3 +907,44 @@ class ParquetTable:
         return (
             self.read().groupBy(*keys).count().filter(F.col("count") > 1).count()
         )
+
+
+def ensure_inferred_members(
+    dim: ParquetTable,
+    fact_delta: DataFrame,
+    key: str,
+    defaults: dict | None = None,
+) -> int:
+    """Kimball late-arriving-dimension handling ("inferred members"):
+    fact rows can arrive before their dimension row. Instead of
+    failing the referential-integrity gate or dropping the fact, seed
+    the dimension with a placeholder row per missing key — the key
+    itself plus caller-supplied sentinel attributes (e.g. segment =
+    'UNKNOWN'), every other column NULL-filled at the dim's type. When
+    the real dimension row finally loads, the normal keyed upsert
+    replaces the placeholder wholesale — no special reconciliation
+    step.
+
+    Replay-idempotent: placeholders go in via merge_upsert on the key,
+    so re-running a batch inserts nothing new; and once the key exists
+    (placeholder OR real), it is never re-inferred. Cost: one
+    distinct + anti-join of the delta's keys against the dim's key
+    column (column-pruned scan; the delta side broadcasts) — at 100 TB
+    the dim key column is the only thing read. Returns the number of
+    placeholders created. NULL fact keys are skipped (a NULL foreign
+    key is a quality problem, not a missing member)."""
+    missing = fact_delta.select(key).dropna().dropDuplicates([key])
+    if dim.exists():
+        existing = dim.read()
+        missing = missing.join(existing.select(key), key, "left_anti")
+    n = missing.count()
+    if n == 0:
+        return 0
+    placeholder = missing
+    for c, v in (defaults or {}).items():
+        placeholder = placeholder.withColumn(c, F.lit(v))
+    if dim.exists():
+        dim.merge_upsert(placeholder, [key])
+    else:
+        dim.overwrite(placeholder)
+    return n

@@ -278,3 +278,44 @@ def test_sweep_tmp_removes_only_crash_orphans(spark, tmp_path, base_df):
     # table contents untouched; idempotent
     assert _rows(t) == [(1, "a", 10), (2, "b", 10), (3, "c", 10)]
     assert t.sweep_tmp() == 0
+
+
+# ---------------------------------------------------------------------------
+# inferred members (Kimball late-arriving dimension)
+# ---------------------------------------------------------------------------
+def test_inferred_members_seed_then_real_row_replaces(spark, tmp_path):
+    from nomba_data_pipeline_spark.operators.merge import ensure_inferred_members
+
+    dim = ParquetTable(spark, os.path.join(tmp_path, "dim"))
+    dim.overwrite(
+        spark.createDataFrame(
+            [(1, "retail", "NG")], "plan_id int, segment string, country string"
+        )
+    )
+    fact = spark.createDataFrame(
+        [(101, 1), (102, 7), (103, 7), (104, None)], "txn_id int, plan_id int"
+    )
+    n = ensure_inferred_members(dim, fact, "plan_id", {"segment": "UNKNOWN"})
+    assert n == 1  # plan 7 once (dedup), NULL key skipped
+    rows = {r.plan_id: (r.segment, r.country) for r in dim.read().collect()}
+    assert rows == {1: ("retail", "NG"), 7: ("UNKNOWN", None)}
+    # replay infers nothing new
+    assert ensure_inferred_members(dim, fact, "plan_id", {"segment": "UNKNOWN"}) == 0
+    # the real dimension row later replaces the placeholder wholesale
+    dim.merge_upsert(
+        spark.createDataFrame(
+            [(7, "corporate", "KE")], "plan_id int, segment string, country string"
+        ),
+        ["plan_id"],
+    )
+    rows = {r.plan_id: (r.segment, r.country) for r in dim.read().collect()}
+    assert rows[7] == ("corporate", "KE")
+
+
+def test_inferred_members_bootstrap_empty_dim(spark, tmp_path):
+    from nomba_data_pipeline_spark.operators.merge import ensure_inferred_members
+
+    dim = ParquetTable(spark, os.path.join(tmp_path, "dim"))
+    fact = spark.createDataFrame([(1, 5)], "txn_id int, plan_id int")
+    assert ensure_inferred_members(dim, fact, "plan_id") == 1
+    assert [r.plan_id for r in dim.read().collect()] == [5]
