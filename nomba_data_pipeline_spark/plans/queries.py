@@ -4044,6 +4044,85 @@ WHERE {_h64_sql('CAST(doc_id AS VARCHAR)', seed=7)} % 1000 < 1050 - 100 * decile
 """
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: corpus-wide bigram counts + pointwise
+    mutual information, the statistic behind phrase detection
+    (word2phrase), tokenizer-merge candidates, and stock-phrase
+    boilerplate signals. Bigrams come from one arrays_zip of the
+    shifted token array (map-side, no self-join); counts are two
+    partial-aggregated shuffles (bigram, unigram); PMI =
+    ln(c_ab * N / (c_a * c_b)) over exact integer counts, rounded to
+    4 dp on both engines (the threshold is the INTEGER count >= 5 —
+    floats appear only in the output, never in a comparison). The
+    unigram join broadcasts: vocabulary is tiny relative to corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        F.filter(T.tokens("text"), lambda t: t != "").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bigrams = toked.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1).alias("a"),
+                F.slice("toks", 2, F.size("toks") - 1).alias("b"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    bg_counts = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        docs.select(F.explode(T.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = bg_counts.agg(F.sum("c_ab").alias("n_bigrams"))
+    return (
+        bg_counts.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b")), "b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_bigrams")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+SQL_BIGRAM_PMI = f"""
+WITH toked AS (
+    SELECT list_filter({T.tokens_sql('text')}, t -> t <> '') AS toks
+    FROM documents
+),
+bigrams AS (
+    SELECT toks[i] AS a, toks[i + 1] AS b
+    FROM toked, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 2
+),
+bg AS (SELECT a, b, count(*) AS c_ab FROM bigrams GROUP BY 1, 2),
+uni AS (
+    SELECT t.tok AS tok, count(*) AS c
+    FROM documents, unnest({T.tokens_sql('text')}) AS t(tok)
+    WHERE t.tok <> '' GROUP BY 1
+),
+nt AS (SELECT sum(c_ab) AS n_bigrams FROM bg)
+SELECT bg.a || ' ' || bg.b AS bigram,
+       bg.c_ab,
+       round(ln(CAST(bg.c_ab AS DOUBLE) * (SELECT n_bigrams FROM nt)
+                / (CAST(ua.c AS DOUBLE) * ub.c)), 4) AS pmi
+FROM bg
+JOIN uni ua ON ua.tok = bg.a
+JOIN uni ub ON ub.tok = bg.b
+WHERE bg.c_ab >= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4208,6 +4287,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "curriculum_sample": QuerySpec(
         q_curriculum_sample, SQL_CURRICULUM_SAMPLE, "ext:curriculum-sampling"
     ),
+    "bigram_pmi": QuerySpec(q_bigram_pmi, SQL_BIGRAM_PMI, "ext:collocations"),
 }
 
 
