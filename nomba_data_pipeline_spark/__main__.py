@@ -246,6 +246,18 @@ def cmd_erase(args) -> int:
     return 0
 
 
+def cmd_refresh(args) -> int:
+    """dbt --full-refresh for a model subgraph: drop the named models
+    and every downstream dependent, rebuild from sources."""
+    from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    spark = _spark(args)
+    runner = build_pipeline(spark, args.warehouse, args.sf_dir)
+    counts = runner.full_refresh(args.models)
+    print(json.dumps({"refreshed": counts}))
+    return 0
+
+
 def cmd_list(args) -> int:
     from nomba_data_pipeline_spark.plans.queries import REGISTRY
 
@@ -326,6 +338,14 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--n-lists", type=int, default=16, help="IVF lists (build)")
     ix.add_argument("--pct", type=int, help="append only vec_id %% 100 < pct (demo slice)")
     ix.set_defaults(fn=cmd_index)
+
+    fr = sub.add_parser(
+        "refresh",
+        help="full-refresh a model subgraph (drop + rebuild incl. downstream)",
+    )
+    fr.add_argument("--warehouse", required=True)
+    fr.add_argument("--models", nargs="+", required=True)
+    fr.set_defaults(fn=cmd_refresh)
 
     er = sub.add_parser(
         "erase",

@@ -428,6 +428,37 @@ class PipelineRunner:
             self.spark.catalog.refreshByPath(closed_path)
         return removed
 
+    def full_refresh(self, names: list[str]) -> dict[str, int]:
+        """dbt `--full-refresh` for a model subgraph: drop the named
+        models' storage (including split-SCD2 `__open`/`__closed` side
+        tables) plus every DOWNSTREAM dependent's — their contents
+        derive from the rebuilt models, so keeping them would mix old
+        and new lineage — then rebuild. This is the documented remedy
+        for incremental staleness (see the dbt-parity NOTE in
+        pipeline.py): a dim attribute change reaches already-loaded
+        fact rows only through a full refresh.
+
+        Upstream models in the subgraph's dependency closure re-run
+        too (run(only=...) pulls them in) but are NOT dropped — for
+        incremental materializations that re-run is an empty-delta
+        no-op, so the cost stays O(refreshed models' sources).
+        Returns run()'s row counts for the executed subgraph."""
+        unknown = [n for n in names if n not in self.models]
+        if unknown:
+            raise ValueError(f"unknown models: {unknown}")
+        wanted = set(names)
+        changed = True
+        while changed:
+            changed = False
+            for spec in self.models.values():
+                if spec.name not in wanted and wanted & set(spec.depends_on):
+                    wanted.add(spec.name)
+                    changed = True
+        for name in wanted:
+            for suffix in ("", "__open", "__closed"):
+                self._rm_dir(os.path.join(self.warehouse_dir, name + suffix))
+        return self.run(only=list(wanted))
+
     def erase_subject(self, user_ids: list, erasure_id: str) -> dict[str, int]:
         """Right-to-be-forgotten erasure: physically remove every row
         belonging to `user_ids` from every materialized layer of the

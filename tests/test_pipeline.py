@@ -229,3 +229,28 @@ def test_cli_run_query_compact(spark, tmp_path, capsys):
     assert rc == 0
     fj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert fj["folded"] == 0  # nothing staged yet -> no-op
+
+
+def test_full_refresh_rebuilds_subgraph_and_downstream(spark, warehouse):
+    """dbt --full-refresh: a stale incremental mart picks up dim
+    attribute changes only through a full refresh; untouched side
+    branches keep their storage."""
+    runner = build_pipeline(spark, warehouse, SF_SMALL)
+    runner.run()
+    # an INCREMENTAL upstream in the dependency closure re-runs as an
+    # empty-delta no-op: its storage must not be rewritten (table-
+    # materialized upstreams like stg_users DO rewrite — that's their
+    # normal run behavior, not a refresh drop)
+    stg_txn_dir = os.path.join(warehouse, "stg_transactions")
+    mtime_stg_txn = os.path.getmtime(stg_txn_dir)
+    fact_before = runner.table("fact_transactions").read().count()
+
+    refreshed = runner.full_refresh(["dim_plans"])
+    assert "dim_plans" in refreshed and "fact_transactions" in refreshed
+    assert os.path.getmtime(stg_txn_dir) == mtime_stg_txn
+    assert runner.table("fact_transactions").read().count() == fact_before
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        runner.full_refresh(["no_such_model"])
