@@ -246,6 +246,32 @@ def cmd_erase(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over a materialized warehouse: every model directory
+    registers as a temp view under its own name (split-SCD2 side
+    tables included as <model>__open/__closed), then the query runs
+    through spark.sql — the full Catalyst SQL surface over the
+    medallion, no registry round-trip."""
+    spark = _spark(args)
+    registered = []
+    for d in sorted(os.listdir(args.warehouse)):
+        path = os.path.join(args.warehouse, d)
+        if d.startswith(("_", ".")) or not os.path.isdir(path):
+            continue
+        try:
+            spark.read.parquet(path).createOrReplaceTempView(d)
+            registered.append(d)
+        except Exception:
+            continue  # non-table dir (markers, ledgers) — skip
+    if args.explain:
+        spark.sql(args.query).explain("formatted")
+        return 0
+    df = spark.sql(args.query)
+    df.show(args.limit, truncate=False)
+    print(json.dumps({"views": registered}), file=sys.stderr)
+    return 0
+
+
 def cmd_refresh(args) -> int:
     """dbt --full-refresh for a model subgraph: drop the named models
     and every downstream dependent, rebuild from sources."""
@@ -338,6 +364,15 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--n-lists", type=int, default=16, help="IVF lists (build)")
     ix.add_argument("--pct", type=int, help="append only vec_id %% 100 < pct (demo slice)")
     ix.set_defaults(fn=cmd_index)
+
+    sq = sub.add_parser(
+        "sql", help="run ad-hoc SQL over a warehouse (models become temp views)"
+    )
+    sq.add_argument("--warehouse", required=True)
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--explain", action="store_true")
+    sq.set_defaults(fn=cmd_sql)
 
     fr = sub.add_parser(
         "refresh",
