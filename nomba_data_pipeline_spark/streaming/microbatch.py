@@ -547,3 +547,57 @@ def run_corpus_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_json_ingest_stream_with_dlq(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    good_path: str,
+    dlq_path: str,
+    checkpoint_dir: str,
+    max_files: int = 100,
+) -> None:
+    """Streaming twin of sources/staged.py read_stage_with_dlq: a JSON
+    file stream where malformed lines are quarantined per micro-batch
+    (raw record + source file under `dlq_path/batch_id=<micro-batch>`)
+    and good rows append to `good_path`. Exactly-once shape: the
+    checkpoint replays an uncommitted micro-batch with the SAME batch
+    id, the DLQ write overwrites its own batch partition, and the good
+    append goes through foreachBatch with the batch-scoped overwrite
+    pattern (`good_path/batch=<id>`), so a replay rewrites the same
+    partitions instead of duplicating. PERMISSIVE corrupt-record
+    routing needs the batch cached for the split — micro-batches are
+    bounded by maxFilesPerTrigger, so the cache is batch-sized."""
+    full = T.StructType(list(schema.fields)).add("_corrupt_record", T.StringType())
+    stream = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", max_files)
+        .json(source_dir)
+    )
+
+    def apply_batch(df, bid: int) -> None:
+        batch = df.withColumn("_src_file", F.input_file_name()).cache()
+        try:
+            bad = batch.filter(F.col("_corrupt_record").isNotNull()).select(
+                F.col("_corrupt_record").alias("record"),
+                F.col("_src_file").alias("src_file"),
+            )
+            if bad.limit(1).count():
+                bad.write.mode("overwrite").parquet(f"{dlq_path}/batch_id={bid}")
+            good = batch.filter(F.col("_corrupt_record").isNull()).drop(
+                "_corrupt_record", "_src_file"
+            )
+            good.write.mode("overwrite").parquet(f"{good_path}/batch={bid}")
+        finally:
+            batch.unpersist(False)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
