@@ -51,3 +51,43 @@ def test_include_unchanged_and_compare_subset(spark):
 def test_identical_snapshots_emit_nothing(spark):
     df = spark.createDataFrame([(1, "x", 1)], SCHEMA)
     assert snapshot_diff(df, df, ["id"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# property: snapshot_diff agrees with set arithmetic on random tables
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_table = st.dictionaries(
+    st.integers(min_value=0, max_value=15),
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+        st.integers(min_value=0, max_value=3),
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old=_table, new=_table)
+def test_snapshot_diff_matches_set_arithmetic(spark, old, new):
+    def df(d):
+        return spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in d.items()] or [(None, None, None)], SCHEMA
+        ).dropna(subset=["id"])
+
+    out = {
+        r.id: (r.change_type, r.n_changed_cols)
+        for r in snapshot_diff(df(old), df(new), ["id"]).collect()
+    }
+    expect = {}
+    for k in set(old) | set(new):
+        if k not in new:
+            expect[k] = ("removed", 0)
+        elif k not in old:
+            expect[k] = ("added", 0)
+        elif old[k] != new[k]:
+            n = sum(1 for i in range(2) if old[k][i] != new[k][i])
+            expect[k] = ("changed", n)
+    assert out == expect
