@@ -976,3 +976,65 @@ def precedence_dedup_sql(union_cte: str) -> str:
     FROM ranked r JOIN srcs s USING (text_fp)
     WHERE r.rn = 1 AND r.n_copies > 1
     """
+
+
+# ---------------------------------------------------------------------------
+# shingle containment (asymmetric near-dup: excerpts and quotations)
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def containment_pairs(docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD) -> DataFrame:
+    """Asymmetric containment dedup: |A ∩ B| / min(|A|, |B|) over
+    distinct shingle sets — the measure that catches a short document
+    QUOTED inside a long one, which symmetric Jaccard dilutes below
+    any usable threshold (a 40-shingle excerpt of a 4000-shingle page
+    has Jaccard ≤ 0.01 but containment 1.0). Same co-occurrence-
+    bounded equi-join shape as ngram_jaccard_pairs — pairs exist only
+    where shingles are shared, never n². The threshold compares an
+    exact-integer ratio (one IEEE double divide), so the cut is
+    engine-identical; the reported score is rounded to 6 dp."""
+    sh = shingle_set(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    scored = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.least("n_a", "n_b"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return scored.select(
+        "doc_a", "doc_b", "n_inter", F.round("containment", 6).alias("containment")
+    )
+
+
+def containment_pairs_sql(
+    table: str = "documents", threshold: float = CONTAINMENT_THRESHOLD
+) -> str:
+    return f"""
+    WITH sh AS ({shingle_set_sql(table)}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           round(CAST(n_inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) >= {threshold}
+    """

@@ -4123,6 +4123,18 @@ WHERE bg.c_ab >= 5
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (operators/dedup.py
+    containment_pairs): |A∩B| / min(|A|,|B|) over distinct 3-token
+    shingle sets, catching excerpts/quotes symmetric Jaccard dilutes
+    away. 25 pairs >= 0.6 at sf0.01 incl. full containment 1.0 —
+    non-vacuous in both the pair set and the score range."""
+    return D.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CONTAINMENT_PAIRS = D.containment_pairs_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4288,6 +4300,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_curriculum_sample, SQL_CURRICULUM_SAMPLE, "ext:curriculum-sampling"
     ),
     "bigram_pmi": QuerySpec(q_bigram_pmi, SQL_BIGRAM_PMI, "ext:collocations"),
+    "containment_pairs": QuerySpec(
+        q_containment_pairs, SQL_CONTAINMENT_PAIRS, "ext:dedup-containment"
+    ),
 }
 
 
