@@ -254,3 +254,46 @@ def test_full_refresh_rebuilds_subgraph_and_downstream(spark, warehouse):
 
     with _pytest.raises(ValueError):
         runner.full_refresh(["no_such_model"])
+
+
+def test_cli_sql_refresh_erase(spark, tmp_path, capsys):
+    """Round-6 CLI verbs: sql (ad-hoc over the warehouse), refresh
+    (subgraph rebuild), erase (GDPR purge + manifest)."""
+    import json
+
+    from nomba_data_pipeline_spark.__main__ import main
+
+    wh = os.path.join(tmp_path, "wh")
+    assert main(["--sf-dir", SF_SMALL, "run", "--warehouse", wh]) == 0
+    capsys.readouterr()
+
+    rc = main(
+        [
+            "--sf-dir", SF_SMALL, "sql", "--warehouse", wh,
+            "--query", "SELECT count(*) AS n FROM fact_transactions",
+        ]
+    )
+    assert rc == 0
+    assert "n" in capsys.readouterr().out
+
+    rc = main(
+        ["--sf-dir", SF_SMALL, "refresh", "--warehouse", wh, "--models", "dim_plans"]
+    )
+    assert rc == 0
+    rj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "fact_transactions" in rj["refreshed"]
+
+    uid = next(
+        r.user_id
+        for r in spark.read.parquet(os.path.join(wh, "stg_users")).limit(1).collect()
+    )
+    rc = main(
+        [
+            "--sf-dir", SF_SMALL, "erase", "--warehouse", wh,
+            "--user-ids", str(uid), "--erasure-id", "cli-req",
+        ]
+    )
+    assert rc == 0
+    ej = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ej["rows_removed"]["stg_users"] == 1
+    assert os.path.exists(os.path.join(wh, "_erasures", "cli-req.json"))
