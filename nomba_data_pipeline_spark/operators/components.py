@@ -161,12 +161,23 @@ def pagerank(
     dst: str = "dst",
     damping: float = PAGERANK_DAMPING,
     iters: int = PAGERANK_ITERS,
+    truncate_lineage: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list (pass both directions for an
     undirected graph). Nodes = every id appearing as src or dst; every
     node is assumed to have at least one out-edge (true for
     undirected graphs; add self-loops upstream for dangling nodes).
-    Returns (node, pagerank) with pagerank rounded to 6 dp."""
+    Returns (node, pagerank) with pagerank rounded to 6 dp.
+
+    `truncate_lineage` localCheckpoints the static subtrees (node set,
+    degree-weighted edges) so the unrolled plan stops re-deriving them
+    per iteration. Measured trade at 3 iterations: the recompute is
+    just one extra source scan per iteration (the per-iteration
+    shuffle happens either way), while checkpointing pays a
+    materialization — 1.7 s vs 3.5 s at sf0.1, so the fast default is
+    OFF. Flip it on for >~10 iterations (unrolled-plan size growth)
+    or when the edge list is expensive to re-derive (itself the
+    output of joins); use reliable checkpoint() on a cluster store."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -175,6 +186,9 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ew = e.join(deg, "src")
+    if truncate_lineage:
+        nodes = nodes.localCheckpoint(eager=False)
+        ew = ew.localCheckpoint(eager=False)
     n_total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
