@@ -4135,6 +4135,65 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONTAINMENT_PAIRS = D.containment_pairs_sql()
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-datasheet summary — the one-row "data card" corpus
+    releases publish (counts, language spread, size percentiles, dup
+    rate). Four independent single-row aggregates (global counts,
+    token total, deterministic top language via (count DESC, lang)
+    ordering, fingerprint dup groups) cross-joined at the driver —
+    each leg is one partial-aggregated shuffle; the joins move four
+    single rows. The median is exact interpolated (percentile ↔
+    quantile_cont, the pinned cross-engine pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+    )
+    toks = docs.agg(F.sum(T.token_count("text")).alias("total_tokens"))
+    top = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("c").alias("top_lang_docs"))
+    )
+    dups = (
+        docs.select(T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup_groups"))
+    )
+    return base.crossJoin(toks).crossJoin(top).crossJoin(dups)
+
+
+SQL_CORPUS_DATACARD = f"""
+WITH base AS (
+    SELECT count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           round(quantile_cont(n_chars, 0.5), 2) AS p50_chars
+    FROM documents
+),
+toks AS (
+    SELECT sum({T.token_count_sql('text')}) AS total_tokens FROM documents
+),
+top AS (
+    SELECT lang AS top_lang, count(*) AS top_lang_docs
+    FROM documents GROUP BY 1 ORDER BY count(*) DESC, lang LIMIT 1
+),
+dups AS (
+    SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
+    FROM (SELECT {T.fingerprint_sql('text')} AS fp, count(*) AS n
+          FROM documents GROUP BY 1)
+)
+SELECT base.*, toks.total_tokens, top.top_lang, top.top_lang_docs,
+       dups.dup_groups
+FROM base, toks, top, dups
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4302,6 +4361,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bigram_pmi": QuerySpec(q_bigram_pmi, SQL_BIGRAM_PMI, "ext:collocations"),
     "containment_pairs": QuerySpec(
         q_containment_pairs, SQL_CONTAINMENT_PAIRS, "ext:dedup-containment"
+    ),
+    "corpus_datacard": QuerySpec(
+        q_corpus_datacard, SQL_CORPUS_DATACARD, "ext:datacard"
     ),
 }
 
