@@ -261,8 +261,12 @@ def cmd_sql(args) -> int:
         try:
             spark.read.parquet(path).createOrReplaceTempView(d)
             registered.append(d)
-        except Exception:
-            continue  # non-table dir (markers, ledgers) — skip
+        except Exception as e:
+            # non-table dirs (marker ledgers) land here too, but a
+            # corrupted real table must not be silently invisible —
+            # surface what was skipped and why
+            print(f"skipping {d}: {type(e).__name__}: {e}"[:300], file=sys.stderr)
+            continue
     if args.explain:
         spark.sql(args.query).explain("formatted")
         return 0

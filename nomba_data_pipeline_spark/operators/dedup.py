@@ -1004,11 +1004,14 @@ def containment_pairs(docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # sizes is |docs|-cardinality: no broadcast hint — AQE broadcasts
+    # it when it fits and falls back to a shuffle join at corpus scale
+    # (same pattern as ngram_jaccard_pairs above)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     scored = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "containment",
             F.col("n_inter").cast("double") / F.least("n_a", "n_b"),

@@ -351,11 +351,10 @@ class ParquetTable:
             )
         else:
             feed = d.withColumn("_op", F.lit("insert"))
-        feed = feed.withColumn("_batch_id", F.lit(batch_id))
         n_changes = feed.count()
         fs, jpath = self._fs_and_path(f"{cdf_path}/batch_id={batch_id}")
         if n_changes:
-            feed.drop("_batch_id").write.mode("overwrite").parquet(
+            feed.write.mode("overwrite").parquet(
                 f"{cdf_path}/batch_id={batch_id}"
             )
         elif fs.exists(jpath):
@@ -395,6 +394,15 @@ class ParquetTable:
             marker = f"{self.path}._cdf_applied/_APPLIED-{bid}"
             mfs, mpath = self._fs_and_path(marker)
             if mfs.exists(mpath):
+                continue
+            # only consume COMMITTED batches: the producer's overwrite
+            # moves task files into place non-atomically, and applying a
+            # half-written batch would mark it applied forever. _SUCCESS
+            # is written at commit, so its presence is the consume gate.
+            _, spath = self._fs_and_path(
+                f"{cdf_path}/batch_id={bid}/_SUCCESS"
+            )
+            if not fs.exists(spath):
                 continue
             feed = self.spark.read.parquet(f"{cdf_path}/batch_id={bid}")
             post = feed.filter(F.col("_op") != "update_preimage").drop("_op")
@@ -563,10 +571,19 @@ class ParquetTable:
         parent = jpath.getParent()
         if parent is None or not fs.exists(parent):
             return 0
-        prefix = jpath.getName() + ".tmp-"
+        name = jpath.getName()
+        # .tmp-: staged-but-unswapped writes (always safe to drop);
+        # .old-/.erase-old-: swap backups — only safe once the live
+        # table exists again (in the crash window where the live dir is
+        # missing, the backup IS the data: leave it for recovery);
+        # .erase-tmp-: the closed-history rewrite's out-of-tree staging
+        always = (name + ".tmp-", name + ".erase-tmp-")
+        if_live = (name + ".old-", name + ".erase-old-")
+        live = fs.exists(jpath)
         removed = 0
         for st in fs.listStatus(parent):
-            if st.getPath().getName().startswith(prefix):
+            n = st.getPath().getName()
+            if n.startswith(always) or (live and n.startswith(if_live)):
                 fs.delete(st.getPath(), True)
                 removed += 1
         return removed
@@ -932,19 +949,26 @@ def ensure_inferred_members(
     column (column-pruned scan; the delta side broadcasts) — at 100 TB
     the dim key column is the only thing read. Returns the number of
     placeholders created. NULL fact keys are skipped (a NULL foreign
-    key is a quality problem, not a missing member)."""
+    key is a quality problem, not a missing member).
+
+    The dimension must already EXIST: bootstrapping it from a
+    placeholder would freeze its schema at (key + defaults), and every
+    later real load would be silently truncated to that narrow schema
+    by the merge's align-to-target projection. Create the dim (even
+    empty) with its real schema first."""
+    if not dim.exists():
+        raise ValueError(
+            f"dimension at {dim.path} does not exist: inferred members "
+            "require the dim's real schema (a placeholder-created table "
+            "would truncate every later load to key+defaults)"
+        )
     missing = fact_delta.select(key).dropna().dropDuplicates([key])
-    if dim.exists():
-        existing = dim.read()
-        missing = missing.join(existing.select(key), key, "left_anti")
+    missing = missing.join(dim.read().select(key), key, "left_anti")
     n = missing.count()
     if n == 0:
         return 0
     placeholder = missing
     for c, v in (defaults or {}).items():
         placeholder = placeholder.withColumn(c, F.lit(v))
-    if dim.exists():
-        dim.merge_upsert(placeholder, [key])
-    else:
-        dim.overwrite(placeholder)
+    dim.merge_upsert(placeholder, [key])
     return n

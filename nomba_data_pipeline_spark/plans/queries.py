@@ -3961,7 +3961,10 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("tok").alias("score"),
         )
     )
-    total = stats.agg((F.sum("n_tokens") / 4).cast("long").alias("budget"))
+    # floor division (not a double cast): Spark's double->long cast
+    # truncates while DuckDB's CAST rounds-to-nearest — integer floor
+    # on BOTH engines keeps the budget bit-identical for any total
+    total = stats.agg(F.floor(F.sum("n_tokens") / 4).cast("long").alias("budget"))
     w = Window.orderBy(F.desc("score"), "doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -3990,7 +3993,7 @@ ranked AS (
 SELECT doc_id, n_tokens, CAST(score AS BIGINT) AS score,
        CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM ranked
-WHERE cum_tokens <= (SELECT CAST(sum(n_tokens) / 4 AS BIGINT) FROM stats)
+WHERE cum_tokens <= (SELECT sum(n_tokens) // 4 FROM stats)
 """
 
 

@@ -442,10 +442,26 @@ class PipelineRunner:
         too (run(only=...) pulls them in) but are NOT dropped — for
         incremental materializations that re-run is an empty-delta
         no-op, so the cost stays O(refreshed models' sources).
-        Returns run()'s row counts for the executed subgraph."""
+
+        SCD2 snapshot models are NEVER dropped — not even when named
+        explicitly (naming one raises). Their closed history is an
+        append-only audit record that cannot be rebuilt from current
+        sources; dbt's --full-refresh excludes snapshots for the same
+        reason. A snapshot in the downstream closure re-RUNS normally
+        (change-detection against its existing state), it just keeps
+        its storage. Returns run()'s row counts for the executed
+        subgraph."""
         unknown = [n for n in names if n not in self.models]
         if unknown:
             raise ValueError(f"unknown models: {unknown}")
+        snapshots = [n for n in names if self.models[n].materialization == "scd2"]
+        if snapshots:
+            raise ValueError(
+                f"refusing to full-refresh SCD2 snapshot models {snapshots}: "
+                "closed history is append-only audit state and cannot be "
+                "rebuilt from current sources (dbt --full-refresh excludes "
+                "snapshots for the same reason)"
+            )
         wanted = set(names)
         changed = True
         while changed:
@@ -455,6 +471,8 @@ class PipelineRunner:
                     wanted.add(spec.name)
                     changed = True
         for name in wanted:
+            if self.models[name].materialization == "scd2":
+                continue  # re-runs, but history storage is preserved
             for suffix in ("", "__open", "__closed"):
                 self._rm_dir(os.path.join(self.warehouse_dir, name + suffix))
         return self.run(only=list(wanted))
@@ -539,15 +557,22 @@ class PipelineRunner:
                 )
             removed[name] = n_before - n_kept
 
+        # ORDER MATTERS for crash replay: the plan-keyed transaction
+        # tables must be erased BEFORE stg_plans/dim_plans. The subject
+        # -> plan_id mapping lives only in stg_plans; if a crash landed
+        # between erasing stg_plans and the transactions, a replay
+        # could no longer resolve the subject's plans and would leave
+        # their transactions behind while reporting success. Erasing
+        # txns first keeps every later step replayable from source.
+        erase_plain("stg_transactions", [(plan_ids, "plan_id")])
+        erase_plain(
+            "fact_transactions", [(ids_df, "user_id"), (plan_ids, "plan_id")]
+        )
         erase_plain("stg_users", [(ids_df, "user_id")])
         erase_plain("users_snapshot__open", [(ids_df, "user_id")])
         erase_plain("dim_users", [(ids_df, "user_id")])
         erase_plain("stg_plans", [(ids_df, "user_id")])
         erase_plain("dim_plans", [(ids_df, "user_id")])
-        erase_plain("stg_transactions", [(plan_ids, "plan_id")])
-        erase_plain(
-            "fact_transactions", [(ids_df, "user_id"), (plan_ids, "plan_id")]
-        )
 
         # closed SCD2 history: partition-scoped rewrite
         closed_path = os.path.join(self.warehouse_dir, "users_snapshot__closed")
@@ -564,21 +589,40 @@ class PipelineRunner:
                 .distinct()
                 .collect()
             )
+            import uuid as _uuid
+
             for r in affected:
                 part = os.path.join(
                     closed_path,
                     f"batch_id={r['batch_id']}",
                     f"close_date={r['close_date']}",
                 )
-                pt = ParquetTable(self.spark, part)
-                cur = pt.read()
+                cur = self.spark.read.parquet(part)
                 kept = cur.join(F.broadcast(ids_df), "user_id", "left_anti")
                 n_before, n_kept = cur.count(), kept.count()
                 n_hist += n_before - n_kept
                 if n_kept == 0:
                     self._rm_dir(part)
                 elif n_kept < n_before:
-                    pt.overwrite(kept)
+                    # stage OUTSIDE the partitioned tree: an in-tree
+                    # `.tmp-`/`.old-` sibling of a close_date dir would be
+                    # parsed by Hive partition discovery as a real
+                    # partition value, resurrecting supposedly-erased rows
+                    # after a crash mid-rewrite. Same rename-dance window
+                    # as ParquetTable._swap_in.
+                    tag = _uuid.uuid4().hex[:8]
+                    stage = f"{closed_path}.erase-tmp-{tag}"
+                    backup = f"{closed_path}.erase-old-{tag}"
+                    kept.write.mode("overwrite").parquet(stage)
+                    _, spath = fs_and_path(self.spark, stage)
+                    _, ppath = fs_and_path(self.spark, part)
+                    _, bpath = fs_and_path(self.spark, backup)
+                    if not fs.rename(ppath, bpath):
+                        raise IOError(f"rename {part} -> backup failed")
+                    if not fs.rename(spath, ppath):
+                        fs.rename(bpath, ppath)  # roll back
+                        raise IOError(f"rename {stage} -> {part} failed")
+                    fs.delete(bpath, True)
             # drop batch dirs emptied of every close_date partition
             for bst in fs.listStatus(root):
                 bp = bst.getPath()

@@ -268,16 +268,29 @@ def test_merge_schema_drift_tolerance(spark, tmp_path):
 def test_sweep_tmp_removes_only_crash_orphans(spark, tmp_path, base_df):
     t = ParquetTable(spark, os.path.join(tmp_path, "t"))
     t.overwrite(base_df)
-    # fake two crash leftovers + an unrelated sibling that must survive
+    # fake crash leftovers of every class + an unrelated sibling
     os.makedirs(os.path.join(tmp_path, "t.tmp-deadbeef"))
     os.makedirs(os.path.join(tmp_path, "t.tmp-cafe0001/sub"))
+    os.makedirs(os.path.join(tmp_path, "t.old-12ab34cd"))
+    os.makedirs(os.path.join(tmp_path, "t.erase-tmp-55aa55aa"))
     os.makedirs(os.path.join(tmp_path, "t_other"))
-    assert t.sweep_tmp() == 2
+    assert t.sweep_tmp() == 4
     assert not os.path.exists(os.path.join(tmp_path, "t.tmp-deadbeef"))
+    assert not os.path.exists(os.path.join(tmp_path, "t.old-12ab34cd"))
     assert os.path.exists(os.path.join(tmp_path, "t_other"))
     # table contents untouched; idempotent
     assert _rows(t) == [(1, "a", 10), (2, "b", 10), (3, "c", 10)]
     assert t.sweep_tmp() == 0
+
+
+def test_sweep_tmp_keeps_backup_when_live_table_missing(spark, tmp_path, base_df):
+    """Crash window where the live dir was renamed away: the .old-
+    backup IS the data — the sweep must leave it for recovery."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "gone"))
+    os.makedirs(os.path.join(tmp_path, "gone.old-deadbeef"))
+    os.makedirs(os.path.join(tmp_path, "gone.tmp-deadbeef"))
+    assert t.sweep_tmp() == 1  # tmp swept, backup preserved
+    assert os.path.exists(os.path.join(tmp_path, "gone.old-deadbeef"))
 
 
 # ---------------------------------------------------------------------------
@@ -312,10 +325,15 @@ def test_inferred_members_seed_then_real_row_replaces(spark, tmp_path):
     assert rows[7] == ("corporate", "KE")
 
 
-def test_inferred_members_bootstrap_empty_dim(spark, tmp_path):
+def test_inferred_members_missing_dim_refuses(spark, tmp_path):
+    """Bootstrapping a dim from a placeholder would freeze its schema
+    at key+defaults and silently truncate every later real load (the
+    merge aligns deltas to the target schema) — must refuse."""
+    import pytest
+
     from nomba_data_pipeline_spark.operators.merge import ensure_inferred_members
 
     dim = ParquetTable(spark, os.path.join(tmp_path, "dim"))
     fact = spark.createDataFrame([(1, 5)], "txn_id int, plan_id int")
-    assert ensure_inferred_members(dim, fact, "plan_id") == 1
-    assert [r.plan_id for r in dim.read().collect()] == [5]
+    with pytest.raises(ValueError, match="does not exist"):
+        ensure_inferred_members(dim, fact, "plan_id")

@@ -297,3 +297,27 @@ def test_cli_sql_refresh_erase(spark, tmp_path, capsys):
     ej = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ej["rows_removed"]["stg_users"] == 1
     assert os.path.exists(os.path.join(wh, "_erasures", "cli-req.json"))
+
+
+def test_full_refresh_preserves_scd2_history(spark, warehouse):
+    """SCD2 snapshots are excluded from full-refresh drops: refreshing
+    stg_users pulls users_snapshot into the downstream closure, but
+    the closed history must survive; naming a snapshot refuses."""
+    runner = build_pipeline(spark, warehouse, SF_SMALL)
+    runner.run()
+    override = {
+        "stg_users": lambda s, sf: simulate_user_updates(
+            M.stg_users(s, sf), fraction=0.2
+        )
+    }
+    runner2 = build_pipeline(spark, warehouse, SF_SMALL, source_override=override)
+    runner2.run()
+    closed_before = runner2.table("users_snapshot__closed").read().count()
+    assert closed_before > 0
+
+    runner3 = build_pipeline(spark, warehouse, SF_SMALL, source_override=override)
+    runner3.full_refresh(["stg_users"])
+    assert runner3.table("users_snapshot__closed").read().count() == closed_before
+
+    with pytest.raises(ValueError, match="SCD2 snapshot"):
+        runner3.full_refresh(["users_snapshot"])
