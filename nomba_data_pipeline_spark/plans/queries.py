@@ -4197,6 +4197,60 @@ FROM base, toks, top, dups
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each doc draws u from a deterministic portable hash
+    (h64/2^60 ∈ (0,1)), gets key ln(u)/w with weight w = n_chars, and
+    the k=100 largest keys win — longer documents proportionally more
+    likely, reproducible across engines and runs. A-ES is THE
+    distributed weighted sampler: keys are independent per row
+    (map-side), so top-k needs only a per-partition heap + one merge —
+    here a single row_number window; at 100 TB, partial top-k
+    (takeOrdered semantics) replaces the global sort. ln appears only
+    in the RANKING of well-separated hash-derived doubles, never in a
+    cross-engine value compare — the output is the selected id set."""
+    from nomba_data_pipeline_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        # +1 maps the 60-bit hash into (0, 2^60], so u ∈ (0,1] and
+        # ln(u) is always finite (u=0 would be -inf)
+        (
+            F.log(
+                (h64(F.col("doc_id").cast("string"), seed=11) + 1).cast("double")
+                / (2.0 ** 60)
+            )
+            / F.col("n_chars")
+        ).alias("k"),
+    )
+    w = Window.orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("doc_id", "n_chars")
+    )
+
+
+from nomba_data_pipeline_spark.functions.hashing import h64_sql as _h64s
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ln(CAST({_h64s('CAST(doc_id AS VARCHAR)', seed=11)} + 1 AS DOUBLE)
+              / 1152921504606846976.0) / n_chars AS k
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+    FROM keyed
+)
+SELECT doc_id, n_chars FROM ranked WHERE rn <= 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4367,6 +4421,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "corpus_datacard": QuerySpec(
         q_corpus_datacard, SQL_CORPUS_DATACARD, "ext:datacard"
+    ),
+    "weighted_sample": QuerySpec(
+        q_weighted_sample, SQL_WEIGHTED_SAMPLE, "ext:weighted-sampling"
     ),
 }
 
