@@ -79,6 +79,10 @@ HEADLINE = [
     "graph_pagerank",
     "token_budget_select",
     "curriculum_sample",
+    "bigram_pmi",
+    "containment_pairs",
+    "corpus_datacard",
+    "weighted_sample",
 ]
 
 

@@ -601,3 +601,38 @@ def run_json_ingest_stream_with_dlq(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_merge_stream_cdf(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    target_path: str,
+    cdf_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """Streaming O7 that also PUBLISHES a change-data-feed: each
+    micro-batch merges into the target via merge_upsert_cdf, emitting
+    the batch's insert/update pre+post rows under
+    `cdf_path/batch_id=<zero-padded micro-batch id>` — downstream
+    replicas follow with ParquetTable.apply_cdf instead of re-reading
+    the table. End-to-end exactly-once effect: a crashed micro-batch
+    replays under the SAME id, the feed overwrite and the merge both
+    converge, and the zero-padding keeps lexicographic feed order ==
+    commit order for the consumer."""
+    target = ParquetTable(spark, target_path)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        target.merge_upsert_cdf(batch_df, keys, cdf_path, f"{batch_id:012d}")
+
+    q = (
+        stream_events(spark, source_dir, schema)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
