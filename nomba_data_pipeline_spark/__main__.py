@@ -246,6 +246,38 @@ def cmd_erase(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """dbt `test` equivalent: run a model's declared quality checks
+    (unique / not_null / accepted_values / relationships / min_rows)
+    against its CURRENT storage, without rebuilding anything. Exit 1
+    on violations — cron-able as a standalone data-quality monitor."""
+    from nomba_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    spark = _spark(args)
+    runner = build_pipeline(spark, args.warehouse, args.sf_dir)
+    if args.model not in runner.models:
+        print(f"unknown model {args.model!r}", file=sys.stderr)
+        return 2
+    from nomba_data_pipeline_spark.plans.quality import relationship_violations
+
+    spec = runner.models[args.model]
+    df = runner.read_model(args.model)
+    results, total = spec.quality.profile(df)
+    for col, (parent_name, parent_col) in spec.quality.relationships.items():
+        results[f"relationship:{col}->{parent_name}.{parent_col}"] = (
+            relationship_violations(
+                df, col, runner.read_model(parent_name), parent_col
+            )
+        )
+    violations = {k: v for k, v in results.items() if v}
+    print(
+        json.dumps(
+            {"model": args.model, "rows": total, "violations": violations}
+        )
+    )
+    return 1 if violations else 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc SQL over a materialized warehouse: every model directory
     registers as a temp view under its own name (split-SCD2 side
@@ -368,6 +400,14 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--n-lists", type=int, default=16, help="IVF lists (build)")
     ix.add_argument("--pct", type=int, help="append only vec_id %% 100 < pct (demo slice)")
     ix.set_defaults(fn=cmd_index)
+
+    va = sub.add_parser(
+        "validate",
+        help="run a model's declared quality checks against current storage",
+    )
+    va.add_argument("--warehouse", required=True)
+    va.add_argument("--model", required=True)
+    va.set_defaults(fn=cmd_validate)
 
     sq = sub.add_parser(
         "sql", help="run ad-hoc SQL over a warehouse (models become temp views)"

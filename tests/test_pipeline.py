@@ -321,3 +321,29 @@ def test_full_refresh_preserves_scd2_history(spark, warehouse):
 
     with pytest.raises(ValueError, match="SCD2 snapshot"):
         runner3.full_refresh(["users_snapshot"])
+
+
+def test_cli_validate_reports_clean_and_corrupted(spark, tmp_path, capsys):
+    """`validate` = standalone dbt test: clean model exits 0; a
+    corrupted table (duplicate key injected) exits 1 naming the
+    failed check."""
+    import json
+
+    from nomba_data_pipeline_spark.__main__ import main
+
+    wh = os.path.join(tmp_path, "wh")
+    assert main(["--sf-dir", SF_SMALL, "run", "--warehouse", wh]) == 0
+    capsys.readouterr()
+
+    rc = main(["--sf-dir", SF_SMALL, "validate", "--warehouse", wh, "--model", "dim_plans"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["violations"] == {}
+
+    # corrupt: duplicate a stg_plans row behind the runner's back
+    p = os.path.join(wh, "stg_plans")
+    dup = spark.read.parquet(p).limit(1)
+    dup.write.mode("append").parquet(p)
+    rc = main(["--sf-dir", SF_SMALL, "validate", "--warehouse", wh, "--model", "stg_plans"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert any(k.startswith("unique:plan_id") for k in out["violations"])
