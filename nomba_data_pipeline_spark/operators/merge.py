@@ -406,6 +406,21 @@ class ParquetTable:
                 continue
             feed = self.spark.read.parquet(f"{cdf_path}/batch_id={bid}")
             post = feed.filter(F.col("_op") != "update_preimage").drop("_op")
+            # replicate schema drift: the merge aligns the delta to the
+            # REPLICA's schema, so a column the primary gained would be
+            # silently dropped here forever — widen the replica first
+            # (one NULL-filled rewrite, only on the batch that
+            # introduces the column)
+            if self.exists():
+                have = set(self.read().columns)
+                new_cols = [f for f in post.schema.fields if f.name not in have]
+                if new_cols:
+                    widened = self.read()
+                    for f in new_cols:
+                        widened = widened.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                    self.overwrite(widened)
             self.merge_upsert(post, keys)
             mfs.create(mpath, True).close()
             applied.append(bid)

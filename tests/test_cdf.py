@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from nomba_data_pipeline_spark.operators.merge import ParquetTable
 
 SCHEMA = "id int, v string, amt int"
@@ -196,3 +198,27 @@ def test_streaming_merge_publishes_feed_replica_follows(spark, tmp_path):
     rows = sorted(map(tuple, replica.read().collect()))
     assert rows == [(1, "a", 10), (2, "b", 99), (3, "c", 30)]
     assert rows == sorted(map(tuple, primary.read().collect()))
+
+
+def test_apply_cdf_widens_replica_on_schema_drift(spark, tmp_path):
+    """A column the primary gains must reach the replica, not be
+    silently dropped by the align-to-target projection."""
+    src = ParquetTable(spark, os.path.join(tmp_path, "src"))
+    replica = ParquetTable(spark, os.path.join(tmp_path, "replica"))
+    cdf = os.path.join(tmp_path, "cdf")
+    src.merge_upsert_cdf(
+        spark.createDataFrame([(1, "a", 10)], SCHEMA), ["id"], cdf, "b0000"
+    )
+    replica.apply_cdf(cdf, ["id"])
+    # the primary's source drifts: a new column appears
+    wide = spark.createDataFrame(
+        [(2, "b", 20, "NG")], "id int, v string, amt int, country string"
+    )
+    # primary itself widens the same way a drifting upsert would
+    src.overwrite(
+        src.read().withColumn("country", F.lit(None).cast("string"))
+    )
+    src.merge_upsert_cdf(wide, ["id"], cdf, "b0001")
+    replica.apply_cdf(cdf, ["id"])
+    rows = {r.id: (r.v, r.amt, r.country) for r in replica.read().collect()}
+    assert rows == {1: ("a", 10, None), 2: ("b", 20, "NG")}
