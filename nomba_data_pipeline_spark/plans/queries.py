@@ -4251,6 +4251,111 @@ SELECT doc_id, n_chars FROM ranked WHERE rn <= 100
 """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: quality scores from different
+    sources aren't comparable (each source has its own scale/shape),
+    so rank-normalize WITHIN source — percent_rank maps every score
+    onto [0,1] by its within-source rank, making a 0.9 mean 'top
+    decile of its source' everywhere. The standard fix before pooling
+    heterogeneous quality signals for corpus selection. Rank input is
+    the all-integer (n_chars, doc_id) order (deterministic, no float
+    ordering); the output percent_rank is (rank-1)/(n-1) — one exact
+    integer division, identical on both engines. One shuffle on
+    source; the window is per-source-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("calibrated"),
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id), 6) AS calibrated
+FROM documents
+"""
+
+
+def q_neardup_resolve_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION — the step after clustering: every MinHash/LSH
+    near-dup cluster (connected components over the pair graph) keeps
+    exactly one canonical document, chosen by quality (longest text,
+    doc_id tie-break) rather than the arbitrary min-id. Composes
+    minhash_lsh_pairs -> connected_components -> per-cluster keep-best
+    into the one operator corpus builders actually run. Oracle: LSH
+    band-bucket pairs in SQL + a recursive-free min-label closure is
+    impractical in one query, so the oracle recomputes clusters from
+    the SAME pair set via DuckDB's recursive CTE transitive closure —
+    an independent algorithm agreeing on the result."""
+    from nomba_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    quality = docs.select("doc_id", "n_chars")
+    ranked = comp.join(quality, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+                "keeper_chars"
+            ),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .select("component", "cluster_size", "keeper_id", "keeper_chars")
+    )
+
+
+SQL_NEARDUP_RESOLVE_BEST = f"""
+WITH RECURSIVE {D._minhash_bands_cte('documents')},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+),
+comp AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+),
+ranked AS (
+    SELECT c.component, c.doc_id, d.n_chars,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+           count(*) OVER (PARTITION BY c.component) AS cluster_size
+    FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component, CAST(cluster_size AS BIGINT) AS cluster_size,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS keeper_chars
+FROM ranked
+WHERE cluster_size > 1
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4424,6 +4529,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "weighted_sample": QuerySpec(
         q_weighted_sample, SQL_WEIGHTED_SAMPLE, "ext:weighted-sampling"
+    ),
+    "quantile_normalize": QuerySpec(
+        q_quantile_normalize, SQL_QUANTILE_NORMALIZE, "ext:score-calibration"
+    ),
+    "neardup_resolve_best": QuerySpec(
+        q_neardup_resolve_best, SQL_NEARDUP_RESOLVE_BEST, "ext:dedup-resolution"
     ),
 }
 
