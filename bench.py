@@ -83,6 +83,9 @@ HEADLINE = [
     "containment_pairs",
     "corpus_datacard",
     "weighted_sample",
+    "quantile_normalize",
+    "neardup_resolve_best",
+    "basket_part_pairs",
 ]
 
 

@@ -4356,6 +4356,66 @@ GROUP BY 1, 2
 """
 
 
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs bought together
+    in the same order, with support count and lift = P(a,b)/(P(a)P(b))
+    — the association-rule primitive. The pair join is a SELF-JOIN ON
+    l_orderkey with p_a < p_b, so candidate pairs are bounded by
+    (order size choose 2) per order — ~21 for 7-line orders — never
+    |parts|²; at 100 TB the shuffle key is the order key and the
+    blow-up factor is a per-basket constant. Lift is exact-integer
+    ratios in one IEEE multiply/divide, rounded to 4 dp output-only;
+    the support threshold is an integer compare."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).dropDuplicates(["l_orderkey", "l_partkey"])
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    part_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n_orders = li.select("l_orderkey").distinct().count()
+    ca = part_counts.select(F.col("l_partkey").alias("p_a"), F.col("c").alias("c_a"))
+    cb = part_counts.select(F.col("l_partkey").alias("p_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(ca, "p_a")
+        .join(cb, "p_b")
+        .select(
+            "p_a",
+            "p_b",
+            "support",
+            F.round(
+                F.col("support").cast("double") * n_orders
+                / (F.col("c_a").cast("double") * F.col("c_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_BASKET_PART_PAIRS = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+pairs AS (
+    SELECT a.p AS p_a, b.p AS p_b, count(*) AS support
+    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+    GROUP BY 1, 2 HAVING count(*) >= 3
+),
+pc AS (SELECT p, count(*) AS c FROM li GROUP BY 1),
+n AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
+SELECT p.p_a, p.p_b, p.support,
+       round(CAST(p.support AS DOUBLE) * (SELECT n_orders FROM n)
+             / (CAST(ca.c AS DOUBLE) * cb.c), 4) AS lift
+FROM pairs p JOIN pc ca ON ca.p = p.p_a JOIN pc cb ON cb.p = p.p_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4535,6 +4595,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "neardup_resolve_best": QuerySpec(
         q_neardup_resolve_best, SQL_NEARDUP_RESOLVE_BEST, "ext:dedup-resolution"
+    ),
+    "basket_part_pairs": QuerySpec(
+        q_basket_part_pairs, SQL_BASKET_PART_PAIRS, "ext:market-basket"
     ),
 }
 
