@@ -4416,6 +4416,55 @@ FROM pairs p JOIN pc ca ON ca.p = p.p_a JOIN pc cb ON cb.p = p.p_b
 """
 
 
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: monthly revenue with previous
+    month and growth percentage via LAG — the BI staple on top of any
+    fact table. Monthly sums are DECIMAL-exact (order-independent)
+    and only the final growth ratio is one double divide rounded to
+    4 dp; months with no predecessor report NULL growth. One
+    month-grain aggregate, then a |months|-row window — the window
+    state is the report, not the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev_dec"))
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_dec", F.lag("rev_dec").over(w))
+        .select(
+            "month",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("prev_dec").cast("double").alias("prev_revenue"),
+            F.round(
+                (F.col("rev_dec") - F.col("prev_dec")).cast("double")
+                / F.col("prev_dec").cast("double")
+                * 100.0,
+                4,
+            ).alias("growth_pct"),
+        )
+    )
+
+
+SQL_MOM_REVENUE_GROWTH = """
+WITH monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+    FROM orders GROUP BY 1
+),
+lagged AS (
+    SELECT month, rev_dec,
+           lag(rev_dec) OVER (ORDER BY month) AS prev_dec
+    FROM monthly
+)
+SELECT month,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(prev_dec AS DOUBLE) AS prev_revenue,
+       round(CAST(rev_dec - prev_dec AS DOUBLE)
+             / CAST(prev_dec AS DOUBLE) * 100.0, 4) AS growth_pct
+FROM lagged
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4598,6 +4647,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "basket_part_pairs": QuerySpec(
         q_basket_part_pairs, SQL_BASKET_PART_PAIRS, "ext:market-basket"
+    ),
+    "mom_revenue_growth": QuerySpec(
+        q_mom_revenue_growth, SQL_MOM_REVENUE_GROWTH, "ext:period-over-period"
     ),
 }
 
