@@ -4465,6 +4465,58 @@ FROM lagged
 """
 
 
+def q_supplier_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total reporting (ratio_to_report): each supplier's
+    revenue as a fraction of its nation's total — the windowed-sum
+    ratio every BI layer computes. Per-supplier sums are DECIMAL-exact;
+    the nation total is a window SUM over those decimals (still exact,
+    order-independent); only the final share is one double divide
+    rounded to 6 dp. Supplier->nation is a broadcast dim join; the
+    window repartitions by nation — 25 groups, no skew."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.col("s_nationkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name")
+    )
+    per_sup = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("rev_dec"))
+    )
+    w = Window.partitionBy("n_name")
+    return per_sup.select(
+        "n_name",
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double"),
+            6,
+        ).alias("nation_share"),
+    )
+
+
+SQL_SUPPLIER_MARKET_SHARE = """
+WITH per_sup AS (
+    SELECT n.n_name, l.l_suppkey AS suppkey,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS rev_dec
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+)
+SELECT n_name, suppkey,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       round(CAST(rev_dec AS DOUBLE)
+             / CAST(sum(rev_dec) OVER (PARTITION BY n_name) AS DOUBLE),
+             6) AS nation_share
+FROM per_sup
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4650,6 +4702,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "mom_revenue_growth": QuerySpec(
         q_mom_revenue_growth, SQL_MOM_REVENUE_GROWTH, "ext:period-over-period"
+    ),
+    "supplier_market_share": QuerySpec(
+        q_supplier_market_share, SQL_SUPPLIER_MARKET_SHARE, "ext:share-of-total"
     ),
 }
 
