@@ -4517,6 +4517,58 @@ FROM per_sup
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the retrieval-side primitive
+    (BM25/keyword search over the corpus): token -> sorted posting
+    list of documents containing it. Distinct (doc, token) explode,
+    one hash shuffle on token, postings re-assembled in doc_id order
+    and shipped as a digest (the oracle checks the exact posting list
+    byte-for-byte without moving it). Stop-token guard: tokens in >
+    80% of the corpus are dropped — at 100 TB those postings ARE the
+    corpus and belong in a separate stop list, exactly the skew rule
+    the MinHash band join uses. (The fixture's word-soup vocabulary is
+    31 near-universal tokens; 0.8 drops exactly one, so both the
+    guard and the surviving index are exercised non-vacuously.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    posting = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    n_docs = docs.count()
+    return (
+        posting.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("postings_digest"),
+        )
+        .filter(F.col("df") <= n_docs * 0.8)
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH posting AS (
+    SELECT DISTINCT doc_id, t.token AS token
+    FROM documents, unnest({T.tokens_sql('text')}) AS t(token)
+    WHERE t.token <> ''
+)
+SELECT token, count(*) AS df,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS postings_digest
+FROM posting
+GROUP BY 1
+HAVING count(*) <= (SELECT count(*) FROM documents) * 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4705,6 +4757,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "supplier_market_share": QuerySpec(
         q_supplier_market_share, SQL_SUPPLIER_MARKET_SHARE, "ext:share-of-total"
+    ),
+    "inverted_index": QuerySpec(
+        q_inverted_index, SQL_INVERTED_INDEX, "ext:inverted-index"
     ),
 }
 
