@@ -86,6 +86,10 @@ HEADLINE = [
     "quantile_normalize",
     "neardup_resolve_best",
     "basket_part_pairs",
+    "mom_revenue_growth",
+    "supplier_market_share",
+    "inverted_index",
+    "bm25_search",
 ]
 
 

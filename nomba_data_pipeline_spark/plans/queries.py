@@ -4569,6 +4569,109 @@ HAVING count(*) <= (SELECT count(*) FROM documents) * 0.8
 """
 
 
+BM25_QUERY_TOKENS = ("spark", "merge", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus for a fixed 3-token
+    query — the scoring half of the inverted-index pair: per-doc term
+    frequencies, document frequencies, and length normalization
+    combine into score = Σ idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·len/avgdl)).
+    Every input is an exact integer (tf, df, doclen) or an exact
+    integer ratio; ln/divides appear only in the OUTPUT score, rounded
+    to 4 dp (the established cross-engine float rule). Plan: one
+    (doc, token) count shuffle restricted to the query tokens (the
+    filter pushes into the scan side of the explode), a broadcast of
+    the |query|-row df/avgdl stats, one final per-doc sum — query
+    cost scales with postings touched, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    qtoks = list(BM25_QUERY_TOKENS)
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(qtoks))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (
+                    1
+                    - BM25_B
+                    + BM25_B
+                    * F.col("dl")
+                    / (F.col("total_dl").cast("double") / F.col("n_docs"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.round(F.sum("term_score"), 4).alias("bm25"),
+        )
+        .filter(F.col("n_matched_terms") == len(qtoks))
+    )
+
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (
+    SELECT doc_id, t.token AS token
+    FROM documents, unnest({T.tokens_sql('text')}) AS t(token)
+    WHERE t.token <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM doclen),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM toks
+    WHERE token IN {BM25_QUERY_TOKENS!r}
+    GROUP BY 1, 2
+),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id,
+           ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl
+              / (CAST(s.total_dl AS DOUBLE) / s.n_docs))) AS term_score
+    FROM tf
+    JOIN df USING (token)
+    JOIN doclen dl USING (doc_id)
+    CROSS JOIN stats s
+)
+SELECT doc_id, count(*) AS n_matched_terms,
+       round(sum(term_score), 4) AS bm25
+FROM scored
+GROUP BY 1
+HAVING count(*) = {len(BM25_QUERY_TOKENS)}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4761,6 +4864,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "inverted_index": QuerySpec(
         q_inverted_index, SQL_INVERTED_INDEX, "ext:inverted-index"
     ),
+    "bm25_search": QuerySpec(q_bm25_search, SQL_BM25_SEARCH, "ext:bm25"),
 }
 
 
