@@ -4672,6 +4672,47 @@ HAVING count(*) = {len(BM25_QUERY_TOKENS)}
 """
 
 
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the engagement
+    metric every product team computes, and a known engine trap:
+    COUNT(DISTINCT) is NOT window-frameable (distinctness can't be
+    merged across frame slides), so the correct shape is a bounded
+    RANGE JOIN — calendar day d matched to the (user, day) pairs in
+    [d-6, d] — then a per-day distinct count. The join fan-out is
+    exactly 7× the daily-pairs table (bounded by the window width,
+    never data-dependent); at 100 TB you bucket it through
+    operators/rangejoin.py's time-bucket equi-join. Daily pairs are
+    pre-deduped so the fan-out input is |users-per-day|, not raw
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).dropDuplicates(["day", "user_id"])
+    days = daily.select("day").distinct().select(F.col("day").alias("d"))
+    return (
+        days.join(
+            daily,
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") >= F.date_sub(F.col("d"), 6)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("d").cast("string").alias("day"), "wau")
+    )
+
+
+SQL_ROLLING_WAU = """
+WITH daily AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day AS d FROM daily)
+SELECT CAST(d AS VARCHAR) AS day,
+       count(DISTINCT user_id) AS wau
+FROM days JOIN daily ON daily.day <= days.d AND daily.day >= days.d - 6
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4865,6 +4906,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_inverted_index, SQL_INVERTED_INDEX, "ext:inverted-index"
     ),
     "bm25_search": QuerySpec(q_bm25_search, SQL_BM25_SEARCH, "ext:bm25"),
+    "rolling_wau": QuerySpec(q_rolling_wau, SQL_ROLLING_WAU, "ext:rolling-distinct"),
 }
 
 
