@@ -4713,6 +4713,92 @@ GROUP BY 1
 """
 
 
+def q_monthly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month customer churn and activation: per month, how
+    many of last month's ordering customers went silent (churned) and
+    how many are new-or-returning (activated) — the cohort
+    set-difference every growth dashboard runs. (The events table is
+    the wrong subject: its 150 users are ALL active every period, so
+    churn there is vacuous by fixture shape; orders spread 1500
+    customers thinly — ~180/month — so both legs carry real counts.)
+    Months are integer year*12+month buckets (no locale ambiguity);
+    the diff is two anti-join legs between ADJACENT months only, so
+    the shuffle carries |monthly actives| rows and the comparison
+    never widens beyond one month pair."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = (
+        orders.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("month"),
+            F.col("o_custkey").alias("user_id"),
+        )
+        .dropDuplicates(["month", "user_id"])
+    )
+    prev = weekly.select((F.col("month") + 1).alias("month"), F.col("user_id").alias("prev_user"))
+    churned = (
+        prev.join(
+            weekly,
+            (prev.month == weekly.month) & (prev.prev_user == weekly.user_id),
+            "left_anti",
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    activated = (
+        weekly.join(
+            prev,
+            (prev.month == weekly.month) & (prev.prev_user == weekly.user_id),
+            "left_anti",
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("activated"))
+    )
+    actives = weekly.groupBy("month").agg(F.count(F.lit(1)).alias("active"))
+    return (
+        actives.join(churned, "month", "left")
+        .join(activated, "month", "left")
+        .select(
+            F.col("month").cast("long").alias("month"),
+            "active",
+            F.coalesce("churned", F.lit(0)).alias("churned"),
+            F.coalesce("activated", F.lit(0)).alias("activated"),
+        )
+    )
+
+
+SQL_MONTHLY_CHURN = """
+WITH weekly AS (
+    SELECT DISTINCT
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month,
+           o_custkey AS user_id
+    FROM orders
+),
+prev AS (SELECT month + 1 AS month, user_id FROM weekly),
+churned AS (
+    SELECT p.month, count(*) AS churned
+    FROM prev p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM weekly w WHERE w.month = p.month AND w.user_id = p.user_id
+    )
+    GROUP BY 1
+),
+activated AS (
+    SELECT w.month, count(*) AS activated
+    FROM weekly w
+    WHERE NOT EXISTS (
+        SELECT 1 FROM prev p WHERE p.month = w.month AND p.user_id = w.user_id
+    )
+    GROUP BY 1
+),
+actives AS (SELECT month, count(*) AS active FROM weekly GROUP BY 1)
+SELECT a.month, a.active,
+       COALESCE(c.churned, 0) AS churned,
+       COALESCE(v.activated, 0) AS activated
+FROM actives a
+LEFT JOIN churned c ON c.month = a.month
+LEFT JOIN activated v ON v.month = a.month
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4907,6 +4993,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "bm25_search": QuerySpec(q_bm25_search, SQL_BM25_SEARCH, "ext:bm25"),
     "rolling_wau": QuerySpec(q_rolling_wau, SQL_ROLLING_WAU, "ext:rolling-distinct"),
+    "monthly_customer_churn": QuerySpec(q_monthly_churn, SQL_MONTHLY_CHURN, "ext:churn-cohort"),
 }
 
 
