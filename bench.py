@@ -90,6 +90,8 @@ HEADLINE = [
     "supplier_market_share",
     "inverted_index",
     "bm25_search",
+    "rolling_wau",
+    "monthly_customer_churn",
 ]
 
 
