@@ -4799,6 +4799,118 @@ LEFT JOIN activated v ON v.month = a.month
 """
 
 
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation lift table: rank documents by a score
+    (n_chars here stands in for a classifier output), bucket into
+    deciles, and report each decile's positive rate vs the base rate
+    — the standard offline eval for any ranking/quality model before
+    it gates a pipeline. 'Positive' = document contains the rare
+    token 'dup' (25/500 docs). Deciles come from ntile over the
+    all-integer (score DESC, doc_id) order; counts are exact ints and
+    the rate/lift ratios are single rounded divides. One |docs|-row
+    window + one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.array_contains(F.filter(T.tokens("text"), lambda t: t != ""), "dup")
+        .cast("int")
+        .alias("label"),
+    )
+    d = F.ntile(10).over(Window.orderBy(F.desc("score"), "doc_id"))
+    per_decile = (
+        labeled.withColumn("decile", d)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("positives"),
+        )
+    )
+    base = labeled.agg(
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("base_rate")
+    )
+    return per_decile.crossJoin(F.broadcast(base)).select(
+        "decile",
+        "n",
+        "positives",
+        F.round(F.col("positives").cast("double") / F.col("n"), 6).alias("rate"),
+        F.round(
+            (F.col("positives").cast("double") / F.col("n")) / F.col("base_rate"),
+            4,
+        ).alias("lift"),
+    )
+
+
+SQL_DECILE_LIFT = f"""
+WITH labeled AS (
+    SELECT doc_id, n_chars AS score,
+           CAST(list_contains(list_filter({T.tokens_sql('text')}, t -> t <> ''),
+                              'dup') AS INT) AS label
+    FROM documents
+),
+bucketed AS (
+    SELECT label,
+           ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+    FROM labeled
+),
+per_decile AS (
+    SELECT decile, count(*) AS n, CAST(sum(label) AS BIGINT) AS positives
+    FROM bucketed GROUP BY 1
+),
+base AS (
+    SELECT CAST(sum(label) AS DOUBLE) / count(*) AS base_rate FROM labeled
+)
+SELECT decile, n, positives,
+       round(CAST(positives AS DOUBLE) / n, 6) AS rate,
+       round((CAST(positives AS DOUBLE) / n) / (SELECT base_rate FROM base), 4)
+           AS lift
+FROM per_decile
+"""
+
+
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity accounting: per-language Shannon entropy of
+    the source distribution (and the perplexity-style effective source
+    count e^H) — the datasheet number that distinguishes a language
+    drawn from one crawl from one drawn evenly across twenty. Exact
+    integer counts feed p = n_ls/n_l; ln/exp appear only in the
+    rounded output. Two partial-aggregated shuffles, |lang×source|
+    intermediate rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ls = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_ls"))
+    ltot = ls.groupBy("lang").agg(F.sum("n_ls").alias("n_l"))
+    return (
+        ls.join(ltot, "lang")
+        .withColumn("p", F.col("n_ls").cast("double") / F.col("n_l"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_l").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 4).alias("entropy"),
+            F.round(F.exp(-F.sum(F.col("p") * F.log("p"))), 2).alias(
+                "effective_sources"
+            ),
+        )
+    )
+
+
+SQL_SOURCE_ENTROPY = """
+WITH ls AS (
+    SELECT lang, source, count(*) AS n_ls FROM documents GROUP BY 1, 2
+),
+ltot AS (SELECT lang, sum(n_ls) AS n_l FROM ls GROUP BY 1)
+SELECT ls.lang,
+       CAST(max(n_l) AS BIGINT) AS n_docs,
+       count(*) AS n_sources,
+       round(-sum((CAST(n_ls AS DOUBLE) / n_l) * ln(CAST(n_ls AS DOUBLE) / n_l)), 4)
+           AS entropy,
+       round(exp(-sum((CAST(n_ls AS DOUBLE) / n_l) * ln(CAST(n_ls AS DOUBLE) / n_l))), 2)
+           AS effective_sources
+FROM ls JOIN ltot USING (lang)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4994,6 +5106,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "bm25_search": QuerySpec(q_bm25_search, SQL_BM25_SEARCH, "ext:bm25"),
     "rolling_wau": QuerySpec(q_rolling_wau, SQL_ROLLING_WAU, "ext:rolling-distinct"),
     "monthly_customer_churn": QuerySpec(q_monthly_churn, SQL_MONTHLY_CHURN, "ext:churn-cohort"),
+    "decile_lift": QuerySpec(q_decile_lift, SQL_DECILE_LIFT, "ext:model-eval"),
+    "source_entropy": QuerySpec(
+        q_source_entropy, SQL_SOURCE_ENTROPY, "ext:diversity-stats"
+    ),
 }
 
 
