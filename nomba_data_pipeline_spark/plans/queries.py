@@ -4911,6 +4911,86 @@ GROUP BY 1
 """
 
 
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analytics: deterministic 50/50 user assignment (the
+    portable hash mod 2 — the same bucketing an experimentation
+    platform does) and a two-proportion z-test on a conversion metric
+    ('heavy purchaser': >= 14 purchase events — every fixture user
+    purchases ~13x, so a has-purchased flag would be vacuously 100%
+    in both arms). Counts are exact integers; rates and the z
+    statistic (pooled-variance form) are divides/sqrt in the rounded
+    OUTPUT only. One user-grain aggregate + one 2-row arm aggregate —
+    at 100 TB the experiment readout is a two-row reduction."""
+    from nomba_data_pipeline_spark.functions.hashing import h64
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("purchases"))
+        .select(
+            "user_id",
+            (h64(F.col("user_id").cast("string"), seed=3) % 2).alias("arm"),
+            (F.col("purchases") >= 14).cast("int").alias("converted"),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round((p_a - p_b) / se, 4).alias("z_stat"),
+    )
+
+
+SQL_AB_TEST_ZTEST = f"""
+WITH per_user AS (
+    SELECT user_id,
+           {_h64s('CAST(user_id AS VARCHAR)', seed=3)} % 2 AS arm,
+           CAST(count(*) >= 14 AS INT) AS converted
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+),
+arms AS (
+    SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+    FROM per_user GROUP BY 1
+),
+j AS (
+    SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+    FROM (SELECT n, conv FROM arms WHERE arm = 0) a,
+         (SELECT n, conv FROM arms WHERE arm = 1) b
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5109,6 +5189,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "decile_lift": QuerySpec(q_decile_lift, SQL_DECILE_LIFT, "ext:model-eval"),
     "source_entropy": QuerySpec(
         q_source_entropy, SQL_SOURCE_ENTROPY, "ext:diversity-stats"
+    ),
+    "ab_test_ztest": QuerySpec(
+        q_ab_test_ztest, SQL_AB_TEST_ZTEST, "ext:experimentation"
     ),
 }
 
