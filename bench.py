@@ -92,6 +92,9 @@ HEADLINE = [
     "bm25_search",
     "rolling_wau",
     "monthly_customer_churn",
+    "decile_lift",
+    "source_entropy",
+    "ab_test_ztest",
 ]
 
 
