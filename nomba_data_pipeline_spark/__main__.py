@@ -258,17 +258,9 @@ def cmd_validate(args) -> int:
     if args.model not in runner.models:
         print(f"unknown model {args.model!r}", file=sys.stderr)
         return 2
-    from nomba_data_pipeline_spark.plans.quality import relationship_violations
-
     spec = runner.models[args.model]
     df = runner.read_model(args.model)
-    results, total = spec.quality.profile(df)
-    for col, (parent_name, parent_col) in spec.quality.relationships.items():
-        results[f"relationship:{col}->{parent_name}.{parent_col}"] = (
-            relationship_violations(
-                df, col, runner.read_model(parent_name), parent_col
-            )
-        )
+    results, total = spec.quality.violations(df, resolve=runner.read_model)
     violations = {k: v for k, v in results.items() if v}
     print(
         json.dumps(

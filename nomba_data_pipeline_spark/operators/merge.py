@@ -357,9 +357,14 @@ class ParquetTable:
             feed.write.mode("overwrite").parquet(
                 f"{cdf_path}/batch_id={batch_id}"
             )
-        elif fs.exists(jpath):
-            # replay of a no-change batch must clear a stale feed dir
-            fs.delete(jpath, True)
+        # n_changes == 0 with an EXISTING feed dir is the replay-after-
+        # crash case: the merge already applied this batch, so diffing
+        # against the post-state finds nothing — but the published feed
+        # is the authoritative record of what the batch changed, and a
+        # replica that hasn't consumed it yet still needs it. NEVER
+        # delete it (an earlier revision did, silently losing the batch
+        # for lagging replicas). Under the batch contract (same id =>
+        # same delta) the existing content is exactly right.
         self.merge_upsert(
             delta, keys, partition_by=partition_by, partition_stable=partition_stable
         )
@@ -398,12 +403,16 @@ class ParquetTable:
             # only consume COMMITTED batches: the producer's overwrite
             # moves task files into place non-atomically, and applying a
             # half-written batch would mark it applied forever. _SUCCESS
-            # is written at commit, so its presence is the consume gate.
+            # is written at commit, so its presence is the consume gate —
+            # and the gate must STOP the scan, not skip: applying a
+            # later batch before an earlier in-flight one would let the
+            # earlier batch's older post-images overwrite newer values
+            # when it finally commits.
             _, spath = self._fs_and_path(
                 f"{cdf_path}/batch_id={bid}/_SUCCESS"
             )
             if not fs.exists(spath):
-                continue
+                break
             feed = self.spark.read.parquet(f"{cdf_path}/batch_id={bid}")
             post = feed.filter(F.col("_op") != "update_preimage").drop("_op")
             # replicate schema drift: the merge aligns the delta to the

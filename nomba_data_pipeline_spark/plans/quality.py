@@ -138,17 +138,26 @@ class QualitySpec:
             F.col("col1").cast("long").alias("violations"),
         )
 
-    def assert_ok(self, df: DataFrame, model: str = "", resolve=None) -> int:
-        """Assert zero violations; returns the row count (free — it
-        rides the same aggregation). `resolve(name) -> DataFrame` gives
-        relationships their parent tables; each declared relationship
-        costs one key-pruned anti-join on top of the fused scan."""
+    def violations(self, df: DataFrame, resolve=None) -> tuple[dict[str, int], int]:
+        """All checks incl. relationships; returns ({check: count},
+        total_rows) with EVERY check present (zero = clean). The one
+        shared implementation behind assert_ok (pipeline gate) and the
+        CLI `validate` verb — the check set and key format must never
+        drift between the two."""
         results, total = self.profile(df)
         if resolve is not None:
             for col, (parent_name, parent_col) in self.relationships.items():
                 results[f"relationship:{col}->{parent_name}.{parent_col}"] = (
                     relationship_violations(df, col, resolve(parent_name), parent_col)
                 )
+        return results, total
+
+    def assert_ok(self, df: DataFrame, model: str = "", resolve=None) -> int:
+        """Assert zero violations; returns the row count (free — it
+        rides the same aggregation). `resolve(name) -> DataFrame` gives
+        relationships their parent tables; each declared relationship
+        costs one key-pruned anti-join on top of the fused scan."""
+        results, total = self.violations(df, resolve=resolve)
         bad = {k: v for k, v in results.items() if v > 0}
         if bad:
             raise AssertionError(f"quality failures on {model or 'model'}: {bad}")

@@ -4233,12 +4233,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from nomba_data_pipeline_spark.functions.hashing import h64_sql as _h64s
-
 SQL_WEIGHTED_SAMPLE = f"""
 WITH keyed AS (
     SELECT doc_id, n_chars,
-           ln(CAST({_h64s('CAST(doc_id AS VARCHAR)', seed=11)} + 1 AS DOUBLE)
+           ln(CAST({_h64_sql('CAST(doc_id AS VARCHAR)', seed=11)} + 1 AS DOUBLE)
               / 1152921504606846976.0) / n_chars AS k
     FROM documents
 ),
@@ -4315,7 +4313,6 @@ def q_neardup_resolve_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "keeper_chars"
             ),
         )
-        .filter(F.col("cluster_size") > 1)
         .select("component", "cluster_size", "keeper_id", "keeper_chars")
     )
 
@@ -4351,7 +4348,6 @@ SELECT component, CAST(cluster_size AS BIGINT) AS cluster_size,
        max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
        max(CASE WHEN rn = 1 THEN n_chars END) AS keeper_chars
 FROM ranked
-WHERE cluster_size > 1
 GROUP BY 1, 2
 """
 
@@ -4535,7 +4531,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .distinct()
     )
-    n_docs = docs.count()
+    # the stop threshold rides the plan as a broadcast 1-row aggregate
+    # (q_bm25_search's stats shape) — an eager docs.count() here would
+    # cost a second full corpus scan per invocation
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         posting.groupBy("token")
         .agg(
@@ -4550,7 +4549,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("postings_digest"),
         )
-        .filter(F.col("df") <= n_docs * 0.8)
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n_docs") * 0.8)
+        .drop("n_docs")
     )
 
 
@@ -4676,25 +4677,29 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users (WAU) per day — the engagement
     metric every product team computes, and a known engine trap:
     COUNT(DISTINCT) is NOT window-frameable (distinctness can't be
-    merged across frame slides), so the correct shape is a bounded
-    RANGE JOIN — calendar day d matched to the (user, day) pairs in
-    [d-6, d] — then a per-day distinct count. The join fan-out is
-    exactly 7× the daily-pairs table (bounded by the window width,
-    never data-dependent); at 100 TB you bucket it through
-    operators/rangejoin.py's time-bucket equi-join. Daily pairs are
+    merged across frame slides), and a `day BETWEEN d-6 AND d` theta
+    join would plan as a nested loop evaluating |days|×|pairs|
+    predicates — so each (user, day) pair EXPLODES into the 7 report
+    days it contributes to (a fixed 7× map-side fan-out, the bucketed
+    equi-join trick from operators/rangejoin.py with bucket = day),
+    then one hash-aggregated distinct count per day. Work is bounded
+    by the window width, never data-dependent. Daily pairs are
     pre-deduped so the fan-out input is |users-per-day|, not raw
-    events."""
+    events; report days are clipped to days that actually have
+    activity (the semi join), matching the oracle's day list."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.select(
         F.to_date("ts").alias("day"), "user_id"
     ).dropDuplicates(["day", "user_id"])
-    days = daily.select("day").distinct().select(F.col("day").alias("d"))
+    days = daily.select(F.col("day").alias("d")).distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("d"),
+        "user_id",
+    )
     return (
-        days.join(
-            daily,
-            (F.col("day") <= F.col("d"))
-            & (F.col("day") >= F.date_sub(F.col("d"), 6)),
-        )
+        contrib.join(F.broadcast(days), "d", "left_semi")
         .groupBy("d")
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.col("d").cast("string").alias("day"), "wau")
@@ -4726,33 +4731,33 @@ def q_monthly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries |monthly actives| rows and the comparison
     never widens beyond one month pair."""
     orders = load_table(spark, sf_dir, "orders")
-    weekly = (
+    monthly = (
         orders.select(
             (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("month"),
             F.col("o_custkey").alias("user_id"),
         )
         .dropDuplicates(["month", "user_id"])
     )
-    prev = weekly.select((F.col("month") + 1).alias("month"), F.col("user_id").alias("prev_user"))
+    prev = monthly.select((F.col("month") + 1).alias("month"), F.col("user_id").alias("prev_user"))
     churned = (
         prev.join(
-            weekly,
-            (prev.month == weekly.month) & (prev.prev_user == weekly.user_id),
+            monthly,
+            (prev.month == monthly.month) & (prev.prev_user == monthly.user_id),
             "left_anti",
         )
         .groupBy("month")
         .agg(F.count(F.lit(1)).alias("churned"))
     )
     activated = (
-        weekly.join(
+        monthly.join(
             prev,
-            (prev.month == weekly.month) & (prev.prev_user == weekly.user_id),
+            (prev.month == monthly.month) & (prev.prev_user == monthly.user_id),
             "left_anti",
         )
         .groupBy("month")
         .agg(F.count(F.lit(1)).alias("activated"))
     )
-    actives = weekly.groupBy("month").agg(F.count(F.lit(1)).alias("active"))
+    actives = monthly.groupBy("month").agg(F.count(F.lit(1)).alias("active"))
     return (
         actives.join(churned, "month", "left")
         .join(activated, "month", "left")
@@ -4766,30 +4771,30 @@ def q_monthly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MONTHLY_CHURN = """
-WITH weekly AS (
+WITH monthly AS (
     SELECT DISTINCT
            CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month,
            o_custkey AS user_id
     FROM orders
 ),
-prev AS (SELECT month + 1 AS month, user_id FROM weekly),
+prev AS (SELECT month + 1 AS month, user_id FROM monthly),
 churned AS (
     SELECT p.month, count(*) AS churned
     FROM prev p
     WHERE NOT EXISTS (
-        SELECT 1 FROM weekly w WHERE w.month = p.month AND w.user_id = p.user_id
+        SELECT 1 FROM monthly w WHERE w.month = p.month AND w.user_id = p.user_id
     )
     GROUP BY 1
 ),
 activated AS (
     SELECT w.month, count(*) AS activated
-    FROM weekly w
+    FROM monthly w
     WHERE NOT EXISTS (
         SELECT 1 FROM prev p WHERE p.month = w.month AND p.user_id = w.user_id
     )
     GROUP BY 1
 ),
-actives AS (SELECT month, count(*) AS active FROM weekly GROUP BY 1)
+actives AS (SELECT month, count(*) AS active FROM monthly GROUP BY 1)
 SELECT a.month, a.active,
        COALESCE(c.churned, 0) AS churned,
        COALESCE(v.activated, 0) AS activated
@@ -4924,10 +4929,16 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nomba_data_pipeline_spark.functions.hashing import h64
 
     ev = load_table(spark, sf_dir, "events")
+    # denominators come from EVERY assigned user (any event), not just
+    # purchasers — filtering to purchases first would silently drop
+    # never-converting users from the arms and inflate both rates
     per_user = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("purchases"))
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("purchases")
+        )
         .select(
             "user_id",
             (h64(F.col("user_id").cast("string"), seed=3) % 2).alias("arm"),
@@ -4966,9 +4977,10 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AB_TEST_ZTEST = f"""
 WITH per_user AS (
     SELECT user_id,
-           {_h64s('CAST(user_id AS VARCHAR)', seed=3)} % 2 AS arm,
-           CAST(count(*) >= 14 AS INT) AS converted
-    FROM events WHERE event_type = 'purchase'
+           {_h64_sql('CAST(user_id AS VARCHAR)', seed=3)} % 2 AS arm,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                AS INT) AS converted
+    FROM events
     GROUP BY user_id
 ),
 arms AS (

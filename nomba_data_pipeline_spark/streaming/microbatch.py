@@ -50,6 +50,32 @@ def windowed_counts(
     )
 
 
+def _run_merge_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    merge_fn,
+) -> None:
+    """Shared drain loop for the merge-stream runners: availableNow
+    backlog drain, checkpointed, one `merge_fn(batch_df, batch_id)`
+    per non-empty micro-batch. Blocks until consumed."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_fn(batch_df, batch_id)
+
+    q = (
+        stream_events(spark, source_dir, schema)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_incremental_merge_stream(
     spark: SparkSession,
     source_dir: str,
@@ -61,20 +87,13 @@ def run_incremental_merge_stream(
     """Drain all available new files and MERGE each micro-batch into the
     target (streaming O7). Blocks until the backlog is consumed."""
     target = ParquetTable(spark, target_path)
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        target.merge_upsert(batch_df, keys)
-
-    q = (
-        stream_events(spark, source_dir, schema)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_merge_stream(
+        spark,
+        source_dir,
+        schema,
+        checkpoint_dir,
+        lambda df, bid: target.merge_upsert(df, keys),
     )
-    q.awaitTermination()
 
 
 def dedup_stream(
@@ -622,17 +641,12 @@ def run_incremental_merge_stream_cdf(
     converge, and the zero-padding keeps lexicographic feed order ==
     commit order for the consumer."""
     target = ParquetTable(spark, target_path)
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        target.merge_upsert_cdf(batch_df, keys, cdf_path, f"{batch_id:012d}")
-
-    q = (
-        stream_events(spark, source_dir, schema)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_merge_stream(
+        spark,
+        source_dir,
+        schema,
+        checkpoint_dir,
+        lambda df, bid: target.merge_upsert_cdf(
+            df, keys, cdf_path, f"{bid:012d}"
+        ),
     )
-    q.awaitTermination()

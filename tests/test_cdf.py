@@ -47,20 +47,55 @@ def test_cdf_emits_inserts_updates_and_skips_unchanged(spark, tmp_path):
     ]
 
 
-def test_cdf_replay_converges_feed_and_table(spark, tmp_path):
+def test_cdf_replay_preserves_published_feed(spark, tmp_path):
     t = ParquetTable(spark, os.path.join(tmp_path, "t"))
     cdf = os.path.join(tmp_path, "cdf")
     t.overwrite(spark.createDataFrame([(1, "a", 10)], SCHEMA))
     delta = spark.createDataFrame([(1, "a", 11), (2, "b", 20)], SCHEMA)
     t.merge_upsert_cdf(delta, ["id"], cdf, "b1")
     feed1 = _feed(spark, cdf, "b1")
-    # replay: table already holds the post state -> key 1 unchanged now,
-    # key 2 matched-unchanged -> feed for the batch becomes EMPTY (the
-    # stale dir must be cleared, not left with the old rows)
+    assert len(feed1) == 3  # 1 insert + pre/post pair
+    # crash-replay: the merge already applied, so the diff is empty —
+    # but the PUBLISHED feed is the batch's authoritative record and a
+    # lagging replica still needs it: it must survive the replay intact
     n2 = t.merge_upsert_cdf(delta, ["id"], cdf, "b1")
     assert n2 == 0
-    assert _feed(spark, cdf, "b1") == []
-    assert len(feed1) == 3  # 1 insert + pre/post pair the first time
+    assert _feed(spark, cdf, "b1") == feed1
+    # a replica consuming after the replay still gets the batch
+    rep = ParquetTable(spark, os.path.join(tmp_path, "rep"))
+    rep.apply_cdf(cdf, ["id"])
+    assert sorted(map(tuple, rep.read().collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+
+
+def test_apply_cdf_stops_at_first_uncommitted_batch(spark, tmp_path):
+    """Commit-order guard: an in-flight (no _SUCCESS) batch must BLOCK
+    later batches, or its older post-images would overwrite newer
+    values when it finally commits."""
+    src = ParquetTable(spark, os.path.join(tmp_path, "src"))
+    rep = ParquetTable(spark, os.path.join(tmp_path, "rep"))
+    cdf = os.path.join(tmp_path, "cdf")
+    src.merge_upsert_cdf(
+        spark.createDataFrame([(1, "a", 10)], SCHEMA), ["id"], cdf, "b0000"
+    )
+    src.merge_upsert_cdf(
+        spark.createDataFrame([(2, "b", 20)], SCHEMA), ["id"], cdf, "b0002"
+    )
+    # simulate an in-flight batch BETWEEN the two committed ones
+    os.makedirs(os.path.join(cdf, "batch_id=b0001"))
+    assert rep.apply_cdf(cdf, ["id"]) == ["b0000"]  # stops at the gap
+    # the in-flight batch commits -> everything after it now applies
+    import shutil
+
+    shutil.rmtree(os.path.join(cdf, "batch_id=b0001"))
+    src.merge_upsert_cdf(
+        spark.createDataFrame([(3, "c", 30)], SCHEMA), ["id"], cdf, "b0001"
+    )
+    assert rep.apply_cdf(cdf, ["id"]) == ["b0001", "b0002"]
+    assert sorted(map(tuple, rep.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )
 
 
 def test_cdf_bootstrap_all_inserts(spark, tmp_path):
