@@ -5003,6 +5003,79 @@ FROM j
 """
 
 
+def q_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pair latency: per user, seconds from first 'signup' to
+    the first 'purchase' AFTER it, then the population's p50/p90 and
+    conversion count — the activation-funnel timing readout. The pair
+    step is a conditional aggregation (min signup ts, min purchase ts
+    above it) in ONE user-grain pass — no self-join; latencies are
+    exact integer seconds; the percentiles are the pinned exact
+    interpolated pair (percentile ↔ quantile_cont) rounded to 2 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("first_signup")
+        )
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user, "user_id")
+        .filter(F.col("ts") > F.col("first_signup"))
+        .groupBy("user_id", "first_signup")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    # floor the FRACTIONAL-seconds difference on both engines (casting
+    # the raw double would round on DuckDB and truncate nowhere)
+    lat = first_purchase.select(
+        "user_id",
+        F.floor(
+            epoch_seconds(F.col("first_purchase"))
+            - epoch_seconds(F.col("first_signup"))
+        )
+        .cast("long")
+        .alias("latency_s"),
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 2).alias("p90_s"),
+        F.min("latency_s").alias("min_s"),
+        F.max("latency_s").alias("max_s"),
+    )
+
+
+SQL_ACTIVATION_LATENCY = """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    GROUP BY 1
+),
+fp AS (
+    SELECT e.user_id, p.first_signup, min(e.ts) AS first_purchase
+    FROM events e JOIN per_user p USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > p.first_signup
+    GROUP BY 1, 2
+),
+lat AS (
+    SELECT CAST(floor(epoch(first_purchase) - epoch(first_signup)) AS BIGINT)
+               AS latency_s
+    FROM fp
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(latency_s, 0.5), 2) AS p50_s,
+       round(quantile_cont(latency_s, 0.9), 2) AS p90_s,
+       min(latency_s) AS min_s,
+       max(latency_s) AS max_s
+FROM lat
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5204,6 +5277,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "ab_test_ztest": QuerySpec(
         q_ab_test_ztest, SQL_AB_TEST_ZTEST, "ext:experimentation"
+    ),
+    "activation_latency": QuerySpec(
+        q_activation_latency, SQL_ACTIVATION_LATENCY, "ext:event-pair-latency"
     ),
 }
 
