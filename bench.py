@@ -95,6 +95,7 @@ HEADLINE = [
     "decile_lift",
     "source_entropy",
     "ab_test_ztest",
+    "activation_latency",
 ]
 
 
