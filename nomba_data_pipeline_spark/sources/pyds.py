@@ -1,0 +1,107 @@
+"""Custom connector via Spark 4's Python DataSource API.
+
+The reference talks to its sources through hand-rolled paginated
+clients (Mongo batched cursors, base_loader.py:100-206's fetchmany
+loop). Spark 4 gives that pattern a first-class seam: a Python
+`DataSource` whose reader PLANS one partition per page and applies
+the incremental predicate inside the read — so pagination and
+high-water-mark pushdown live in the connector, and everything above
+it is an ordinary DataFrame.
+
+`paged_json` models the shape: a directory of JSON-lines files where
+each FILE is one API page. Partition planning is the sorted file
+listing (one Spark task per page — the parallelism story of
+JdbcSource's key-range splits, without a JDBC driver), and the
+optional `since`/`tracking_column` options filter rows AT THE SOURCE,
+the same server-side `updated_at > hwm` the reference pushes into its
+Mongo query ($gte, mongodb_loader.py). At 100 TB the page listing is
+metadata-only and unmatched pages/rows never leave the reader.
+
+Supported column types (schema option, DDL string): bigint, double,
+string — the JSON-native scalars. Anything richer belongs in a
+columnar format; this connector is the INGEST edge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class PagedJsonDataSource(DataSource):
+    """`spark.read.format("paged_json").option("path", dir)
+    .option("schema_ddl", "id bigint, v string")
+    [.option("tracking_column", "updated_at").option("since", "...")]`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_json"
+
+    def schema(self):
+        ddl = self.options.get("schema_ddl")
+        if not ddl:
+            raise ValueError("paged_json requires the schema_ddl option")
+        return ddl
+
+    def reader(self, schema):
+        return PagedJsonReader(schema, self.options)
+
+
+class PagedJsonReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("paged_json requires the path option")
+        self.tracking = options.get("tracking_column")
+        self.since = options.get("since")
+
+    def partitions(self):
+        # one partition per page file: the sorted listing IS the plan
+        pages = sorted(
+            f
+            for f in os.listdir(self.path)
+            if not f.startswith((".", "_"))
+        )
+        return [InputPartition(os.path.join(self.path, p)) for p in pages]
+
+    def read(self, partition):
+        fields = [f.name for f in self.schema.fields]
+        casts = []
+        for f in self.schema.fields:
+            t = f.dataType.simpleString()
+            if t == "bigint":
+                casts.append(lambda v: None if v is None else int(v))
+            elif t == "double":
+                casts.append(lambda v: None if v is None else float(v))
+            else:
+                casts.append(lambda v: None if v is None else str(v))
+        with open(partition.value) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                # source-side incremental pushdown: rows at or below
+                # the high-water mark never leave the reader
+                if self.tracking is not None and self.since is not None:
+                    tv = rec.get(self.tracking)
+                    if tv is None or not str(tv) > str(self.since):
+                        continue
+                yield tuple(
+                    cast(rec.get(name)) for name, cast in zip(fields, casts)
+                )
+
+
+def register(spark) -> None:
+    """Idempotent registration of the connector on a session. Ships
+    the package to executor workers first: Spark pickles the
+    DataSource class by module reference, so a worker whose
+    interpreter can't import `nomba_data_pipeline_spark` (driver cwd
+    elsewhere, no PYTHONPATH) would otherwise fail at read planning."""
+    from nomba_data_pipeline_spark.shipping import ship_package
+
+    ship_package(spark)
+    spark.dataSource.register(PagedJsonDataSource)
