@@ -5006,20 +5006,18 @@ FROM j
 def q_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-pair latency: per user, seconds from first 'signup' to
     the first 'purchase' AFTER it, then the population's p50/p90 and
-    conversion count — the activation-funnel timing readout. The pair
-    step is a conditional aggregation (min signup ts, min purchase ts
-    above it) in ONE user-grain pass — no self-join; latencies are
-    exact integer seconds; the percentiles are the pinned exact
-    interpolated pair (percentile ↔ quantile_cont) rounded to 2 dp."""
+    conversion count — the activation-funnel timing readout. Shape:
+    one signup-only user-grain aggregate, then purchases join that
+    (broadcast-sized: one row per user) with the time predicate —
+    candidate rows are each user's purchases, never an events×events
+    self-join. Latencies are exact integer seconds; the percentiles
+    are the pinned exact interpolated pair (percentile ↔
+    quantile_cont) rounded to 2 dp."""
     ev = load_table(spark, sf_dir, "events")
     per_user = (
-        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(
-            F.min(
-                F.when(F.col("event_type") == "signup", F.col("ts"))
-            ).alias("first_signup")
-        )
+        .agg(F.min("ts").alias("first_signup"))
     )
     first_purchase = (
         ev.filter(F.col("event_type") == "purchase")
@@ -5050,10 +5048,9 @@ def q_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ACTIVATION_LATENCY = """
 WITH per_user AS (
-    SELECT user_id,
-           min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+    SELECT user_id, min(ts) AS first_signup
     FROM events
-    WHERE event_type IN ('signup', 'purchase')
+    WHERE event_type = 'signup'
     GROUP BY 1
 ),
 fp AS (

@@ -49,35 +49,67 @@ class PagedJsonDataSource(DataSource):
         return PagedJsonReader(schema, self.options)
 
 
+_CASTS = {
+    "bigint": lambda v: None if v is None else int(v),
+    "double": lambda v: None if v is None else float(v),
+    "string": lambda v: None if v is None else str(v),
+}
+
+
 class PagedJsonReader(DataSourceReader):
     def __init__(self, schema, options):
         self.schema = schema
         self.path = options.get("path")
         if not self.path:
             raise ValueError("paged_json requires the path option")
+        unsupported = [
+            (f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if f.dataType.simpleString() not in _CASTS
+        ]
+        if unsupported:
+            # fail at PLANNING with a clear message — silently str()ing
+            # an int/timestamp column would surface as an opaque
+            # executor-side Arrow conversion error instead
+            raise ValueError(
+                f"paged_json supports bigint/double/string columns only; "
+                f"got {unsupported}"
+            )
         self.tracking = options.get("tracking_column")
         self.since = options.get("since")
+        # typed HWM comparison: a lexicographic compare on a NUMERIC
+        # tracking column silently drops rows ('10' > '9' is False) —
+        # the comparator follows the column's declared type
+        self._since_typed = None
+        if self.tracking is not None and self.since is not None:
+            ttype = next(
+                (
+                    f.dataType.simpleString()
+                    for f in schema.fields
+                    if f.name == self.tracking
+                ),
+                "string",
+            )
+            cast = _CASTS[ttype]
+            self._since_typed = cast(self.since)
+            self._track_cast = cast
 
     def partitions(self):
-        # one partition per page file: the sorted listing IS the plan
+        # one partition per page file: the sorted listing IS the plan.
+        # Regular files only — subdirectories and dot/underscore
+        # temporaries (producers stage hidden, then rename) are not
+        # pages and must not become read tasks.
         pages = sorted(
             f
             for f in os.listdir(self.path)
             if not f.startswith((".", "_"))
+            and os.path.isfile(os.path.join(self.path, f))
         )
         return [InputPartition(os.path.join(self.path, p)) for p in pages]
 
     def read(self, partition):
         fields = [f.name for f in self.schema.fields]
-        casts = []
-        for f in self.schema.fields:
-            t = f.dataType.simpleString()
-            if t == "bigint":
-                casts.append(lambda v: None if v is None else int(v))
-            elif t == "double":
-                casts.append(lambda v: None if v is None else float(v))
-            else:
-                casts.append(lambda v: None if v is None else str(v))
+        casts = [_CASTS[f.dataType.simpleString()] for f in self.schema.fields]
         with open(partition.value) as fh:
             for line in fh:
                 line = line.strip()
@@ -86,9 +118,9 @@ class PagedJsonReader(DataSourceReader):
                 rec = json.loads(line)
                 # source-side incremental pushdown: rows at or below
                 # the high-water mark never leave the reader
-                if self.tracking is not None and self.since is not None:
+                if self._since_typed is not None:
                     tv = rec.get(self.tracking)
-                    if tv is None or not str(tv) > str(self.since):
+                    if tv is None or not self._track_cast(tv) > self._since_typed:
                         continue
                 yield tuple(
                     cast(rec.get(name)) for name, cast in zip(fields, casts)

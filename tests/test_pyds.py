@@ -88,3 +88,56 @@ def test_feeds_incremental_merge(spark, pages, tmp_path):
     t.merge_upsert(delta, ["id"])
     rows = {r.id: r.name for r in t.read().collect()}
     assert rows == {1: "a", 2: "b", 3: "c", 4: "d2", 5: "e"}
+
+
+def test_numeric_hwm_pushdown_is_typed(spark, tmp_path):
+    """seq=10 must pass a since=9 cut — a lexicographic compare would
+    drop it ('10' > '9' is False)."""
+    d = os.path.join(tmp_path, "numapi")
+    os.makedirs(d)
+    with open(os.path.join(d, "p0.json"), "w") as f:
+        for seq in (8, 9, 10, 11):
+            f.write(json.dumps({"seq": seq, "v": f"r{seq}"}) + "\n")
+    register(spark)
+    df = (
+        spark.read.format("paged_json")
+        .option("path", d)
+        .option("schema_ddl", "seq bigint, v string")
+        .option("tracking_column", "seq")
+        .option("since", "9")
+        .load()
+    )
+    assert sorted(r.seq for r in df.collect()) == [10, 11]
+
+
+def test_unsupported_column_type_rejected_with_clear_message(spark, pages):
+    register(spark)
+    with pytest.raises(Exception, match="bigint/double/string"):
+        (
+            spark.read.format("paged_json")
+            .option("path", pages)
+            .option("schema_ddl", "id int, name string, updated_at string")
+            .load()
+            .collect()  # reader construction happens at planning
+        )
+
+
+def test_subdirs_and_temporaries_are_not_pages(spark, pages):
+    os.makedirs(os.path.join(pages, "archive"))
+    with open(os.path.join(pages, "_staging.json"), "w") as f:
+        f.write(json.dumps({"id": 99, "name": "x", "updated_at": "z"}) + "\n")
+    df = _read(spark, pages)
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4]
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_register_ships_package(spark, monkeypatch):
+    """register() must route through shipping.ship_package so workers
+    can import the connector class from any driver cwd (the full
+    foreign-cwd scenario is exercised by the soak driver-sim)."""
+    import nomba_data_pipeline_spark.shipping as shipping
+
+    calls = []
+    monkeypatch.setattr(shipping, "ship_package", lambda s: calls.append(s))
+    register(spark)
+    assert calls == [spark]
