@@ -96,6 +96,8 @@ HEADLINE = [
     "source_entropy",
     "ab_test_ztest",
     "activation_latency",
+    "revenue_gini",
+    "benford_audit",
 ]
 
 

@@ -5073,6 +5073,133 @@ FROM lat
 """
 
 
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration inequality per nation: the Gini
+    coefficient over per-customer revenue — the concentration metric
+    behind 'top-1% of customers drive X%' risk reporting. Computed
+    from the rank form G = (2·Σ i·x_i)/(n·Σ x_i) − (n+1)/n with an
+    all-integer rank over DECIMAL-exact per-customer sums, so every
+    term before the final (rounded) divide is exact and
+    order-independent on both engines. One customer-grain aggregate,
+    one per-nation window, one nation-grain reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name")
+    )
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("rev", "c_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                (
+                    2.0
+                    * F.sum(F.col("i") * F.col("rev")).cast("double")
+                    / (
+                        F.count(F.lit(1))
+                        * F.sum("rev").cast("double")
+                    )
+                )
+                - (F.count(F.lit(1)) + 1).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("gini"),
+        )
+    )
+
+
+SQL_REVENUE_GINI = """
+WITH per_cust AS (
+    SELECT n.n_name, o.o_custkey AS c,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+    FROM orders o
+    JOIN customer cu ON cu.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = cu.c_nationkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT n_name, rev,
+           row_number() OVER (PARTITION BY n_name ORDER BY rev, c) AS i
+    FROM per_cust
+)
+SELECT n_name, count(*) AS n_customers,
+       round(2.0 * CAST(sum(i * rev) AS DOUBLE)
+                 / (count(*) * CAST(sum(rev) AS DOUBLE))
+             - CAST(count(*) + 1 AS DOUBLE) / count(*), 4) AS gini
+FROM ranked
+GROUP BY 1
+"""
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    forensic-accounting screen for fabricated amounts: observed share
+    of each leading digit vs the expected log10(1 + 1/d), with the
+    absolute deviation. First digits come from string ops on the
+    amount (exact); counts are integers; expected shares and
+    deviations are rounded-output floats. One map-side digit
+    extraction + a 9-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(F.col("o_totalprice").cast("string"), r"[^1-9]", ""),
+        1,
+        1,
+    ).cast("int")
+    per_digit = (
+        orders.select(digit.alias("d"))
+        .filter(F.col("d").isNotNull())
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = per_digit.agg(F.sum("n").alias("total"))
+    return (
+        per_digit.crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "observed"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("expected"),
+            F.round(
+                F.abs(
+                    F.col("n").cast("double") / F.col("total")
+                    - F.log10(1.0 + 1.0 / F.col("d"))
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )
+
+
+SQL_BENFORD_AUDIT = """
+WITH digits AS (
+    SELECT CAST(substring(regexp_replace(CAST(o_totalprice AS VARCHAR),
+                                         '[^1-9]', '', 'g'), 1, 1) AS INT) AS d
+    FROM orders
+),
+per_digit AS (
+    SELECT d, count(*) AS n FROM digits WHERE d IS NOT NULL GROUP BY 1
+),
+t AS (SELECT sum(n) AS total FROM per_digit)
+SELECT d, n,
+       round(CAST(n AS DOUBLE) / (SELECT total FROM t), 6) AS observed,
+       round(log10(1.0 + 1.0 / d), 6) AS expected,
+       round(abs(CAST(n AS DOUBLE) / (SELECT total FROM t)
+                 - log10(1.0 + 1.0 / d)), 6) AS abs_dev
+FROM per_digit
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5277,6 +5404,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "activation_latency": QuerySpec(
         q_activation_latency, SQL_ACTIVATION_LATENCY, "ext:event-pair-latency"
+    ),
+    "revenue_gini": QuerySpec(
+        q_revenue_gini, SQL_REVENUE_GINI, "ext:concentration"
+    ),
+    "benford_audit": QuerySpec(
+        q_benford_audit, SQL_BENFORD_AUDIT, "ext:forensic-audit"
     ),
 }
 
