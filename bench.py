@@ -98,6 +98,7 @@ HEADLINE = [
     "activation_latency",
     "revenue_gini",
     "benford_audit",
+    "rfm_segments",
 ]
 
 

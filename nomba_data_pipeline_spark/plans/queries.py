@@ -5200,6 +5200,64 @@ FROM per_digit
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the CRM classic: every customer scored 1-5
+    on Recency (latest order date), Frequency (order count), and
+    Monetary (decimal-exact revenue), concatenated into the segment
+    code marketing actually targets ('555' = best). Each dimension is
+    an ntile over a fully deterministic order (the metric, customer
+    key tie-break — recency ties are common, so the tie-break is
+    load-bearing for cross-engine identity). One customer-grain
+    aggregate + three |customers|-row windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_dec("o_totalprice")).alias("monetary_dec"),
+    )
+    r = F.ntile(5).over(Window.orderBy("last_order", "custkey"))
+    f_ = F.ntile(5).over(Window.orderBy("frequency", "custkey"))
+    m = F.ntile(5).over(Window.orderBy("monetary_dec", "custkey"))
+    return (
+        per_cust.withColumn("r", r)
+        .withColumn("f", f_)
+        .withColumn("m", m)
+        .select(
+            "custkey",
+            "r",
+            "f",
+            "m",
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("rfm"),
+            F.col("monetary_dec").cast("double").alias("monetary"),
+        )
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_cust AS (
+    SELECT o_custkey AS custkey,
+           max(CAST(o_orderdate AS DATE)) AS last_order,
+           count(*) AS frequency,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary_dec
+    FROM orders GROUP BY 1
+)
+SELECT custkey,
+       ntile(5) OVER (ORDER BY last_order, custkey) AS r,
+       ntile(5) OVER (ORDER BY frequency, custkey) AS f,
+       ntile(5) OVER (ORDER BY monetary_dec, custkey) AS m,
+       CAST(ntile(5) OVER (ORDER BY last_order, custkey) AS VARCHAR)
+       || CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS VARCHAR)
+       || CAST(ntile(5) OVER (ORDER BY monetary_dec, custkey) AS VARCHAR)
+           AS rfm,
+       CAST(monetary_dec AS DOUBLE) AS monetary
+FROM per_cust
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5411,6 +5469,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "benford_audit": QuerySpec(
         q_benford_audit, SQL_BENFORD_AUDIT, "ext:forensic-audit"
     ),
+    "rfm_segments": QuerySpec(q_rfm_segments, SQL_RFM_SEGMENTS, "ext:rfm"),
 }
 
 
