@@ -99,6 +99,7 @@ HEADLINE = [
     "revenue_gini",
     "benford_audit",
     "rfm_segments",
+    "revenue_autocorr",
 ]
 
 

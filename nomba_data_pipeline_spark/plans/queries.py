@@ -5258,6 +5258,51 @@ FROM per_cust
 """
 
 
+def q_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series diagnostics: lag-1 and lag-7 Pearson autocorrelation
+    of the daily revenue series — the seasonality/persistence check
+    run before choosing any forecasting cadence. Daily sums are
+    DECIMAL-exact; the series is paired with itself via LAG over the
+    all-integer epoch-day order, and only corr() runs in floats
+    (rounded to 4 dp — the returnflag_corr precedent). The window
+    state is |days| rows, never the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day")
+    ).agg(F.sum(_dec("o_totalprice")).cast("double").alias("rev"))
+    w = Window.orderBy("day")
+    paired = daily.select(
+        "day",
+        "rev",
+        F.lag("rev", 1).over(w).alias("rev_lag1"),
+        F.lag("rev", 7).over(w).alias("rev_lag7"),
+    )
+    return paired.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("rev", "rev_lag1"), 4).alias("autocorr_lag1"),
+        F.round(F.corr("rev", "rev_lag7"), 4).alias("autocorr_lag7"),
+    )
+
+
+SQL_REVENUE_AUTOCORR = """
+WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+),
+paired AS (
+    SELECT day, rev,
+           lag(rev, 1) OVER (ORDER BY day) AS rev_lag1,
+           lag(rev, 7) OVER (ORDER BY day) AS rev_lag7
+    FROM daily
+)
+SELECT count(*) AS n_days,
+       round(corr(rev, rev_lag1), 4) AS autocorr_lag1,
+       round(corr(rev, rev_lag7), 4) AS autocorr_lag7
+FROM paired
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5470,6 +5515,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_benford_audit, SQL_BENFORD_AUDIT, "ext:forensic-audit"
     ),
     "rfm_segments": QuerySpec(q_rfm_segments, SQL_RFM_SEGMENTS, "ext:rfm"),
+    "revenue_autocorr": QuerySpec(
+        q_revenue_autocorr, SQL_REVENUE_AUTOCORR, "ext:timeseries-acf"
+    ),
 }
 
 
