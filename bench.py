@@ -100,6 +100,7 @@ HEADLINE = [
     "benford_audit",
     "rfm_segments",
     "revenue_autocorr",
+    "event_transitions",
 ]
 
 

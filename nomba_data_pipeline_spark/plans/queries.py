@@ -5303,6 +5303,60 @@ FROM paired
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current) — the navigation-flow model behind
+    'what do users do after an error'. Successor pairs come from LAG
+    over each user's (ts, event_id) order — event_id tie-breaks equal
+    timestamps, so the sequence is a total order and the matrix is
+    engine-identical. Counts are integers; row-normalized
+    probabilities are one rounded divide. One user-partitioned window
+    (state = per-user stream) + a |types|² aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias(
+                "p"
+            ),
+        )
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+totals AS (SELECT from_type, sum(n) AS row_total FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p
+FROM pairs p JOIN totals t USING (from_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5517,6 +5571,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "rfm_segments": QuerySpec(q_rfm_segments, SQL_RFM_SEGMENTS, "ext:rfm"),
     "revenue_autocorr": QuerySpec(
         q_revenue_autocorr, SQL_REVENUE_AUTOCORR, "ext:timeseries-acf"
+    ),
+    "event_transitions": QuerySpec(
+        q_event_transitions, SQL_EVENT_TRANSITIONS, "ext:markov-transitions"
     ),
 }
 
