@@ -101,6 +101,7 @@ HEADLINE = [
     "rfm_segments",
     "revenue_autocorr",
     "event_transitions",
+    "cohort_ltv",
 ]
 
 

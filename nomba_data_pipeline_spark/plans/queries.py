@@ -5357,6 +5357,85 @@ FROM pairs p JOIN totals t USING (from_type)
 """
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by acquisition
+    month (their first order), revenue accumulated by months-since-
+    acquisition — the retention economics readout next to
+    cohort_retention's count triangle. All bucketing is integer
+    (year*12+month), revenue stays DECIMAL through the per-cell sums
+    AND the running cumulative (window over sorted month_since), and
+    only the final per-customer average is a rounded divide. Capped at
+    the first year (month_since <= 12) so the output is a
+    |cohorts|×13 curve, not an unbounded triangle."""
+    orders = load_table(spark, sf_dir, "orders")
+    mo = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.min(mo).alias("cohort"))
+    )
+    cells = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            mo.alias("omonth"),
+            _dec("o_totalprice").alias("rev"),
+        )
+        .join(first, "custkey")
+        .withColumn("month_since", F.col("omonth") - F.col("cohort"))
+        .filter(F.col("month_since") <= 12)
+        .groupBy("cohort", "month_since")
+        .agg(F.sum("rev").alias("rev_dec"))
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_dec", F.sum("rev_dec").over(w))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("long").alias("cohort"),
+            F.col("month_since").cast("long").alias("month_since"),
+            "cohort_size",
+            F.col("cum_dec").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("cum_dec").cast("double") / F.col("cohort_size"), 2
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+SQL_COHORT_LTV = """
+WITH first AS (
+    SELECT o_custkey AS custkey,
+           min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort
+    FROM orders GROUP BY 1
+),
+cells AS (
+    SELECT f.cohort,
+           (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort
+               AS month_since,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev_dec
+    FROM orders o JOIN first f ON f.custkey = o.o_custkey
+    WHERE (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort <= 12
+    GROUP BY 1, 2
+),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1)
+SELECT CAST(c.cohort AS BIGINT) AS cohort,
+       CAST(c.month_since AS BIGINT) AS month_since,
+       s.cohort_size,
+       CAST(sum(c.rev_dec) OVER (PARTITION BY c.cohort ORDER BY c.month_since
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           AS cum_revenue,
+       round(CAST(sum(c.rev_dec) OVER (PARTITION BY c.cohort
+                                       ORDER BY c.month_since
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / s.cohort_size, 2) AS ltv_per_customer
+FROM cells c JOIN sizes s USING (cohort)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5575,6 +5654,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_transitions": QuerySpec(
         q_event_transitions, SQL_EVENT_TRANSITIONS, "ext:markov-transitions"
     ),
+    "cohort_ltv": QuerySpec(q_cohort_ltv, SQL_COHORT_LTV, "ext:cohort-ltv"),
 }
 
 
