@@ -102,6 +102,7 @@ HEADLINE = [
     "revenue_autocorr",
     "event_transitions",
     "cohort_ltv",
+    "revenue_bridge",
 ]
 
 

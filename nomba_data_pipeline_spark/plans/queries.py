@@ -5436,6 +5436,69 @@ FROM cells c JOIN sizes s USING (cohort)
 """
 
 
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP&A bridge / growth decomposition: each month's revenue delta
+    (DECIMAL-exact money) attributed to volume growth ((n_t −
+    n_{t−1})/n_{t−1}) and average-ticket growth ((avg_t/avg_{t−1}) −
+    1), reported as percentages. The percent form is deliberate: a
+    DOLLAR effect at 2 dp on ~1e6-magnitude doubles puts the rounding
+    grain ~1e-8 relative — close enough to double ulps that a
+    half-cent boundary WAS hit cross-engine; O(1) ratios at 4 dp keep
+    the grain ~8 orders above ulp (the repo-wide float rule). One
+    monthly aggregate + one |months|-row LAG window."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(_dec("o_totalprice")).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("month")
+    lagged = monthly.select(
+        "month",
+        "rev_dec",
+        "n",
+        F.lag("rev_dec").over(w).alias("rev_p"),
+        F.lag("n").over(w).alias("n_p"),
+    ).filter(F.col("rev_p").isNotNull())
+    avg_ratio = (
+        F.col("rev_dec").cast("double") * F.col("n_p")
+    ) / (F.col("rev_p").cast("double") * F.col("n"))
+    return lagged.select(
+        F.col("month").cast("long").alias("month"),
+        (F.col("rev_dec") - F.col("rev_p")).cast("double").alias("delta"),
+        F.round(
+            (F.col("n") - F.col("n_p")).cast("double") / F.col("n_p") * 100.0,
+            4,
+        ).alias("volume_growth_pct"),
+        F.round((avg_ratio - 1.0) * 100.0, 4).alias("ticket_growth_pct"),
+    )
+
+
+SQL_REVENUE_BRIDGE = """
+WITH monthly AS (
+    SELECT year(o_orderdate) * 12 + month(o_orderdate) AS month,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec,
+           count(*) AS n
+    FROM orders GROUP BY 1
+),
+lagged AS (
+    SELECT month, rev_dec, n,
+           lag(rev_dec) OVER (ORDER BY month) AS rev_p,
+           lag(n) OVER (ORDER BY month) AS n_p
+    FROM monthly
+)
+SELECT CAST(month AS BIGINT) AS month,
+       CAST(rev_dec - rev_p AS DOUBLE) AS delta,
+       round(CAST(n - n_p AS DOUBLE) / n_p * 100.0, 4) AS volume_growth_pct,
+       round((CAST(rev_dec AS DOUBLE) * n_p
+              / (CAST(rev_p AS DOUBLE) * n) - 1.0) * 100.0, 4)
+           AS ticket_growth_pct
+FROM lagged
+WHERE rev_p IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5655,6 +5718,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_event_transitions, SQL_EVENT_TRANSITIONS, "ext:markov-transitions"
     ),
     "cohort_ltv": QuerySpec(q_cohort_ltv, SQL_COHORT_LTV, "ext:cohort-ltv"),
+    "revenue_bridge": QuerySpec(
+        q_revenue_bridge, SQL_REVENUE_BRIDGE, "ext:bridge-decomposition"
+    ),
 }
 
 
