@@ -103,6 +103,7 @@ HEADLINE = [
     "event_transitions",
     "cohort_ltv",
     "revenue_bridge",
+    "peak_concurrency",
 ]
 
 

@@ -5499,6 +5499,64 @@ WHERE rev_p IS NOT NULL
 """
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap sweep: the max number of SIMULTANEOUSLY active
+    users per day (active = between their first and last event of the
+    day) — the capacity-planning metric a per-bucket count can't give
+    you, and the classic +1/−1 endpoint-sweep operator. Each interval
+    emits a start(+1) and end(−1) endpoint; a running sum over the
+    day's endpoints ordered by (ts, delta, user) — ends BEFORE starts
+    at equal timestamps, so touching intervals don't double-count —
+    peaks at the answer. Everything is integer; the order is total
+    (user tie-break), so the sweep is engine-identical. The window
+    partitions by day: state is one day's endpoints, not history."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    ends = spans.select(
+        "day", F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id"
+    )
+    starts = spans.select(
+        "day", F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    )
+    endpoints = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        endpoints.withColumn("load", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("load").cast("long").alias("peak_concurrent"))
+        .select(F.col("day").cast("string").alias("day"), "peak_concurrent")
+    )
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH spans AS (
+    SELECT CAST(ts AS DATE) AS day, user_id,
+           min(ts) AS s, max(ts) AS e
+    FROM events GROUP BY 1, 2
+),
+endpoints AS (
+    SELECT day, s AS ts, 1 AS delta, user_id FROM spans
+    UNION ALL
+    SELECT day, e AS ts, -1 AS delta, user_id FROM spans
+),
+swept AS (
+    SELECT day,
+           sum(delta) OVER (PARTITION BY day ORDER BY ts, delta, user_id
+                            ROWS UNBOUNDED PRECEDING) AS load
+    FROM endpoints
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(max(load) AS BIGINT) AS peak_concurrent
+FROM swept GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5720,6 +5778,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "cohort_ltv": QuerySpec(q_cohort_ltv, SQL_COHORT_LTV, "ext:cohort-ltv"),
     "revenue_bridge": QuerySpec(
         q_revenue_bridge, SQL_REVENUE_BRIDGE, "ext:bridge-decomposition"
+    ),
+    "peak_concurrency": QuerySpec(
+        q_peak_concurrency, SQL_PEAK_CONCURRENCY, "ext:interval-sweep"
     ),
 }
 
