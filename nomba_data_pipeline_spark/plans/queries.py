@@ -5803,6 +5803,25 @@ REGISTRY: dict[str, QuerySpec] = {
 # tests/test_registry_window.py pins list(REGISTRY)[:50] == _DRIVER_WINDOW,
 # so any future insertion that would silently change the graded set fails CI
 # instead.
+#
+# ROUND-7 ROTATION QUEUE (computed end of round 6): assuming the round-6
+# snapshot grades the window below, these 41 rows have NEVER received a
+# driver CORRECTNESS entry and are next in line for window slots —
+# cosine_topk_lsh_indexed, dedup_incremental_batch,
+# winsorized_stats_approx, incremental_agg_multi, unigram_logppl,
+# semantic_dedup_kmeans (rows-only), streaming_corpus_dedup,
+# domain_temperature_sample, corpus_shuffle_shards, snapshot_drift_psi,
+# boilerplate_removal, source_precedence_dedup, snapshot_table_diff,
+# graph_pagerank, token_budget_select, curriculum_sample, bigram_pmi,
+# containment_pairs, corpus_datacard, weighted_sample,
+# quantile_normalize, neardup_resolve_best, basket_part_pairs,
+# mom_revenue_growth, supplier_market_share, inverted_index,
+# bm25_search, rolling_wau, monthly_customer_churn, decile_lift,
+# source_entropy, ab_test_ztest, activation_latency, revenue_gini,
+# benford_audit, rfm_segments, revenue_autocorr, event_transitions,
+# cohort_ltv, revenue_bridge, peak_concurrency.
+# When rotating, re-derive the never-graded set from the union of
+# CORRECTNESS_r0*.json keys (the round-6 snapshot adds ~50 names).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
     # never driver-graded through round 5 (43 rows)
