@@ -26,28 +26,35 @@ def test_window_rows_exist_in_registry():
 
 
 def test_never_driver_graded_rows_are_all_in_window():
-    # Rows with no driver CORRECTNESS entry through round 5; each must sit
-    # inside the graded window until it has a driver-green row on record.
-    # cosine_topk_lsh_indexed is deliberately excluded: it has no SQL
-    # oracle, so a driver slot only buys a rows-only check while its
-    # indexed==direct equivalence is already pytest-pinned — the slot
-    # went to an oracle-bearing round-6 row instead.
+    # Rows with no driver CORRECTNESS entry through round 6 (derived from
+    # the union of CORRECTNESS_r0{1..6}.json keys); each must sit inside
+    # the graded window until it has a driver-green row on record.
     never_graded = {
-        "running_revenue", "streaming_minute_rollup", "token_freq",
-        "revenue_cube", "streaming_user_totals", "approx_percentiles_by_flag",
-        "trailing_revenue_7d", "quality_profile",
-        "streaming_dedup", "pii_redact", "doc_repetition",
-        "contamination_ngrams", "domain_mix_sample", "sequence_packing",
-        "revenue_grouping_sets", "streaming_sessionize",
-        "approx_distinct_users", "sentence_split_udtf",
-        "sketch_rollup_distinct", "theta_user_overlap", "kll_quantile_rollup",
-        "neardup_clusters", "zorder_keys", "train_split_assign",
-        "tfidf_top_terms", "cohort_retention", "revenue_quartiles",
-        "returnflag_corr", "price_histogram", "segment_percent_rank",
-        "schema_drift_union", "embedding_norms", "streaming_enriched",
-        "event_funnel", "minute_gap_fill", "heavy_hitter_tokens",
-        "doc_chunking", "fuzzy_name_blocked", "hopping_window_counts",
-        "embedding_quantize", "price_mad_by_flag", "top_parts_per_brand",
+        "cosine_topk_lsh_indexed", "dedup_incremental_batch",
+        "winsorized_stats_approx", "incremental_agg_multi",
+        "unigram_logppl", "semantic_dedup_kmeans", "streaming_corpus_dedup",
+        "domain_temperature_sample", "corpus_shuffle_shards",
+        "snapshot_drift_psi", "boilerplate_removal",
+        "source_precedence_dedup", "snapshot_table_diff", "graph_pagerank",
+        "token_budget_select", "curriculum_sample", "bigram_pmi",
+        "containment_pairs", "corpus_datacard", "weighted_sample",
+        "quantile_normalize", "neardup_resolve_best", "basket_part_pairs",
+        "mom_revenue_growth", "supplier_market_share", "inverted_index",
+        "bm25_search", "rolling_wau", "monthly_customer_churn",
+        "decile_lift", "source_entropy", "ab_test_ztest",
+        "activation_latency", "revenue_gini", "benford_audit",
+        "rfm_segments", "revenue_autocorr", "event_transitions",
+        "cohort_ltv", "revenue_bridge", "peak_concurrency",
     }
     window = set(_DRIVER_WINDOW)
     assert never_graded <= window
+
+
+def test_round6_dtype_fix_rows_stay_in_window():
+    # The five rows that graded hash_match:false in round 6 (dtype-only,
+    # fixed round 7) must stay in-window until a driver re-grade lands.
+    fixes = {
+        "quality_profile", "revenue_quartiles", "price_histogram",
+        "segment_percent_rank", "schema_drift_union",
+    }
+    assert fixes <= set(_DRIVER_WINDOW)
