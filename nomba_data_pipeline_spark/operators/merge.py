@@ -296,10 +296,11 @@ class ParquetTable:
         partition_by: list[str] | None = None,
         partition_stable: bool = False,
     ) -> int:
-        """merge_upsert + a change-data-feed: before applying the
-        merge, emit the batch's row-level changes (Delta-CDF shape —
-        `insert` rows, `update_preimage`/`update_postimage` pairs; a
-        matched row with identical payload emits NOTHING) to
+        """merge_upsert + a change-data-feed: compute the batch's
+        row-level changes (Delta-CDF shape — `insert` rows,
+        `update_preimage`/`update_postimage` pairs; a matched row with
+        identical payload emits NOTHING), stage them, apply the merge,
+        then atomically publish the staged feed to
         `cdf_path/batch_id=<id>`. Downstream incremental consumers
         read the feed instead of diffing snapshots — the streaming
         complement to operators/diff.py's batch snapshot_diff.
@@ -352,22 +353,41 @@ class ParquetTable:
         else:
             feed = d.withColumn("_op", F.lit("insert"))
         n_changes = feed.count()
-        fs, jpath = self._fs_and_path(f"{cdf_path}/batch_id={batch_id}")
+        final = f"{cdf_path}/batch_id={batch_id}"
+        staging = f"{cdf_path}/.batch_id={batch_id}.staging"
+        fs, jfinal = self._fs_and_path(final)
+        _, jstaging = self._fs_and_path(staging)
+        # Publish protocol: stage the feed under a dot-prefixed name
+        # (invisible to apply_cdf's batch_id= listing AND to Spark's
+        # hidden-path filter), apply the merge, then RENAME into place.
+        # The rename is the commit point, so a replica can never consume
+        # a batch whose primary merge didn't complete — the old
+        # publish-then-merge order had a divergence window where the
+        # replica held changes the primary never committed until retry.
         if n_changes:
-            feed.write.mode("overwrite").parquet(
-                f"{cdf_path}/batch_id={batch_id}"
-            )
-        # n_changes == 0 with an EXISTING feed dir is the replay-after-
-        # crash case: the merge already applied this batch, so diffing
-        # against the post-state finds nothing — but the published feed
-        # is the authoritative record of what the batch changed, and a
-        # replica that hasn't consumed it yet still needs it. NEVER
-        # delete it (an earlier revision did, silently losing the batch
-        # for lagging replicas). Under the batch contract (same id =>
-        # same delta) the existing content is exactly right.
+            feed.write.mode("overwrite").parquet(staging)
         self.merge_upsert(
             delta, keys, partition_by=partition_by, partition_stable=partition_stable
         )
+        if n_changes:
+            if fs.exists(jfinal):
+                # replay after a completed publish: the existing feed is
+                # the authoritative record and (batch contract: same id
+                # => same delta) identical to the staged copy — keep it,
+                # drop the redundant staging copy
+                fs.delete(jstaging, True)
+            else:
+                fs.rename(jstaging, jfinal)
+        elif fs.exists(jstaging) and not fs.exists(jfinal):
+            # crash-window recovery: a previous attempt staged the feed
+            # and applied the merge but died before the rename (this
+            # replay's diff vs post-state is therefore empty). The
+            # staged feed is the authoritative record of what the batch
+            # changed — promote it so lagging replicas still get it.
+            fs.rename(jstaging, jfinal)
+        # n_changes == 0 with an EXISTING published dir is the replay-
+        # after-publish case: NEVER delete it (an earlier revision did,
+        # silently losing the batch for lagging replicas).
         return n_changes
 
     def apply_cdf(self, cdf_path: str, keys: list[str]) -> list[str]:

@@ -1026,15 +1026,17 @@ def q_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
         .crossJoin(spark.createDataFrame([("old",), ("new",)], "side string"))
     )
-    dense = (
-        grid.join(counts, ["event_type", "side", "bin"], "left")
-        .fillna(0, ["n"])
-        .join(
-            counts.groupBy("event_type", "side").agg(F.sum("n").alias("tot")),
-            ["event_type", "side"],
-        )
-        .withColumn("p", (F.col("n") + 0.5) / (F.col("tot") + 5.0))
+    filled = grid.join(counts, ["event_type", "side", "bin"], "left").fillna(
+        0, ["n"]
     )
+    # totals come from the dense zero-filled frame (like the oracle), not
+    # the sparse observed counts: if an (event_type, side) slice is empty
+    # an inner join on observed counts would drop its grid rows and yield
+    # null psi, while the smoothed denominator stays defined (tot=0)
+    dense = filled.join(
+        filled.groupBy("event_type", "side").agg(F.sum("n").alias("tot")),
+        ["event_type", "side"],
+    ).withColumn("p", (F.col("n") + 0.5) / (F.col("tot") + 5.0))
     byb = dense.groupBy("event_type", "bin").agg(
         F.max(F.when(F.col("side") == "old", F.col("p"))).alias("po"),
         F.max(F.when(F.col("side") == "new", F.col("p"))).alias("pn"),

@@ -69,6 +69,33 @@ def test_cdf_replay_preserves_published_feed(spark, tmp_path):
     )
 
 
+def test_cdf_replay_promotes_staged_feed_after_publish_crash(spark, tmp_path):
+    """Crash window: the merge applied but the process died before the
+    staging->final rename. The replay's diff vs post-state is empty, yet
+    the staged feed is the batch's authoritative record — the replay
+    must promote it so lagging replicas still receive the batch."""
+    import shutil
+
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    cdf = os.path.join(tmp_path, "cdf")
+    t.overwrite(spark.createDataFrame([(1, "a", 10)], SCHEMA))
+    delta = spark.createDataFrame([(1, "a", 11), (2, "b", 20)], SCHEMA)
+    t.merge_upsert_cdf(delta, ["id"], cdf, "b1")
+    feed1 = _feed(spark, cdf, "b1")
+    # simulate the crash: un-publish the feed back to its staging name
+    shutil.move(
+        os.path.join(cdf, "batch_id=b1"),
+        os.path.join(cdf, ".batch_id=b1.staging"),
+    )
+    assert _feed(spark, cdf, "b1") == []
+    n2 = t.merge_upsert_cdf(delta, ["id"], cdf, "b1")
+    assert n2 == 0  # merge already applied -> empty diff
+    assert _feed(spark, cdf, "b1") == feed1  # but the feed is republished
+    assert not os.path.exists(os.path.join(cdf, ".batch_id=b1.staging"))
+    rep = ParquetTable(spark, os.path.join(tmp_path, "rep"))
+    assert rep.apply_cdf(cdf, ["id"]) == ["b1"]
+
+
 def test_apply_cdf_stops_at_first_uncommitted_batch(spark, tmp_path):
     """Commit-order guard: an in-flight (no _SUCCESS) batch must BLOCK
     later batches, or its older post-images would overwrite newer
