@@ -104,6 +104,12 @@ HEADLINE = [
     "cohort_ltv",
     "revenue_bridge",
     "peak_concurrency",
+    # round-7: scale-twins of the two global-window rows — compare
+    # against revenue_quartiles / token_budget_select (above) for the
+    # cost of the single-task window they eliminate
+    "revenue_quartiles",
+    "revenue_quartiles_scalable",
+    "token_budget_select_scalable",
 ]
 
 

@@ -2731,6 +2731,66 @@ FROM (
 """
 
 
+def q_revenue_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped twin of revenue_quartiles (SCALE.md §window
+    funnels): quartile CUTPOINTS from one interpolated-percentile
+    aggregate (Spark `percentile` ↔ DuckDB `quantile_cont`, the pinned
+    cross-engine pair) broadcast into a range CASE — same 4-row answer
+    shape, ZERO global sort/window anywhere in the plan. At real scale
+    swap `percentile` for `approx_percentile` (mergeable sketch state)
+    without touching the plan shape. Threshold safety: cutpoints are
+    interpolated strictly between adjacent per-customer revenues, so a
+    1-ulp cross-engine wobble cannot flip any customer's bucket (equal
+    neighbors make the interpolation exact on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    # revenue stays DECIMAL-exact for the graded total (float partial-sum
+    # order is engine- and run-dependent at dollar scale); the double
+    # twin is only for bucketing, where cutpoint separation makes a ulp
+    # wobble harmless
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("revenue")
+    )
+    revd = rev.select("revenue", F.col("revenue").cast("double").alias("rev"))
+    cuts = revd.agg(
+        F.expr("percentile(rev, array(0.25, 0.5, 0.75))").alias("c")
+    ).select(
+        F.col("c")[0].alias("c1"), F.col("c")[1].alias("c2"), F.col("c")[2].alias("c3")
+    )
+    bucketed = revd.crossJoin(F.broadcast(cuts)).select(
+        "revenue",
+        F.when(F.col("rev") <= F.col("c1"), 1)
+        .when(F.col("rev") <= F.col("c2"), 2)
+        .when(F.col("rev") <= F.col("c3"), 3)
+        .otherwise(4)
+        .alias("quartile"),
+    )
+    return bucketed.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("revenue").cast("double").alias("total_revenue"),
+    )
+
+
+SQL_REVENUE_QUARTILES_SCALABLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+cuts AS (
+  SELECT quantile_cont(rev, 0.25) AS c1,
+         quantile_cont(rev, 0.5)  AS c2,
+         quantile_cont(rev, 0.75) AS c3
+  FROM rev
+)
+SELECT CASE WHEN rev <= c1 THEN 1 WHEN rev <= c2 THEN 2
+            WHEN rev <= c3 THEN 3 ELSE 4 END AS quartile,
+       count(*) AS n_customers,
+       CAST(sum(revenue) AS DOUBLE) AS total_revenue
+FROM rev, cuts GROUP BY 1
+"""
+
+
 def q_returnflag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group second-moment statistics: Pearson correlation and
     sample covariance of (quantity, extendedprice) per returnflag.
@@ -4015,6 +4075,49 @@ SELECT doc_id, n_tokens, CAST(score AS BIGINT) AS score,
 FROM ranked
 WHERE cum_tokens <= (SELECT sum(n_tokens) // 4 FROM stats)
 """
+
+
+def q_token_budget_select_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped twin of token_budget_select: the global running
+    sum decomposed into (a) per-score bucket totals with an EXCLUSIVE
+    prefix sum over the |distinct scores|-row bucket table (the only
+    single-partition window, bounded by score cardinality, not corpus
+    size) and (b) a per-bucket running sum partitioned by score — so no
+    corpus-sized single-task sort exists anywhere. prefix + in-bucket
+    cumsum over (score DESC, doc_id) reproduces the global cumulative
+    EXACTLY, which is why this row's oracle is the same SQL as
+    token_budget_select: the scale path must be bit-identical to the
+    spec, and the driver grades that equivalence."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("score"),
+        )
+    )
+    total = stats.agg(F.floor(F.sum("n_tokens") / 4).cast("long").alias("budget"))
+    buckets = stats.groupBy("score").agg(F.sum("n_tokens").alias("btok"))
+    wpre = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = buckets.select(
+        "score",
+        F.coalesce(F.sum("btok").over(wpre), F.lit(0)).alias("prefix"),
+    )
+    win = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        stats.withColumn("incum", F.sum("n_tokens").over(win))
+        .join(F.broadcast(prefix), "score")
+        .crossJoin(F.broadcast(total))
+        .withColumn("cum_tokens", F.col("prefix") + F.col("incum"))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "n_tokens", "score", "cum_tokens")
+    )
 
 
 def q_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5805,6 +5908,20 @@ REGISTRY: dict[str, QuerySpec] = {
     "peak_concurrency": QuerySpec(
         q_peak_concurrency, SQL_PEAK_CONCURRENCY, "ext:interval-sweep"
     ),
+    # round-7: graded scale-twins of the two global-window rows — same
+    # answers, no corpus-sized single-task sort (SCALE.md §window funnels)
+    "revenue_quartiles_scalable": QuerySpec(
+        q_revenue_quartiles_scalable,
+        SQL_REVENUE_QUARTILES_SCALABLE,
+        "§2.5:scale-twin",
+    ),
+    # deliberately graded against token_budget_select's OWN oracle: the
+    # decomposed cumsum must be bit-identical to the spec's global window
+    "token_budget_select_scalable": QuerySpec(
+        q_token_budget_select_scalable,
+        SQL_TOKEN_BUDGET_SELECT,
+        "ext:selection:scale-twin",
+    ),
 }
 
 
@@ -5889,11 +6006,14 @@ _DRIVER_WINDOW: list[str] = [
     "cohort_ltv",
     "revenue_bridge",
     "peak_concurrency",
+    # -- round-7 scale-twins: new oracle rows outrank re-grading an
+    #    already-green anchor (token_freq / bucketed_join_agg both green
+    #    in r06 and covered by the local mirror every round)
+    "revenue_quartiles_scalable",
+    "token_budget_select_scalable",
     # -- previously-green anchors (harness canaries across surfaces)
     "dim_users_enriched",
     "streaming_minute_rollup",
-    "token_freq",
-    "bucketed_join_agg",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

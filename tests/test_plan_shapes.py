@@ -511,3 +511,23 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_revenue_quartiles_scalable_has_no_window(spark):
+    # the whole point of the scale-twin: cutpoint CASE bucketing instead
+    # of a global ntile window — the plan must contain NO Window at all
+    plan = _plan(REGISTRY["revenue_quartiles_scalable"].fn(spark, SF_SMALL))
+    assert "Window" not in plan, plan
+
+
+def test_token_budget_scalable_windows_are_bounded(spark):
+    # exactly two windows: the per-score in-bucket cumsum (partitioned,
+    # scales out) and the exclusive prefix over the |distinct scores|-row
+    # bucket table (single-partition but bounded by score cardinality).
+    # The corpus-sized stats table must never feed a partition-less sort.
+    df = REGISTRY["token_budget_select_scalable"].fn(spark, SF_SMALL)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in simple.splitlines() if "Window [" in l]
+    assert len(win_lines) == 2, simple
+    partitioned = [l for l in win_lines if "windowspecdefinition(score" in l and "doc_id" in l]
+    assert len(partitioned) == 1, win_lines
