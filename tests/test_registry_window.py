@@ -29,8 +29,12 @@ def test_never_driver_graded_rows_are_all_in_window():
     # Rows with no driver CORRECTNESS entry through round 6 (derived from
     # the union of CORRECTNESS_r0{1..6}.json keys); each must sit inside
     # the graded window until it has a driver-green row on record.
+    # cosine_topk_lsh_indexed is deliberately NOT here: its window slot
+    # went to cosine_topk_lsh_roundtrip, which exercises the same
+    # indexed-query path plus write/append maintenance and is
+    # oracle-graded instead of rows-only.
     never_graded = {
-        "cosine_topk_lsh_indexed", "dedup_incremental_batch",
+        "cosine_topk_lsh_roundtrip", "dedup_incremental_batch",
         "winsorized_stats_approx", "incremental_agg_multi",
         "unigram_logppl", "semantic_dedup_kmeans", "streaming_corpus_dedup",
         "domain_temperature_sample", "corpus_shuffle_shards",
