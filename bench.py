@@ -110,6 +110,8 @@ HEADLINE = [
     "revenue_quartiles",
     "revenue_quartiles_scalable",
     "token_budget_select_scalable",
+    # round-7: DSIR hashed-bigram importance weighting
+    "dsir_importance",
 ]
 
 

@@ -3623,6 +3623,105 @@ GROUP BY t.doc_id
 """
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): weight every document
+    by the log-likelihood ratio of its hashed-bigram features under a
+    TARGET distribution (here the 'en' slice, the usual high-resource
+    proxy) vs the RAW corpus distribution, both Laplace-smoothed over
+    B=1024 hash buckets. High weight = target-like = keep for training.
+
+    Scale shape: one tokenize+explode pass feeds (a) the two O(B)
+    bucket-count tables — whose log-ratio table is 1024 rows, always a
+    broadcast — and (b) the per-(doc, bucket) occurrence counts, which
+    aggregate map-side before one doc_id shuffle. No corpus-sized join
+    sides anywhere; the hashed feature space is what makes DSIR O(B)
+    instead of O(vocab^2) at 100 TB. Engine-portable md5 hashing
+    ([[functions/hashing.py]]); ln appears only in VALUES summed per
+    doc (abs error ~1e-10 at O(1e2) magnitude), 4dp rounding leaves 6+
+    orders of margin."""
+    docs = load_table(spark, sf_dir, "documents")
+    B = 1024
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(T.tokens("text"), lambda t: t != "").alias("t"),
+    ).filter(F.size("t") >= 2)
+    from nomba_data_pipeline_spark.functions.hashing import h64
+
+    big = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-2),"
+                " i -> concat(t[i], ' ', t[i+1]))"
+            )
+        ).alias("g"),
+    )
+    occ = big.select("doc_id", "lang", (h64(F.col("g")) % B).alias("b"))
+    tot = occ.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    )
+    corpus = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    target = (
+        occ.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    lr = (
+        corpus.join(target, "b", "left")
+        .fillna(0, ["ct"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 1) / (F.col("nt") + B))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + B))
+            ).alias("lr"),
+        )
+    )
+    dc = occ.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
+    return dc.join(F.broadcast(lr), "b").groupBy("doc_id", "lang").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.round(F.sum(F.col("n") * F.col("lr")), 4).alias("dsir_weight"),
+    )
+
+
+from nomba_data_pipeline_spark.functions.hashing import h64_sql as _h64_sql
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter({T.tokens_sql('text')}, x -> x <> '') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+occ AS (SELECT doc_id, lang, ({_h64_sql('g')}) % 1024 AS b FROM big),
+tot AS (SELECT count(*) AS nr,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM occ),
+corpus AS (SELECT b, count(*) AS cr FROM occ GROUP BY 1),
+target AS (SELECT b, count(*) AS ct FROM occ WHERE lang = 'en' GROUP BY 1),
+lr AS (
+  SELECT corpus.b,
+         ln((coalesce(ct, 0) + 1) / (nt + 1024))
+           - ln((cr + 1) / (nr + 1024)) AS lr
+  FROM corpus LEFT JOIN target USING (b), tot
+),
+dc AS (SELECT doc_id, lang, b, count(*) AS n FROM occ GROUP BY 1, 2, 3)
+SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       round(sum(n * lr), 4) AS dsir_weight
+FROM dc JOIN lr USING (b)
+GROUP BY 1, 2
+"""
+
+
 def q_incremental_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-measure IVM (ext:ivm-multi): one state table carrying a
     (sum/min/max) triple PER MEASURE — quantity and price here — folded
@@ -6027,6 +6126,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cosine_topk_lsh_roundtrip,
         SQL_COSINE_TOPK_LSH_ROUNDTRIP,
         "ext:ann-index-maintenance",
+    ),
+    # round-7: DSIR hashed-bigram importance weighting (data selection)
+    "dsir_importance": QuerySpec(
+        q_dsir_importance, SQL_DSIR_IMPORTANCE, "ext:data-selection"
     ),
 }
 
