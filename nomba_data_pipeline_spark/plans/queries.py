@@ -3689,6 +3689,70 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage: fit a top-K=2000 token
+    vocabulary on the whole corpus (count DESC, token ASC — a
+    deterministic fit) and report per-language OOV statistics — the
+    check run before committing a tokenizer to a multilingual mix,
+    where a vocab fit on the majority language silently explodes the
+    minority languages' sequence lengths.
+
+    Scale shape: the token-count table is vocabulary-sized
+    (Zipf-bounded MBs); the top-K cut is one aggregate + limit, and
+    membership joins back BROADCAST. Per-lang rates are O(1) ratios at
+    6dp (the safe grain), counts exact ints."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(2000)
+        .select("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+        F.countDistinct(
+            F.when(F.col("__in").isNull(), F.col("token"))
+        ).alias("oov_types"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({T.tokens_sql('text')}) AS token FROM documents
+),
+t AS (SELECT lang, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM t GROUP BY 1
+  ) ORDER BY cnt DESC, token ASC LIMIT 2000
+),
+flagged AS (
+  SELECT t.lang, t.token, v.token IS NOT NULL AS inv
+  FROM t LEFT JOIN vocab v USING (token)
+)
+SELECT lang,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN NOT inv THEN 1 ELSE 0 END) / count(*), 6)
+           AS oov_rate,
+       count(DISTINCT CASE WHEN NOT inv THEN token END) AS oov_types
+FROM flagged GROUP BY 1
+"""
+
+
 from nomba_data_pipeline_spark.functions.hashing import h64_sql as _h64_sql
 
 SQL_DSIR_IMPORTANCE = f"""
@@ -6130,6 +6194,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # round-7: DSIR hashed-bigram importance weighting (data selection)
     "dsir_importance": QuerySpec(
         q_dsir_importance, SQL_DSIR_IMPORTANCE, "ext:data-selection"
+    ),
+    # round-7: deterministic top-K vocabulary fit + per-lang OOV audit
+    "vocab_coverage": QuerySpec(
+        q_vocab_coverage, SQL_VOCAB_COVERAGE, "ext:tokenizer-prep"
     ),
 }
 
