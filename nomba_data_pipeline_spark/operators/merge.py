@@ -376,15 +376,25 @@ class ParquetTable:
                 # => same delta) identical to the staged copy — keep it,
                 # drop the redundant staging copy
                 fs.delete(jstaging, True)
-            else:
-                fs.rename(jstaging, jfinal)
+            elif not fs.rename(jstaging, jfinal):
+                # Hadoop rename signals failure by RETURNING false, not
+                # raising — swallowing it would report success while no
+                # feed was published, and replicas would silently miss
+                # the batch forever. Raising forces a replay, which the
+                # staged-feed promotion below heals.
+                raise IOError(
+                    f"CDF publish rename failed: {staging} -> {final}"
+                )
         elif fs.exists(jstaging) and not fs.exists(jfinal):
             # crash-window recovery: a previous attempt staged the feed
             # and applied the merge but died before the rename (this
             # replay's diff vs post-state is therefore empty). The
             # staged feed is the authoritative record of what the batch
             # changed — promote it so lagging replicas still get it.
-            fs.rename(jstaging, jfinal)
+            if not fs.rename(jstaging, jfinal):
+                raise IOError(
+                    f"CDF publish rename failed: {staging} -> {final}"
+                )
         # n_changes == 0 with an EXISTING published dir is the replay-
         # after-publish case: NEVER delete it (an earlier revision did,
         # silently losing the batch for lagging replicas).
