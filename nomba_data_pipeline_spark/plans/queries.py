@@ -1774,6 +1774,67 @@ WHERE value > (SELECT sum(value) / 10 FROM per_nation)
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): filter BOTH fact sides on
+    date, dimension filter on market segment, 3-way join, revenue
+    aggregate per order, top-10 by revenue. The classic
+    scan-filter-join-agg-topk OLAP pipeline: the segment dim broadcast,
+    both date filters pushed to the parquet scans, revenue
+    DECIMAL-exact per the repo money convention, and the top-10 a
+    TakeOrderedAndProject (per-partition heap + single merge, never a
+    global sort). Tie-break (revenue DESC, o_orderdate, l_orderkey) is
+    total, so the limit is engine-deterministic."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+        .select(
+            "l_orderkey",
+            (
+                _dec("l_extendedprice")
+                * (1 - F.col("l_discount")).cast("decimal(8,4)")
+            ).alias("rev"),
+        )
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), "o_custkey"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .orderBy(
+            F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase event: the latest click of the same user at or
     before it (point-in-time lookup via the sort-merge union trick)."""
@@ -6206,6 +6267,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # round-7: deterministic top-K vocabulary fit + per-lang OOV audit
     "vocab_coverage": QuerySpec(
         q_vocab_coverage, SQL_VOCAB_COVERAGE, "ext:tokenizer-prep"
+    ),
+    # round-7: TPC-H Q3 shape — scan-filter-join-agg-topk
+    "shipping_priority": QuerySpec(
+        q_shipping_priority, SQL_SHIPPING_PRIORITY, "§2.4/§2.6:q3-shape"
     ),
 }
 

@@ -531,3 +531,13 @@ def test_token_budget_scalable_windows_are_bounded(spark):
     assert len(win_lines) == 2, simple
     partitioned = [l for l in win_lines if "windowspecdefinition(score" in l and "doc_id" in l]
     assert len(partitioned) == 1, win_lines
+
+
+def test_shipping_priority_topk_and_broadcast(spark):
+    # Q3 shape: the top-10 must be TakeOrderedAndProject (per-partition
+    # heap + merge, never a global Sort+Limit) and the segment dim must
+    # join broadcast; both date filters must reach the scans
+    plan = _plan(REGISTRY["shipping_priority"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "1995-03-15" in plan
