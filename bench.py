@@ -110,8 +110,11 @@ HEADLINE = [
     "revenue_quartiles",
     "revenue_quartiles_scalable",
     "token_budget_select_scalable",
-    # round-7: DSIR hashed-bigram importance weighting
+    # round-7: DSIR hashed-bigram importance weighting, tokenizer-prep
+    # OOV audit, and the TPC-H Q3 shape
     "dsir_importance",
+    "vocab_coverage",
+    "shipping_priority",
 ]
 
 

@@ -6304,6 +6304,14 @@ REGISTRY: dict[str, QuerySpec] = {
 # streaming, UDF, bucketed join) as harness canaries.
 # When rotating again, re-derive the never-graded set from the union of
 # CORRECTNESS_r0*.json keys.
+#
+# ROUND-8 ROTATION QUEUE (computed mid-round-7, assuming the round-7
+# snapshot grades the window below): only the rows added after the
+# rotation remain never-graded — dsir_importance, vocab_coverage,
+# shipping_priority, plus cosine_topk_lsh_indexed (no-oracle; its
+# indexed-query path IS oracle-graded through cosine_topk_lsh_roundtrip,
+# so a slot only buys a rows-only check). Round 8 can therefore grade
+# the queue and return most slots to previously-green anchors.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
     # -- round-6 dtype fixes: failed hash_match in r06 on pandas dtype
