@@ -77,6 +77,30 @@ def lang_id_sql(expr: str) -> str:
     return best_lang
 
 
+def stopword_count(col: Column | str) -> Column:
+    """English-stopword occurrence count (the quality_score ingredient,
+    exposed for integer-threshold filter rules)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(_marker_regex(STOPWORDS))).cast("long")
+
+
+def stopword_count_sql(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all(lower({expr}),"
+        f" '{_marker_regex(STOPWORDS)}')) AS BIGINT)"
+    )
+
+
+def alpha_count(col: Column | str) -> Column:
+    """ASCII-letter character count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit("[A-Za-z]")).cast("long")
+
+
+def alpha_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '[A-Za-z]')) AS BIGINT)"
+
+
 def quality_score(col: Column | str) -> Column:
     """Heuristic quality in [0,1]: length band + stopword ratio + alpha ratio.
 

@@ -1774,6 +1774,58 @@ WHERE value > (SELECT sum(value) / 10 FROM per_nation)
 """
 
 
+def q_quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-filter cascade: each document gets its
+    FIRST failing rule as a drop reason (too_short -> too_long ->
+    low_alpha -> low_stopword -> kept), reported as per-(lang, verdict)
+    doc and token counts — the per-reason attrition table every corpus
+    release publishes. Every rule is an INTEGER comparison (counts
+    cross-multiplied instead of float ratios: alpha/chars < 0.815
+    becomes 1000*n_alpha < 815*n_chars), so the cascade is bit-exact
+    across engines with no rounding-grain analysis needed. Map-only
+    expressions + one partial-aggregated shuffle of |langs|*5 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        T.token_count("text").alias("n_tok"),
+        T.stopword_count("text").alias("n_stop"),
+        T.alpha_count("text").alias("n_alpha"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    verdict = (
+        F.when(F.col("n_tok") < 25, "too_short")
+        .when(F.col("n_tok") > 90, "too_long")
+        .when(F.col("n_alpha") * 1000 < F.col("n_chars") * 815, "low_alpha")
+        .when(F.col("n_stop") * 50 < F.col("n_tok"), "low_stopword")
+        .otherwise("kept")
+    )
+    return scored.groupBy("lang", verdict.alias("verdict")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+SQL_QUALITY_FILTER_CASCADE = f"""
+WITH scored AS (
+  SELECT lang,
+         {T.token_count_sql('text')} AS n_tok,
+         {T.stopword_count_sql('text')} AS n_stop,
+         {T.alpha_count_sql('text')} AS n_alpha,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN n_tok < 25 THEN 'too_short'
+            WHEN n_tok > 90 THEN 'too_long'
+            WHEN n_alpha * 1000 < n_chars * 815 THEN 'low_alpha'
+            WHEN n_stop * 50 < n_tok THEN 'low_stopword'
+            ELSE 'kept' END AS verdict,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM scored GROUP BY 1, 2
+"""
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): filter BOTH fact sides on
     date, dimension filter on market segment, 3-way join, revenue
@@ -6271,6 +6323,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # round-7: TPC-H Q3 shape — scan-filter-join-agg-topk
     "shipping_priority": QuerySpec(
         q_shipping_priority, SQL_SHIPPING_PRIORITY, "§2.4/§2.6:q3-shape"
+    ),
+    # round-7: first-matching-rule quality filter attrition table
+    "quality_filter_cascade": QuerySpec(
+        q_quality_filter_cascade,
+        SQL_QUALITY_FILTER_CASCADE,
+        "ext:quality-cascade",
     ),
 }
 
