@@ -115,6 +115,7 @@ HEADLINE = [
     "dsir_importance",
     "vocab_coverage",
     "shipping_priority",
+    "quality_filter_cascade",
 ]
 
 
