@@ -1774,6 +1774,95 @@ WHERE value > (SELECT sum(value) / 10 FROM per_nation)
 """
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join so customers with zero orders
+    survive, then TWO-LEVEL aggregation — count per customer, then the
+    distribution of those counts. The double groupBy is the shape
+    Catalyst can't fuse: two shuffles, the second over |distinct
+    counts| partials. The zero bucket is load-bearing (an inner join
+    silently drops it and inflates nothing — the classic Q13 bug)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = cust.join(orders, "o_custkey", "left").groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional share of revenue — the percentage
+    of monthly lineitem revenue from PROMO-type parts. CASE inside
+    the aggregate means ONE scan + one partial-aggregated shuffle of
+    |months| groups; the part dim joins broadcast. Share is DECIMAL-
+    exact division of two exact sums, output as an O(100) percentage
+    at 4dp (cross-engine safe grain)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        (
+            _dec("l_extendedprice")
+            * (1 - F.col("l_discount")).cast("decimal(8,4)")
+        ).alias("rev"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+    )
+    # both sums DECIMAL-exact, then ALL arithmetic in double (exact
+    # decimal -> correctly-rounded double -> one division -> one
+    # multiply): bit-identical cross-engine, no decimal-division scale
+    # rules in play
+    return (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("month")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("__promo"),
+            F.sum("rev").cast("double").alias("total_revenue"),
+        )
+        .select(
+            "month",
+            F.round(100 * F.col("__promo") / F.col("total_revenue"), 4).alias(
+                "promo_share_pct"
+            ),
+            "total_revenue",
+        )
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH li AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST(1 - l_discount AS DECIMAL(8,4)) AS rev
+  FROM lineitem
+)
+SELECT month,
+       round(100 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                                 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 4) AS promo_share_pct,
+       CAST(sum(rev) AS DOUBLE) AS total_revenue
+FROM li JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 def q_quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style quality-filter cascade: each document gets its
     FIRST failing rule as a drop reason (too_short -> too_long ->
@@ -6329,6 +6418,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_quality_filter_cascade,
         SQL_QUALITY_FILTER_CASCADE,
         "ext:quality-cascade",
+    ),
+    # round-7: TPC-H Q13 (outer-join two-level agg) and Q14 (conditional
+    # share) shapes
+    "customer_order_distribution": QuerySpec(
+        q_customer_order_distribution,
+        SQL_CUSTOMER_ORDER_DISTRIBUTION,
+        "§2.3/§2.4:q13-shape",
+    ),
+    "promo_revenue_share": QuerySpec(
+        q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE, "§2.4:q14-shape"
     ),
 }
 
