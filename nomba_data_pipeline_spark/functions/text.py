@@ -110,8 +110,8 @@ def quality_score(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     n_tok = token_count(c).cast("double")
-    n_stop = F.regexp_count(F.lower(c), F.lit(_marker_regex(STOPWORDS))).cast("double")
-    n_alpha = F.regexp_count(c, F.lit("[A-Za-z]")).cast("double")
+    n_stop = stopword_count(c).cast("double")
+    n_alpha = alpha_count(c).cast("double")
     n_chars = F.length(c).cast("double")
     len_ok = F.when((n_tok >= 20) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
@@ -122,8 +122,8 @@ def quality_score(col: Column | str) -> Column:
 
 def quality_score_sql(expr: str) -> str:
     n_tok = f"CAST(len(regexp_extract_all(lower({expr}), '{TOKEN_RE}')) AS DOUBLE)"
-    n_stop = f"CAST(len(regexp_extract_all(lower({expr}), '{_marker_regex(STOPWORDS)}')) AS DOUBLE)"
-    n_alpha = f"CAST(len(regexp_extract_all({expr}, '[A-Za-z]')) AS DOUBLE)"
+    n_stop = f"CAST({stopword_count_sql(expr)} AS DOUBLE)"
+    n_alpha = f"CAST({alpha_count_sql(expr)} AS DOUBLE)"
     n_chars = f"CAST(length({expr}) AS DOUBLE)"
     len_ok = f"CASE WHEN {n_tok} >= 20 AND {n_tok} <= 10000 THEN 1.0 ELSE 0.0 END"
     stop_ratio = f"CASE WHEN {n_tok} > 0 THEN {n_stop} / {n_tok} ELSE 0.0 END"

@@ -1775,16 +1775,25 @@ WHERE value > (SELECT sum(value) / 10 FROM per_nation)
 
 
 def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: LEFT OUTER join so customers with zero orders
-    survive, then TWO-LEVEL aggregation — count per customer, then the
-    distribution of those counts. The double groupBy is the shape
-    Catalyst can't fuse: two shuffles, the second over |distinct
+    """TPC-H Q13 shape: LEFT OUTER join so customers with zero matching
+    orders survive, then TWO-LEVEL aggregation — count per customer,
+    then the distribution of those counts. The double groupBy is the
+    shape Catalyst can't fuse: two shuffles, the second over |distinct
     counts| partials. The zero bucket is load-bearing (an inner join
-    silently drops it and inflates nothing — the classic Q13 bug)."""
+    silently drops it — the classic Q13 bug); Q13's order-side filter
+    is here o_orderstatus = 'F' ("completed orders only"), which makes
+    the zero bucket REAL on the fixtures (5 customers at sf0.001, 71 at
+    sf0.01 — pinned non-vacuous by tests/test_testdata_schema.py; an
+    unfiltered count has zero no-order customers and would grade green
+    even with the inner-join bug)."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey")
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey", "o_orderkey")
+    )
     per_cust = cust.join(orders, "o_custkey", "left").groupBy("o_custkey").agg(
         F.count("o_orderkey").alias("c_count")
     )
@@ -1797,7 +1806,9 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
 SQL_CUSTOMER_ORDER_DISTRIBUTION = """
 WITH per_cust AS (
   SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  FROM customer c
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+    ON c.c_custkey = o.o_custkey
   GROUP BY 1
 )
 SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1
@@ -6462,13 +6473,16 @@ REGISTRY: dict[str, QuerySpec] = {
 # When rotating again, re-derive the never-graded set from the union of
 # CORRECTNESS_r0*.json keys.
 #
-# ROUND-8 ROTATION QUEUE (computed mid-round-7, assuming the round-7
-# snapshot grades the window below): only the rows added after the
-# rotation remain never-graded — dsir_importance, vocab_coverage,
-# shipping_priority, plus cosine_topk_lsh_indexed (no-oracle; its
+# ROUND-8 ROTATION QUEUE (recomputed end of round-7, assuming the
+# round-7 snapshot grades the window below): the rows added after the
+# rotation remain never-graded and must take round-8 slots —
+# dsir_importance, vocab_coverage, shipping_priority,
+# quality_filter_cascade, customer_order_distribution,
+# promo_revenue_share — plus cosine_topk_lsh_indexed (no-oracle; its
 # indexed-query path IS oracle-graded through cosine_topk_lsh_roundtrip,
-# so a slot only buys a rows-only check). Round 8 can therefore grade
-# the queue and return most slots to previously-green anchors.
+# so a slot only buys a rows-only check). Re-derive from the union of
+# CORRECTNESS_r0*.json keys before rotating; remaining slots return to
+# previously-green anchors.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
     # -- round-6 dtype fixes: failed hash_match in r06 on pandas dtype

@@ -174,3 +174,20 @@ def test_fixture_spans_support_probe_rows(spark):
         "events.value collapsed into few 50-wide bins; snapshot_drift_psi "
         "would compare near-degenerate histograms"
     )
+
+
+def test_zero_completed_order_customers_exist(spark):
+    # customer_order_distribution's Q13 zero bucket: some customers must
+    # have NO 'F'-status orders, or the LEFT join is indistinguishable
+    # from an inner join and the row stops guarding the classic Q13 bug
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    f_orders = load_table(spark, SF_SMALL, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    n_zero = cust.join(f_orders, "o_custkey", "left_anti").count()
+    assert n_zero > 0, (
+        "every customer has a completed order; customer_order_distribution's "
+        "zero bucket is vacuous and an inner-join regression would pass"
+    )
