@@ -116,6 +116,8 @@ HEADLINE = [
     "vocab_coverage",
     "shipping_priority",
     "quality_filter_cascade",
+    "customer_order_distribution",
+    "promo_revenue_share",
 ]
 
 
