@@ -1783,9 +1783,10 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     silently drops it — the classic Q13 bug); Q13's order-side filter
     is here o_orderstatus = 'F' ("completed orders only"), which makes
     the zero bucket REAL on the fixtures (5 customers at sf0.001, 71 at
-    sf0.01 — pinned non-vacuous by tests/test_testdata_schema.py; an
-    unfiltered count has zero no-order customers and would grade green
-    even with the inner-join bug)."""
+    sf0.01 — pinned non-vacuous AT BOTH scales by
+    tests/test_testdata_schema.py; an unfiltered count has zero
+    no-order customers and would grade green even with the inner-join
+    bug)."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey")
     )

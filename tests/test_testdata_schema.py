@@ -176,18 +176,28 @@ def test_fixture_spans_support_probe_rows(spark):
     )
 
 
-def test_zero_completed_order_customers_exist(spark):
+def test_zero_completed_order_customers_exist():
     # customer_order_distribution's Q13 zero bucket: some customers must
     # have NO 'F'-status orders, or the LEFT join is indistinguishable
-    # from an inner join and the row stops guarding the classic Q13 bug
-    cust = load_table(spark, SF_SMALL, "customer").select(
-        F.col("c_custkey").alias("o_custkey")
-    )
-    f_orders = load_table(spark, SF_SMALL, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    )
-    n_zero = cust.join(f_orders, "o_custkey", "left_anti").count()
-    assert n_zero > 0, (
-        "every customer has a completed order; customer_order_distribution's "
-        "zero bucket is vacuous and an inner-join regression would pass"
-    )
+    # from an inner join and the row stops guarding the classic Q13 bug.
+    # Checked at BOTH the unit (sf0.001) and driver-grading (sf0.01)
+    # scales via duckdb — a fixture regeneration that de-vacuates only
+    # one scale must fail loudly.
+    import duckdb
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        n_zero = con.execute(
+            f"""
+            SELECT count(*) FROM '{sf_dir}/customer.parquet' c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM '{sf_dir}/orders.parquet' o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+            """
+        ).fetchone()[0]
+        con.close()
+        assert n_zero > 0, (
+            f"{sf_dir}: every customer has a completed order; "
+            "customer_order_distribution's zero bucket is vacuous and an "
+            "inner-join regression would grade green"
+        )
