@@ -6167,6 +6167,542 @@ FROM swept GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Round-8: the remaining classic TPC-H plan shapes, adapted to the
+# available schema (no partsupp table here — lineitem carries the
+# part<->supplier link; no commit/receipt dates — "late" is derived
+# from shipdate vs orderdate).  Reference parity: these are the ad-hoc
+# analyst queries the reference's warehouse layer serves post-load
+# (README.md:350-358 positions ClickHouse as the query layer).  Each
+# row exercises a distinct piece of Catalyst machinery the registry
+# did not yet grade: correlated scalar subqueries (Q2), EXISTS /
+# NOT EXISTS decorrelation (Q21/Q22), CASE-share ratios over multi-way
+# joins (Q8), distinct-agg + anti-join (Q16), and HAVING-driven
+# semi-joins back to the fact (Q18/Q20).
+# ---------------------------------------------------------------------------
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated scalar subquery: for each part of one
+    brand, the supplier row(s) whose observed price equals the minimum
+    ever charged for that part. Expressed through the SQL surface so
+    Catalyst's subquery decorrelation (RewriteCorrelatedScalarSubquery
+    -> aggregate + join) is the machinery under test, not a hand-built
+    window. DISTINCT collapses repeat fills at the same minimum; ties
+    across suppliers are kept, exactly like Q2. Equality on the raw
+    parquet double is exact — min() selects an existing value."""
+    from nomba_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "part", "supplier"))
+    return spark.sql(
+        """
+        SELECT DISTINCT p.p_partkey AS partkey, p.p_name AS part_name,
+               s.s_name AS supplier,
+               CAST(l.l_extendedprice AS DOUBLE) AS offer
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_brand = 'Brand#13'
+          AND l.l_extendedprice = (
+              SELECT min(l2.l_extendedprice) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+SQL_MIN_PRICE_SUPPLIER = """
+SELECT DISTINCT p.p_partkey AS partkey, p.p_name AS part_name,
+       s.s_name AS supplier, CAST(l.l_extendedprice AS DOUBLE) AS offer
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_extendedprice = (
+      SELECT min(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of all revenue billed to
+    ASIA-region customers, the fraction supplied by NATION_7, by order
+    year. Two independent dimension arms hang off the same fact row
+    (customer->nation->region AND supplier->nation), all broadcast;
+    the share is a CASE-gated decimal sum over the total decimal sum,
+    one double divide rounded to 6 dp (supplier_market_share
+    precedent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("sn.n_name") == "NATION_7", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("nat_dec"),
+            F.sum(rev).alias("tot_dec"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nat_dec").cast("double") / F.col("tot_dec").cast("double"), 6).alias("mkt_share"),
+            F.col("nat_dec").cast("double").alias("nation_revenue"),
+        )
+    )
+
+
+SQL_NATION_MARKET_SHARE = """
+WITH joined AS (
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * CAST(1 - l.l_discount AS DECIMAL(8,4)) AS rev,
+           sn.n_name AS sup_nation
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN sup_nation = 'NATION_7' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+       CAST(sum(CASE WHEN sup_nation = 'NATION_7' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue
+FROM joined GROUP BY 1
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit by supplier nation and order year for
+    parts whose name matches a token. Profit proxy (no partsupp here):
+    discounted revenue minus half the catalog cost of the shipped
+    quantity, every factor cast to decimal BEFORE multiplying (the
+    pricing_summary ulp-boundary precedent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)") - (
+        _dec("p_retailprice") * _dec("l_quantity") * F.lit(0.5).cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+SQL_PRODUCT_TYPE_PROFIT = """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(8,4))
+                      - CAST(p.p_retailprice AS DECIMAL(18,4))
+                        * CAST(l.l_quantity AS DECIMAL(18,4))
+                        * CAST(0.5 AS DECIMAL(2,1))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top 20 customers by revenue lost to returns in
+    one year. Decimal-exact revenue ranks deterministically with the
+    custkey tie-break; the rank filter is a WindowGroupLimit (top-k)
+    over a single global ordering of |customers-with-returns| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("c_custkey").asc())
+    return (
+        per_cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = """
+WITH per_cust AS (
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS rev_dec
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+)
+SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+       CAST(rev_dec AS DOUBLE) AS revenue
+FROM per_cust
+QUALIFY row_number() OVER (ORDER BY rev_dec DESC, c_custkey ASC) <= 20
+"""
+
+
+def q_linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — CASE-counting an order attribute grouped by a
+    lineitem attribute (here linestatus stands in for the absent
+    shipmode): urgent-priority vs other line counts for lines shipped
+    in one year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_LINESTATUS_PRIORITY_COUNTS = """
+SELECT l.l_linestatus AS linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — supplier(s) achieving the maximum quarterly
+    revenue, ties kept. The max is a one-row broadcast cross join
+    against the per-supplier aggregate (scalar-subquery shape without
+    a global window); equality is decimal-exact so tie membership is
+    engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    per_sup = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_rev_dec"))
+    )
+    top = per_sup.agg(F.max("total_rev_dec").alias("max_rev_dec"))
+    return (
+        per_sup.join(F.broadcast(top), per_sup.total_rev_dec == top.max_rev_dec)
+        .join(F.broadcast(sup), per_sup.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIER = """
+WITH per_sup AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(8,4))) AS total_rev_dec
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY 1
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supplier,
+       CAST(p.total_rev_dec AS DOUBLE) AS total_revenue
+FROM per_sup p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.total_rev_dec = (SELECT max(total_rev_dec) FROM per_sup)
+"""
+
+
+def q_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — count(DISTINCT supplier) per part attribute
+    group, with a complaints-style anti-join excluding a supplier set
+    first. The part->supplier relation comes through lineitem (no
+    partsupp table); distinct-agg after an anti-join is the machinery
+    under test."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    complaints = sup.filter(F.col("s_name").like("%77%")).select("s_suppkey")
+    eligible_parts = part.filter(
+        (F.col("p_brand") != "Brand#2") & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+    )
+    return (
+        li.join(F.broadcast(complaints), li.l_suppkey == complaints.s_suppkey, "left_anti")
+        .join(F.broadcast(eligible_parts), li.l_partkey == eligible_parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+            "supplier_cnt",
+        )
+    )
+
+
+SQL_SUPPLIER_CNT_BY_PART = """
+SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#2'
+  AND p.p_size IN (1, 9, 17, 25, 33, 41, 49)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total quantity exceeds a
+    threshold (HAVING over the fact grain), then enriched back through
+    orders and customer. The per-order aggregate is the only shuffle;
+    the enrich joins are broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+SQL_LARGE_VOLUME_ORDERS = """
+SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+       o.o_orderdate AS orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+       CAST(g.qty_dec AS DOUBLE) AS total_qty
+FROM (
+    SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+    FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+) g
+JOIN orders o ON g.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers who shipped MORE THAN HALF of the
+    total shipped quantity of some 'red' part: nested aggregates at
+    two grains joined on the inner key, with the share test kept in
+    exact decimal arithmetic (2*supplier_qty > total_qty — no
+    division, so tie membership is engine-independent), then a
+    semi-join up to supplier names."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    red = F.broadcast(part.filter(F.col("p_name").like("%red%")))
+    flagged = li.join(red, li.l_partkey == part.p_partkey)
+    per_pair = flagged.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("sup_qty")
+    )
+    per_part = flagged.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("tot_qty")
+    )
+    dominant = (
+        per_pair.join(per_part, per_pair.l_partkey == per_part.pk)
+        .filter(per_pair.sup_qty * 2 > per_part.tot_qty)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("supplier"))
+    )
+
+
+SQL_DOMINANT_PART_SUPPLIERS = """
+WITH flagged AS (
+    SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%red%'
+),
+per_pair AS (
+    SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sup_qty
+    FROM flagged GROUP BY 1, 2
+),
+per_part AS (
+    SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS tot_qty
+    FROM flagged GROUP BY 1
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supplier
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT pp.l_suppkey FROM per_pair pp
+    JOIN per_part pt ON pp.l_partkey = pt.l_partkey
+    WHERE pp.sup_qty * 2 > pt.tot_qty)
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who single-handedly held up
+    multi-supplier orders: the line shipped >365 days after the order
+    date, ANOTHER supplier participated in the order (EXISTS), and NO
+    other supplier was also late (NOT EXISTS). Expressed through the
+    SQL surface so Catalyst's ExistenceJoin decorrelation of the
+    correlated non-equality predicates is the machinery under test."""
+    from nomba_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    return spark.sql(
+        """
+        WITH flagged AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT s.s_name AS supplier, count(*) AS numwait
+        FROM flagged f1
+        JOIN supplier s ON f1.l_suppkey = s.s_suppkey
+        WHERE f1.late = 1
+          AND EXISTS (
+              SELECT 1 FROM flagged f2
+              WHERE f2.l_orderkey = f1.l_orderkey
+                AND f2.l_suppkey <> f1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM flagged f3
+              WHERE f3.l_orderkey = f1.l_orderkey
+                AND f3.l_suppkey <> f1.l_suppkey
+                AND f3.late = 1)
+        GROUP BY 1
+        """
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH flagged AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_name AS supplier, count(*) AS numwait
+FROM flagged f1
+JOIN supplier s ON f1.l_suppkey = s.s_suppkey
+WHERE f1.late = 1
+  AND EXISTS (
+      SELECT 1 FROM flagged f2
+      WHERE f2.l_orderkey = f1.l_orderkey AND f2.l_suppkey <> f1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM flagged f3
+      WHERE f3.l_orderkey = f1.l_orderkey AND f3.l_suppkey <> f1.l_suppkey
+        AND f3.late = 1)
+GROUP BY 1
+"""
+
+
+def q_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — customers richer than the positive-balance
+    average who have NEVER ordered, rolled up by market segment: a
+    scalar aggregate subquery feeding a filter plus a NOT EXISTS
+    anti-join, via the SQL surface. The average threshold is one
+    deterministic double (exact decimal sum / count); the balance roll-
+    up is decimal-exact."""
+    from nomba_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment, count(*) AS numcust,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+              SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(*)
+              FROM customer c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+        """
+    )
+
+
+SQL_IDLE_HIGH_BALANCE_CUSTOMERS = """
+SELECT c.c_mktsegment AS segment, count(*) AS numcust,
+       CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+      SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*)
+      FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 REGISTRY: dict[str, QuerySpec] = {
@@ -6441,6 +6977,41 @@ REGISTRY: dict[str, QuerySpec] = {
     "promo_revenue_share": QuerySpec(
         q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE, "§2.4:q14-shape"
     ),
+    # round-8: the remaining classic TPC-H plan shapes (adapted: no
+    # partsupp table; lineitem carries the part<->supplier link)
+    "min_price_supplier": QuerySpec(
+        q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER, "§2.6:q2-shape"
+    ),
+    "nation_market_share": QuerySpec(
+        q_nation_market_share, SQL_NATION_MARKET_SHARE, "§2.3/§2.4:q8-shape"
+    ),
+    "product_type_profit": QuerySpec(
+        q_product_type_profit, SQL_PRODUCT_TYPE_PROFIT, "§2.3/§2.4:q9-shape"
+    ),
+    "returned_item_customers": QuerySpec(
+        q_returned_item_customers, SQL_RETURNED_ITEM_CUSTOMERS, "§2.5/§2.6:q10-shape"
+    ),
+    "linestatus_priority_counts": QuerySpec(
+        q_linestatus_priority_counts, SQL_LINESTATUS_PRIORITY_COUNTS, "§2.4:q12-shape"
+    ),
+    "top_revenue_supplier": QuerySpec(
+        q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER, "§2.4/§2.6:q15-shape"
+    ),
+    "supplier_cnt_by_part": QuerySpec(
+        q_supplier_cnt_by_part, SQL_SUPPLIER_CNT_BY_PART, "§2.3/§2.4:q16-shape"
+    ),
+    "large_volume_orders": QuerySpec(
+        q_large_volume_orders, SQL_LARGE_VOLUME_ORDERS, "§2.4:q18-shape"
+    ),
+    "dominant_part_suppliers": QuerySpec(
+        q_dominant_part_suppliers, SQL_DOMINANT_PART_SUPPLIERS, "§2.3:q20-shape"
+    ),
+    "waiting_suppliers": QuerySpec(
+        q_waiting_suppliers, SQL_WAITING_SUPPLIERS, "§2.3/§2.6:q21-shape"
+    ),
+    "idle_high_balance_customers": QuerySpec(
+        q_idle_high_balance_customers, SQL_IDLE_HIGH_BALANCE_CUSTOMERS, "§2.3/§2.6:q22-shape"
+    ),
 }
 
 
@@ -6474,79 +7045,80 @@ REGISTRY: dict[str, QuerySpec] = {
 # When rotating again, re-derive the never-graded set from the union of
 # CORRECTNESS_r0*.json keys.
 #
-# ROUND-8 ROTATION QUEUE (recomputed end of round-7, assuming the
-# round-7 snapshot grades the window below): the rows added after the
-# rotation remain never-graded and must take round-8 slots —
-# dsir_importance, vocab_coverage, shipping_priority,
-# quality_filter_cascade, customer_order_distribution,
-# promo_revenue_share — plus cosine_topk_lsh_indexed (no-oracle; its
-# indexed-query path IS oracle-graded through cosine_topk_lsh_roundtrip,
-# so a slot only buys a rows-only check). Re-derive from the union of
-# CORRECTNESS_r0*.json keys before rotating; remaining slots return to
-# previously-green anchors.
+# ROUND-8 WINDOW (rotated at the start of round 8): the round-7
+# CORRECTNESS file had not been delivered when this rotation was made,
+# so it assumes round 7 graded the previous window (the 41
+# never-graded-through-r6 rows + the 5 dtype fixes + 2 anchors).  The
+# round-8 window takes, in order: (a) the 11 round-8 TPC-H-shape rows
+# added this round (never graded, by construction); (b) the 7-row
+# queue documented at end of round 7 — the six rows added after the
+# round-7 rotation plus cosine_topk_lsh_indexed (no-oracle; rows-only
+# check — its indexed-query path is oracle-graded through
+# cosine_topk_lsh_roundtrip); (c) the 6 round-6 dtype-fix rows kept
+# in-window as INSURANCE against the undelivered round-7 grade (if r7
+# graded them green this is a cheap re-confirm; if r7 never ran, the
+# fixes still re-grade this round); (d) 26 anchors from the cohort
+# last graded in round 5 — the stalest rows — spanning every major
+# surface (mongo extract, staging, SCD2, streaming-adjacent rollups,
+# joins, set ops, dedup family, ANN, windowing).
+# When rotating again, re-derive the never-graded set from the union
+# of CORRECTNESS_r0*.json keys.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # -- round-6 dtype fixes: failed hash_match in r06 on pandas dtype
-    #    class only (values bit-identical per the judge); re-grade first
+    # -- (a) round-8 TPC-H plan shapes, never graded
+    "min_price_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "linestatus_priority_counts",
+    "top_revenue_supplier",
+    "supplier_cnt_by_part",
+    "large_volume_orders",
+    "dominant_part_suppliers",
+    "waiting_suppliers",
+    "idle_high_balance_customers",
+    # -- (b) the documented round-8 queue (added after the r7 rotation)
+    "dsir_importance",
+    "vocab_coverage",
+    "shipping_priority",
+    "quality_filter_cascade",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "cosine_topk_lsh_indexed",
+    # -- (c) round-6 dtype-fix insurance (see header comment)
     "quality_profile",
     "revenue_quartiles",
     "price_histogram",
     "segment_percent_rank",
     "schema_drift_union",
-    # -- never driver-graded through round 6 (41 rows, includes the
-    #    latent corpus_datacard HUGEINT case fixed this round).
-    #    cosine_topk_lsh_indexed's slot went to the strictly-stronger
-    #    cosine_topk_lsh_roundtrip: same indexed-query code path, plus
-    #    write/append maintenance, ORACLE-graded instead of rows-only.
-    "cosine_topk_lsh_roundtrip",
-    "dedup_incremental_batch",
-    "winsorized_stats_approx",
-    "incremental_agg_multi",
-    "unigram_logppl",
-    "semantic_dedup_kmeans",
-    "streaming_corpus_dedup",
-    "domain_temperature_sample",
-    "corpus_shuffle_shards",
-    "snapshot_drift_psi",
-    "boilerplate_removal",
-    "source_precedence_dedup",
-    "snapshot_table_diff",
-    "graph_pagerank",
-    "token_budget_select",
-    "curriculum_sample",
-    "bigram_pmi",
-    "containment_pairs",
     "corpus_datacard",
-    "weighted_sample",
-    "quantile_normalize",
-    "neardup_resolve_best",
-    "basket_part_pairs",
-    "mom_revenue_growth",
-    "supplier_market_share",
-    "inverted_index",
-    "bm25_search",
-    "rolling_wau",
-    "monthly_customer_churn",
-    "decile_lift",
-    "source_entropy",
-    "ab_test_ztest",
-    "activation_latency",
-    "revenue_gini",
-    "benford_audit",
-    "rfm_segments",
-    "revenue_autocorr",
-    "event_transitions",
-    "cohort_ltv",
-    "revenue_bridge",
-    "peak_concurrency",
-    # -- round-7 scale-twins: new oracle rows outrank re-grading an
-    #    already-green anchor (token_freq / bucketed_join_agg both green
-    #    in r06 and covered by the local mirror every round)
-    "revenue_quartiles_scalable",
-    "token_budget_select_scalable",
-    # -- previously-green anchors (harness canaries across surfaces)
-    "dim_users_enriched",
-    "streaming_minute_rollup",
+    # -- (d) stalest anchors: last graded round 5
+    "mongo_extract_events",
+    "json_flatten",
+    "stg_users_projection",
+    "stg_plans_tz",
+    "incremental_filter",
+    "keep_latest_per_key",
+    "duplicate_groups",
+    "hwm_per_type",
+    "fact_enriched",
+    "flagship_revenue_by_region",
+    "scd2_intervals",
+    "scd2_asof_lookup",
+    "sessionize",
+    "pricing_summary",
+    "top_users_by_revenue",
+    "minute_rollup",
+    "asof_join",
+    "range_join_count",
+    "set_ops",
+    "semi_anti_cohorts",
+    "exact_dedup_groups",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup",
+    "cosine_topk",
+    "embedding_near_dup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
