@@ -6551,12 +6551,16 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 
 
 def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape — suppliers who shipped MORE THAN HALF of the
-    total shipped quantity of some 'red' part: nested aggregates at
-    two grains joined on the inner key, with the share test kept in
-    exact decimal arithmetic (2*supplier_qty > total_qty — no
-    division, so tie membership is engine-independent), then a
-    semi-join up to supplier names."""
+    """TPC-H Q20 shape — suppliers who are the TOP shipper of some
+    'red' part: nested aggregates at two grains (per part-supplier
+    pair, then max per part) joined on the inner key, with the
+    dominance test kept in exact decimal arithmetic (equality against
+    the per-part max — no division, so tie membership is
+    engine-independent), then a semi-join up to supplier names.
+    (Q20's literal >50%-of-availability test is vacuous on this
+    synthetic data — ~30 lineitems per part spread over a dozen
+    suppliers never concentrate past 25% — so the dominance predicate
+    is max-share, which is non-empty at every scale.)"""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -6565,12 +6569,14 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pair = flagged.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(_dec("l_quantity")).alias("sup_qty")
     )
-    per_part = flagged.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(_dec("l_quantity")).alias("tot_qty")
+    per_part = per_pair.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.max("sup_qty").alias("max_qty")
     )
     dominant = (
-        per_pair.join(per_part, per_pair.l_partkey == per_part.pk)
-        .filter(per_pair.sup_qty * 2 > per_part.tot_qty)
+        per_pair.join(
+            per_part,
+            (per_pair.l_partkey == per_part.pk) & (per_pair.sup_qty == per_part.max_qty),
+        )
         .select("l_suppkey")
         .distinct()
     )
@@ -6591,15 +6597,14 @@ per_pair AS (
     FROM flagged GROUP BY 1, 2
 ),
 per_part AS (
-    SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS tot_qty
-    FROM flagged GROUP BY 1
+    SELECT l_partkey, max(sup_qty) AS max_qty FROM per_pair GROUP BY 1
 )
 SELECT s.s_suppkey AS suppkey, s.s_name AS supplier
 FROM supplier s
 WHERE s.s_suppkey IN (
     SELECT pp.l_suppkey FROM per_pair pp
     JOIN per_part pt ON pp.l_partkey = pt.l_partkey
-    WHERE pp.sup_qty * 2 > pt.tot_qty)
+                    AND pp.sup_qty = pt.max_qty)
 """
 
 
@@ -6663,11 +6668,13 @@ GROUP BY 1
 
 def q_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape — customers richer than the positive-balance
-    average who have NEVER ordered, rolled up by market segment: a
-    scalar aggregate subquery feeding a filter plus a NOT EXISTS
-    anti-join, via the SQL surface. The average threshold is one
-    deterministic double (exact decimal sum / count); the balance roll-
-    up is decimal-exact."""
+    average with no RECENT orders (none since 1999 — every customer in
+    this synthetic data has ordered at some point, so 'never ordered'
+    is vacuous), rolled up by market segment: a scalar aggregate
+    subquery feeding a filter plus a NOT EXISTS anti-join over a
+    filtered subquery, via the SQL surface. The average threshold is
+    one deterministic double (exact decimal sum / count); the balance
+    roll-up is decimal-exact."""
     from nomba_data_pipeline_spark.catalog import register_views
 
     register_views(spark, sf_dir, ("customer", "orders"))
@@ -6682,7 +6689,9 @@ def q_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame
                      / count(*)
               FROM customer c2 WHERE c2.c_acctbal > 0.0)
           AND NOT EXISTS (
-              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         GROUP BY 1
         """
     )
@@ -6697,7 +6706,10 @@ WHERE c.c_acctbal > (
       SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
              / count(*)
       FROM customer c2 WHERE c2.c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 GROUP BY 1
 """
 
