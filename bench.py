@@ -118,6 +118,18 @@ HEADLINE = [
     "quality_filter_cascade",
     "customer_order_distribution",
     "promo_revenue_share",
+    # round-8: the remaining classic TPC-H plan shapes
+    "min_price_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "linestatus_priority_counts",
+    "top_revenue_supplier",
+    "supplier_cnt_by_part",
+    "large_volume_orders",
+    "dominant_part_suppliers",
+    "waiting_suppliers",
+    "idle_high_balance_customers",
 ]
 
 
