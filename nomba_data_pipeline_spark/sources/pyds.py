@@ -20,6 +20,12 @@ metadata-only and unmatched pages/rows never leave the reader.
 Supported column types (schema option, DDL string): bigint, double,
 string — the JSON-native scalars. Anything richer belongs in a
 columnar format; this connector is the INGEST edge.
+
+The same format is ALSO a streaming source (`spark.readStream
+.format("paged_json")`): each micro-batch plans exactly the pages
+that appeared since the checkpointed offset — the always-on form of
+the reference's cron-scheduled incremental extracts (see
+PagedJsonStreamReader).
 """
 
 from __future__ import annotations
@@ -27,7 +33,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class PagedJsonDataSource(DataSource):
@@ -48,6 +59,9 @@ class PagedJsonDataSource(DataSource):
     def reader(self, schema):
         return PagedJsonReader(schema, self.options)
 
+    def streamReader(self, schema):
+        return PagedJsonStreamReader(schema, self.options)
+
 
 _CASTS = {
     "bigint": lambda v: None if v is None else int(v),
@@ -56,7 +70,11 @@ _CASTS = {
 }
 
 
-class PagedJsonReader(DataSourceReader):
+class _PagedJsonBase:
+    """Shared option parsing, page listing, and per-page row decode for
+    the batch and streaming readers (identical read path; only the
+    PLANNING differs — full listing vs listing delta between offsets)."""
+
     def __init__(self, schema, options):
         self.schema = schema
         self.path = options.get("path")
@@ -94,18 +112,16 @@ class PagedJsonReader(DataSourceReader):
             self._since_typed = cast(self.since)
             self._track_cast = cast
 
-    def partitions(self):
-        # one partition per page file: the sorted listing IS the plan.
-        # Regular files only — subdirectories and dot/underscore
+    def _pages(self):
+        # Regular files only, sorted — subdirectories and dot/underscore
         # temporaries (producers stage hidden, then rename) are not
         # pages and must not become read tasks.
-        pages = sorted(
+        return sorted(
             f
             for f in os.listdir(self.path)
             if not f.startswith((".", "_"))
             and os.path.isfile(os.path.join(self.path, f))
         )
-        return [InputPartition(os.path.join(self.path, p)) for p in pages]
 
     def read(self, partition):
         fields = [f.name for f in self.schema.fields]
@@ -125,6 +141,55 @@ class PagedJsonReader(DataSourceReader):
                 yield tuple(
                     cast(rec.get(name)) for name, cast in zip(fields, casts)
                 )
+
+
+class PagedJsonReader(_PagedJsonBase, DataSourceReader):
+    def partitions(self):
+        # one partition per page file: the sorted listing IS the plan
+        return [InputPartition(os.path.join(self.path, p)) for p in self._pages()]
+
+
+class PagedJsonStreamReader(_PagedJsonBase, DataSourceStreamReader):
+    """The same paged directory as a CHANGE FEED: each micro-batch
+    reads the pages that appeared since the last committed offset —
+    the Structured-Streaming form of the reference's scheduled
+    incremental extract (hourly cron re-polling Mongo/Postgres for
+    rows past the HWM, all_schedules.py:40-52 + base_loader.py's
+    fetchmany loop). Contract: pages are append-only and immutable,
+    and page NAMES sort ascending in arrival order (the natural shape
+    of API pagination or log shipping; `page-{seq:09d}.json`).
+
+    The offset is `{"last_page": <name>}` — a name, not an index, so
+    compacting/expiring already-committed pages never shifts the
+    frontier. Planning is metadata-only on the driver (one listing per
+    latestOffset call); row data moves executor-side, one task per new
+    page — this is the full DataSourceStreamReader, not the
+    Simple(driver-prefetch) variant, so the data path scales with the
+    cluster, not the driver.
+
+    Replay safety: partitions(start, end) is a pure function of the
+    immutable listing, so a micro-batch whose write failed re-plans
+    byte-identically from the checkpointed offsets."""
+
+    def initialOffset(self) -> dict:
+        return {"last_page": ""}
+
+    def latestOffset(self) -> dict:
+        pages = self._pages()
+        return {"last_page": pages[-1] if pages else ""}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last_page", ""), end.get("last_page", "")
+        return [
+            InputPartition(os.path.join(self.path, p))
+            for p in self._pages()
+            if lo < p <= hi
+        ]
+
+    def commit(self, end: dict) -> None:
+        # offsets are tracked in the stream's checkpoint; committed
+        # pages stay on disk (retention is the producer's policy)
+        pass
 
 
 def register(spark) -> None:
