@@ -206,6 +206,57 @@ def minute_rollup_stream(
     return spark.table(query_name)
 
 
+def paged_feed_rollup_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    since: int,
+    query_name: str = "stream_paged_feed",
+) -> DataFrame:
+    """Per-type rollup over the custom `paged_json` STREAMING source
+    (sources/pyds.py): the page directory is consumed as an
+    offset-tracked change feed — one executor task per page planned
+    since the checkpointed offset — with the incremental predicate
+    (`event_id > since`, typed) applied INSIDE the reader, so
+    below-HWM rows never leave the connector. This is the always-on
+    form of the reference's cron-scheduled incremental extract
+    (all_schedules.py:40-52 polling base_loader.py's fetchmany loop
+    past the persisted hwm), graded against the plain batch GROUP BY.
+
+    Complete-mode memory sink is bounded by |event types|; a
+    production job keeps the identical agg and swaps the sink for
+    foreachBatch-merge (run_incremental_merge_stream)."""
+    from nomba_data_pipeline_spark.sources.pyds import register
+
+    register(spark)
+    feed = (
+        spark.readStream.format("paged_json")
+        .option("path", feed_dir)
+        .option(
+            "schema_ddl",
+            "event_id bigint, user_id bigint, event_type string, value double",
+        )
+        .option("tracking_column", "event_id")
+        .option("since", str(since))
+        .load()
+    )
+    agg = feed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def stream_static_enriched_counts(
     spark: SparkSession,
     source_dir: str,
