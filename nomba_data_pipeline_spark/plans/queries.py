@@ -6746,6 +6746,119 @@ GROUP BY 1
 """
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping between a nation PAIR: revenue
+    moved from supplier-nation to customer-nation in either direction,
+    by ship year. The last of the 22 TPC-H plan shapes. Two independent
+    nation arms hang off the fact row (supplier->nation and
+    customer<-orders->nation), both broadcast; the disjunctive pair
+    predicate ((N1,N2) OR (N2,N1)) is applied AFTER both arms resolve,
+    and each arm is pre-filtered to the two candidate nations so the
+    broadcast hash sides carry 2 rows each and the fact scan keeps its
+    pushed shipdate range. Revenue is decimal-exact until the final
+    double cast (nation_market_share precedent). Scale shape: the only
+    shuffles are lineitem->orders on orderkey and the final 3-key
+    group-by; every dimension side is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pair = ("NATION_1", "NATION_2")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    sn = nation.alias("sn")
+    cn = nation.alias("cn")
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .filter(
+            ((F.col("sn.n_name") == pair[0]) & (F.col("cn.n_name") == pair[1]))
+            | ((F.col("sn.n_name") == pair[1]) & (F.col("cn.n_name") == pair[0]))
+        )
+    )
+    return (
+        joined.groupBy(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l.l_discount AS DECIMAL(8,4))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_cluster_shipdate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance-verb lifecycle as a graded row: ParquetTable.cluster
+    must be CONTENT-PRESERVING. Stage lineitem as a deliberately
+    scattered 8-file copy (round-robin repartition — every file spans
+    the full shipdate range, worst case for stat pruning), run
+    `cluster(["l_shipdate"])` (range-repartition + sort-within ->
+    disjoint per-file shipdate ranges, atomic swap), then answer a
+    selective one-quarter range query from the CLUSTERED copy. Oracle
+    is the same query on the original table — any row lost, duplicated,
+    or mutated by the rewrite breaks the hash. Footer-stat narrowing
+    after cluster() is pinned separately in tests/test_layout.py;
+    this row grades the result-invariance half of the contract."""
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+    def _write(path: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        li.repartition(8).write.mode("overwrite").parquet(path)
+        ParquetTable(spark, path).cluster(["l_shipdate"], target_files=8)
+
+    path = _stage_dir("clustered_lineitem", sf_dir, _write)
+    clustered = spark.read.parquet(path)
+    return (
+        clustered.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_CLUSTER_SHIPDATE_ROUNDTRIP = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7059,6 +7172,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "idle_high_balance_customers": QuerySpec(
         q_idle_high_balance_customers, SQL_IDLE_HIGH_BALANCE_CUSTOMERS, "§2.3/§2.6:q22-shape"
     ),
+    "volume_shipping": QuerySpec(
+        q_volume_shipping, SQL_VOLUME_SHIPPING, "§2.3/§2.4:q7-shape"
+    ),
+    "cluster_shipdate_roundtrip": QuerySpec(
+        q_cluster_shipdate_roundtrip,
+        SQL_CLUSTER_SHIPDATE_ROUNDTRIP,
+        "§2.13:maintenance-cluster",
+    ),
 }
 
 
@@ -7110,64 +7231,84 @@ REGISTRY: dict[str, QuerySpec] = {
 # joins, set ops, dedup family, ANN, windowing).
 # When rotating again, re-derive the never-graded set from the union
 # of CORRECTNESS_r0*.json keys.
-# ROUND-9 QUEUE (rows added after the round-8 rotation, never graded):
-#   streaming_paged_feed
+# ROUND-9 WINDOW (rotated at the start of round 9 per the round-8
+# verdict): the round-7 CORRECTNESS file was NEVER delivered, so the
+# r8 rotation's assumption that r7 graded its window left 43 registry
+# rows with no driver CORRECTNESS entry ever (re-derived this round
+# from the union of the delivered CORRECTNESS_r0{1..6,8}.json keys —
+# NOT from any presumed r7 grade).  This window takes, in order:
+# (a) those 43 never-graded rows — the r6 batch-3 analytics surface,
+#     the 16-row BI battery, both scale twins, the ANN index-lifecycle
+#     roundtrip, and r8's streaming_paged_feed;
+# (b) the 2 rows added this round (never graded by construction):
+#     volume_shipping (the last missing TPC-H shape, Q7) and
+#     cluster_shipdate_roundtrip (first maintenance-verb oracle row);
+# (c) 5 anchors from the stalest driver-green cohort (last graded
+#     round 5), spanning the major surfaces: batch join/SCD2
+#     (dim_users_enriched), pivot (status_pivot), ANN
+#     (cosine_topk_lsh), skew handling (skew_salted_agg), and the SQL
+#     API (flagship_sql_api) — harness canaries that double as the
+#     stale-regrade cadence the r6/r8 verdicts asked for.
+# After this round grades green, EVERY oracle row in the registry has
+# a driver CORRECTNESS artifact on disk, and the never-graded guard in
+# tests/test_registry_window.py runs with no presumed-graded escape
+# hatch.  When rotating again, re-derive the never-graded set from the
+# union of CORRECTNESS_r0*.json keys.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # -- (a) round-8 TPC-H plan shapes, never graded
-    "min_price_supplier",
-    "nation_market_share",
-    "product_type_profit",
-    "returned_item_customers",
-    "linestatus_priority_counts",
-    "top_revenue_supplier",
-    "supplier_cnt_by_part",
-    "large_volume_orders",
-    "dominant_part_suppliers",
-    "waiting_suppliers",
-    "idle_high_balance_customers",
-    # -- (b) the documented round-8 queue (added after the r7 rotation)
-    "dsir_importance",
-    "vocab_coverage",
-    "shipping_priority",
-    "quality_filter_cascade",
-    "customer_order_distribution",
-    "promo_revenue_share",
-    "cosine_topk_lsh_indexed",
-    # -- (c) round-6 dtype-fix insurance (see header comment)
-    "quality_profile",
-    "revenue_quartiles",
-    "price_histogram",
-    "segment_percent_rank",
-    "schema_drift_union",
-    "corpus_datacard",
-    # -- (d) stalest anchors: last graded round 5
-    "mongo_extract_events",
-    "json_flatten",
-    "stg_users_projection",
-    "stg_plans_tz",
-    "incremental_filter",
-    "keep_latest_per_key",
-    "duplicate_groups",
-    "hwm_per_type",
-    "fact_enriched",
-    "flagship_revenue_by_region",
-    "scd2_intervals",
-    "scd2_asof_lookup",
-    "sessionize",
-    "pricing_summary",
-    "top_users_by_revenue",
-    "minute_rollup",
-    "asof_join",
-    "range_join_count",
-    "set_ops",
-    "semi_anti_cohorts",
-    "exact_dedup_groups",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_near_dup",
-    "cosine_topk",
-    "embedding_near_dup",
+    # -- (a) the 43 rows with no driver CORRECTNESS entry on disk
+    "streaming_paged_feed",
+    "cosine_topk_lsh_roundtrip",
+    "revenue_quartiles_scalable",
+    "token_budget_select_scalable",
+    "dedup_incremental_batch",
+    "winsorized_stats_approx",
+    "incremental_agg_multi",
+    "unigram_logppl",
+    "semantic_dedup_kmeans",
+    "streaming_corpus_dedup",
+    "domain_temperature_sample",
+    "corpus_shuffle_shards",
+    "snapshot_drift_psi",
+    "boilerplate_removal",
+    "source_precedence_dedup",
+    "snapshot_table_diff",
+    "graph_pagerank",
+    "token_budget_select",
+    "curriculum_sample",
+    "bigram_pmi",
+    "containment_pairs",
+    "weighted_sample",
+    "quantile_normalize",
+    "neardup_resolve_best",
+    "basket_part_pairs",
+    "mom_revenue_growth",
+    "supplier_market_share",
+    "inverted_index",
+    "bm25_search",
+    "rolling_wau",
+    "monthly_customer_churn",
+    "decile_lift",
+    "source_entropy",
+    "ab_test_ztest",
+    "activation_latency",
+    "revenue_gini",
+    "benford_audit",
+    "rfm_segments",
+    "revenue_autocorr",
+    "event_transitions",
+    "cohort_ltv",
+    "revenue_bridge",
+    "peak_concurrency",
+    # -- (b) added round 9, never graded by construction
+    "volume_shipping",
+    "cluster_shipdate_roundtrip",
+    # -- (c) stalest-green anchors (last graded round 5)
+    "dim_users_enriched",
+    "status_pivot",
+    "cosine_topk_lsh",
+    "skew_salted_agg",
+    "flagship_sql_api",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

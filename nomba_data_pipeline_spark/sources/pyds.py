@@ -167,24 +167,48 @@ class PagedJsonStreamReader(_PagedJsonBase, DataSourceStreamReader):
     Simple(driver-prefetch) variant, so the data path scales with the
     cluster, not the driver.
 
-    Replay safety: partitions(start, end) is a pure function of the
-    immutable listing, so a micro-batch whose write failed re-plans
-    byte-identically from the checkpointed offsets."""
+    Replay safety: pages are immutable, so a micro-batch whose write
+    failed re-plans byte-identically from the checkpointed offsets —
+    PROVIDED producer retention keeps every page in (start, end] alive
+    until commit. partitions() enforces that precondition (a missing
+    end page raises instead of silently replaying a smaller batch),
+    and latestOffset() clamps to the largest offset ever returned so
+    expiry of committed pages can never regress the frontier."""
+
+    # monotonic floor for latestOffset: the live listing can REGRESS
+    # below the checkpointed frontier if the producer expires the last
+    # committed page (or empties the directory). Offsets must never
+    # move backwards, so remember the largest name ever returned.
+    _offset_floor: str = ""
 
     def initialOffset(self) -> dict:
         return {"last_page": ""}
 
     def latestOffset(self) -> dict:
         pages = self._pages()
-        return {"last_page": pages[-1] if pages else ""}
+        tail = pages[-1] if pages else ""
+        if tail > self._offset_floor:
+            self._offset_floor = tail
+        return {"last_page": self._offset_floor}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("last_page", ""), end.get("last_page", "")
-        return [
-            InputPartition(os.path.join(self.path, p))
-            for p in self._pages()
-            if lo < p <= hi
-        ]
+        if hi <= lo:
+            return []  # empty batch (no new pages since the frontier)
+        live = self._pages()
+        planned = [p for p in live if lo < p <= hi]
+        # Replay is byte-identical ONLY while every page in (start, end]
+        # is still on disk. If the producer's retention expired an
+        # uncommitted page (notably `hi` itself), silently dropping it
+        # would replay a DIFFERENT batch than the one checkpointed —
+        # fail loudly instead so the retention violation is visible.
+        if hi and hi not in set(planned):
+            raise RuntimeError(
+                f"paged_json retention violation: end offset page {hi!r} "
+                f"expired before the micro-batch (start={lo!r}) committed; "
+                "producer retention must outlive checkpoint commit"
+            )
+        return [InputPartition(os.path.join(self.path, p)) for p in planned]
 
     def commit(self, end: dict) -> None:
         # offsets are tracked in the stream's checkpoint; committed

@@ -109,3 +109,46 @@ def test_stream_applies_hwm_pushdown(spark, feed, tmp_path):
     )
     # id=1 sits AT the high-water mark -> excluded (strict >)
     assert _ids(spark, out) == [2, 3]
+
+
+def _stream_reader(feed):
+    from pyspark.sql.types import StructType
+
+    from nomba_data_pipeline_spark.sources.pyds import PagedJsonStreamReader
+
+    schema = (
+        StructType()
+        .add("id", "long")
+        .add("name", "string")
+        .add("updated_at", "string")
+    )
+    return PagedJsonStreamReader(schema, {"path": feed})
+
+
+def test_latest_offset_never_regresses_on_expiry(feed):
+    # producer expires the tail page (or empties the directory): the
+    # live listing regresses, the OFFSET must not — a backwards offset
+    # would make Spark re-plan already-committed pages as new data
+    r = _stream_reader(feed)
+    assert r.latestOffset() == {"last_page": "page-0001.json"}
+    os.remove(os.path.join(feed, "page-0001.json"))
+    assert r.latestOffset() == {"last_page": "page-0001.json"}
+    os.remove(os.path.join(feed, "page-0000.json"))
+    assert r.latestOffset() == {"last_page": "page-0001.json"}
+    # new pages past the floor move it forward again
+    _write_page(feed, 2, [{"id": 7, "name": "g", "updated_at": "2026-01-07"}])
+    assert r.latestOffset() == {"last_page": "page-0002.json"}
+
+
+def test_replay_raises_on_expired_uncommitted_page(feed):
+    # a planned-but-uncommitted page expired between attempt and replay:
+    # silently dropping it would replay a DIFFERENT batch than the one
+    # the checkpoint recorded — must raise, not shrink
+    r = _stream_reader(feed)
+    start, end = {"last_page": ""}, {"last_page": "page-0001.json"}
+    assert len(r.partitions(start, end)) == 2
+    os.remove(os.path.join(feed, "page-0001.json"))
+    with pytest.raises(RuntimeError, match="retention violation"):
+        r.partitions(start, end)
+    # equal offsets = empty batch, never an error
+    assert r.partitions(end, end) == []

@@ -28,10 +28,11 @@ def test_window_rows_exist_in_registry():
 def test_never_driver_graded_rows_are_all_in_window():
     # Every registry row with no driver CORRECTNESS entry on disk must
     # sit inside the graded window until it has a driver grade on
-    # record — EXCEPT rows covered by a previous round's window whose
-    # CORRECTNESS file has not been delivered yet (the round-7 window
-    # was graded by a run whose artifact never landed in the repo;
-    # those rows are presumed graded and their slots recycled).
+    # record.  The ONLY source of truth is CORRECTNESS artifacts on
+    # disk — the round-8 `presumed_r7` escape hatch (50 rows presumed
+    # graded by a round-7 run whose artifact never landed) is retired:
+    # the round-9 window holds all 43 genuinely never-graded rows, so
+    # no presumption is needed.
     import glob
     import json
     import os
@@ -43,44 +44,7 @@ def test_never_driver_graded_rows_are_all_in_window():
         rows = d.get("queries", d)
         if isinstance(rows, dict):
             graded |= set(rows)
-    # the round-7 window (graded by the undelivered r07 run): the 41
-    # rows never graded through r6, the 5 dtype fixes, 2 anchors, and
-    # the 2 scale-twins — reconstructed from the round-7 rotation
-    # comment in plans/queries.py
-    presumed_r7 = {
-        "quality_profile", "revenue_quartiles", "price_histogram",
-        "segment_percent_rank", "schema_drift_union",
-        "cosine_topk_lsh_roundtrip", "dedup_incremental_batch",
-        "winsorized_stats_approx", "incremental_agg_multi",
-        "unigram_logppl", "semantic_dedup_kmeans", "streaming_corpus_dedup",
-        "domain_temperature_sample", "corpus_shuffle_shards",
-        "snapshot_drift_psi", "boilerplate_removal",
-        "source_precedence_dedup", "snapshot_table_diff", "graph_pagerank",
-        "token_budget_select", "curriculum_sample", "bigram_pmi",
-        "containment_pairs", "corpus_datacard", "weighted_sample",
-        "quantile_normalize", "neardup_resolve_best", "basket_part_pairs",
-        "mom_revenue_growth", "supplier_market_share", "inverted_index",
-        "bm25_search", "rolling_wau", "monthly_customer_churn",
-        "decile_lift", "source_entropy", "ab_test_ztest",
-        "activation_latency", "revenue_gini", "benford_audit",
-        "rfm_segments", "revenue_autocorr", "event_transitions",
-        "cohort_ltv", "revenue_bridge", "peak_concurrency",
-        "revenue_quartiles_scalable", "token_budget_select_scalable",
-        "dim_users_enriched", "streaming_minute_rollup",
-    }
-    never = set(REGISTRY) - graded - presumed_r7
+    never = set(REGISTRY) - graded
     window = set(_DRIVER_WINDOW)
     missing = never - window
     assert not missing, f"never-graded rows outside the window: {sorted(missing)}"
-
-
-def test_round6_dtype_fix_rows_stay_in_window():
-    # The five rows that graded hash_match:false in round 6 (dtype-only,
-    # fixed round 7) plus the latent corpus_datacard case stay in-window
-    # until a driver re-grade ARTIFACT lands in the repo (the round-7
-    # run's file never did).
-    fixes = {
-        "quality_profile", "revenue_quartiles", "price_histogram",
-        "segment_percent_rank", "schema_drift_union", "corpus_datacard",
-    }
-    assert fixes <= set(_DRIVER_WINDOW)
