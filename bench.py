@@ -130,6 +130,10 @@ HEADLINE = [
     "dominant_part_suppliers",
     "waiting_suppliers",
     "idle_high_balance_customers",
+    # round-9: the last TPC-H shape (Q7) + the first maintenance-verb
+    # graded row (cluster rewrite then a pruned range query)
+    "volume_shipping",
+    "cluster_shipdate_roundtrip",
 ]
 
 
@@ -148,6 +152,50 @@ COMPARABLE_R5 = (
     "scd2_intervals", "sequence_packing", "sessionize", "simhash_docs",
     "simhash_near_dup", "sketch_rollup_distinct", "supplier_part_volume",
     "tfidf_top_terms", "top_parts_per_brand", "winnow_fingerprints",
+)
+
+# Frozen round-8 per-query set: every per-query entry present in the
+# round-8 BENCH_DETAIL (96 names — prefix-excluded synthetic families
+# and the two pipeline_* entries removed, matching the COMPARABLE_R5
+# convention). COMPARABLE_R5 no longer spans the TPC-H shape family or
+# the r6/r7 analytics surface; this second frozen set keeps
+# like-for-like comparison honest as HEADLINE keeps growing. Do NOT
+# add names here — frozen means frozen.
+COMPARABLE_R8 = (
+    "ab_test_ztest", "activation_latency", "asof_join",
+    "basket_part_pairs", "benford_audit", "bigram_pmi", "bm25_search",
+    "boilerplate_removal", "cohort_ltv", "cohort_retention",
+    "containment_pairs", "corpus_datacard", "corpus_prep",
+    "corpus_shuffle_shards", "cosine_topk", "cosine_topk_ivf",
+    "cosine_topk_lsh", "curriculum_sample", "customer_order_distribution",
+    "decile_lift", "dedup_incremental_batch", "doc_chunking", "doc_stats",
+    "domain_temperature_sample", "dominant_part_suppliers",
+    "dsir_importance", "embedding_near_dup", "embedding_near_dup_lsh",
+    "embedding_quantize", "event_transitions", "exact_dedup_groups",
+    "fact_enriched", "flagship_revenue_by_region", "fuzzy_name_blocked",
+    "graph_pagerank", "hopping_window_counts",
+    "idle_high_balance_customers", "incremental_agg_maintenance",
+    "inverted_index", "keep_latest_per_key", "large_volume_orders",
+    "linestatus_priority_counts", "min_price_supplier",
+    "minhash_lsh_pairs", "minute_rollup", "mom_revenue_growth",
+    "monthly_customer_churn", "nation_market_share", "neardup_clusters",
+    "neardup_resolve_best", "ngram_jaccard_pairs", "peak_concurrency",
+    "percentiles_by_flag", "price_mad_by_flag", "pricing_summary",
+    "product_type_profit", "promo_revenue_share",
+    "quality_filter_cascade", "quantile_normalize", "range_join_count",
+    "returned_item_customers", "revenue_autocorr", "revenue_bridge",
+    "revenue_gini", "revenue_quartiles", "revenue_quartiles_scalable",
+    "revenue_rollup", "rfm_segments", "rolling_wau", "scd2_intervals",
+    "semantic_dedup_labels", "sequence_packing", "sessionize",
+    "shipping_priority", "simhash_docs", "simhash_near_dup",
+    "sketch_rollup_distinct", "snapshot_table_diff", "source_entropy",
+    "source_precedence_dedup", "stratified_sample_k",
+    "supplier_cnt_by_part", "supplier_market_share",
+    "supplier_part_volume", "tfidf_top_terms", "token_budget_select",
+    "token_budget_select_scalable", "top_parts_per_brand",
+    "top_revenue_supplier", "unigram_logppl", "vocab_coverage",
+    "waiting_suppliers", "weighted_sample", "winnow_fingerprints",
+    "winsorized_stats", "winsorized_stats_approx",
 )
 
 
@@ -522,6 +570,9 @@ def main() -> None:
     comparable = round(
         sum(timings[k] for k in COMPARABLE_R5 if k in timings), 3
     )
+    comparable_r8 = round(
+        sum(timings[k] for k in COMPARABLE_R8 if k in timings), 3
+    )
 
     detail = {
         "metric": "headline_queries_total",
@@ -533,6 +584,11 @@ def main() -> None:
             "value": comparable,
             "n": sum(1 for k in COMPARABLE_R5 if k in timings),
             "of": len(COMPARABLE_R5),
+        },
+        "comparable_r8": {
+            "value": comparable_r8,
+            "n": sum(1 for k in COMPARABLE_R8 if k in timings),
+            "of": len(COMPARABLE_R8),
         },
         # at sf0.1 the embeddings table is 2k rows: the per-query ANN
         # timings above measure fixed job overhead, not algorithm. The

@@ -277,6 +277,29 @@ def near_dup_pairs(
         F.col("__grp.b2").alias("__b2"),
     )
 
+    def _strip_sims(L, R, lids, rids):
+        # chunk the BLAS multiply over strips of L: a full |L|x|R|
+        # float64 sims matrix (plus its np.round copy) is the per-task
+        # memory hog — 128 MB+ per task at 4k-row blocks, and 32
+        # concurrent tasks turn that into GC churn (the observed 35-55s
+        # run-to-run swing on the 64k demo). Cap each strip at ~4M
+        # sims (~32 MB) so peak memory is bounded by the STRIP, not
+        # the block square; results are bit-identical (round-then-
+        # compare per strip, same as before).
+        strip = max(1, 4_000_000 // max(1, R.shape[0]))
+        outs = []
+        for s0 in range(0, L.shape[0], strip):
+            sims = np.round(L[s0 : s0 + strip] @ R.T, SIM_DP)
+            i, j = np.where(sims >= threshold)
+            outs.append((lids[s0 + i], rids[j], sims[i, j]))
+        if not outs:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+        return tuple(np.concatenate(parts) for parts in zip(*outs))
+
     def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         b1, b2 = key
         ids = pdf["__id"].to_numpy()
@@ -285,18 +308,12 @@ def near_dup_pairs(
         norms[norms == 0] = 1.0
         M = M / norms
         if b1 == b2:
-            sims = np.round(M @ M.T, SIM_DP)
-            i, j = np.where(sims >= threshold)
-            a, b, s = ids[i], ids[j], sims[i, j]
+            a, b, s = _strip_sims(M, M, ids, ids)
             keep = a < b
             a, b, s = a[keep], b[keep], s[keep]
         else:
             left = pdf["__blk"].to_numpy() == b1
-            L, R = M[left], M[~left]
-            lids, rids = ids[left], ids[~left]
-            sims = np.round(L @ R.T, SIM_DP)
-            i, j = np.where(sims >= threshold)
-            a, b, s = lids[i], rids[j], sims[i, j]
+            a, b, s = _strip_sims(M[left], M[~left], ids[left], ids[~left])
             lo = np.minimum(a, b)
             b = np.maximum(a, b)
             a = lo
