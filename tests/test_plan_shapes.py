@@ -547,3 +547,23 @@ def test_shipping_priority_topk_and_broadcast(spark):
     assert "GreaterThan(l_shipdate,1995-03-15" in plan, plan
     assert "LessThan(o_orderdate,1995-03-15" in plan, plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+
+
+def test_volume_shipping_broadcasts_all_dims_and_pushes_shipdate(spark):
+    # Q7 shape: both nation arms + supplier + customer broadcast (4
+    # BroadcastHashJoins — only lineitem->orders shuffles) and the
+    # two-year shipdate range must reach the lineitem scan by content
+    plan = _plan(REGISTRY["volume_shipping"].fn(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan, plan
+    assert "LessThan(l_shipdate,1998-01-01" in plan, plan
+
+
+def test_cluster_roundtrip_prunes_on_clustered_key(spark):
+    # the graded maintenance row: after cluster(l_shipdate) the range
+    # predicate must be pushed to the clustered table's scan — that is
+    # the footer-stat pruning the rewrite exists to enable
+    plan = _plan(REGISTRY["cluster_shipdate_roundtrip"].fn(spark, SF_SMALL))
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan, plan
+    assert "LessThan(l_shipdate,1997-04-01" in plan, plan
