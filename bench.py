@@ -646,6 +646,7 @@ def main() -> None:
         "queries": {k: timings[k] for k in key_entries if k in timings},
         "sf": detail["sf"],
         "comparable_r5_total": comparable,
+        "comparable_r8_total": comparable_r8,
         "n_queries_timed": len(timings),
         "detail": "BENCH_DETAIL.json",
     }
