@@ -7254,6 +7254,15 @@ REGISTRY: dict[str, QuerySpec] = {
 # tests/test_registry_window.py runs with no presumed-graded escape
 # hatch.  When rotating again, re-derive the never-graded set from the
 # union of CORRECTNESS_r0*.json keys.
+#
+# ROUND-10 ROTATION GUIDANCE: with the never-graded set closed, the
+# window becomes (a) any rows added in round 10 (must be in-window —
+# the guard has no queue carve-out, by design), then (b) stale
+# re-grades, oldest evidence first.  After round 9 the stalest cohort
+# is the 45 rows whose latest green is round 6, then the ~19 round-5
+# rows not re-anchored here.  Budget the full remaining slots for
+# re-grades (~40+/round) until the r6 cohort is refreshed; verify the
+# delivered CORRECTNESS_r09.json before assuming this window graded.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
     # -- (a) the 43 rows with no driver CORRECTNESS entry on disk
