@@ -131,9 +131,11 @@ HEADLINE = [
     "waiting_suppliers",
     "idle_high_balance_customers",
     # round-9: the last TPC-H shape (Q7) + the first maintenance-verb
-    # graded row (cluster rewrite then a pruned range query)
+    # graded row (cluster rewrite then a pruned range query) + the
+    # first graded warehouse-upsert lifecycle
     "volume_shipping",
     "cluster_shipdate_roundtrip",
+    "upsert_roundtrip",
 ]
 
 

@@ -6859,6 +6859,65 @@ GROUP BY 1
 """
 
 
+def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-sink O7 lifecycle as a graded row (reference
+    base_loader.py:344-417's incremental upsert): stage a base load
+    (orders with orderkey % 3 != 0), merge_upsert a delta (every even
+    orderkey, status overridden to 'U') into it, then aggregate the
+    MERGED table per status. The delta both REPLACES overlapping keys
+    (even, not divisible by 3) and INSERTS new ones (divisible by 6),
+    so a merge that drops, duplicates, or fails to replace any row
+    breaks the count and the decimal sum. Oracle replays MERGE
+    semantics declaratively: delta wins per key, anti-joined base
+    otherwise. The upsert path itself is the production one —
+    broadcast anti-join of target against delta keys, atomic swap —
+    with idempotency/NULL-key/partition-migration edges pinned in
+    tests/test_merge.py."""
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+    def _write(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = ParquetTable(spark, path)
+        t.overwrite(orders.filter(F.col("o_orderkey") % 3 != 0))
+        delta = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", F.lit("U").alias("o_orderstatus"), "o_totalprice"
+        )
+        t.merge_upsert(delta, ["o_orderkey"])
+
+    path = _stage_dir("upsert_orders", sf_dir, _write)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_UPSERT_ROUNDTRIP = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+), delta AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+), merged AS (
+    SELECT * FROM delta
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM merged GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7180,6 +7239,9 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_CLUSTER_SHIPDATE_ROUNDTRIP,
         "§2.13:maintenance-cluster",
     ),
+    "upsert_roundtrip": QuerySpec(
+        q_upsert_roundtrip, SQL_UPSERT_ROUNDTRIP, "S5/O7:upsert-lifecycle"
+    ),
 }
 
 
@@ -7240,15 +7302,18 @@ REGISTRY: dict[str, QuerySpec] = {
 # (a) those 43 never-graded rows — the r6 batch-3 analytics surface,
 #     the 16-row BI battery, both scale twins, the ANN index-lifecycle
 #     roundtrip, and r8's streaming_paged_feed;
-# (b) the 2 rows added this round (never graded by construction):
-#     volume_shipping (the last missing TPC-H shape, Q7) and
-#     cluster_shipdate_roundtrip (first maintenance-verb oracle row);
-# (c) 5 anchors from the stalest driver-green cohort (last graded
+# (b) the 3 rows added this round (never graded by construction):
+#     volume_shipping (the last missing TPC-H shape, Q7),
+#     cluster_shipdate_roundtrip (first maintenance-verb oracle row),
+#     and upsert_roundtrip (first driver grade of the S5/O7 warehouse
+#     upsert lifecycle);
+# (c) 4 anchors from the stalest driver-green cohort (last graded
 #     round 5), spanning the major surfaces: batch join/SCD2
-#     (dim_users_enriched), pivot (status_pivot), ANN
-#     (cosine_topk_lsh), skew handling (skew_salted_agg), and the SQL
-#     API (flagship_sql_api) — harness canaries that double as the
-#     stale-regrade cadence the r6/r8 verdicts asked for.
+#     (dim_users_enriched), pivot (status_pivot), skew handling
+#     (skew_salted_agg), and the SQL API (flagship_sql_api) — harness
+#     canaries that double as the stale-regrade cadence the r6/r8
+#     verdicts asked for.  (ANN's LSH index lifecycle is graded this
+#     round through cosine_topk_lsh_roundtrip in (a).)
 # After this round grades green, EVERY oracle row in the registry has
 # a driver CORRECTNESS artifact on disk, and the never-graded guard in
 # tests/test_registry_window.py runs with no presumed-graded escape
@@ -7312,10 +7377,14 @@ _DRIVER_WINDOW: list[str] = [
     # -- (b) added round 9, never graded by construction
     "volume_shipping",
     "cluster_shipdate_roundtrip",
+    # upsert_roundtrip took the cosine_topk_lsh anchor slot: the new
+    # row is oracle-graded (the first driver grade of the S5/O7
+    # warehouse upsert path) while the anchor was a no-oracle row
+    # whose regrade would only have been a rows-only check
+    "upsert_roundtrip",
     # -- (c) stalest-green anchors (last graded round 5)
     "dim_users_enriched",
     "status_pivot",
-    "cosine_topk_lsh",
     "skew_salted_agg",
     "flagship_sql_api",
 ]
