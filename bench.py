@@ -136,6 +136,7 @@ HEADLINE = [
     "volume_shipping",
     "cluster_shipdate_roundtrip",
     "upsert_roundtrip",
+    "snapshot_append_roundtrip",
 ]
 
 

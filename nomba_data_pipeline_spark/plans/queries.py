@@ -6897,6 +6897,52 @@ def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 snapshot-append lifecycle as a graded row (reference
+    base_loader.py:606-677): append a customer snapshot, then re-append
+    a DIFFERENT snapshot the same day. Same-day re-append must REPLACE
+    today's ingest_date partition, not accumulate — so the merged table
+    is exactly the second snapshot, date-stamped. A duplicate-keeping
+    or first-wins bug breaks the counts; a date-stamping bug breaks
+    n_dates. Oracle replays the surviving snapshot declaratively with
+    CURRENT_DATE as the derived column (both engines evaluate it in the
+    same grading session). The append path is the production one:
+    dynamic partition overwrite of only the stamped date's partition —
+    O(today), not O(table), at any scale."""
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+    def _write(path: str) -> None:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = ParquetTable(spark, path)
+        t.snapshot_append(cust.filter(F.col("c_custkey") % 2 == 0))
+        t.snapshot_append(cust.filter(F.col("c_custkey") % 3 == 0))
+
+    path = _stage_dir("snapshot_customer", sf_dir, _write)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("ingest_date").alias("n_dates"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("sum_balance"),
+        )
+    )
+
+
+SQL_SNAPSHOT_APPEND_ROUNDTRIP = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_rows,
+       count(DISTINCT CURRENT_DATE) AS n_dates,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_balance
+FROM customer
+WHERE c_custkey % 3 = 0
+GROUP BY 1
+"""
+
+
 SQL_UPSERT_ROUNDTRIP = """
 WITH base AS (
     SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -7242,6 +7288,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "upsert_roundtrip": QuerySpec(
         q_upsert_roundtrip, SQL_UPSERT_ROUNDTRIP, "S5/O7:upsert-lifecycle"
     ),
+    "snapshot_append_roundtrip": QuerySpec(
+        q_snapshot_append_roundtrip,
+        SQL_SNAPSHOT_APPEND_ROUNDTRIP,
+        "O10/P11:snapshot-lifecycle",
+    ),
 }
 
 
@@ -7302,18 +7353,20 @@ REGISTRY: dict[str, QuerySpec] = {
 # (a) those 43 never-graded rows — the r6 batch-3 analytics surface,
 #     the 16-row BI battery, both scale twins, the ANN index-lifecycle
 #     roundtrip, and r8's streaming_paged_feed;
-# (b) the 3 rows added this round (never graded by construction):
+# (b) the 4 rows added this round (never graded by construction):
 #     volume_shipping (the last missing TPC-H shape, Q7),
 #     cluster_shipdate_roundtrip (first maintenance-verb oracle row),
-#     and upsert_roundtrip (first driver grade of the S5/O7 warehouse
-#     upsert lifecycle);
-# (c) 4 anchors from the stalest driver-green cohort (last graded
+#     upsert_roundtrip (first driver grade of the S5/O7 warehouse
+#     upsert lifecycle), and snapshot_append_roundtrip (first driver
+#     grade of the O10/P11 snapshot path);
+# (c) 3 anchors from the stalest driver-green cohort (last graded
 #     round 5), spanning the major surfaces: batch join/SCD2
-#     (dim_users_enriched), pivot (status_pivot), skew handling
-#     (skew_salted_agg), and the SQL API (flagship_sql_api) — harness
-#     canaries that double as the stale-regrade cadence the r6/r8
-#     verdicts asked for.  (ANN's LSH index lifecycle is graded this
-#     round through cosine_topk_lsh_roundtrip in (a).)
+#     (dim_users_enriched), pivot (status_pivot), and skew handling
+#     (skew_salted_agg) — harness canaries that double as the
+#     stale-regrade cadence the r6/r8 verdicts asked for.  (ANN's LSH
+#     index lifecycle is graded this round through
+#     cosine_topk_lsh_roundtrip in (a); SQL-API plan parity is pinned
+#     every round in test_plan_shapes.py.)
 # After this round grades green, EVERY oracle row in the registry has
 # a driver CORRECTNESS artifact on disk, and the never-graded guard in
 # tests/test_registry_window.py runs with no presumed-graded escape
@@ -7382,11 +7435,14 @@ _DRIVER_WINDOW: list[str] = [
     # warehouse upsert path) while the anchor was a no-oracle row
     # whose regrade would only have been a rows-only check
     "upsert_roundtrip",
+    # snapshot_append_roundtrip took the flagship_sql_api anchor slot:
+    # first driver grade of the O10/P11 snapshot path, while SQL-API
+    # plan parity stays pinned every round in test_plan_shapes.py
+    "snapshot_append_roundtrip",
     # -- (c) stalest-green anchors (last graded round 5)
     "dim_users_enriched",
     "status_pivot",
     "skew_salted_agg",
-    "flagship_sql_api",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
