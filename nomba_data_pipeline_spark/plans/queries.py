@@ -6765,7 +6765,10 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    pair = ("NATION_1", "NATION_2")
+    # pair chosen non-vacuous at EVERY grading scale (sf0.001 has 27
+    # qualifying rows across 4 (dir, year) groups — a vacuous 0==0 row
+    # would grade green without testing anything, the Q20/Q22 lesson)
+    pair = ("NATION_13", "NATION_19")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
     sn = nation.alias("sn")
     cn = nation.alias("cn")
@@ -6805,8 +6808,8 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation cn ON c.c_nationkey = cn.n_nationkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND ((sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_19')
+    OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_13'))
 GROUP BY 1, 2, 3
 """
 
