@@ -130,13 +130,14 @@ HEADLINE = [
     "dominant_part_suppliers",
     "waiting_suppliers",
     "idle_high_balance_customers",
-    # round-9: the last TPC-H shape (Q7) + the first maintenance-verb
-    # graded row (cluster rewrite then a pruned range query) + the
-    # first graded warehouse-upsert lifecycle
+    # round-9: the last TPC-H shape (Q7), the first graded maintenance
+    # (cluster), upsert and snapshot lifecycles, and the Spark-4
+    # VARIANT semi-structured path
     "volume_shipping",
     "cluster_shipdate_roundtrip",
     "upsert_roundtrip",
     "snapshot_append_roundtrip",
+    "variant_json_extract",
 ]
 
 

@@ -6946,6 +6946,54 @@ GROUP BY 1
 """
 
 
+def q_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over Spark 4's VARIANT type — the
+    engine-native answer to the reference's Mongo JSON documents
+    (mongo_loader.py's flatten/projection surface): events are
+    round-tripped through a JSON payload column (`to_json(struct)`),
+    parsed ONCE with `parse_json` into VARIANT (binary-encoded,
+    shreddable — no per-row text re-parse downstream), then typed
+    fields are pulled by path with `variant_get` (including a nested
+    `$.meta.*` path) and aggregated. All JVM-codegen expressions, zero
+    Python. At 100 TB this is the ingestion shape for schemaless JSON:
+    parse at the edge, keep VARIANT at rest, extract-and-cast in the
+    plan; doubles survive exactly (shortest-round-trip JSON repr).
+    Oracle replays the same aggregate off the typed columns."""
+    events = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.struct(F.col("user_id"), F.col("value")).alias("meta"),
+        )
+    )
+    v = events.select(F.parse_json(payload).alias("v"))
+    return (
+        v.select(
+            F.variant_get("v", "$.event_type", "string").alias("event_type"),
+            F.variant_get("v", "$.meta.user_id", "bigint").alias("user_id"),
+            F.variant_get("v", "$.meta.value", "double").alias("value"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_VARIANT_JSON_EXTRACT = """
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
 SQL_UPSERT_ROUNDTRIP = """
 WITH base AS (
     SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -7296,6 +7344,9 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_SNAPSHOT_APPEND_ROUNDTRIP,
         "O10/P11:snapshot-lifecycle",
     ),
+    "variant_json_extract": QuerySpec(
+        q_variant_json_extract, SQL_VARIANT_JSON_EXTRACT, "§2.2/P8:variant-json"
+    ),
 }
 
 
@@ -7356,20 +7407,21 @@ REGISTRY: dict[str, QuerySpec] = {
 # (a) those 43 never-graded rows — the r6 batch-3 analytics surface,
 #     the 16-row BI battery, both scale twins, the ANN index-lifecycle
 #     roundtrip, and r8's streaming_paged_feed;
-# (b) the 4 rows added this round (never graded by construction):
+# (b) the 5 rows added this round (never graded by construction):
 #     volume_shipping (the last missing TPC-H shape, Q7),
 #     cluster_shipdate_roundtrip (first maintenance-verb oracle row),
 #     upsert_roundtrip (first driver grade of the S5/O7 warehouse
-#     upsert lifecycle), and snapshot_append_roundtrip (first driver
-#     grade of the O10/P11 snapshot path);
-# (c) 3 anchors from the stalest driver-green cohort (last graded
-#     round 5), spanning the major surfaces: batch join/SCD2
-#     (dim_users_enriched), pivot (status_pivot), and skew handling
-#     (skew_salted_agg) — harness canaries that double as the
+#     upsert lifecycle), snapshot_append_roundtrip (first driver
+#     grade of the O10/P11 snapshot path), and variant_json_extract
+#     (Spark-4 VARIANT semi-structured path);
+# (c) 2 anchors from the stalest driver-green cohort (last graded
+#     round 5): batch join/SCD2 (dim_users_enriched) and pivot
+#     (status_pivot) — harness canaries that double as the
 #     stale-regrade cadence the r6/r8 verdicts asked for.  (ANN's LSH
 #     index lifecycle is graded this round through
-#     cosine_topk_lsh_roundtrip in (a); SQL-API plan parity is pinned
-#     every round in test_plan_shapes.py.)
+#     cosine_topk_lsh_roundtrip in (a); SQL-API plan parity and skew
+#     handling are pinned every round in test_plan_shapes.py /
+#     test_skew.py.)
 # After this round grades green, EVERY oracle row in the registry has
 # a driver CORRECTNESS artifact on disk, and the never-graded guard in
 # tests/test_registry_window.py runs with no presumed-graded escape
@@ -7442,10 +7494,14 @@ _DRIVER_WINDOW: list[str] = [
     # first driver grade of the O10/P11 snapshot path, while SQL-API
     # plan parity stays pinned every round in test_plan_shapes.py
     "snapshot_append_roundtrip",
+    # variant_json_extract took the skew_salted_agg anchor slot: first
+    # grade of the Spark-4 VARIANT semi-structured path (the
+    # engine-native form of the reference's Mongo JSON documents);
+    # skew handling stays pinned in tests/test_skew.py
+    "variant_json_extract",
     # -- (c) stalest-green anchors (last graded round 5)
     "dim_users_enriched",
     "status_pivot",
-    "skew_salted_agg",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
