@@ -7432,10 +7432,14 @@ REGISTRY: dict[str, QuerySpec] = {
 # window becomes (a) any rows added in round 10 (must be in-window —
 # the guard has no queue carve-out, by design), then (b) stale
 # re-grades, oldest evidence first.  After round 9 the stalest cohort
-# is the 45 rows whose latest green is round 6, then the ~19 round-5
+# is the 45 rows whose latest green is round 6, then the ~17 round-5
 # rows not re-anchored here.  Budget the full remaining slots for
 # re-grades (~40+/round) until the r6 cohort is refreshed; verify the
 # delivered CORRECTNESS_r09.json before assuming this window graded.
+# Candidate NEW rows for round 10 (lifecycles still pytest-only after
+# this round's cluster/upsert/snapshot grades): delete_insert (O11,
+# runner's dbt mode), full_load with SCD2 protection (O9),
+# compact/zorder roundtrips, and a CDF emit+apply replication row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
     # -- (a) the 43 rows with no driver CORRECTNESS entry on disk
