@@ -567,3 +567,12 @@ def test_cluster_roundtrip_prunes_on_clustered_key(spark):
     plan = _plan(REGISTRY["cluster_shipdate_roundtrip"].fn(spark, SF_SMALL))
     assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan, plan
     assert "LessThan(l_shipdate,1997-04-01" in plan, plan
+
+
+def test_variant_extract_stays_jvm_side(spark):
+    # the VARIANT path's whole point: parse_json/variant_get are
+    # codegen'd JVM expressions — no Python evaluation anywhere in the
+    # plan, no join at all (one scan, one aggregate exchange)
+    plan = _plan(REGISTRY["variant_json_extract"].fn(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
