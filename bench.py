@@ -131,13 +131,14 @@ HEADLINE = [
     "waiting_suppliers",
     "idle_high_balance_customers",
     # round-9: the last TPC-H shape (Q7), the first graded maintenance
-    # (cluster), upsert and snapshot lifecycles, and the Spark-4
-    # VARIANT semi-structured path
+    # (cluster), upsert and snapshot lifecycles, the Spark-4 VARIANT
+    # semi-structured path, and the cross-doc repeated-substring signal
     "volume_shipping",
     "cluster_shipdate_roundtrip",
     "upsert_roundtrip",
     "snapshot_append_roundtrip",
     "variant_json_extract",
+    "cross_doc_repeated_spans",
 ]
 
 
