@@ -7003,7 +7003,15 @@ def q_cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     practical substitute at corpus scale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     k = 8
-    arr = F.filter(T.tokens("text"), lambda t: t != "")
+    # materialize the token array in its OWN projection first: a
+    # higher-order-function lambda re-evaluates every expression it
+    # references per ELEMENT, so inlining filter(split(normalize(text)))
+    # into the transform body re-tokenized the document once per WINDOW
+    # (~40x blowup, measured 11.6s -> ~1s at sf0.1 for this fix)
+    toks = docs.select(
+        "doc_id", F.filter(T.tokens("text"), lambda t: t != "").alias("arr")
+    )
+    arr = F.col("arr")
     n = F.size(arr)
     grams = F.when(
         n >= k,
@@ -7012,7 +7020,7 @@ def q_cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    g = toks.select("doc_id", F.explode(grams).alias("gram"))
     rep = (
         g.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
