@@ -284,8 +284,11 @@ def near_dup_pairs(
         # concurrent tasks turn that into GC churn (the observed 35-55s
         # run-to-run swing on the 64k demo). Cap each strip at ~4M
         # sims (~32 MB) so peak memory is bounded by the STRIP, not
-        # the block square; results are bit-identical (round-then-
-        # compare per strip, same as before).
+        # the block square; results are numerically equivalent (same
+        # round-then-compare per strip — threaded BLAS may pick
+        # different kernels/reduction orders per strip shape, so raw
+        # dots are not guaranteed bit-identical, but the 6dp rounding
+        # margin dwarfs that noise).
         strip = max(1, 4_000_000 // max(1, R.shape[0]))
         outs = []
         for s0 in range(0, L.shape[0], strip):

@@ -170,10 +170,20 @@ class PagedJsonStreamReader(_PagedJsonBase, DataSourceStreamReader):
     Replay safety: pages are immutable, so a micro-batch whose write
     failed re-plans byte-identically from the checkpointed offsets —
     PROVIDED producer retention keeps every page in (start, end] alive
-    until commit. partitions() enforces that precondition (a missing
-    end page raises instead of silently replaying a smaller batch),
-    and latestOffset() clamps to the largest offset ever returned so
-    expiry of committed pages can never regress the frontier."""
+    until commit. partitions() enforces that precondition two ways: a
+    missing END page raises directly, and because retention expires
+    oldest-first, a missing LEADING page inside the range is detected
+    by its shadow — no live page <= the start offset remaining (the
+    older committed pages must have expired before anything inside the
+    range could). The leading-edge check is deliberately conservative:
+    a producer that prunes exactly up to the committed frontier and no
+    further also trips it, which is why the retention contract here is
+    "keep at least one page at-or-before the committed frontier alive
+    until the NEXT batch commits" (one extra retention cycle). The one
+    blind spot is the very first batch (start offset ""): there is no
+    older page whose absence could witness the gap. latestOffset()
+    clamps to the largest offset ever returned so expiry of committed
+    pages can never regress the frontier."""
 
     # monotonic floor for latestOffset: the live listing can REGRESS
     # below the checkpointed frontier if the producer expires the last
@@ -198,10 +208,26 @@ class PagedJsonStreamReader(_PagedJsonBase, DataSourceStreamReader):
         live = self._pages()
         planned = [p for p in live if lo < p <= hi]
         # Replay is byte-identical ONLY while every page in (start, end]
-        # is still on disk. If the producer's retention expired an
-        # uncommitted page (notably `hi` itself), silently dropping it
-        # would replay a DIFFERENT batch than the one checkpointed —
-        # fail loudly instead so the retention violation is visible.
+        # is still on disk. Age-ordered retention (the normal expiry
+        # order for a paged feed) eats the EARLIEST pages first, so a
+        # leading page lost inside (lo, hi] is invisible in `planned`
+        # itself — but it cannot happen before every page <= lo is gone
+        # too. lo having no live witness therefore means retention has
+        # advanced at least to the committed frontier and possibly into
+        # the uncommitted range: fail loudly (conservative by design —
+        # see the class docstring's retention contract).
+        if lo and live and not any(p <= lo for p in live):
+            raise RuntimeError(
+                f"paged_json retention violation: no live page at or "
+                f"before the committed frontier {lo!r} remains — "
+                "retention may have expired leading pages of the "
+                f"uncommitted range (start={lo!r}, end={hi!r}); producer "
+                "retention must keep one page <= the frontier alive "
+                "until the next batch commits"
+            )
+        # If the producer's retention expired the END page `hi` itself,
+        # silently dropping it would replay a DIFFERENT batch than the
+        # one checkpointed — fail loudly as well.
         if hi and hi not in set(planned):
             raise RuntimeError(
                 f"paged_json retention violation: end offset page {hi!r} "

@@ -152,3 +152,27 @@ def test_replay_raises_on_expired_uncommitted_page(feed):
         r.partitions(start, end)
     # equal offsets = empty batch, never an error
     assert r.partitions(end, end) == []
+
+
+def test_replay_raises_on_leading_gap_after_frontier_expiry(feed):
+    # age-ordered retention eats the OLDEST pages first: by the time a
+    # leading page inside (start, end] can be gone, every page <= the
+    # committed frontier is gone too. partitions() must detect that
+    # shadow and raise instead of silently planning a smaller batch —
+    # the end page being alive is NOT sufficient.
+    r = _stream_reader(feed)
+    _write_page(feed, 2, [{"id": 7, "name": "g", "updated_at": "2026-01-07"}])
+    start = {"last_page": "page-0000.json"}
+    end = {"last_page": "page-0002.json"}
+    assert len(r.partitions(start, end)) == 2
+    # retention advances past the frontier AND into the range: page-0001
+    # (leading page of the batch) expires but the end page survives
+    os.remove(os.path.join(feed, "page-0000.json"))
+    os.remove(os.path.join(feed, "page-0001.json"))
+    with pytest.raises(RuntimeError, match="committed frontier"):
+        r.partitions(start, end)
+    # a live page AT the frontier is a valid witness: with page-0001
+    # restored, a batch whose frontier IS page-0001 plans fine even
+    # though everything strictly older (page-0000) stays expired
+    _write_page(feed, 1, [{"id": 2, "name": "b", "updated_at": "2026-01-02"}])
+    assert len(r.partitions({"last_page": "page-0001.json"}, end)) == 1
