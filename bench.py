@@ -139,6 +139,16 @@ HEADLINE = [
     "snapshot_append_roundtrip",
     "variant_json_extract",
     "cross_doc_repeated_spans",
+    # round-10: the remaining lifecycle verbs as graded rows — O11
+    # delete+insert and O9 full-load/--full-refresh through the runner,
+    # compact/zorder maintenance, CDF emit->apply replication, and the
+    # IVF index-lifecycle roundtrip (frozen-quantizer build->append)
+    "delete_insert_roundtrip",
+    "full_load_roundtrip",
+    "compact_roundtrip",
+    "zorder_roundtrip",
+    "cdf_replication_roundtrip",
+    "cosine_topk_ivf_roundtrip",
 ]
 
 

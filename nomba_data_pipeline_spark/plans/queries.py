@@ -7099,6 +7099,377 @@ FROM merged GROUP BY 1
 """
 
 
+def q_delete_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 dbt delete+insert lifecycle as a graded row, run through the
+    RUNNER (reference stg_savings_plan.sql:2-4's incremental strategy +
+    base_loader.py's HWM gating): register an incremental model over a
+    staged source, run it (initial full load), append late corrections
+    to the source (keys % 7 == 0, status 'D', price +1000, tracking
+    date shifted +10 years so every correction clears the HWM), and run
+    a FRESH runner instance — incremental state must live in the data,
+    not the process. The second run's HWM filter (strict '>') plans
+    exactly the correction rows; merge_upsert then deletes+inserts the
+    touched keys. Grading the final per-status aggregate catches a
+    broken HWM gate (corrections missed), a non-deleting insert
+    (duplicated keys), or an over-deleting merge. The oracle replays
+    MERGE semantics declaratively: corrections win per key."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    def _write(root: str) -> None:
+        src = os.path.join(root, "src")
+        wh = os.path.join(root, "wh")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        orders.write.mode("overwrite").parquet(src)
+        spec = ModelSpec(
+            name="orders_di",
+            fn=lambda s, d: s.read.parquet(d),
+            materialization="incremental",
+            upsert_key=["o_orderkey"],
+            tracking_column="o_orderdate",
+        )
+        r1 = PipelineRunner(spark, wh, src)
+        r1.register(spec)
+        r1.run()
+        corrections = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            F.lit("D").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 10 YEARS")).alias(
+                "o_orderdate"
+            ),
+        )
+        corrections.write.mode("append").parquet(src)
+        r2 = PipelineRunner(spark, wh, src)
+        r2.register(spec)
+        r2.run()
+
+    root = _stage_dir("delete_insert", sf_dir, _write)
+    return (
+        spark.read.parquet(os.path.join(root, "wh", "orders_di"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_DELETE_INSERT_ROUNDTRIP = """
+WITH delta AS (
+    SELECT o_orderkey, 'D' AS o_orderstatus,
+           o_totalprice + 1000.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0
+), merged AS (
+    SELECT * FROM delta
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders b
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM merged GROUP BY 1
+"""
+
+
+def q_full_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 full load + dbt --full-refresh as a graded row (reference
+    base_loader.py:558-602): an incremental staging model first loads
+    only the even orderkeys; then a FULL re-extract lands in the source.
+    A plain incremental run can never recover the odd keys — their
+    tracking dates predate the high-water mark — which is exactly the
+    staleness --full-refresh exists to fix. full_refresh drops the
+    staging model's storage PLUS its downstream monthly rollup (stale
+    derived lineage must not survive the rebuild) and re-materializes
+    both from the full source. Grading the DOWNSTREAM rollup catches a
+    refresh that skips the drop (only even keys present), drops but
+    fails to rebuild (missing table), or leaves the downstream stale.
+    SCD2-snapshot protection (refresh refuses to drop append-only
+    history) is pinned in tests/test_pipeline.py."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    def _write(root: str) -> None:
+        src = os.path.join(root, "src")
+        wh = os.path.join(root, "wh")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        orders.filter(F.col("o_orderkey") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+        def _mk_runner() -> PipelineRunner:
+            r = PipelineRunner(spark, wh, src)
+            r.register(
+                ModelSpec(
+                    name="stg_orders_fl",
+                    fn=lambda s, d: s.read.parquet(d),
+                    materialization="incremental",
+                    upsert_key=["o_orderkey"],
+                    tracking_column="o_orderdate",
+                )
+            )
+            r.register(
+                ModelSpec(
+                    name="orders_month_fl",
+                    fn=lambda s, d: (
+                        s.read.parquet(os.path.join(wh, "stg_orders_fl"))
+                        .groupBy(
+                            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+                        )
+                        .agg(
+                            F.count(F.lit(1)).alias("n_rows"),
+                            F.round(F.sum(_dec("o_totalprice")), 2)
+                            .cast("double")
+                            .alias("sum_price"),
+                        )
+                    ),
+                    materialization="table",
+                    depends_on=["stg_orders_fl"],
+                )
+            )
+            return r
+
+        _mk_runner().run()
+        orders.write.mode("overwrite").parquet(src)
+        _mk_runner().full_refresh(["stg_orders_fl"])
+
+    root = _stage_dir("full_load", sf_dir, _write)
+    return spark.read.parquet(os.path.join(root, "wh", "orders_month_fl")).select(
+        "month", "n_rows", "sum_price"
+    )
+
+
+SQL_FULL_LOAD_ROUNDTRIP = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance-verb lifecycle: partition-scoped compact() must be
+    CONTENT-PRESERVING while collapsing the small-file debris CDC
+    writers accumulate. Stage events hive-partitioned by event_type
+    with 16 writer tasks (16 tasks x 5 types ~= 80 tiny files — the
+    layout a few dozen append cycles produce), compact per-partition,
+    then fail fast unless every partition dir really collapsed to one
+    file (a compact() that silently no-ops would otherwise grade green
+    on content alone). The graded aggregate runs off the COMPACTED
+    table; the oracle runs the same aggregate off the original rows,
+    so any row lost, duplicated, or mutated by the rewrite breaks the
+    hash. At 100 TB compaction cost is O(matching partitions) — the
+    atomic per-directory swap never rewrites the table."""
+    import glob
+    import os
+
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+    def _write(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        ev.repartition(16).write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+        ParquetTable(spark, path).compact(partition_by=["event_type"])
+        for pdir in glob.glob(os.path.join(path, "event_type=*")):
+            n = len(glob.glob(os.path.join(pdir, "*.parquet")))
+            if n != 1:
+                raise RuntimeError(
+                    f"compact left {n} files in {pdir}; expected exactly 1"
+                )
+
+    path = _stage_dir("compact_events", sf_dir, _write)
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_COMPACT_ROUNDTRIP = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-verb lifecycle: zorder() (Morton interleave of two key
+    columns -> repartitionByRange on the z-key) must be
+    CONTENT-PRESERVING. Stage lineitem as a round-robin 8-file copy
+    (every file spans both key ranges — worst case for stats), z-order
+    on (l_orderkey, l_partkey), then answer a selective predicate on
+    l_partkey ALONE from the reordered table — the column a
+    lexicographic cluster() could not serve, i.e. the case z-ordering
+    exists for. Oracle runs the same query on the original rows: any
+    row lost/duplicated/mutated by the rewrite (including the z-key
+    helper columns leaking into the schema) breaks the hash. The
+    footer min/max narrowing that makes the same predicate PRUNE is
+    pinned separately in tests/test_layout.py's width comparison."""
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+    def _write(path: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+            "l_returnflag",
+        )
+        li.repartition(8).write.mode("overwrite").parquet(path)
+        ParquetTable(spark, path).zorder(
+            "l_orderkey", "l_partkey", target_files=8
+        )
+
+    path = _stage_dir("zorder_lineitem", sf_dir, _write)
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("l_partkey") >= 100) & (F.col("l_partkey") < 200))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SQL_ZORDER_ROUNDTRIP = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM lineitem
+WHERE l_partkey >= 100 AND l_partkey < 200
+GROUP BY 1
+"""
+
+
+def q_cdf_replication_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication end-to-end as a graded row: merge_upsert_cdf
+    (operators/merge.py) emits a Delta-CDF-shaped change feed per
+    batch, apply_cdf replays the feed on an independent REPLICA table
+    with exactly-once markers. Two batches run on the primary — an
+    initial load (keys % 5 != 0, emitted as pure inserts) and an
+    upsert (keys % 3 == 0, status 'C': updates where the key existed,
+    inserts where it did not) — then the replica consumes the feed
+    from scratch, in batch order. Grading the REPLICA's per-status
+    aggregate proves the replication story: a feed that drops changes,
+    re-applies a batch, applies out of order, or ships pre-images as
+    data diverges from the oracle's declarative replay of the merged
+    state. Batch ordering + crash-window recovery edges are pinned in
+    tests/test_cdf.py."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+    def _write(root: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        primary = ParquetTable(spark, os.path.join(root, "primary"))
+        cdf = os.path.join(root, "cdf")
+        primary.merge_upsert_cdf(
+            orders.filter(F.col("o_orderkey") % 5 != 0), ["o_orderkey"],
+            cdf, "b0001",
+        )
+        delta = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", F.lit("C").alias("o_orderstatus"), "o_totalprice"
+        )
+        primary.merge_upsert_cdf(delta, ["o_orderkey"], cdf, "b0002")
+        replica = ParquetTable(spark, os.path.join(root, "replica"))
+        applied = replica.apply_cdf(cdf, ["o_orderkey"])
+        if applied != ["b0001", "b0002"]:
+            raise RuntimeError(
+                f"replica applied {applied}, expected ['b0001', 'b0002']"
+            )
+
+    root = _stage_dir("cdf_replication", sf_dir, _write)
+    return (
+        spark.read.parquet(os.path.join(root, "replica"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_CDF_REPLICATION_ROUNDTRIP = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 5 <> 0
+), delta AS (
+    SELECT o_orderkey, 'C' AS o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+), merged AS (
+    SELECT * FROM delta
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM merged GROUP BY 1
+"""
+
+
+def q_cosine_topk_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded IVF index-lifecycle row (the IVF analog of
+    cosine_topk_lsh_roundtrip): ivf_index_write persists 90% of the
+    corpus partitioned by list_id with the trained quantizer in a
+    centroid sidecar; ivf_index_append assigns the held-out 10% under
+    the FROZEN sidecar centroids and appends; the query then runs
+    cosine_topk_ivf_indexed over the maintained index with
+    n_probe = n_lists. Probing every list makes the ANN result exactly
+    the brute-force top-k over the unioned corpus — which is what
+    makes the LIFECYCLE oracle-gradeable: a maintenance bug (lost,
+    duplicated, or re-signed appended vectors; a sidecar that
+    retrains on append) diverges from the exact-cosine oracle instead
+    of hiding behind recall noise. The approximate n_probe < n_lists
+    path stays recall-pinned in tests/test_similarity.py — quantizer
+    boundaries are data-dependent and deliberately not SQL-replayed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+
+    def _build(path: str) -> None:
+        S.ivf_index_write(base, path, n_lists=16)
+        S.ivf_index_append(delta, path)
+
+    path = _stage_dir("ivfrt", sf_dir, _build)
+    idx = S.ivf_index_read(spark, path)
+    C = S.ivf_index_centroids(spark, path)
+    return S.cosine_topk_ivf_indexed(
+        idx, F.col("vec_id") % 50 == 0, k=5, n_lists=16, n_probe=16,
+        centroids=C,
+    )
+
+
+SQL_COSINE_TOPK_IVF_ROUNDTRIP = S.cosine_topk_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7436,6 +7807,36 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_CROSS_DOC_REPEATED_SPANS,
         "ext:substring-dedup",
     ),
+    "delete_insert_roundtrip": QuerySpec(
+        q_delete_insert_roundtrip,
+        SQL_DELETE_INSERT_ROUNDTRIP,
+        "O11/P3:delete-insert-lifecycle",
+    ),
+    "full_load_roundtrip": QuerySpec(
+        q_full_load_roundtrip,
+        SQL_FULL_LOAD_ROUNDTRIP,
+        "O9:full-load-refresh-lifecycle",
+    ),
+    "compact_roundtrip": QuerySpec(
+        q_compact_roundtrip,
+        SQL_COMPACT_ROUNDTRIP,
+        "§2.13:maintenance-compact",
+    ),
+    "zorder_roundtrip": QuerySpec(
+        q_zorder_roundtrip,
+        SQL_ZORDER_ROUNDTRIP,
+        "§2.13:maintenance-zorder",
+    ),
+    "cdf_replication_roundtrip": QuerySpec(
+        q_cdf_replication_roundtrip,
+        SQL_CDF_REPLICATION_ROUNDTRIP,
+        "§2.10:cdf-replication",
+    ),
+    "cosine_topk_ivf_roundtrip": QuerySpec(
+        q_cosine_topk_ivf_roundtrip,
+        SQL_COSINE_TOPK_IVF_ROUNDTRIP,
+        "ext:ann-ivf-lifecycle",
+    ),
 }
 
 
@@ -7496,17 +7897,19 @@ REGISTRY: dict[str, QuerySpec] = {
 # (a) those 43 never-graded rows — the r6 batch-3 analytics surface,
 #     the 16-row BI battery, both scale twins, the ANN index-lifecycle
 #     roundtrip, and r8's streaming_paged_feed;
-# (b) the 5 rows added this round (never graded by construction):
+# (b) the 6 rows added this round (never graded by construction):
 #     volume_shipping (the last missing TPC-H shape, Q7),
 #     cluster_shipdate_roundtrip (first maintenance-verb oracle row),
 #     upsert_roundtrip (first driver grade of the S5/O7 warehouse
 #     upsert lifecycle), snapshot_append_roundtrip (first driver
-#     grade of the O10/P11 snapshot path), and variant_json_extract
-#     (Spark-4 VARIANT semi-structured path);
-# (c) 2 anchors from the stalest driver-green cohort (last graded
-#     round 5): batch join/SCD2 (dim_users_enriched) and pivot
-#     (status_pivot) — harness canaries that double as the
-#     stale-regrade cadence the r6/r8 verdicts asked for.  (ANN's LSH
+#     grade of the O10/P11 snapshot path), variant_json_extract
+#     (Spark-4 VARIANT semi-structured path), and
+#     cross_doc_repeated_spans (inter-document exact-substring dedup,
+#     which took the status_pivot anchor slot per the inline notes);
+# (c) 1 anchor from the stalest driver-green cohort (last graded
+#     round 5): batch join/SCD2 (dim_users_enriched) — a harness
+#     canary that doubles as the stale-regrade cadence the r6/r8
+#     verdicts asked for.  (ANN's LSH
 #     index lifecycle is graded this round through
 #     cosine_topk_lsh_roundtrip in (a); SQL-API plan parity and skew
 #     handling are pinned every round in test_plan_shapes.py /
@@ -7517,88 +7920,89 @@ REGISTRY: dict[str, QuerySpec] = {
 # hatch.  When rotating again, re-derive the never-graded set from the
 # union of CORRECTNESS_r0*.json keys.
 #
-# ROUND-10 ROTATION GUIDANCE: with the never-graded set closed, the
-# window becomes (a) any rows added in round 10 (must be in-window —
-# the guard has no queue carve-out, by design), then (b) stale
-# re-grades, oldest evidence first.  After round 9 the stalest cohort
-# is the 45 rows whose latest green is round 6, then the ~17 round-5
-# rows not re-anchored here.  Budget the full remaining slots for
-# re-grades (~40+/round) until the r6 cohort is refreshed; verify the
-# delivered CORRECTNESS_r09.json before assuming this window graded.
-# Candidate NEW rows for round 10 (lifecycles still pytest-only after
-# this round's cluster/upsert/snapshot grades): delete_insert (O11,
-# runner's dbt mode), full_load with SCD2 protection (O9),
-# compact/zorder roundtrips, and a CDF emit+apply replication row.
+# ROUND-10 WINDOW (rotated at the start of round 10 per the round-9
+# verdict; the delivered CORRECTNESS_r09.json was verified on disk
+# first — all 50 rows of the round-9 window graded, 49 oracle-green +
+# the by-design no-oracle semantic_dedup_kmeans).  With the
+# never-graded set closed, this window is:
+# (a) the 6 rows added this round, never graded by construction — the
+#     remaining warehouse-lifecycle verbs as oracle rows:
+#     delete_insert_roundtrip (O11, the runner's dbt delete+insert
+#     mode under HWM gating), full_load_roundtrip (O9 full load +
+#     --full-refresh of a stale incremental subgraph),
+#     compact_roundtrip + zorder_roundtrip (maintenance verbs,
+#     modeled on r9's cluster_shipdate_roundtrip),
+#     cdf_replication_roundtrip (merge_upsert_cdf emit -> apply_cdf
+#     replica, the CDC-replication story end-to-end), and
+#     cosine_topk_ivf_roundtrip (IVF index build->append->query under
+#     the frozen centroid sidecar, made exact via n_probe=n_lists);
+# (b) the entire round-5-stale cohort — all 23 rows whose newest
+#     driver-green evidence is round 5 (re-derived from the union of
+#     CORRECTNESS_r0*.json as green-latest == r5);
+# (c) the head of the round-6-stale cohort — the first 21 of the 45
+#     rows whose newest driver-green is round 6, in that cohort's
+#     registry order.  The remaining 24 r6 rows rotate in at round 11
+#     (no older cohort will remain).
+# After this round grades green, no row's newest driver evidence is
+# older than round 6, matching the r9 verdict's staleness bar.  When
+# rotating again, re-derive per-row latest-green from the union of
+# CORRECTNESS_r0*.json keys.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # -- (a) the 43 rows with no driver CORRECTNESS entry on disk
-    "streaming_paged_feed",
-    "cosine_topk_lsh_roundtrip",
-    "revenue_quartiles_scalable",
-    "token_budget_select_scalable",
-    "dedup_incremental_batch",
-    "winsorized_stats_approx",
-    "incremental_agg_multi",
-    "unigram_logppl",
-    "semantic_dedup_kmeans",
-    "streaming_corpus_dedup",
-    "domain_temperature_sample",
-    "corpus_shuffle_shards",
-    "snapshot_drift_psi",
-    "boilerplate_removal",
-    "source_precedence_dedup",
-    "snapshot_table_diff",
-    "graph_pagerank",
-    "token_budget_select",
-    "curriculum_sample",
-    "bigram_pmi",
-    "containment_pairs",
-    "weighted_sample",
-    "quantile_normalize",
-    "neardup_resolve_best",
-    "basket_part_pairs",
-    "mom_revenue_growth",
-    "supplier_market_share",
-    "inverted_index",
-    "bm25_search",
-    "rolling_wau",
-    "monthly_customer_churn",
-    "decile_lift",
-    "source_entropy",
-    "ab_test_ztest",
-    "activation_latency",
-    "revenue_gini",
-    "benford_audit",
-    "rfm_segments",
-    "revenue_autocorr",
-    "event_transitions",
-    "cohort_ltv",
-    "revenue_bridge",
-    "peak_concurrency",
-    # -- (b) added round 9, never graded by construction
-    "volume_shipping",
-    "cluster_shipdate_roundtrip",
-    # upsert_roundtrip took the cosine_topk_lsh anchor slot: the new
-    # row is oracle-graded (the first driver grade of the S5/O7
-    # warehouse upsert path) while the anchor was a no-oracle row
-    # whose regrade would only have been a rows-only check
-    "upsert_roundtrip",
-    # snapshot_append_roundtrip took the flagship_sql_api anchor slot:
-    # first driver grade of the O10/P11 snapshot path, while SQL-API
-    # plan parity stays pinned every round in test_plan_shapes.py
-    "snapshot_append_roundtrip",
-    # variant_json_extract took the skew_salted_agg anchor slot: first
-    # grade of the Spark-4 VARIANT semi-structured path (the
-    # engine-native form of the reference's Mongo JSON documents);
-    # skew handling stays pinned in tests/test_skew.py
-    "variant_json_extract",
-    # cross_doc_repeated_spans took the status_pivot anchor slot: the
-    # inter-document exact-substring dedup signal (pivot stays pinned
-    # through the r6-green revenue_cube/grouping-sets family and the
-    # mirror suite)
-    "cross_doc_repeated_spans",
-    # -- (c) stalest-green anchor (last graded round 5)
-    "dim_users_enriched",
+    # -- (a) added round 10, never graded by construction
+    "delete_insert_roundtrip",
+    "full_load_roundtrip",
+    "compact_roundtrip",
+    "zorder_roundtrip",
+    "cdf_replication_roundtrip",
+    "cosine_topk_ivf_roundtrip",
+    # -- (b) the 23 rows whose newest driver-green evidence is round 5
+    "doc_stats",
+    "simhash_docs",
+    "winnow_fingerprints",
+    "media_features",
+    "media_frame_sample",
+    "skew_salted_agg",
+    "corpus_prep",
+    "user_zscores",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "embedding_near_dup_lsh",
+    "label_centroids",
+    "flagship_sql_api",
+    "priority_order_check",
+    "status_pivot",
+    "forecast_revenue",
+    "disjunctive_revenue",
+    "top_value_nations",
+    "supplier_part_volume",
+    "parts_above_avg",
+    "revenue_rollup",
+    "percentiles_by_flag",
+    "id_synthesis",
+    # -- (c) first 21 of the 45 rows whose newest driver-green is
+    #    round 6 (cohort registry order; the other 24 rotate in r11)
+    "bucketed_join_agg",
+    "running_revenue",
+    "streaming_minute_rollup",
+    "token_freq",
+    "revenue_cube",
+    "streaming_user_totals",
+    "approx_percentiles_by_flag",
+    "trailing_revenue_7d",
+    "streaming_dedup",
+    "pii_redact",
+    "doc_repetition",
+    "contamination_ngrams",
+    "domain_mix_sample",
+    "sequence_packing",
+    "revenue_grouping_sets",
+    "streaming_sessionize",
+    "approx_distinct_users",
+    "sentence_split_udtf",
+    "sketch_rollup_distinct",
+    "theta_user_overlap",
+    "kll_quantile_rollup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
