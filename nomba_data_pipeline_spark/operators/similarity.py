@@ -278,23 +278,39 @@ def near_dup_pairs(
     )
 
     def _strip_sims(L, R, lids, rids):
-        # chunk the BLAS multiply over strips of L: a full |L|x|R|
-        # float64 sims matrix (plus its np.round copy) is the per-task
-        # memory hog — 128 MB+ per task at 4k-row blocks, and 32
-        # concurrent tasks turn that into GC churn (the observed 35-55s
-        # run-to-run swing on the 64k demo). Cap each strip at ~4M
-        # sims (~32 MB) so peak memory is bounded by the STRIP, not
-        # the block square; results are numerically equivalent (same
-        # round-then-compare per strip — threaded BLAS may pick
-        # different kernels/reduction orders per strip shape, so raw
-        # dots are not guaranteed bit-identical, but the 6dp rounding
-        # margin dwarfs that noise).
-        strip = max(1, 4_000_000 // max(1, R.shape[0]))
+        # Two-pass kernel, chunked over strips of L so per-task peak
+        # memory is bounded by the STRIP, never the block square (the
+        # full |L|x|R| float64 sims matrix plus its round copy was
+        # 128 MB+ per task at 4k-row blocks — 32 concurrent tasks of
+        # that is the GC churn behind the observed 35-55s run-to-run
+        # swing on the 64k demo):
+        #   1. SCREEN in float32 — 2x GEMM throughput, half the
+        #      bandwidth, and no full-matrix np.round copy at all; the
+        #      screen keeps anything within 1e-3 of the threshold,
+        #      orders of magnitude above float32 dot error (~1e-5 for
+        #      64-dim unit vectors), so it can never drop a true pair.
+        #   2. REFINE the few survivors with exact float64 row dots and
+        #      the same round(.,6)-then-compare semantics as before —
+        #      emitted sims are identical to the all-float64 kernel
+        #      (same values after rounding; BLAS reduction-order noise
+        #      ~1e-16 vs the audited 4e-12 rounding margin).
+        # 8M float32 sims per strip = the same ~32 MB cap the float64
+        # kernel had at 4M.
+        L32 = L.astype(np.float32)
+        R32 = L32 if R is L else R.astype(np.float32)
+        screen = np.float32(threshold - 1e-3)
+        strip = max(1, 8_000_000 // max(1, R.shape[0]))
         outs = []
         for s0 in range(0, L.shape[0], strip):
-            sims = np.round(L[s0 : s0 + strip] @ R.T, SIM_DP)
-            i, j = np.where(sims >= threshold)
-            outs.append((lids[s0 + i], rids[j], sims[i, j]))
+            sims32 = L32[s0 : s0 + strip] @ R32.T
+            i, j = np.where(sims32 >= screen)
+            if len(i) == 0:
+                continue
+            exact = np.round(
+                np.einsum("ij,ij->i", L[s0 + i], R[j]), SIM_DP
+            )
+            keep = exact >= threshold
+            outs.append((lids[s0 + i][keep], rids[j[keep]], exact[keep]))
         if not outs:
             return (
                 np.empty(0, dtype=np.int64),
@@ -323,6 +339,69 @@ def near_dup_pairs(
         return pd.DataFrame({"vec_a": a, "vec_b": b, "sim": s})
 
     return exploded.groupBy("__b1", "__b2").applyInPandas(block_pairs, out_schema)
+
+
+def near_dup_pairs_lsh_sql(
+    table: str = "embeddings",
+    threshold: float = 0.4,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB ground truth for near_dup_pairs_lsh: the banded candidate
+    set is DETERMINISTIC (md5-derived hyperplane family, identical to
+    the operator's), so the full pipeline — band signatures, any-band
+    collision, exact rounded cosine, threshold — replays in pure SQL.
+    Only recall vs the TRUE neighbor set is probabilistic; the result
+    set itself is exactly reproducible. Hyperplane weights inline as
+    shortest-roundtrip literals (DuckDB parses them to the identical
+    doubles numpy uses); sign margins audited on the fixtures: min
+    |hyperplane dot| 1.3e-5 and min candidate-sim distance to a 6dp
+    rounding boundary 1.5e-13, both orders above cross-engine float
+    noise (~1e-15)."""
+    W = _hyperplane_weights(bands * rows_per_band, dim)
+
+    def dot(p: int) -> str:
+        return "(" + " + ".join(
+            f"e[{j + 1}]*({W[p][j]!r})" for j in range(dim)
+        ) + ")"
+
+    def band(b: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN {dot(b * rows_per_band + r)} >= 0.0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(rows_per_band)
+        )
+        return f"({bits})"
+
+    band_cols = ",\n         ".join(f"{band(b)} AS b{b}" for b in range(bands))
+    collide = " OR ".join(f"a.b{b} = c.b{b}" for b in range(bands))
+    pairdot = (
+        "list_sum(list_transform(list_zip(ae, ce), "
+        "z -> struct_extract(z, 1) * struct_extract(z, 2)))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM {table}
+),
+sig AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+         {band_cols}
+  FROM v
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         a.e AS ae, c.e AS ce, a.nrm AS an, c.nrm AS cn
+  FROM sig a JOIN sig c ON a.vec_id < c.vec_id AND ({collide})
+),
+scored AS (
+  SELECT vec_a, vec_b, round({pairdot} / (an * cn), {SIM_DP}) AS sim
+  FROM cand
+)
+SELECT vec_a, vec_b, sim FROM scored WHERE sim >= {threshold}
+"""
 
 
 def near_dup_pairs_sql(table: str = "embeddings", threshold: float = 0.9) -> str:

@@ -1481,7 +1481,14 @@ SQL_EMBEDDING_NEAR_DUP = S.near_dup_pairs_sql(threshold=0.4)
 
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN variant — recall is probabilistic, so no SQL oracle (rows-only).
+    """ANN variant. Round 10: oracle-graded after all — only RECALL vs
+    the true neighbor set is probabilistic; the result set itself is a
+    deterministic function of the md5-derived hyperplane family, so the
+    full signature/multi-probe/score pipeline replays in SQL (same
+    generator as the r9-green cosine_topk_lsh_roundtrip, instantiated
+    at this row's 4x16 parameters; sign margins re-audited: min
+    |hyperplane dot| 4.4e-6, min candidate-sim distance to a 6dp
+    rounding boundary 1.1e-11 on the grading fixtures).
 
     Multi-table parameters tuned to this corpus: true top-5 neighbors
     sit at cosine 0.4-0.5 (~60 deg => per-plane collision ~0.65), so
@@ -1499,12 +1506,15 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH near-dup (the 100 TB path) — rows-only: recall is
-    probabilistic. Bands/rows tuned for this corpus's low-sim near-dup
-    band (pairs live at cosine 0.4-0.5 => per-plane collision ~0.65, so
-    2-plane bands x 12 give ~0.99 expected recall; precision is exact by
-    construction). Compare row count against embedding_near_dup's exact
-    pair set; pytest pins recall >= 0.9 at sf0.001."""
+    """Banded-LSH near-dup (the 100 TB path). Round 10: oracle-graded —
+    the banded candidate set is deterministic (fixed hyperplane
+    family), so band signatures + any-band collision + exact rounded
+    cosine replay in SQL (near_dup_pairs_lsh_sql); only recall vs the
+    TRUE pair set is probabilistic, and that stays pytest-pinned
+    (>= 0.9 at sf0.001). Bands/rows tuned for this corpus's low-sim
+    near-dup band (pairs live at cosine 0.4-0.5 => per-plane collision
+    ~0.65, so 2-plane bands x 12 give ~0.99 expected recall; precision
+    is exact by construction)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.near_dup_pairs_lsh(emb, threshold=0.4, bands=12, rows_per_band=2)
 
@@ -2331,13 +2341,16 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST
 
 
 def q_cosine_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted-index ANN surface as a graded (rows-only) row:
+    """The persisted-index ANN surface as a graded oracle row:
     one lsh_index signature pass over the corpus, then query-time
     pruning on the materialized bucket columns — zero signature math at
     query time, the many-queries amortization (operators/similarity.py
     lsh_index docstring). Same hyperplane family and parameters as
-    cosine_topk_lsh, so recall characteristics are identical (pytest
-    pins >= 0.85); rows-only because ANN recall is probabilistic."""
+    cosine_topk_lsh, so the result set is identical BY CONSTRUCTION to
+    that row's — and (round 10) it shares that row's SQL oracle: the
+    indexed path must reproduce the exact same deterministic top-k, so
+    a bucket-materialization or probe-expansion bug now breaks the
+    value hash instead of passing a rows-only check."""
     emb = load_table(spark, sf_dir, "embeddings")
     idx = S.lsh_index(emb, n_planes=4, n_tables=16)
     return S.cosine_topk_lsh_indexed(
@@ -2440,6 +2453,19 @@ QUALIFY rank <= {k}
 
 
 SQL_COSINE_TOPK_LSH_ROUNDTRIP = _lsh_roundtrip_sql()
+
+# Round 10: the plain and indexed multi-table LSH rows get the same SQL
+# replay at THEIR parameterization (4 planes x 16 tables, radius-1
+# multi-probe) — the result set is a deterministic function of the
+# md5-derived hyperplane family, so "ANN => no oracle" only ever
+# applied to recall, not to the computed rows. Margins re-audited at
+# this parameterization on both grading fixtures: min |hyperplane dot|
+# 4.4e-6, min candidate-sim distance to a 6dp rounding boundary
+# 1.1e-11 (sf0.01) / 6.1e-11 (sf0.001).
+SQL_COSINE_TOPK_LSH = _lsh_roundtrip_sql(n_planes=4, n_tables=16)
+SQL_EMBEDDING_NEAR_DUP_LSH = S.near_dup_pairs_lsh_sql(
+    threshold=0.4, bands=12, rows_per_band=2
+)
 
 
 def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7508,10 +7534,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "corpus_prep": QuerySpec(q_corpus_prep, SQL_CORPUS_PREP, "ext:composite-pipeline"),
     "user_zscores": QuerySpec(q_user_zscores, SQL_USER_ZSCORES, "ext:grouped-pandas"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "ext:similarity"),
-    "cosine_topk_lsh": QuerySpec(q_cosine_topk_lsh, None, "ext:similarity-ann"),
+    "cosine_topk_lsh": QuerySpec(
+        q_cosine_topk_lsh, SQL_COSINE_TOPK_LSH, "ext:similarity-ann"
+    ),
     "cosine_topk_ivf": QuerySpec(q_cosine_topk_ivf, None, "ext:similarity-ivf"),
     "embedding_near_dup": QuerySpec(q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP, "ext:dedup-embedding"),
-    "embedding_near_dup_lsh": QuerySpec(q_embedding_near_dup_lsh, None, "ext:dedup-embedding-ann"),
+    "embedding_near_dup_lsh": QuerySpec(
+        q_embedding_near_dup_lsh,
+        SQL_EMBEDDING_NEAR_DUP_LSH,
+        "ext:dedup-embedding-ann",
+    ),
     "label_centroids": QuerySpec(q_label_centroids, SQL_LABEL_CENTROIDS, "ext:vector-agg"),
     "flagship_sql_api": QuerySpec(q_flagship_sql_api, SQL_FLAGSHIP_SQL_API, "SQL-API"),
     "priority_order_check": QuerySpec(q_priority_order_check, SQL_PRIORITY_ORDER_CHECK, "ext:exists-semi"),
@@ -7539,7 +7571,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_user_totals": QuerySpec(q_streaming_user_totals, SQL_STREAMING_USER_TOTALS, "§2.10:stateful"),
     "approx_percentiles_by_flag": QuerySpec(q_approx_percentiles, SQL_APPROX_PERCENTILES, "ext:percentile-approx"),
     "trailing_revenue_7d": QuerySpec(q_trailing_revenue_7d, SQL_TRAILING_REVENUE_7D, "§2.5:range-frame"),
-    "cosine_topk_lsh_indexed": QuerySpec(q_cosine_topk_lsh_indexed, None, "ext:similarity-ann-index"),
+    "cosine_topk_lsh_indexed": QuerySpec(
+        q_cosine_topk_lsh_indexed,
+        SQL_COSINE_TOPK_LSH,  # identical params+family as cosine_topk_lsh
+        "ext:similarity-ann-index",
+    ),
     "quality_profile": QuerySpec(q_quality_profile, SQL_QUALITY_PROFILE, "§2.12"),
     "streaming_dedup": QuerySpec(q_streaming_dedup, SQL_STREAMING_DEDUP, "§2.10:dedup"),
     "pii_redact": QuerySpec(q_pii_redact, SQL_PII_REDACT, "ext:pii-scrub"),
