@@ -83,6 +83,39 @@ def test_near_dup_exact_never_collects_corpus(spark, monkeypatch):
     assert df.count() > 0
 
 
+def test_near_dup_two_pass_kernel_matches_float64_ground_truth(spark):
+    """The fp32-screen/fp64-refine strip kernel (round 10) must emit
+    EXACTLY the pair set and rounded sims of a pure-float64 all-pairs
+    computation — the screen's 1e-3 margin may only ever admit extra
+    candidates for the refine step to reject, never drop a true pair."""
+    import numpy as np
+
+    from nomba_data_pipeline_spark.operators.similarity import (
+        SIM_DP,
+        near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = np.round(M @ M.T, SIM_DP)
+    iu = np.triu_indices(len(M), 1)
+    for threshold in (0.4, 0.9):
+        keep = sims[iu] >= threshold
+        truth = {
+            (int(min(a, b)), int(max(a, b))): float(s)
+            for a, b, s in zip(
+                ids[iu[0][keep]], ids[iu[1][keep]], sims[iu][keep]
+            )
+        }
+        got = _pair_map(near_dup_pairs(emb, threshold=threshold, n_blocks=4))
+        assert got == truth, (
+            f"threshold {threshold}: {len(got)} pairs vs truth {len(truth)}"
+        )
+
+
 def test_near_dup_block_pair_matches_single_block(spark):
     """Block-pair decomposition is exact: any n_blocks gives the same
     pair set (n_blocks=1 is the trivial single-task case)."""
