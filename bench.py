@@ -617,7 +617,11 @@ def main() -> None:
             "are overhead-bound (2k-row corpus). pipeline_e2e/cdc rows run "
             "two referential-integrity gates per build and write "
             "TIMESTAMP_MICROS parquet. comparable_r5 is the frozen r5 "
-            "query set — the only sum comparable across rounds."
+            "query set — the only sum comparable across rounds. "
+            "neardup_64k_exact r10: two-pass fp32-screen/fp64-refine "
+            "kernel — quiet-box 6 reps 4.2-8.5s (was 9.8-21.8s), "
+            "identical pair set; residual swing is box contention on "
+            "the 2G-sim GEMM, not allocation churn."
         ),
         # recall@5 fractions (0..1) for the ANN fast paths vs brute-force
         # ground truth — separate key so consumers of `queries` never
