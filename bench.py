@@ -149,6 +149,8 @@ HEADLINE = [
     "zorder_roundtrip",
     "cdf_replication_roundtrip",
     "cosine_topk_ivf_roundtrip",
+    # incremental JOIN-view maintenance (operators/incremental_join.py)
+    "join_view_dim_update",
 ]
 
 
@@ -211,6 +213,56 @@ COMPARABLE_R8 = (
     "top_revenue_supplier", "unigram_logppl", "vocab_coverage",
     "waiting_suppliers", "weighted_sample", "winnow_fingerprints",
     "winsorized_stats", "winsorized_stats_approx",
+)
+
+# Frozen round-10 per-query set: every per-query entry in the round-10
+# BENCH_DETAIL (108 names — prefix-excluded synthetic families and the
+# two pipeline_* entries removed, same convention as COMPARABLE_R5/R8).
+# This freeze captures the full registry INCLUDING the six round-10
+# lifecycle rows and the TPC-H/BI/analytics surface, so rounds 11+ can
+# compare like-for-like as HEADLINE keeps growing. Do NOT add names
+# here — frozen means frozen.
+COMPARABLE_R10 = (
+    "ab_test_ztest", "activation_latency", "asof_join",
+    "basket_part_pairs", "benford_audit", "bigram_pmi", "bm25_search",
+    "boilerplate_removal", "cdf_replication_roundtrip",
+    "cluster_shipdate_roundtrip", "cohort_ltv", "cohort_retention",
+    "compact_roundtrip", "containment_pairs", "corpus_datacard",
+    "corpus_prep", "corpus_shuffle_shards", "cosine_topk",
+    "cosine_topk_ivf", "cosine_topk_ivf_roundtrip", "cosine_topk_lsh",
+    "cross_doc_repeated_spans", "curriculum_sample",
+    "customer_order_distribution", "decile_lift",
+    "dedup_incremental_batch", "delete_insert_roundtrip",
+    "doc_chunking", "doc_stats", "domain_temperature_sample",
+    "dominant_part_suppliers", "dsir_importance", "embedding_near_dup",
+    "embedding_near_dup_lsh", "embedding_quantize", "event_transitions",
+    "exact_dedup_groups", "fact_enriched", "flagship_revenue_by_region",
+    "full_load_roundtrip", "fuzzy_name_blocked", "graph_pagerank",
+    "hopping_window_counts", "idle_high_balance_customers",
+    "incremental_agg_maintenance", "inverted_index",
+    "keep_latest_per_key", "large_volume_orders",
+    "linestatus_priority_counts", "min_price_supplier",
+    "minhash_lsh_pairs", "minute_rollup", "mom_revenue_growth",
+    "monthly_customer_churn", "nation_market_share", "neardup_clusters",
+    "neardup_resolve_best", "ngram_jaccard_pairs", "peak_concurrency",
+    "percentiles_by_flag", "price_mad_by_flag", "pricing_summary",
+    "product_type_profit", "promo_revenue_share",
+    "quality_filter_cascade", "quantile_normalize", "range_join_count",
+    "returned_item_customers", "revenue_autocorr", "revenue_bridge",
+    "revenue_gini", "revenue_quartiles", "revenue_quartiles_scalable",
+    "revenue_rollup", "rfm_segments", "rolling_wau", "scd2_intervals",
+    "semantic_dedup_labels", "sequence_packing", "sessionize",
+    "shipping_priority", "simhash_docs", "simhash_near_dup",
+    "sketch_rollup_distinct", "snapshot_append_roundtrip",
+    "snapshot_table_diff", "source_entropy", "source_precedence_dedup",
+    "stratified_sample_k", "supplier_cnt_by_part",
+    "supplier_market_share", "supplier_part_volume", "tfidf_top_terms",
+    "token_budget_select", "token_budget_select_scalable",
+    "top_parts_per_brand", "top_revenue_supplier", "unigram_logppl",
+    "upsert_roundtrip", "variant_json_extract", "vocab_coverage",
+    "volume_shipping", "waiting_suppliers", "weighted_sample",
+    "winnow_fingerprints", "winsorized_stats",
+    "winsorized_stats_approx", "zorder_roundtrip",
 )
 
 
@@ -588,6 +640,9 @@ def main() -> None:
     comparable_r8 = round(
         sum(timings[k] for k in COMPARABLE_R8 if k in timings), 3
     )
+    comparable_r10 = round(
+        sum(timings[k] for k in COMPARABLE_R10 if k in timings), 3
+    )
 
     detail = {
         "metric": "headline_queries_total",
@@ -604,6 +659,11 @@ def main() -> None:
             "value": comparable_r8,
             "n": sum(1 for k in COMPARABLE_R8 if k in timings),
             "of": len(COMPARABLE_R8),
+        },
+        "comparable_r10": {
+            "value": comparable_r10,
+            "n": sum(1 for k in COMPARABLE_R10 if k in timings),
+            "of": len(COMPARABLE_R10),
         },
         # at sf0.1 the embeddings table is 2k rows: the per-query ANN
         # timings above measure fixed job overhead, not algorithm. The
@@ -666,6 +726,7 @@ def main() -> None:
         "sf": detail["sf"],
         "comparable_r5_total": comparable,
         "comparable_r8_total": comparable_r8,
+        "comparable_r10_total": comparable_r10,
         "n_queries_timed": len(timings),
         "detail": "BENCH_DETAIL.json",
     }

@@ -1,0 +1,169 @@
+"""Incremental JOIN-view maintenance (IVM for enrichment joins).
+
+The reference's documented remedy for a dim attribute change reaching
+already-loaded fact rows is a FULL REFRESH of the downstream models
+(dbt --full-refresh; see plans/runner.py:full_refresh and the
+dbt-parity NOTE in plans/pipeline.py — the reference rebuilds
+fact_savings_transaction from scratch for the same reason, its dbt
+models re-join staging on every run). At 100 TB a dim tweak that
+rescans the fact table is the dominant maintenance cost, so this
+module keeps a materialized `fact LEFT JOIN dim` view up to date by
+delta propagation instead:
+
+    Δ(F ⋈ D) = ΔF ⋈ D_current   (fact delta: re-enrich + upsert)
+             ∪ F ⋈ ΔD           (dim delta: patch affected view rows)
+
+Physical layout is the whole trick: the view is hive-partitioned by a
+BUCKET OF THE DIM KEY (`__dim_bucket = pmod(xxhash64(dim_key), n)`),
+so a dim delta's footprint is exactly the partitions its keys hash
+into — the rewrite reads and swaps only those directories (dynamic
+partition overwrite), never the view. Cost model:
+  * fact delta: O(|ΔF| join against D, broadcast in steady-state CDC)
+    + the partitioned merge's O(touched buckets) rewrite — the same
+    bound ParquetTable.merge_upsert already provides, including
+    key-migration (a fact row whose dim key CHANGES moves buckets;
+    the merge rewrites both the old and new holder partitions).
+  * dim delta: O(buckets hit by |ΔD| keys) read + rewrite, each bucket
+    ~ |F| / n_buckets rows. Size n_buckets so a bucket is a healthy
+    partition (~128 MB-1 GB); a 100-row dim patch then costs ~100
+    partition rewrites max, independent of fact size.
+  * full refresh (the thing replaced): O(|F| ⋈ |D|).
+
+Semantics and limits (stated, not hidden):
+- LEFT join views: every fact row appears exactly once; fact rows with
+  no dim match carry NULL dim attributes and are patched if the dim
+  key later arrives (the dim delta rewrites their bucket like any
+  other).
+- Dim deltas are UPSERTS (attribute changes + late dim arrivals). Dim
+  DELETES are out of scope — retracting enrichment would null
+  attributes across the view; model that as an explicit tombstone
+  attribute update if needed.
+- The dim delta must carry FULL replacement rows for its keys (same
+  dim columns the view was built with) — partial-column patches would
+  silently null the others, so apply_dim_delta refuses them.
+- NULL dim keys bucket deterministically (coalesced sentinel before
+  hashing) so null-keyed fact rows live in one ordinary partition
+  instead of Hive's default-partition escape hatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+_BUCKET = "__dim_bucket"
+
+
+def _with_bucket(df: DataFrame, dim_key: str, n_buckets: int) -> DataFrame:
+    # coalesce before hashing: xxhash64 skips NULL inputs (yielding the
+    # seed), which would silently fold null keys into whatever bucket
+    # the seed hashes to — an explicit sentinel keeps the intent visible
+    # and survives any future change to null-hashing semantics
+    key = F.coalesce(F.col(dim_key).cast("string"), F.lit("\x00<null-dim-key>"))
+    return df.withColumn(
+        _BUCKET, F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+    )
+
+
+class JoinViewTable:
+    """A materialized `fact LEFT JOIN dim` parquet view with delta
+    maintenance. `dim_cols` are the enrichment columns owned by the dim
+    side (everything else in the view schema belongs to the fact)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        fact_key: list[str],
+        dim_key: str,
+        dim_cols: list[str],
+        n_buckets: int = 32,
+    ):
+        if dim_key in dim_cols:
+            raise ValueError("dim_key is the join column, not an enrichment column")
+        self.spark = spark
+        self.path = path
+        self.fact_key = list(fact_key)
+        self.dim_key = dim_key
+        self.dim_cols = list(dim_cols)
+        self.n_buckets = n_buckets
+        self._table = ParquetTable(spark, path)
+
+    # -- build ---------------------------------------------------------
+    def build(self, fact: DataFrame, dim: DataFrame) -> None:
+        """Full build (the one O(F ⋈ D) pass): left-enrich and write
+        partitioned by the dim-key bucket."""
+        view = _with_bucket(self._enrich(fact, dim), self.dim_key, self.n_buckets)
+        self._table.overwrite(view, partition_by=[_BUCKET])
+
+    def _enrich(self, fact: DataFrame, dim: DataFrame) -> DataFrame:
+        d = dim.select(self.dim_key, *self.dim_cols)
+        return fact.join(d, on=self.dim_key, how="left")
+
+    def read(self) -> DataFrame:
+        return self._table.read().drop(_BUCKET)
+
+    # -- fact delta: ΔF ⋈ D, then keyed upsert -------------------------
+    def apply_fact_delta(self, fact_delta: DataFrame, dim: DataFrame) -> None:
+        """Re-enrich the delta against the CURRENT dim and merge by fact
+        key. Steady-state CDC broadcasts the delta through both the join
+        and the merge's anti-join; the partitioned merge rewrites only
+        touched buckets and handles dim-key migration (old + new holder
+        partitions both rewritten)."""
+        enriched = _with_bucket(
+            self._enrich(fact_delta, dim), self.dim_key, self.n_buckets
+        )
+        self._table.merge_upsert(
+            enriched, self.fact_key, partition_by=[_BUCKET]
+        )
+
+    # -- dim delta: patch affected buckets only ------------------------
+    def apply_dim_delta(self, dim_delta: DataFrame) -> None:
+        """Rewrite the dim attributes of every view row whose dim key
+        appears in the delta — partition-scoped: only the buckets the
+        delta's keys hash into are read and swapped. The delta must
+        carry full replacement rows (dim_key + every dim_col)."""
+        missing = {self.dim_key, *self.dim_cols} - set(dim_delta.columns)
+        if missing:
+            raise ValueError(
+                f"dim delta must carry full replacement rows; missing {sorted(missing)}"
+            )
+        if not self._table.exists():
+            raise ValueError(f"join view {self.path} not built yet")
+        # a NULL-keyed dim delta row can never have joined anything (the
+        # view's left join is null-unsafe, matching SQL semantics), so
+        # there is nothing it could patch — refuse rather than silently
+        # drop it from the rewrite
+        if dim_delta.filter(F.col(self.dim_key).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "dim delta has NULL join keys: a NULL key never matches "
+                "any fact row under left-join semantics, so it cannot "
+                "patch the view"
+            )
+        d = _with_bucket(
+            dim_delta.select(self.dim_key, *self.dim_cols),
+            self.dim_key,
+            self.n_buckets,
+        )
+        buckets = [r[0] for r in d.select(_BUCKET).distinct().collect()]
+        if not buckets:
+            return
+        # partition-pruned read of ONLY the affected buckets; the swap
+        # below replaces exactly these directories
+        view = self._table.read().filter(F.col(_BUCKET).isin(buckets))
+        patch = d.drop(_BUCKET)
+        keys = patch.select(self.dim_key)
+        # split-and-reassemble inside the affected buckets: rows whose
+        # key is in the delta get re-enriched from the patch (including
+        # previously-unmatched rows whose dim row arrived late — their
+        # NULL attrs become real ones); the rest keep stored attributes
+        hit = (
+            view.join(F.broadcast(keys), self.dim_key, "semi")
+            .drop(*self.dim_cols)
+            .join(F.broadcast(patch), self.dim_key, "left")
+        )
+        miss = view.join(F.broadcast(keys), self.dim_key, "anti")
+        new_content = miss.unionByName(hit.select(*miss.columns))
+        self._table.insert_overwrite_partitions(new_content, [_BUCKET])

@@ -7496,6 +7496,84 @@ def q_cosine_topk_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_COSINE_TOPK_IVF_ROUNDTRIP = S.cosine_topk_sql()
 
 
+def q_join_view_dim_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance as a graded row — the delta
+    answer to the documented full-refresh weakness ("a dim attribute
+    change reaches already-loaded fact rows only through a full
+    refresh", plans/pipeline.py dbt-parity NOTE; the reference rebuilds
+    its fact model to propagate dim changes). Build an orders⋈customer
+    view with a deliberately STALE dim (segment overwritten for
+    custkey % 4 == 0), patch it with apply_dim_delta (partition-scoped:
+    only the dim-key buckets the patch hashes into are rewritten), then
+    apply a fact delta (orderkey % 11 == 0 repriced +500) re-enriched
+    against the true dim. Grading the per-segment aggregate catches a
+    surviving stale attribute (patch missed rows), a lost/duplicated
+    fact row (upsert bug), or a delta enriched against the wrong dim
+    state. Oracle replays the FINAL states declaratively: repriced
+    fact left-joined to the true customer dim. Bucket-migration /
+    late-dim-arrival / replay edges are pinned in
+    tests/test_incremental_join.py."""
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+    )
+
+    def _write(path: str) -> None:
+        fact = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("c_custkey"),
+            "o_totalprice",
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        stale = cust.withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 4 == 0, F.lit("STALE")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        v = JoinViewTable(
+            spark, path,
+            fact_key=["o_orderkey"], dim_key="c_custkey",
+            dim_cols=["c_mktsegment", "c_acctbal"], n_buckets=16,
+        )
+        v.build(fact, stale)
+        v.apply_dim_delta(cust.filter(F.col("c_custkey") % 4 == 0))
+        fact_delta = fact.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+        )
+        v.apply_fact_delta(fact_delta, cust)
+
+    path = _stage_dir("join_view", sf_dir, _write)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_JOIN_VIEW_DIM_UPDATE = """
+WITH fd AS (
+    SELECT o_orderkey, o_custkey, o_totalprice + 500.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 11 = 0
+), f AS (
+    SELECT * FROM fd
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders b
+    WHERE NOT EXISTS (SELECT 1 FROM fd d WHERE d.o_orderkey = b.o_orderkey)
+)
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(f.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM f LEFT JOIN customer c ON f.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7873,6 +7951,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_COSINE_TOPK_IVF_ROUNDTRIP,
         "ext:ann-ivf-lifecycle",
     ),
+    "join_view_dim_update": QuerySpec(
+        q_join_view_dim_update,
+        SQL_JOIN_VIEW_DIM_UPDATE,
+        "ext:join-ivm",
+    ),
 }
 
 
@@ -7961,7 +8044,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # first — all 50 rows of the round-9 window graded, 49 oracle-green +
 # the by-design no-oracle semantic_dedup_kmeans).  With the
 # never-graded set closed, this window is:
-# (a) the 6 rows added this round, never graded by construction — the
+# (a) the 7 rows added this round, never graded by construction — the
 #     remaining warehouse-lifecycle verbs as oracle rows:
 #     delete_insert_roundtrip (O11, the runner's dbt delete+insert
 #     mode under HWM gating), full_load_roundtrip (O9 full load +
@@ -7969,16 +8052,22 @@ REGISTRY: dict[str, QuerySpec] = {
 #     compact_roundtrip + zorder_roundtrip (maintenance verbs,
 #     modeled on r9's cluster_shipdate_roundtrip),
 #     cdf_replication_roundtrip (merge_upsert_cdf emit -> apply_cdf
-#     replica, the CDC-replication story end-to-end), and
+#     replica, the CDC-replication story end-to-end),
 #     cosine_topk_ivf_roundtrip (IVF index build->append->query under
-#     the frozen centroid sidecar, made exact via n_probe=n_lists);
+#     the frozen centroid sidecar, made exact via n_probe=n_lists),
+#     and join_view_dim_update (incremental JOIN-view maintenance —
+#     the delta answer to the full-refresh-only dim-propagation
+#     weakness, operators/incremental_join.py);
 # (b) the entire round-5-stale cohort — all 23 rows whose newest
 #     driver-green evidence is round 5 (re-derived from the union of
 #     CORRECTNESS_r0*.json as green-latest == r5);
-# (c) the head of the round-6-stale cohort — the first 21 of the 45
+# (c) the head of the round-6-stale cohort — the first 20 of the 45
 #     rows whose newest driver-green is round 6, in that cohort's
-#     registry order.  The remaining 24 r6 rows rotate in at round 11
-#     (no older cohort will remain).
+#     registry order (kll_quantile_rollup ceded its slot to
+#     join_view_dim_update: the never-graded guard rightly forces new
+#     rows in-window, and a new operator's first grade outranks a
+#     mirror-covered re-grade).  The remaining 25 r6 rows rotate in at
+#     round 11 (no older cohort will remain).
 # After this round grades green, no row's newest driver evidence is
 # older than round 6, matching the r9 verdict's staleness bar.  When
 # rotating again, re-derive per-row latest-green from the union of
@@ -7992,6 +8081,7 @@ _DRIVER_WINDOW: list[str] = [
     "zorder_roundtrip",
     "cdf_replication_roundtrip",
     "cosine_topk_ivf_roundtrip",
+    "join_view_dim_update",
     # -- (b) the 23 rows whose newest driver-green evidence is round 5
     "doc_stats",
     "simhash_docs",
@@ -8016,8 +8106,8 @@ _DRIVER_WINDOW: list[str] = [
     "revenue_rollup",
     "percentiles_by_flag",
     "id_synthesis",
-    # -- (c) first 21 of the 45 rows whose newest driver-green is
-    #    round 6 (cohort registry order; the other 24 rotate in r11)
+    # -- (c) first 20 of the 45 rows whose newest driver-green is
+    #    round 6 (cohort registry order; the other 25 rotate in r11)
     "bucketed_join_agg",
     "running_revenue",
     "streaming_minute_rollup",
@@ -8038,7 +8128,6 @@ _DRIVER_WINDOW: list[str] = [
     "sentence_split_udtf",
     "sketch_rollup_distinct",
     "theta_user_overlap",
-    "kll_quantile_rollup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

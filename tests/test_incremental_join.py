@@ -1,0 +1,148 @@
+"""JoinViewTable: incremental maintenance of a materialized fact⋈dim
+view — Δ(F⋈D) = ΔF⋈D ∪ F⋈ΔD with a dim-key-bucketed layout so dim
+patches rewrite only affected partitions."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.operators.incremental_join import JoinViewTable
+
+
+def _mk(spark, tmp_path, n_buckets=8):
+    fact = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 200.0), (3, 10, 300.0), (4, 99, 400.0)],
+        "fk long, dk long, amount double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "alpha", 1.0), (20, "beta", 2.0), (30, "gamma", 3.0)],
+        "dk long, name string, score double",
+    )
+    v = JoinViewTable(
+        spark, os.path.join(tmp_path, "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["name", "score"],
+        n_buckets=n_buckets,
+    )
+    v.build(fact, dim)
+    return v, fact, dim
+
+
+def _rows(v):
+    return {
+        r["fk"]: (r["dk"], r["amount"], r["name"], r["score"])
+        for r in v.read().collect()
+    }
+
+
+def test_build_is_left_join(spark, tmp_path):
+    v, fact, dim = _mk(spark, str(tmp_path))
+    got = _rows(v)
+    assert got[1] == (10, 100.0, "alpha", 1.0)
+    assert got[4] == (99, 400.0, None, None)  # unmatched key -> NULL attrs
+    assert len(got) == 4
+
+
+def test_dim_delta_patches_only_affected_buckets(spark, tmp_path):
+    v, fact, dim = _mk(spark, str(tmp_path))
+    # snapshot per-partition file sets before the patch
+    before = {
+        d: sorted(os.listdir(d))
+        for d in glob.glob(os.path.join(str(tmp_path), "view", "__dim_bucket=*"))
+    }
+    patch = spark.createDataFrame(
+        [(10, "ALPHA2", 11.0)], "dk long, name string, score double"
+    )
+    v.apply_dim_delta(patch)
+    got = _rows(v)
+    assert got[1] == (10, 100.0, "ALPHA2", 11.0)
+    assert got[3] == (10, 300.0, "ALPHA2", 11.0)
+    assert got[2] == (20, 200.0, "beta", 2.0)  # untouched key keeps attrs
+    after = {
+        d: sorted(os.listdir(d))
+        for d in glob.glob(os.path.join(str(tmp_path), "view", "__dim_bucket=*"))
+    }
+    # only the bucket(s) dk=10 hashes into may change; every other
+    # partition directory must be byte-untouched (same file names)
+    changed = [d for d in before if before[d] != after.get(d, [])]
+    assert len(changed) >= 1
+    unaffected = [d for d in before if d not in changed]
+    for d in unaffected:
+        assert before[d] == after[d]
+
+
+def test_late_dim_arrival_fills_nulls(spark, tmp_path):
+    v, fact, dim = _mk(spark, str(tmp_path))
+    patch = spark.createDataFrame(
+        [(99, "late", 9.9)], "dk long, name string, score double"
+    )
+    v.apply_dim_delta(patch)
+    assert _rows(v)[4] == (99, 400.0, "late", 9.9)
+
+
+def test_fact_delta_upserts_and_replays_idempotently(spark, tmp_path):
+    v, fact, dim = _mk(spark, str(tmp_path))
+    delta = spark.createDataFrame(
+        [(2, 20, 222.0), (5, 30, 500.0)], "fk long, dk long, amount double"
+    )
+    v.apply_fact_delta(delta, dim)
+    v.apply_fact_delta(delta, dim)  # replay converges, no dup keys
+    got = _rows(v)
+    assert len(got) == 5
+    assert got[2] == (20, 222.0, "beta", 2.0)
+    assert got[5] == (30, 500.0, "gamma", 3.0)
+
+
+def test_fact_delta_dim_key_migration_moves_buckets(spark, tmp_path):
+    v, fact, dim = _mk(spark, str(tmp_path))
+    # fk=1 switches dim from 10 -> 20: the row must leave dk=10's bucket
+    # and appear once in dk=20's, enriched with the NEW dim attrs
+    delta = spark.createDataFrame(
+        [(1, 20, 150.0)], "fk long, dk long, amount double"
+    )
+    v.apply_fact_delta(delta, dim)
+    got = _rows(v)
+    assert len(got) == 4
+    assert got[1] == (20, 150.0, "beta", 2.0)
+    stored = v._table.read()
+    assert stored.filter(F.col("fk") == 1).count() == 1
+
+
+def test_dim_delta_validation(spark, tmp_path):
+    v, fact, dim = _mk(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="full replacement rows"):
+        v.apply_dim_delta(spark.createDataFrame([(10, "x")], "dk long, name string"))
+    with pytest.raises(ValueError, match="NULL join keys"):
+        v.apply_dim_delta(
+            spark.createDataFrame(
+                [(None, "x", 1.0)], "dk long, name string, score double"
+            )
+        )
+
+
+def test_maintained_view_equals_declarative_join(spark, tmp_path):
+    """After an arbitrary mixed sequence, the maintained view must equal
+    fact_final LEFT JOIN dim_final computed from scratch."""
+    v, fact, dim = _mk(spark, str(tmp_path))
+    dim_patch = spark.createDataFrame(
+        [(10, "A", 1.5), (30, "G", 3.5)], "dk long, name string, score double"
+    )
+    fact_delta = spark.createDataFrame(
+        [(4, 30, 444.0), (6, 10, 600.0)], "fk long, dk long, amount double"
+    )
+    v.apply_dim_delta(dim_patch)
+    dim_final = (
+        dim.join(dim_patch.select("dk"), "dk", "anti").unionByName(dim_patch)
+    )
+    v.apply_fact_delta(fact_delta, dim_final)
+    fact_final = (
+        fact.join(fact_delta.select("fk"), "fk", "anti").unionByName(fact_delta)
+    )
+    expect = {
+        r["fk"]: (r["dk"], r["amount"], r["name"], r["score"])
+        for r in fact_final.join(
+            dim_final.select("dk", "name", "score"), "dk", "left"
+        ).collect()
+    }
+    assert _rows(v) == expect
