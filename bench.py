@@ -151,6 +151,8 @@ HEADLINE = [
     "cosine_topk_ivf_roundtrip",
     # incremental JOIN-view maintenance (operators/incremental_join.py)
     "join_view_dim_update",
+    # GDPR erasure over the real medallion warehouse
+    "erasure_roundtrip",
 ]
 
 
