@@ -32,11 +32,16 @@ SCRIPT = textwrap.dedent(
     assert len(mod.entry(spark).collect()) > 0
     qs = mod.queries()
     # conf-sensitive set: events nano-ts reads, streaming stage+drain,
-    # window frames over ts, stateful streaming
+    # window frames over ts, stateful streaming; plus the round-10
+    # lifecycle rows that WRITE under the bare session (its default
+    # INT96 timestamps carry no footer stats, so the runner's HWM must
+    # take the exact-scan fallback — regression here would silently
+    # turn the delta filter off and duplicate keys)
     for name in ("mongo_extract_events", "sessionize", "minute_rollup",
                  "running_revenue", "trailing_revenue_7d",
                  "streaming_minute_rollup", "streaming_dedup",
-                 "streaming_enriched"):
+                 "streaming_enriched", "delete_insert_roundtrip",
+                 "erasure_roundtrip", "join_view_dim_update"):
         n = qs[name](spark, "/root/testdata/sf0.001").count()
         assert n > 0, name
     print("BARE-SESSION-OK")
