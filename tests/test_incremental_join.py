@@ -6,6 +6,8 @@ import glob
 import os
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from nomba_data_pipeline_spark.operators.incremental_join import JoinViewTable
@@ -119,6 +121,62 @@ def test_dim_delta_validation(spark, tmp_path):
                 [(None, "x", 1.0)], "dk long, name string, score double"
             )
         )
+
+
+_dim_row = st.tuples(st.integers(10, 14), st.integers(0, 9))
+# dk range extends past the dim's (10..14) so some fact keys are dimless
+_fact_row = st.tuples(st.integers(1, 8), st.integers(10, 16), st.integers(0, 99))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    f1=st.lists(_fact_row, min_size=1, max_size=8),
+    d1=st.lists(_dim_row, min_size=1, max_size=4),
+    fd=st.lists(_fact_row, min_size=0, max_size=5),
+    dd=st.lists(_dim_row, min_size=0, max_size=3),
+)
+def test_random_maintenance_sequences_equal_declarative_join(
+    spark, tmp_path_factory, f1, d1, fd, dd
+):
+    """PROPERTY: for any base build + (dim delta, fact delta) sequence,
+    the maintained view equals the from-scratch left join of the final
+    states — including dimless fact keys, key migration, and patches
+    touching keys with no fact rows."""
+    import os
+
+    td = str(tmp_path_factory.mktemp("jv"))
+
+    def facts(rows):
+        return spark.createDataFrame(
+            [(k, dk, float(a)) for k, dk, a in rows], "fk long, dk long, amt double"
+        ).dropDuplicates(["fk"])
+
+    def dims(rows):
+        return spark.createDataFrame(
+            [(dk, f"n{p}") for dk, p in rows], "dk long, nm string"
+        ).dropDuplicates(["dk"])
+
+    fact, dim = facts(f1), dims(d1)
+    v = JoinViewTable(
+        spark, os.path.join(td, "v"), ["fk"], "dk", ["nm"], n_buckets=4
+    )
+    v.build(fact, dim)
+    dim_final = dim
+    if dd:
+        patch = dims(dd)
+        v.apply_dim_delta(patch)
+        dim_final = dim.join(patch.select("dk"), "dk", "anti").unionByName(patch)
+    fact_final = fact
+    if fd:
+        delta = facts(fd)
+        v.apply_fact_delta(delta, dim_final)
+        fact_final = fact.join(delta.select("fk"), "fk", "anti").unionByName(delta)
+    got = {r["fk"]: (r["dk"], r["amt"], r["nm"]) for r in v.read().collect()}
+    expect = {
+        r["fk"]: (r["dk"], r["amt"], r["nm"])
+        for r in fact_final.join(dim_final, "dk", "left").collect()
+    }
+    assert got == expect
 
 
 def test_maintained_view_equals_declarative_join(spark, tmp_path):
