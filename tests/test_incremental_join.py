@@ -179,6 +179,79 @@ def test_random_maintenance_sequences_equal_declarative_join(
     assert got == expect
 
 
+def test_streaming_foreachbatch_maintains_view_across_restarts(spark, tmp_path):
+    """Structured-Streaming leg: a file-source fact stream maintains the
+    view through foreachBatch(apply_fact_delta). availableNow drains
+    what exists, the checkpoint survives a restart (second run applies
+    ONLY the new files), and a replayed batch converges (upsert
+    semantics) — the enrichment view stays equal to the declarative
+    join of everything that has arrived."""
+    import os
+
+    feed = os.path.join(str(tmp_path), "feed")
+    ck = os.path.join(str(tmp_path), "ck")
+    os.makedirs(feed, exist_ok=True)
+
+    dim = spark.createDataFrame(
+        [(10, "alpha"), (20, "beta")], "dk long, nm string"
+    )
+    base = spark.createDataFrame([(1, 10, 100.0)], "fk long, dk long, amt double")
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["nm"], n_buckets=4,
+    )
+    v.build(base, dim)
+
+    def _arrive(name, rows):
+        spark.createDataFrame(rows, "fk long, dk long, amt double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(feed, name))
+
+    def _drain():
+        q = (
+            spark.readStream.schema("fk long, dk long, amt double")
+            .option("recursiveFileLookup", "true")
+            .parquet(feed)
+            .writeStream.foreachBatch(
+                lambda df, bid: v.apply_fact_delta(df, dim)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _arrive("b1", [(2, 20, 200.0), (3, 10, 300.0)])
+    _drain()
+    got = {r["fk"]: (r["dk"], r["amt"], r["nm"]) for r in v.read().collect()}
+    assert got == {
+        1: (10, 100.0, "alpha"),
+        2: (20, 200.0, "beta"),
+        3: (10, 300.0, "alpha"),
+    }
+
+    # restart: only the new file is planned; fk=2 is REPLACED (updated
+    # amount + migrated dim key), fk=4 inserted
+    _arrive("b2", [(2, 10, 222.0), (4, 20, 400.0)])
+    _drain()
+    got = {r["fk"]: (r["dk"], r["amt"], r["nm"]) for r in v.read().collect()}
+    assert got == {
+        1: (10, 100.0, "alpha"),
+        2: (10, 222.0, "alpha"),
+        3: (10, 300.0, "alpha"),
+        4: (20, 400.0, "beta"),
+    }
+    # replayed batch converges: re-applying b2's content changes nothing
+    v.apply_fact_delta(
+        spark.createDataFrame(
+            [(2, 10, 222.0), (4, 20, 400.0)], "fk long, dk long, amt double"
+        ),
+        dim,
+    )
+    again = {r["fk"]: (r["dk"], r["amt"], r["nm"]) for r in v.read().collect()}
+    assert again == got
+
+
 def test_maintained_view_equals_declarative_join(spark, tmp_path):
     """After an arbitrary mixed sequence, the maintained view must equal
     fact_final LEFT JOIN dim_final computed from scratch."""
