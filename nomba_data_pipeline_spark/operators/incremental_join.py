@@ -132,38 +132,56 @@ class JoinViewTable:
             )
         if not self._table.exists():
             raise ValueError(f"join view {self.path} not built yet")
-        # a NULL-keyed dim delta row can never have joined anything (the
-        # view's left join is null-unsafe, matching SQL semantics), so
-        # there is nothing it could patch — refuse rather than silently
-        # drop it from the rewrite
-        if dim_delta.filter(F.col(self.dim_key).isNull()).limit(1).count() > 0:
-            raise ValueError(
-                "dim delta has NULL join keys: a NULL key never matches "
-                "any fact row under left-join semantics, so it cannot "
-                "patch the view"
-            )
         d = _with_bucket(
             dim_delta.select(self.dim_key, *self.dim_cols),
             self.dim_key,
             self.n_buckets,
-        )
-        buckets = [r[0] for r in d.select(_BUCKET).distinct().collect()]
-        if not buckets:
-            return
-        # partition-pruned read of ONLY the affected buckets; the swap
-        # below replaces exactly these directories
-        view = self._table.read().filter(F.col(_BUCKET).isin(buckets))
-        patch = d.drop(_BUCKET)
-        keys = patch.select(self.dim_key)
-        # split-and-reassemble inside the affected buckets: rows whose
-        # key is in the delta get re-enriched from the patch (including
-        # previously-unmatched rows whose dim row arrived late — their
-        # NULL attrs become real ones); the rest keep stored attributes
-        hit = (
-            view.join(F.broadcast(keys), self.dim_key, "semi")
-            .drop(*self.dim_cols)
-            .join(F.broadcast(patch), self.dim_key, "left")
-        )
-        miss = view.join(F.broadcast(keys), self.dim_key, "anti")
-        new_content = miss.unionByName(hit.select(*miss.columns))
-        self._table.insert_overwrite_partitions(new_content, [_BUCKET])
+        ).cache()
+        try:
+            stats = d.groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(_BUCKET).alias("buckets"),
+                F.sum(F.col(self.dim_key).isNull().cast("int")).alias("n_null"),
+            ).first()
+            n_patch, buckets = (stats["n"], list(stats["buckets"])) if stats else (0, [])
+            if not buckets:
+                return
+            # a NULL-keyed dim delta row can never have joined anything
+            # (the view's left join is null-unsafe, matching SQL
+            # semantics), so there is nothing it could patch — refuse
+            # rather than silently drop it from the rewrite (checked in
+            # the same one-pass aggregate as the bucket/size stats)
+            if (stats["n_null"] or 0) > 0:
+                raise ValueError(
+                    "dim delta has NULL join keys: a NULL key never "
+                    "matches any fact row under left-join semantics, so "
+                    "it cannot patch the view"
+                )
+            # A patch approaching dim size is a REBUILD wearing a delta
+            # costume — the broadcast hint below would ship it to every
+            # task and the "scoped" rewrite would touch every bucket
+            # anyway. Let Catalyst/AQE pick the join strategy for big
+            # patches; keep the hint for the CDC-sized common case
+            # (dim stats are often missing on arbitrary delta lineage,
+            # where Spark's size estimate would wrongly pick SMJ).
+            hint = F.broadcast if n_patch <= 1_000_000 else (lambda df: df)
+            # partition-pruned read of ONLY the affected buckets; the
+            # swap below replaces exactly these directories
+            view = self._table.read().filter(F.col(_BUCKET).isin(buckets))
+            patch = d.drop(_BUCKET)
+            keys = patch.select(self.dim_key)
+            # split-and-reassemble inside the affected buckets: rows
+            # whose key is in the delta get re-enriched from the patch
+            # (including previously-unmatched rows whose dim row arrived
+            # late — their NULL attrs become real ones); the rest keep
+            # stored attributes
+            hit = (
+                view.join(hint(keys), self.dim_key, "semi")
+                .drop(*self.dim_cols)
+                .join(hint(patch), self.dim_key, "left")
+            )
+            miss = view.join(hint(keys), self.dim_key, "anti")
+            new_content = miss.unionByName(hit.select(*miss.columns))
+            self._table.insert_overwrite_partitions(new_content, [_BUCKET])
+        finally:
+            d.unpersist()
