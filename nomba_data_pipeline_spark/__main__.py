@@ -110,6 +110,69 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Materialized join-view lifecycle (operators/incremental_join):
+    build persists the parameter sidecar; patch-dim / apply-fact reopen
+    the view FROM the sidecar so a maintenance job can never re-supply
+    a divergent bucket layout."""
+    from nomba_data_pipeline_spark.operators.incremental_join import JoinViewTable
+
+    spark = _spark(args)
+    if args.action == "build":
+        missing = [
+            f for f, v in (
+                ("--fact", args.fact), ("--dim", args.dim),
+                ("--fact-key", args.fact_key), ("--dim-key", args.dim_key),
+                ("--dim-cols", args.dim_cols),
+            ) if not v
+        ]
+        if missing:
+            print(json.dumps({"error": f"build requires {missing}"}))
+            return 1
+        v = JoinViewTable(
+            spark, args.path,
+            fact_key=args.fact_key, dim_key=args.dim_key,
+            dim_cols=args.dim_cols, n_buckets=args.n_buckets,
+        )
+        v.build(spark.read.parquet(args.fact), spark.read.parquet(args.dim))
+        print(json.dumps({"built": args.path, "rows": v.read().count()}))
+        return 0
+    v = JoinViewTable.open(spark, args.path)
+    if args.action == "patch-dim":
+        if not args.dim:
+            print(json.dumps({"error": "patch-dim requires --dim"}))
+            return 1
+        v.apply_dim_delta(spark.read.parquet(args.dim))
+        print(json.dumps({"patched": args.path, "rows": v.read().count()}))
+    elif args.action == "apply-fact":
+        if not (args.fact and args.dim):
+            print(json.dumps({"error": "apply-fact requires --fact and --dim"}))
+            return 1
+        v.apply_fact_delta(
+            spark.read.parquet(args.fact), spark.read.parquet(args.dim)
+        )
+        print(json.dumps({"applied": args.path, "rows": v.read().count()}))
+    else:  # stats
+        from pyspark.sql import functions as F
+
+        rows = (
+            spark.read.parquet(args.path)
+            .groupBy("__dim_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("__dim_bucket")
+            .collect()
+        )
+        print(
+            json.dumps(
+                {
+                    "buckets": {int(r[0]): int(r[1]) for r in rows},
+                    "rows": int(sum(r[1] for r in rows)),
+                }
+            )
+        )
+    return 0
+
+
 def cmd_index(args) -> int:
     """Index lifecycle: build / append / fold / stats over the persisted
     ANN layouts (operators/similarity.py) or the MinHash band index for
@@ -377,6 +440,20 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--bits", type=int, default=8)
     z.add_argument("--target-files", type=int)
     z.set_defaults(fn=cmd_zorder)
+
+    jv = sub.add_parser(
+        "view",
+        help="materialized join-view lifecycle: build / patch-dim / apply-fact / stats",
+    )
+    jv.add_argument("action", choices=["build", "patch-dim", "apply-fact", "stats"])
+    jv.add_argument("--path", required=True, help="view root directory")
+    jv.add_argument("--fact", help="fact parquet path (build / apply-fact)")
+    jv.add_argument("--dim", help="dim parquet path (build / patch-dim / apply-fact)")
+    jv.add_argument("--fact-key", nargs="+", help="fact key columns (build)")
+    jv.add_argument("--dim-key", help="dim join column (build)")
+    jv.add_argument("--dim-cols", nargs="+", help="dim enrichment columns (build)")
+    jv.add_argument("--n-buckets", type=int, default=32)
+    jv.set_defaults(fn=cmd_view)
 
     ix = sub.add_parser(
         "index",

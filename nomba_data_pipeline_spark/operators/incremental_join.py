@@ -48,6 +48,8 @@ Semantics and limits (stated, not hidden):
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,13 +92,68 @@ class JoinViewTable:
         self.dim_cols = list(dim_cols)
         self.n_buckets = n_buckets
         self._table = ParquetTable(spark, path)
+        self._meta_checked = False
+
+    # -- parameter sidecar ---------------------------------------------
+    # The bucket layout is part of the VIEW's identity: a maintenance
+    # call constructed with a different n_buckets (or keys/cols) would
+    # compute bucket targets under the wrong modulus and the scoped
+    # rewrite would silently miss rows. build() persists the parameters
+    # in a SIBLING sidecar (outside the data dir — every writer here
+    # swaps the data dir whole) and every apply validates against it.
+    def _meta_path(self) -> str:
+        return self.path + "._view_meta"
+
+    def _meta_dict(self) -> dict:
+        return {
+            "fact_key": self.fact_key,
+            "dim_key": self.dim_key,
+            "dim_cols": self.dim_cols,
+            "n_buckets": self.n_buckets,
+        }
+
+    def _write_meta(self) -> None:
+        self.spark.createDataFrame(
+            [(json.dumps(self._meta_dict()),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").parquet(self._meta_path())
+
+    def _validate_meta(self) -> None:
+        if self._meta_checked:
+            return
+        fs, jp = self._table._fs_and_path(self._meta_path())
+        if fs.exists(jp):
+            stored = json.loads(
+                self.spark.read.parquet(self._meta_path()).first()["meta"]
+            )
+            if stored != self._meta_dict():
+                raise ValueError(
+                    f"join view {self.path} was built with {stored}, but this "
+                    f"instance carries {self._meta_dict()} — a mismatched "
+                    "bucket layout would silently mis-scope the rewrite"
+                )
+        self._meta_checked = True
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "JoinViewTable":
+        """Reconstruct a view handle from its persisted parameter
+        sidecar — the safe entry point for maintenance jobs and the CLI
+        (no chance of re-supplying a divergent layout)."""
+        meta = json.loads(spark.read.parquet(path + "._view_meta").first()["meta"])
+        return cls(
+            spark, path,
+            fact_key=meta["fact_key"], dim_key=meta["dim_key"],
+            dim_cols=meta["dim_cols"], n_buckets=meta["n_buckets"],
+        )
 
     # -- build ---------------------------------------------------------
     def build(self, fact: DataFrame, dim: DataFrame) -> None:
         """Full build (the one O(F ⋈ D) pass): left-enrich and write
-        partitioned by the dim-key bucket."""
+        partitioned by the dim-key bucket; persists the parameter
+        sidecar that later maintenance validates against."""
         view = _with_bucket(self._enrich(fact, dim), self.dim_key, self.n_buckets)
         self._table.overwrite(view, partition_by=[_BUCKET])
+        self._write_meta()
+        self._meta_checked = True
 
     def _enrich(self, fact: DataFrame, dim: DataFrame) -> DataFrame:
         d = dim.select(self.dim_key, *self.dim_cols)
@@ -112,6 +169,7 @@ class JoinViewTable:
         and the merge's anti-join; the partitioned merge rewrites only
         touched buckets and handles dim-key migration (old + new holder
         partitions both rewritten)."""
+        self._validate_meta()
         enriched = _with_bucket(
             self._enrich(fact_delta, dim), self.dim_key, self.n_buckets
         )
@@ -132,6 +190,7 @@ class JoinViewTable:
             )
         if not self._table.exists():
             raise ValueError(f"join view {self.path} not built yet")
+        self._validate_meta()
         d = _with_bucket(
             dim_delta.select(self.dim_key, *self.dim_cols),
             self.dim_key,

@@ -179,6 +179,76 @@ def test_random_maintenance_sequences_equal_declarative_join(
     assert got == expect
 
 
+def test_meta_sidecar_blocks_divergent_layout_and_open_reconstructs(
+    spark, tmp_path
+):
+    """The bucket layout is part of the view's identity: maintenance
+    constructed with a different n_buckets would mis-scope the rewrite,
+    so the sidecar written at build must refuse it; open() reconstructs
+    the exact parameters instead."""
+    v, fact, dim = _mk(spark, str(tmp_path), n_buckets=8)
+    patch = spark.createDataFrame(
+        [(10, "X", 0.0)], "dk long, name string, score double"
+    )
+    wrong = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["name", "score"],
+        n_buckets=16,
+    )
+    with pytest.raises(ValueError, match="mis-scope"):
+        wrong.apply_dim_delta(patch)
+    with pytest.raises(ValueError, match="mis-scope"):
+        wrong.apply_fact_delta(fact.limit(1), dim)
+    opened = JoinViewTable.open(spark, os.path.join(str(tmp_path), "view"))
+    assert opened.n_buckets == 8 and opened.dim_cols == ["name", "score"]
+    opened.apply_dim_delta(patch)
+    assert _rows(opened)[1] == (10, 100.0, "X", 0.0)
+
+
+def test_cli_view_lifecycle(spark, tmp_path, capsys):
+    """CLI verbs drive the same lifecycle; patch-dim/apply-fact reopen
+    from the sidecar (no layout re-supply)."""
+    import json as _json
+
+    from nomba_data_pipeline_spark.__main__ import main
+
+    fact_p = os.path.join(str(tmp_path), "fact")
+    dim_p = os.path.join(str(tmp_path), "dim")
+    patch_p = os.path.join(str(tmp_path), "patch")
+    view_p = os.path.join(str(tmp_path), "view")
+    spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 200.0)], "fk long, dk long, amt double"
+    ).write.parquet(fact_p)
+    spark.createDataFrame(
+        [(10, "alpha"), (20, "beta")], "dk long, nm string"
+    ).write.parquet(dim_p)
+    spark.createDataFrame([(10, "ALPHA")], "dk long, nm string").write.parquet(
+        patch_p
+    )
+
+    rc = main([
+        "view", "build", "--path", view_p, "--fact", fact_p, "--dim", dim_p,
+        "--fact-key", "fk", "--dim-key", "dk", "--dim-cols", "nm",
+        "--n-buckets", "4",
+    ])
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 2
+
+    rc = main(["view", "patch-dim", "--path", view_p, "--dim", patch_p])
+    assert rc == 0
+    capsys.readouterr()
+    got = {
+        r["fk"]: r["nm"]
+        for r in JoinViewTable.open(spark, view_p).read().collect()
+    }
+    assert got == {1: "ALPHA", 2: "beta"}
+
+    rc = main(["view", "stats", "--path", view_p])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == 2
+
+
 def test_streaming_foreachbatch_maintains_view_across_restarts(spark, tmp_path):
     """Structured-Streaming leg: a file-source fact stream maintains the
     view through foreachBatch(apply_fact_delta). availableNow drains
