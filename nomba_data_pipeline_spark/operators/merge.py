@@ -248,12 +248,40 @@ class ParquetTable:
         writer.parquet(tmp)
         self._swap_in(tmp)
 
+    def widen_to(
+        self, delta: DataFrame, partition_by: list[str] | None = None
+    ) -> list[str]:
+        """Opt-in schema evolution: add the delta's NEW columns to the
+        target as NULL-filled fields (one rewrite, the same widening
+        apply_cdf performs on replicas — a drifted source introducing a
+        column is otherwise silently dropped by _align_to_target's
+        reference-parity projection). Returns the added column names.
+        Deliberately a ONE-TIME O(table) rewrite on the batch that
+        introduces the column: after it, every merge proceeds at the
+        usual O(touched) cost. Pass the table's partition columns so
+        the widened rewrite preserves the hive layout. Type conflicts
+        are not evolution — a shared column with a different type still
+        goes through _align_to_target's cast-to-target."""
+        if not self.exists():
+            return []
+        cur = self.read()
+        have = set(cur.columns)
+        new_fields = [f for f in delta.schema.fields if f.name not in have]
+        if not new_fields:
+            return []
+        widened = cur
+        for f in new_fields:
+            widened = widened.withColumn(f.name, F.lit(None).cast(f.dataType))
+        self.overwrite(widened, partition_by=partition_by)
+        return [f.name for f in new_fields]
+
     def merge_upsert(
         self,
         delta: DataFrame,
         keys: list[str],
         partition_by: list[str] | None = None,
         partition_stable: bool = False,
+        evolve_schema: bool = False,
     ) -> None:
         """O7 incremental upsert (base_loader.py:344-417).
 
@@ -274,10 +302,23 @@ class ParquetTable:
         REPLACES the NULL-key target row) — consistent with
         merge_upsert_dedup's window grouping and scd2_apply's eqNullSafe,
         rather than the reference's IN-predicate never-match semantics.
+
+        Schema drift: by default source-only columns are DROPPED
+        (_align_to_target — the reference's skip-unknown-fields
+        parity). Pass evolve_schema=True to instead widen the target
+        with the delta's new columns first (widen_to: one NULL-filled
+        rewrite on the introducing batch, the same policy apply_cdf
+        applies to replicas), after which merges carry them at the
+        usual O(touched) cost.
         """
         if not self.exists():
             self.overwrite(delta, partition_by=partition_by)
             return
+        if evolve_schema:
+            # widen BEFORE aligning: the one-time rewrite makes the new
+            # columns part of the target contract, so this and every
+            # later delta carries them through instead of dropping them
+            self.widen_to(delta, partition_by=partition_by)
         if partition_by:
             self._merge_upsert_partitioned(delta, keys, partition_by, partition_stable)
             return

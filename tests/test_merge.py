@@ -46,6 +46,51 @@ def test_merge_upsert_and_idempotency(spark, tmp_path, base_df):
     assert _rows(t) == expect
 
 
+def test_merge_upsert_evolve_schema_widens_instead_of_dropping(
+    spark, tmp_path, base_df
+):
+    """Default drift policy DROPS source-only columns (reference
+    skip-unknown parity); evolve_schema=True widens the target first so
+    the new column survives — NULL on pre-existing rows, carried on the
+    delta's — and later default merges keep carrying it."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(base_df)
+    delta = spark.createDataFrame(
+        [(2, "b2", "Y", 20, "eu")],
+        "id int, name string, state string, v int, region string",
+    )
+    # default: dropped silently
+    t.merge_upsert(delta, ["id"])
+    assert "region" not in t.read().columns
+    # opt-in: widened
+    t.merge_upsert(delta, ["id"], evolve_schema=True)
+    out = {r.id: (r.name, r.region) for r in t.read().collect()}
+    assert out == {1: ("a", None), 2: ("b2", "eu"), 3: ("c", None)}
+    # a later DEFAULT merge aligns to the widened contract: rows keep
+    # the column (NULL-filled when the delta lacks it)
+    t.merge_upsert(
+        spark.createDataFrame([(3, "c3", "X", 30)], "id int, name string, state string, v int"),
+        ["id"],
+    )
+    out = {r.id: r.region for r in t.read().collect()}
+    assert out == {1: None, 2: "eu", 3: None}
+
+
+def test_merge_upsert_evolve_schema_preserves_partition_layout(spark, tmp_path, base_df):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(base_df, partition_by=["state"])
+    delta = spark.createDataFrame(
+        [(1, "a1", "X", 11, 0.5)],
+        "id int, name string, state string, v int, score double",
+    )
+    t.merge_upsert(delta, ["id"], partition_by=["state"], evolve_schema=True)
+    assert sorted(
+        d for d in os.listdir(os.path.join(tmp_path, "t")) if d.startswith("state=")
+    ) == ["state=X", "state=Y"]
+    out = {r.id: (r.name, r.score) for r in t.read().collect()}
+    assert out == {1: ("a1", 0.5), 2: ("b", None), 3: ("c", None)}
+
+
 def test_merge_upsert_creates_when_absent(spark, tmp_path, base_df):
     t = ParquetTable(spark, os.path.join(tmp_path, "t"))
     t.merge_upsert(base_df, ["id"])
