@@ -51,6 +51,20 @@ class ModelSpec:
     # history append-only by close date -> per-run cost O(open rows), not
     # O(history). The combined view comes from read_model().
     scd2_split: bool = False
+    # dbt `on_schema_change` for incremental models (dbt-core docs;
+    # the reference's models run the default):
+    #   "ignore" (default)      — source-only columns dropped, exactly
+    #                             dbt's default and the reference
+    #                             loader's skip-unknown-fields parity
+    #   "append_new_columns"    — widen the target with the delta's new
+    #                             columns (ParquetTable.widen_to), then
+    #                             merge as usual
+    #   "fail"                  — raise on any source-only column so
+    #                             drift is surfaced instead of absorbed
+    # ("sync_all_columns" — also dropping removed columns — is not
+    # implemented: a destructive narrowing hidden behind a config is
+    # the kind of silent data loss this engine refuses elsewhere.)
+    on_schema_change: str = "ignore"
     quality: QualitySpec = field(default_factory=QualitySpec)
     depends_on: list[str] = field(default_factory=list)
 
@@ -172,6 +186,22 @@ class PipelineRunner:
             target.insert_overwrite_partitions(df, spec.partition_by)
         elif spec.materialization == "incremental":
             pb = spec.partition_by or None
+            if spec.on_schema_change not in ("ignore", "append_new_columns", "fail"):
+                raise ValueError(
+                    f"model {spec.name}: unknown on_schema_change "
+                    f"{spec.on_schema_change!r}"
+                )
+            if spec.on_schema_change != "ignore" and target.exists():
+                new_cols = [
+                    c for c in df.columns if c not in target.read().columns
+                ]
+                if new_cols and spec.on_schema_change == "fail":
+                    raise ValueError(
+                        f"model {spec.name}: source added columns {new_cols} "
+                        "and on_schema_change='fail'"
+                    )
+                if new_cols:  # append_new_columns
+                    target.widen_to(df, partition_by=pb)
             if spec.dedup and spec.tracking_column:
                 target.merge_upsert_dedup(
                     df, spec.upsert_key, spec.tracking_column, partition_by=pb,

@@ -347,3 +347,57 @@ def test_cli_validate_reports_clean_and_corrupted(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1
     assert any(k.startswith("unique:plan_id") for k in out["violations"])
+
+
+def test_on_schema_change_policies(spark, tmp_path):
+    """dbt on_schema_change parity for incremental models: 'ignore'
+    drops source-only columns (default, reference parity),
+    'append_new_columns' widens the target and carries them, 'fail'
+    surfaces the drift loudly."""
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    src = {"rows": [(1, "a", 1)]}  # mutable source the model fn reads
+
+    def model_fn(s, _sf):
+        cols = "id int, name string, v int" if len(src["rows"][0]) == 3 else (
+            "id int, name string, v int, extra string"
+        )
+        return s.createDataFrame(src["rows"], cols)
+
+    def mk(policy, name):
+        r = PipelineRunner(spark, os.path.join(tmp_path, policy), SF_SMALL)
+        r.register(
+            ModelSpec(
+                name=name, fn=model_fn, materialization="incremental",
+                upsert_key=["id"], tracking_column="v",
+                on_schema_change=policy,
+            )
+        )
+        return r
+
+    for policy in ("ignore", "append_new_columns", "fail"):
+        src["rows"] = [(1, "a", 1)]
+        mk(policy, "m").run()
+
+    # drifted source adds a column with a newer tracking value
+    src["rows"] = [(2, "b", 2, "x")]
+
+    mk("ignore", "m").run()
+    assert "extra" not in spark.read.parquet(
+        os.path.join(tmp_path, "ignore", "m")
+    ).columns
+
+    mk("append_new_columns", "m").run()
+    out = {
+        r.id: r.extra
+        for r in spark.read.parquet(
+            os.path.join(tmp_path, "append_new_columns", "m")
+        ).collect()
+    }
+    assert out == {1: None, 2: "x"}
+
+    with pytest.raises(ValueError, match="on_schema_change='fail'"):
+        mk("fail", "m").run()
+
+    with pytest.raises(ValueError, match="unknown on_schema_change"):
+        mk("sync_all_columns", "m").run()
