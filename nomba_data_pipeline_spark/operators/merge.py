@@ -262,11 +262,21 @@ class ParquetTable:
         the widened rewrite preserves the hive layout. Type conflicts
         are not evolution — a shared column with a different type still
         goes through _align_to_target's cast-to-target."""
+        from pyspark.sql.types import NullType
+
         if not self.exists():
             return []
         cur = self.read()
         have = set(cur.columns)
-        new_fields = [f for f in delta.schema.fields if f.name not in have]
+        # a VOID-typed delta column (all-NULL, e.g. lit(None) without a
+        # cast) carries no type to evolve TO and parquet cannot store
+        # it — skip it now; the evolution happens on the first batch
+        # that materializes a concrete type
+        new_fields = [
+            f
+            for f in delta.schema.fields
+            if f.name not in have and not isinstance(f.dataType, NullType)
+        ]
         if not new_fields:
             return []
         widened = cur

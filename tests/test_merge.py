@@ -76,6 +76,28 @@ def test_merge_upsert_evolve_schema_widens_instead_of_dropping(
     assert out == {1: None, 2: "eu", 3: None}
 
 
+def test_merge_upsert_evolve_skips_void_typed_columns(spark, tmp_path, base_df):
+    """A delta column that is all-NULL with no concrete type (VOID)
+    cannot be stored in parquet and carries nothing to evolve to —
+    the widen skips it (evolution happens when a typed batch arrives)
+    and the merge still completes."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(base_df)
+    delta = spark.createDataFrame(
+        [(2, "b2", "Y", 20)], "id int, name string, state string, v int"
+    ).withColumn("ghost", F.lit(None))
+    t.merge_upsert(delta, ["id"], evolve_schema=True)
+    assert "ghost" not in t.read().columns
+    assert {r.id: r.name for r in t.read().collect()}[2] == "b2"
+    # the first TYPED batch evolves it for real
+    typed = spark.createDataFrame(
+        [(2, "b3", "Y", 30, "now")],
+        "id int, name string, state string, v int, ghost string",
+    )
+    t.merge_upsert(typed, ["id"], evolve_schema=True)
+    assert {r.id: r.ghost for r in t.read().collect()} == {1: None, 2: "now", 3: None}
+
+
 def test_merge_upsert_evolve_schema_preserves_partition_layout(spark, tmp_path, base_df):
     t = ParquetTable(spark, os.path.join(tmp_path, "t"))
     t.overwrite(base_df, partition_by=["state"])
