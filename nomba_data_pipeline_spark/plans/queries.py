@@ -8189,6 +8189,14 @@ REGISTRY: dict[str, QuerySpec] = {
 # older than round 6, matching the r9 verdict's staleness bar.  When
 # rotating again, re-derive per-row latest-green from the union of
 # CORRECTNESS_r0*.json keys.
+# ROUND-11 ROTATION GUIDANCE: (a) any rows added in round 11 (the
+# guard forces them in-window); candidate NEW row:
+# schema_evolution_roundtrip (on_schema_change='append_new_columns'
+# through the runner — pytest-covered in test_pipeline.py /
+# test_merge.py this round, oracle shape: evolved-column aggregate vs
+# declarative replay); (b) the 26 remaining r6-stale rows plus
+# kll_quantile_rollup and theta_user_overlap (ceded their r10 slots);
+# (c) spend leftover slots on the oldest r8 evidence.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
     # -- (a) added round 10, never graded by construction
