@@ -111,6 +111,35 @@ def test_fact_delta_dim_key_migration_moves_buckets(spark, tmp_path):
     assert stored.filter(F.col("fk") == 1).count() == 1
 
 
+def test_composite_fact_key(spark, tmp_path):
+    """fact_key may be composite (e.g. orderkey+linenumber): upserts
+    replace on the full tuple, and dim patches are key-agnostic."""
+    fact = spark.createDataFrame(
+        [(1, 1, 10, 100.0), (1, 2, 20, 200.0), (2, 1, 10, 300.0)],
+        "ok long, ln int, dk long, amt double",
+    )
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], "dk long, nm string")
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["ok", "ln"], dim_key="dk", dim_cols=["nm"], n_buckets=4,
+    )
+    v.build(fact, dim)
+    delta = spark.createDataFrame(
+        [(1, 2, 10, 222.0), (3, 1, 20, 400.0)], "ok long, ln int, dk long, amt double"
+    )
+    v.apply_fact_delta(delta, dim)
+    got = {(r["ok"], r["ln"]): (r["amt"], r["nm"]) for r in v.read().collect()}
+    assert got == {
+        (1, 1): (100.0, "a"),
+        (1, 2): (222.0, "a"),  # replaced on the composite key + migrated dim
+        (2, 1): (300.0, "a"),
+        (3, 1): (400.0, "b"),
+    }
+    v.apply_dim_delta(spark.createDataFrame([(10, "A")], "dk long, nm string"))
+    got = {(r["ok"], r["ln"]): r["nm"] for r in v.read().collect()}
+    assert got == {(1, 1): "A", (1, 2): "A", (2, 1): "A", (3, 1): "b"}
+
+
 def test_dim_delta_validation(spark, tmp_path):
     v, fact, dim = _mk(spark, str(tmp_path))
     with pytest.raises(ValueError, match="full replacement rows"):
