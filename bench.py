@@ -153,6 +153,8 @@ HEADLINE = [
     "join_view_dim_update",
     # GDPR erasure over the real medallion warehouse
     "erasure_roundtrip",
+    # dbt on_schema_change='append_new_columns' through the runner
+    "schema_evolution_roundtrip",
 ]
 
 

@@ -7649,6 +7649,92 @@ def q_erasure_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim.join(plans, "segment", "left").join(fact, "segment", "left")
 
 
+def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt on_schema_change='append_new_columns' as a graded row: a
+    drifted source introduces a NEW column (o_channel) on a late batch
+    of corrections. Run 1 loads the base shape; the corrections land in
+    the source (tracking dates shifted +10 years so they clear the
+    HWM); run 2 — a FRESH runner instance — detects the source-only
+    column, widens the target (ParquetTable.widen_to: one NULL-filled
+    rewrite), and merges the corrections. Grading the per-channel
+    aggregate catches a dropped column (the default 'ignore' would
+    leave zero non-NULL channels), a widen that loses/duplicates rows,
+    or a broken HWM gate. The source is read with mergeSchema=true —
+    the realistic shape of a drifted at-rest source. Oracle replays the
+    merged, evolved state declaratively: corrections carry their
+    channel, pre-drift rows carry NULL."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    def _write(root: str) -> None:
+        src = os.path.join(root, "src")
+        wh = os.path.join(root, "wh")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        orders.write.mode("overwrite").parquet(src)
+        spec = ModelSpec(
+            name="orders_evo",
+            fn=lambda s, d: s.read.option("mergeSchema", "true").parquet(d),
+            materialization="incremental",
+            upsert_key=["o_orderkey"],
+            tracking_column="o_orderdate",
+            on_schema_change="append_new_columns",
+        )
+        r1 = PipelineRunner(spark, wh, src)
+        r1.register(spec)
+        r1.run()
+        corrections = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(250.0)).alias("o_totalprice"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 10 YEARS")).alias(
+                "o_orderdate"
+            ),
+            F.concat(
+                F.lit("ch-"), (F.col("o_orderkey") % 3).cast("string")
+            ).alias("o_channel"),
+        )
+        corrections.write.mode("append").parquet(src)
+        r2 = PipelineRunner(spark, wh, src)
+        r2.register(spec)
+        r2.run()
+
+    root = _stage_dir("schema_evo", sf_dir, _write)
+    return (
+        spark.read.parquet(os.path.join(root, "wh", "orders_evo"))
+        .groupBy("o_channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_SCHEMA_EVOLUTION_ROUNDTRIP = """
+WITH delta AS (
+    SELECT o_orderkey, o_orderstatus,
+           o_totalprice + 250.0 AS o_totalprice,
+           concat('ch-', CAST(o_orderkey % 3 AS VARCHAR)) AS o_channel
+    FROM orders WHERE o_orderkey % 13 = 0
+), merged AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_channel FROM delta
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_channel
+    FROM orders b
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+)
+SELECT o_channel,
+       count(*) AS n_rows,
+       count(DISTINCT o_orderstatus) AS n_status,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM merged GROUP BY 1
+"""
+
+
 SQL_ERASURE_ROUNDTRIP = """
 WITH dim_agg AS (
     SELECT c.c_mktsegment AS segment, count(*) AS n_users,
@@ -8070,6 +8156,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_ERASURE_ROUNDTRIP,
         "ext:gdpr-erasure-lifecycle",
     ),
+    "schema_evolution_roundtrip": QuerySpec(
+        q_schema_evolution_roundtrip,
+        SQL_SCHEMA_EVOLUTION_ROUNDTRIP,
+        "S6/S7:on-schema-change",
+    ),
 }
 
 
@@ -8158,7 +8249,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # first — all 50 rows of the round-9 window graded, 49 oracle-green +
 # the by-design no-oracle semantic_dedup_kmeans).  With the
 # never-graded set closed, this window is:
-# (a) the 8 rows added this round, never graded by construction — the
+# (a) the 9 rows added this round, never graded by construction — the
 #     remaining warehouse-lifecycle verbs as oracle rows:
 #     delete_insert_roundtrip (O11, the runner's dbt delete+insert
 #     mode under HWM gating), full_load_roundtrip (O9 full load +
@@ -8171,32 +8262,34 @@ REGISTRY: dict[str, QuerySpec] = {
 #     the frozen centroid sidecar, made exact via n_probe=n_lists),
 #     join_view_dim_update (incremental JOIN-view maintenance — the
 #     delta answer to the full-refresh-only dim-propagation weakness,
-#     operators/incremental_join.py), and erasure_roundtrip (GDPR
+#     operators/incremental_join.py), erasure_roundtrip (GDPR
 #     erase_subject over the real medallion warehouse, grading the
-#     pipeline build AND the erasure against one declarative replay);
+#     pipeline build AND the erasure against one declarative replay),
+#     and schema_evolution_roundtrip (dbt
+#     on_schema_change='append_new_columns': drifted source introduces
+#     a column, the runner widens and merges, graded vs a declarative
+#     replay of the evolved state);
 # (b) the entire round-5-stale cohort — all 23 rows whose newest
 #     driver-green evidence is round 5 (re-derived from the union of
 #     CORRECTNESS_r0*.json as green-latest == r5);
-# (c) the head of the round-6-stale cohort — the first 19 of the 45
+# (c) the head of the round-6-stale cohort — the first 18 of the 45
 #     rows whose newest driver-green is round 6, in that cohort's
-#     registry order (kll_quantile_rollup and theta_user_overlap ceded
-#     their slots to join_view_dim_update and erasure_roundtrip: the
+#     registry order (kll_quantile_rollup, theta_user_overlap, and
+#     sketch_rollup_distinct ceded their slots to join_view_dim_update,
+#     erasure_roundtrip, and schema_evolution_roundtrip: the
 #     never-graded guard rightly forces new rows in-window, and a new
 #     operator's first grade outranks a mirror-covered re-grade).  The
-#     remaining 26 r6 rows rotate in at round 11 (no older cohort will
+#     remaining 27 r6 rows rotate in at round 11 (no older cohort will
 #     remain).
 # After this round grades green, no row's newest driver evidence is
 # older than round 6, matching the r9 verdict's staleness bar.  When
 # rotating again, re-derive per-row latest-green from the union of
 # CORRECTNESS_r0*.json keys.
 # ROUND-11 ROTATION GUIDANCE: (a) any rows added in round 11 (the
-# guard forces them in-window); candidate NEW row:
-# schema_evolution_roundtrip (on_schema_change='append_new_columns'
-# through the runner — pytest-covered in test_pipeline.py /
-# test_merge.py this round, oracle shape: evolved-column aggregate vs
-# declarative replay); (b) the 26 remaining r6-stale rows plus
-# kll_quantile_rollup and theta_user_overlap (ceded their r10 slots);
-# (c) spend leftover slots on the oldest r8 evidence.
+# guard forces them in-window); (b) the 27 remaining r6-stale rows
+# plus kll_quantile_rollup, theta_user_overlap, and
+# sketch_rollup_distinct (ceded their r10 slots); (c) spend leftover
+# slots on the oldest r8 evidence.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
     # -- (a) added round 10, never graded by construction
@@ -8208,6 +8301,7 @@ _DRIVER_WINDOW: list[str] = [
     "cosine_topk_ivf_roundtrip",
     "join_view_dim_update",
     "erasure_roundtrip",
+    "schema_evolution_roundtrip",
     # -- (b) the 23 rows whose newest driver-green evidence is round 5
     "doc_stats",
     "simhash_docs",
@@ -8232,8 +8326,8 @@ _DRIVER_WINDOW: list[str] = [
     "revenue_rollup",
     "percentiles_by_flag",
     "id_synthesis",
-    # -- (c) first 19 of the 45 rows whose newest driver-green is
-    #    round 6 (cohort registry order; the other 26 rotate in r11)
+    # -- (c) first 18 of the 45 rows whose newest driver-green is
+    #    round 6 (cohort registry order; the other 27 rotate in r11)
     "bucketed_join_agg",
     "running_revenue",
     "streaming_minute_rollup",
@@ -8252,7 +8346,6 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_sessionize",
     "approx_distinct_users",
     "sentence_split_udtf",
-    "sketch_rollup_distinct",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
