@@ -35,9 +35,11 @@ Semantics and limits (stated, not hidden):
   key later arrives (the dim delta rewrites their bucket like any
   other).
 - Dim deltas are UPSERTS (attribute changes + late dim arrivals). Dim
-  DELETES are out of scope — retracting enrichment would null
-  attributes across the view; model that as an explicit tombstone
-  attribute update if needed.
+  DELETES are modeled as explicit tombstones — `retire_dim_keys`
+  builds a full-replacement delta with NULL enrichment attributes and
+  pushes it through the same bucketed rewrite, so retiring a key costs
+  O(touched buckets) like any other patch (fact rows keep their join
+  key value: that column belongs to the fact side).
 - The dim delta must carry FULL replacement rows for its keys (same
   dim columns the view was built with) — partial-column patches would
   silently null the others, so apply_dim_delta refuses them.
@@ -169,6 +171,14 @@ class JoinViewTable:
         and the merge's anti-join; the partitioned merge rewrites only
         touched buckets and handles dim-key migration (old + new holder
         partitions both rewritten)."""
+        if not self._table.exists():
+            # without this guard merge_upsert's create-when-absent branch
+            # would bootstrap the table WITHOUT the parameter sidecar,
+            # leaving open() broken and _validate_meta permanently
+            # vacuous (a missing sidecar validates as "nothing stored")
+            raise ValueError(
+                f"join view {self.path} not built yet — call build() first"
+            )
         self._validate_meta()
         enriched = _with_bucket(
             self._enrich(fact_delta, dim), self.dim_key, self.n_buckets
@@ -199,12 +209,26 @@ class JoinViewTable:
         try:
             stats = d.groupBy().agg(
                 F.count(F.lit(1)).alias("n"),
+                F.countDistinct(self.dim_key).alias("n_keys"),
                 F.collect_set(_BUCKET).alias("buckets"),
                 F.sum(F.col(self.dim_key).isNull().cast("int")).alias("n_null"),
             ).first()
             n_patch, buckets = (stats["n"], list(stats["buckets"])) if stats else (0, [])
             if not buckets:
                 return
+            # a duplicate-key delta (unsquashed CDC batch) would fan
+            # every matching fact row out through the left join below,
+            # silently multiplying view rows — refuse loudly, in the
+            # same one-pass aggregate as the other precondition checks
+            # (countDistinct ignores NULL keys; those are counted — and
+            # refused — separately via n_null)
+            if stats["n_keys"] + (stats["n_null"] or 0) != n_patch:
+                raise ValueError(
+                    "dim delta has duplicate join keys: "
+                    f"{n_patch} rows over {stats['n_keys']} distinct keys — "
+                    "squash the CDC batch to one replacement row per key "
+                    "(e.g. keep-latest by a tracking column) before applying"
+                )
             # a NULL-keyed dim delta row can never have joined anything
             # (the view's left join is null-unsafe, matching SQL
             # semantics), so there is nothing it could patch — refuse
@@ -244,3 +268,28 @@ class JoinViewTable:
             self._table.insert_overwrite_partitions(new_content, [_BUCKET])
         finally:
             d.unpersist()
+
+    # -- dim delete: tombstone the enrichment columns -------------------
+    def retire_dim_keys(self, keys: DataFrame) -> None:
+        """Dim-DELETE as an explicit tombstone update: every view row
+        joined to a retired key gets its enrichment attributes nulled
+        (back to the never-matched left-join shape), via the same
+        bucketed O(touched buckets) rewrite as apply_dim_delta — a
+        retired key never triggers a view scan. The fact-side join key
+        column keeps its value (it belongs to the fact row); if the key
+        is later re-inserted, a normal apply_dim_delta re-enriches the
+        same buckets. `keys` needs only the dim_key column; duplicates
+        are squashed here (a delete list is a set by nature)."""
+        if not self._table.exists():
+            raise ValueError(f"join view {self.path} not built yet")
+        self._validate_meta()
+        types = {f.name: f.dataType for f in self._table.read().schema.fields}
+        tomb = (
+            keys.select(self.dim_key)
+            .distinct()
+            .select(
+                F.col(self.dim_key),
+                *[F.lit(None).cast(types[c]).alias(c) for c in self.dim_cols],
+            )
+        )
+        self.apply_dim_delta(tomb)

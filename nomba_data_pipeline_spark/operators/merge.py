@@ -44,6 +44,36 @@ def fs_and_path(spark: SparkSession, p: str):
 
 
 
+def _is_widening(src, dst) -> bool:
+    """True when every `src` value is EXACTLY representable in `dst` —
+    the promotion lattice for opt-in type evolution (promote_types).
+    Deliberately conservative: long->double (53-bit mantissa) and
+    date->timestamp (midnight is tz-dependent) are NOT widenings."""
+    import pyspark.sql.types as T
+
+    if src == dst:
+        return True
+    ints = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+    si, di = ints.get(type(src)), ints.get(type(dst))
+    if si is not None and di is not None:
+        return di > si
+    if isinstance(src, T.FloatType) and isinstance(dst, T.DoubleType):
+        return True
+    # integral -> double exact only up to 2^53: int and below qualify
+    if si is not None and si <= 2 and isinstance(dst, T.DoubleType):
+        return True
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return (
+            dst.precision - dst.scale >= src.precision - src.scale
+            and dst.scale >= src.scale
+        )
+    # integral -> decimal with enough integer digits (byte 3, short 5,
+    # int 10, long 19 decimal digits)
+    if si is not None and isinstance(dst, T.DecimalType):
+        return dst.precision - dst.scale >= (3, 5, 10, 19)[si]
+    return False
+
+
 def _align_to_target(delta: DataFrame, target: DataFrame) -> DataFrame:
     """Project a delta onto the TARGET schema — the drift tolerance the
     reference loader gets from `input_format_skip_unknown_fields=1` +
@@ -285,6 +315,62 @@ class ParquetTable:
         self.overwrite(widened, partition_by=partition_by)
         return [f.name for f in new_fields]
 
+    def promote_types(
+        self, delta: DataFrame, partition_by: list[str] | None = None
+    ) -> list[str]:
+        """Opt-in type evolution for SHARED columns — the complement of
+        widen_to (which adds NEW columns): when a column's type drifts
+        to a strictly WIDER type in the delta (int->bigint,
+        float->double, decimal precision/scale growth; lattice in
+        _is_widening), rewrite the target ONCE with the column promoted.
+        Without this, _align_to_target's cast-to-target silently narrows
+        drifted values — a bigint id overflowing the stored int wraps or
+        nulls depending on ANSI mode, the one thing an evolution policy
+        must never do. A drift that is NOT a widening in either
+        direction (bigint->int target would narrow the TARGET's stored
+        values; string->int, date->timestamp, ...) raises loudly; a
+        delta column NARROWER than the target needs no action (the
+        cast-to-target is lossless). Reference context: its inference
+        path degrades mixed types to String at CREATE time only
+        (base_loader.py:935-938) — there is no at-rest promotion story,
+        so this is engine completeness, not parity. Like widen_to, a
+        ONE-TIME O(table) rewrite on the introducing batch; every later
+        merge is O(touched) again. Returns the promoted column names."""
+        from pyspark.sql.types import NullType
+
+        if not self.exists():
+            return []
+        cur = self.read()
+        have = {f.name: f.dataType for f in cur.schema.fields}
+        promote: list[tuple[str, object]] = []
+        refuse: list[str] = []
+        for f in delta.schema.fields:
+            t = have.get(f.name)
+            if t is None or f.dataType == t or isinstance(f.dataType, NullType):
+                continue  # new/absent columns are widen_to's job
+            if isinstance(t, NullType):
+                continue  # VOID target column: union coerces (see _align_to_target)
+            if _is_widening(t, f.dataType):
+                promote.append((f.name, f.dataType))
+            elif _is_widening(f.dataType, t):
+                continue  # delta is narrower: cast-to-target is lossless
+            else:
+                refuse.append(
+                    f"{f.name}: {t.simpleString()} -> {f.dataType.simpleString()}"
+                )
+        if refuse:
+            raise ValueError(
+                "type drift is not a safe widening, refusing to evolve "
+                f"(cast could lose values): {'; '.join(refuse)}"
+            )
+        if not promote:
+            return []
+        out = cur
+        for name, dt in promote:
+            out = out.withColumn(name, F.col(name).cast(dt))
+        self.overwrite(out, partition_by=partition_by)
+        return [n for n, _ in promote]
+
     def merge_upsert(
         self,
         delta: DataFrame,
@@ -313,13 +399,17 @@ class ParquetTable:
         merge_upsert_dedup's window grouping and scd2_apply's eqNullSafe,
         rather than the reference's IN-predicate never-match semantics.
 
-        Schema drift: by default source-only columns are DROPPED
-        (_align_to_target — the reference's skip-unknown-fields
-        parity). Pass evolve_schema=True to instead widen the target
-        with the delta's new columns first (widen_to: one NULL-filled
-        rewrite on the introducing batch, the same policy apply_cdf
-        applies to replicas), after which merges carry them at the
-        usual O(touched) cost.
+        Schema drift: by default source-only columns are DROPPED and
+        shared columns are cast to the target's type (_align_to_target
+        — the reference's skip-unknown-fields parity; NOTE the cast can
+        narrow a type-drifted value). Pass evolve_schema=True to
+        instead evolve the target first: widen_to adds the delta's new
+        columns (one NULL-filled rewrite on the introducing batch, the
+        same policy apply_cdf applies to replicas) and promote_types
+        widens shared columns whose type grew (int->bigint,
+        float->double, decimal growth — anything else raises rather
+        than narrow silently); after the one-time rewrite, merges carry
+        the evolved schema at the usual O(touched) cost.
         """
         if not self.exists():
             self.overwrite(delta, partition_by=partition_by)
@@ -327,8 +417,13 @@ class ParquetTable:
         if evolve_schema:
             # widen BEFORE aligning: the one-time rewrite makes the new
             # columns part of the target contract, so this and every
-            # later delta carries them through instead of dropping them
+            # later delta carries them through instead of dropping them;
+            # promote_types does the same for shared columns whose type
+            # widened (int->bigint, ...) — and raises on a drift that
+            # would narrow, instead of letting _align_to_target's
+            # cast-to-target lose values silently
             self.widen_to(delta, partition_by=partition_by)
+            self.promote_types(delta, partition_by=partition_by)
         if partition_by:
             self._merge_upsert_partitioned(delta, keys, partition_by, partition_stable)
             return

@@ -386,8 +386,11 @@ WITH v AS (
   FROM {table}
 ),
 sig AS (
+  -- zero-norm guard mirrors the operator (bucket_pairs substitutes
+  -- norm=1 for zero vectors so their sim is 0, not NULL/NaN)
   SELECT vec_id, e,
-         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+         CASE WHEN list_sum(list_transform(e, x -> x * x)) = 0 THEN 1.0
+              ELSE sqrt(list_sum(list_transform(e, x -> x * x))) END AS nrm,
          {band_cols}
   FROM v
 ),

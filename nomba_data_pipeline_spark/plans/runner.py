@@ -154,6 +154,15 @@ class PipelineRunner:
                 # strict '>' matching the dbt models' delta predicate
                 # (stg_savings_plan.sql:24; documented tie policy SURVEY §7.4.3)
                 df = df.filter(F.col(spec.tracking_column) > F.lit(hwm))
+                # drift detection must not be gated on a non-empty
+                # delta: when the column-introducing batch carries no
+                # rows past the high-water mark, 'fail' still has to
+                # surface the drift NOW (and 'append_new_columns' still
+                # widens) rather than silently deferring until rows
+                # arrive — so the schema policy runs BEFORE the
+                # empty-delta short-circuit (schema-only, no data scan)
+                if spec.on_schema_change != "ignore":
+                    self._apply_schema_policy(spec, target, df)
                 # steady-state short-circuit: an empty delta skips the
                 # whole merge (incl. the key-location scan over the
                 # target) — the delta plan itself is cheap because the
@@ -186,22 +195,7 @@ class PipelineRunner:
             target.insert_overwrite_partitions(df, spec.partition_by)
         elif spec.materialization == "incremental":
             pb = spec.partition_by or None
-            if spec.on_schema_change not in ("ignore", "append_new_columns", "fail"):
-                raise ValueError(
-                    f"model {spec.name}: unknown on_schema_change "
-                    f"{spec.on_schema_change!r}"
-                )
-            if spec.on_schema_change != "ignore" and target.exists():
-                new_cols = [
-                    c for c in df.columns if c not in target.read().columns
-                ]
-                if new_cols and spec.on_schema_change == "fail":
-                    raise ValueError(
-                        f"model {spec.name}: source added columns {new_cols} "
-                        "and on_schema_change='fail'"
-                    )
-                if new_cols:  # append_new_columns
-                    target.widen_to(df, partition_by=pb)
+            self._apply_schema_policy(spec, target, df)
             if spec.dedup and spec.tracking_column:
                 target.merge_upsert_dedup(
                     df, spec.upsert_key, spec.tracking_column, partition_by=pb,
@@ -219,6 +213,59 @@ class PipelineRunner:
         # the row count — a model pays one post-write scan, not one per test
         out = self.read_model(spec.name)
         return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
+
+    def _apply_schema_policy(self, spec: ModelSpec, target, df: DataFrame) -> None:
+        """dbt `on_schema_change` for incremental models: validate the
+        configured policy, then apply it against the target's CURRENT
+        schema. Schema-only (no data scan), so the HWM path can run it
+        before the empty-delta short-circuit — drift surfaces even when
+        the introducing batch carries no rows past the high-water mark.
+
+          * 'ignore'  — reference parity: _align_to_target later drops
+            source-only columns and casts shared ones to the target.
+          * 'fail'    — raise on ANY drift: new columns OR a shared
+            column whose type changed (dbt-core semantics).
+          * 'append_new_columns' — widen_to adds the new columns (one
+            NULL-filled rewrite) and promote_types widens shared
+            columns whose type grew; a narrowing/incompatible drift
+            raises there rather than corrupting stored values.
+
+        Idempotent: after the widen/promote the delta matches the
+        target schema and a second call is a no-op, so running it in
+        both the HWM block and the merge branch costs one extra schema
+        read, never a second rewrite."""
+        if spec.on_schema_change not in ("ignore", "append_new_columns", "fail"):
+            raise ValueError(
+                f"model {spec.name}: unknown on_schema_change "
+                f"{spec.on_schema_change!r}"
+            )
+        if spec.on_schema_change == "ignore" or not target.exists():
+            return
+        from pyspark.sql.types import NullType
+
+        pb = spec.partition_by or None
+        existing = {f.name: f.dataType for f in target.read().schema.fields}
+        new_cols = [c for c in df.columns if c not in existing]
+        if spec.on_schema_change == "fail":
+            drifted = [
+                f"{f.name}: {existing[f.name].simpleString()} -> "
+                f"{f.dataType.simpleString()}"
+                for f in df.schema.fields
+                if f.name in existing
+                and f.dataType != existing[f.name]
+                and not isinstance(f.dataType, NullType)
+            ]
+            if new_cols or drifted:
+                raise ValueError(
+                    f"model {spec.name}: source schema drifted "
+                    f"(new columns {new_cols}, type drift {drifted}) "
+                    "and on_schema_change='fail'"
+                )
+            return
+        # append_new_columns
+        if new_cols:
+            target.widen_to(df, partition_by=pb)
+        target.promote_types(df, partition_by=pb)
 
     def read_model(self, name: str) -> DataFrame:
         """Read a materialized model; reassembles split-SCD2 storage."""
@@ -535,11 +582,16 @@ class PipelineRunner:
 
         The ids ship as a broadcast anti-join build side, not an
         isin() literal — a bulk erasure list of millions of keys stays
-        a join, and Spark demotes the broadcast if it outgrows the
-        threshold. Idempotent: a replay finds zero matching rows and
-        rewrites nothing. Returns {table: rows_removed}; the manifest
-        lands at <warehouse>/_erasures/<erasure_id>.json (underscore
-        prefix keeps it invisible to parquet readers).
+        a join. The subject->plan_id mapping is STAGED to a parquet
+        sidecar (<warehouse>/_erasures/<id>.plan_ids), never collected:
+        bulk erasures are bounded by cluster storage, not driver
+        memory, the broadcast hint on it is dropped past 5M plan ids,
+        and a crash replay reuses the staged mapping (recomputing after
+        stg_plans was already erased would silently miss the subject's
+        transactions). Idempotent: a replay finds zero matching rows
+        and rewrites nothing. Returns {table: rows_removed}; the
+        manifest lands at <warehouse>/_erasures/<erasure_id>.json
+        (underscore prefix keeps it invisible to parquet readers).
         """
         import json
 
@@ -549,26 +601,48 @@ class PipelineRunner:
             [(int(u),) for u in user_ids], "user_id bigint"
         )
 
-        # resolve the subject's plan ids BEFORE deleting anything
+        # resolve the subject's plan ids BEFORE deleting anything —
+        # staged to a parquet sidecar under _erasures/ rather than
+        # collect()ed: the mapping must outlive stg_plans' own deletion
+        # below, and a bulk erasure's plan set should be bounded by
+        # cluster storage, not driver memory. A replay REUSES a staged
+        # mapping from a prior crashed attempt (after a crash between
+        # erasing stg_plans and anything earlier in the order below,
+        # recomputing from the now-erased source would silently come up
+        # empty — the sidecar keeps every later step replayable).
         plans_t = self.table("stg_plans")
         plan_ids = None
-        if plans_t.exists():
-            rows = (
+        plan_map_path = os.path.join(
+            self.warehouse_dir, "_erasures", erasure_id + ".plan_ids"
+        )
+        pm_fs, pm_jp = fs_and_path(self.spark, plan_map_path)
+        if not pm_fs.exists(pm_jp) and plans_t.exists():
+            (
                 plans_t.read()
                 .join(F.broadcast(ids_df), "user_id", "left_semi")
                 .select("plan_id")
                 .distinct()
-                .collect()
+                .write.mode("overwrite")
+                .parquet(plan_map_path)
             )
-            if rows:
-                plan_ids = self.spark.createDataFrame(
-                    [(r["plan_id"],) for r in rows],
-                    plans_t.read().select("plan_id").schema,
+        if pm_fs.exists(pm_jp):
+            staged = self.spark.read.parquet(plan_map_path)
+            if staged.limit(1).count() > 0:
+                # hint only when CDC-sized; a bulk erasure's plan set
+                # must not be forced through a driver-side broadcast
+                # build (Spark honors the explicit hint regardless of
+                # autoBroadcastJoinThreshold)
+                plan_ids = (
+                    F.broadcast(staged) if staged.count() <= 5_000_000 else staged
                 )
 
         removed: dict[str, int] = {}
 
+        ids_b = F.broadcast(ids_df)  # bounded: the caller's in-memory id list
+
         def erase_plain(name: str, match_on: list[tuple[DataFrame, str]]) -> None:
+            # match frames arrive pre-hinted (ids_b always broadcast;
+            # plan_ids only when CDC-sized — see the staging block above)
             t = self.table(name)
             if not t.exists():
                 return
@@ -577,11 +651,18 @@ class PipelineRunner:
             for match_df, col in match_on:
                 if match_df is None or col not in cur.columns:
                     continue
-                kept = kept.join(F.broadcast(match_df), col, "left_anti")
+                kept = kept.join(match_df, col, "left_anti")
             spec = self.models.get(name)
             n_before = cur.count()
             n_kept = kept.count()
-            if n_kept < n_before:
+            if n_kept == 0 and n_before > 0:
+                # an all-rows erasure of a PARTITIONED table would write
+                # zero data files (the dynamic writer emits one file per
+                # partition value), leaving an unreadable directory —
+                # keep the schema readable with one empty unpartitioned
+                # file instead (no data, so no layout to preserve)
+                t.overwrite(kept.repartition(1), partition_by=None)
+            elif n_kept < n_before:
                 t.overwrite(
                     kept, partition_by=(spec.partition_by or None) if spec else None
                 )
@@ -596,13 +677,13 @@ class PipelineRunner:
         # txns first keeps every later step replayable from source.
         erase_plain("stg_transactions", [(plan_ids, "plan_id")])
         erase_plain(
-            "fact_transactions", [(ids_df, "user_id"), (plan_ids, "plan_id")]
+            "fact_transactions", [(ids_b, "user_id"), (plan_ids, "plan_id")]
         )
-        erase_plain("stg_users", [(ids_df, "user_id")])
-        erase_plain("users_snapshot__open", [(ids_df, "user_id")])
-        erase_plain("dim_users", [(ids_df, "user_id")])
-        erase_plain("stg_plans", [(ids_df, "user_id")])
-        erase_plain("dim_plans", [(ids_df, "user_id")])
+        erase_plain("stg_users", [(ids_b, "user_id")])
+        erase_plain("users_snapshot__open", [(ids_b, "user_id")])
+        erase_plain("dim_users", [(ids_b, "user_id")])
+        erase_plain("stg_plans", [(ids_b, "user_id")])
+        erase_plain("dim_plans", [(ids_b, "user_id")])
 
         # closed SCD2 history: partition-scoped rewrite
         closed_path = os.path.join(self.warehouse_dir, "users_snapshot__closed")

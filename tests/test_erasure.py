@@ -167,3 +167,31 @@ def test_erased_warehouse_still_reads_and_reruns(spark, warehouse):
         .count()
         == 0
     )
+
+
+def test_bulk_erasure_stages_plan_mapping(spark, warehouse):
+    """Bulk erasure: the subject->plan_id mapping is STAGED to a
+    parquet sidecar, never collect()ed to the driver — a large cohort
+    is bounded by storage. A replay reuses the staged mapping (it must
+    survive stg_plans' own deletion for crash replayability)."""
+    runner = _build_with_history(spark, warehouse)
+    # large synthetic cohort: every user in the warehouse plus tens of
+    # thousands of unknown ids (an erasure list routinely includes ids
+    # the warehouse never saw)
+    known = [
+        r["user_id"]
+        for r in runner.table("stg_users").read().select("user_id").collect()
+    ]
+    cohort = known + list(range(10_000_000, 10_050_000))
+    removed = runner.erase_subject(cohort, "bulk-1")
+
+    map_dir = os.path.join(warehouse, "_erasures", "bulk-1.plan_ids")
+    assert os.path.isdir(map_dir), "plan mapping must be staged to parquet"
+    assert removed["stg_users"] == len(known)
+    assert runner.table("stg_users").read().count() == 0
+    assert runner.table("fact_transactions").read().count() == 0
+    assert not runner.table("users_snapshot__closed").exists()
+
+    # replay: idempotent, reuses the staged mapping, removes nothing
+    again = runner.erase_subject(cohort, "bulk-1")
+    assert all(v == 0 for v in again.values()), again

@@ -150,6 +150,53 @@ def test_dim_delta_validation(spark, tmp_path):
                 [(None, "x", 1.0)], "dk long, name string, score double"
             )
         )
+    # an unsquashed CDC batch (two replacement rows for one key) would
+    # fan out every matching fact row — must refuse, not duplicate
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        v.apply_dim_delta(
+            spark.createDataFrame(
+                [(10, "x", 1.0), (10, "y", 2.0)],
+                "dk long, name string, score double",
+            )
+        )
+
+
+def test_fact_delta_on_unbuilt_view_refuses(spark, tmp_path):
+    """apply_fact_delta must not bootstrap the table through
+    merge_upsert's create-when-absent branch: that would skip the
+    parameter sidecar, breaking open() and leaving _validate_meta
+    permanently vacuous."""
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["name"],
+    )
+    delta = spark.createDataFrame([(1, 10, 1.0)], "fk long, dk long, amount double")
+    dim = spark.createDataFrame([(10, "alpha")], "dk long, name string")
+    with pytest.raises(ValueError, match="not built yet"):
+        v.apply_fact_delta(delta, dim)
+
+
+def test_retire_dim_keys_tombstones_enrichment(spark, tmp_path):
+    """Dim DELETE via the documented tombstone pattern: retiring a key
+    nulls the enrichment columns of its view rows through the same
+    bucketed rewrite, other rows untouched; a later re-insert of the
+    key re-enriches."""
+    v, fact, dim = _mk(spark, str(tmp_path))
+    v.retire_dim_keys(
+        spark.createDataFrame([(10,), (10,), (30,)], "dk long")  # dups squashed
+    )
+    got = _rows(v)
+    assert got[1] == (10, 100.0, None, None)  # retired -> tombstoned
+    assert got[3] == (10, 300.0, None, None)
+    assert got[2] == (20, 200.0, "beta", 2.0)  # untouched
+    assert got[4] == (99, 400.0, None, None)
+    # resurrection: the key returns with fresh attributes
+    v.apply_dim_delta(
+        spark.createDataFrame([(10, "alpha9", 9.0)], "dk long, name string, score double")
+    )
+    got = _rows(v)
+    assert got[1] == (10, 100.0, "alpha9", 9.0)
+    assert got[3] == (10, 300.0, "alpha9", 9.0)
 
 
 _dim_row = st.tuples(st.integers(10, 14), st.integers(0, 9))

@@ -404,3 +404,104 @@ def test_inferred_members_missing_dim_refuses(spark, tmp_path):
     fact = spark.createDataFrame([(1, 5)], "txn_id int, plan_id int")
     with pytest.raises(ValueError, match="does not exist"):
         ensure_inferred_members(dim, fact, "plan_id")
+
+
+# -- type-promotion schema evolution (promote_types) ------------------------
+
+
+def test_is_widening_lattice():
+    """The promotion lattice admits only exactly-representable moves."""
+    import pyspark.sql.types as T
+
+    from nomba_data_pipeline_spark.operators.merge import _is_widening
+
+    assert _is_widening(T.IntegerType(), T.LongType())
+    assert _is_widening(T.ByteType(), T.ShortType())
+    assert _is_widening(T.FloatType(), T.DoubleType())
+    assert _is_widening(T.IntegerType(), T.DoubleType())  # 32 bits < 53-bit mantissa
+    assert _is_widening(T.DecimalType(10, 2), T.DecimalType(18, 4))
+    assert _is_widening(T.IntegerType(), T.DecimalType(12, 2))
+    # NOT widenings: value loss or semantic change
+    assert not _is_widening(T.LongType(), T.IntegerType())
+    assert not _is_widening(T.LongType(), T.DoubleType())  # > 2^53 loses precision
+    assert not _is_widening(T.DecimalType(18, 4), T.DecimalType(18, 2))
+    assert not _is_widening(T.DecimalType(10, 2), T.DecimalType(10, 4))  # int digits shrink
+    assert not _is_widening(T.StringType(), T.IntegerType())
+    assert not _is_widening(T.DateType(), T.TimestampType())
+    assert not _is_widening(T.LongType(), T.DecimalType(10, 0))  # needs 19 digits
+
+
+def test_promote_types_int_to_bigint(spark, tmp_path, base_df):
+    """A late batch whose id column grew past int range: evolve_schema
+    promotes the stored column to bigint ONCE; the overflowing value
+    survives exactly (the old cast-to-target would have corrupted it)."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(base_df)  # id is int
+    delta = spark.createDataFrame(
+        [(2, "b2", "Y", 20), (5_000_000_000, "big", "Z", 20)],
+        "id bigint, name string, state string, v int",
+    )
+    t.merge_upsert(delta, ["id"], evolve_schema=True)
+    assert dict(t.read().dtypes)["id"] == "bigint"
+    rows = {r.id: r.name for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b2", 3: "c", 5_000_000_000: "big"}
+    # later merges are plain O(touched) with the evolved schema
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(5_000_000_000, "big2", "Z", 30)],
+            "id bigint, name string, state string, v int",
+        ),
+        ["id"],
+    )
+    assert {r.name for r in t.read().collect() if r.id == 5_000_000_000} == {"big2"}
+
+
+def test_promote_types_refuses_non_widening_drift(spark, tmp_path, base_df):
+    """Incompatible drift (int -> string) must raise, never narrow."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(base_df)
+    delta = spark.createDataFrame(
+        [("2", "b2", "Y", 20)], "id string, name string, state string, v int"
+    )
+    with pytest.raises(ValueError, match="not a safe widening"):
+        t.merge_upsert(delta, ["id"], evolve_schema=True)
+    # and bigint stored -> double delta (would lose > 2^53 ids)
+    t2 = ParquetTable(spark, os.path.join(tmp_path, "t2"))
+    t2.overwrite(
+        spark.createDataFrame([(1, 1.0)], "id bigint, x double")
+    )
+    with pytest.raises(ValueError, match="not a safe widening"):
+        t2.promote_types(spark.createDataFrame([(1.0, 1.0)], "id double, x double"))
+
+
+def test_promote_types_narrower_delta_needs_no_rewrite(spark, tmp_path):
+    """A delta NARROWER than the target (int into bigint) is lossless
+    under cast-to-target: promote_types must not rewrite anything."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id bigint, name string"))
+    promoted = t.promote_types(
+        spark.createDataFrame([(2, "b")], "id int, name string")
+    )
+    assert promoted == []
+    assert dict(t.read().dtypes)["id"] == "bigint"
+
+
+def test_promote_types_preserves_partition_layout(spark, tmp_path):
+    """The one-time promote rewrite keeps the hive layout (same rule
+    as widen_to), so later merges stay partition-scoped."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "X", 10), (2, "Y", 20)], "id int, state string, v int"
+        ),
+        partition_by=["state"],
+    )
+    t.promote_types(
+        spark.createDataFrame([(1, "X", 10)], "id bigint, state string, v int"),
+        partition_by=["state"],
+    )
+    assert dict(t.read().dtypes)["id"] == "bigint"
+    parts = {
+        p for p in os.listdir(os.path.join(tmp_path, "t")) if p.startswith("state=")
+    }
+    assert parts == {"state=X", "state=Y"}

@@ -401,3 +401,52 @@ def test_on_schema_change_policies(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown on_schema_change"):
         mk("sync_all_columns", "m").run()
+
+
+def test_on_schema_change_type_drift(spark, tmp_path):
+    """Type drift through the runner: 'append_new_columns' promotes a
+    widened column (int->bigint) via promote_types; 'fail' surfaces
+    type drift, not just new columns; and drift is detected even when
+    the introducing batch carries NO rows past the high-water mark
+    (the empty-delta short-circuit must not defer it)."""
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    src = {"ddl": "id int, name string, v int", "rows": [(1, "a", 1)]}
+
+    def model_fn(s, _sf):
+        return s.createDataFrame(src["rows"], src["ddl"])
+
+    def mk(wh, policy=None):
+        r = PipelineRunner(spark, os.path.join(tmp_path, wh), SF_SMALL)
+        r.register(
+            ModelSpec(
+                name="m", fn=model_fn, materialization="incremental",
+                upsert_key=["id"], tracking_column="v",
+                on_schema_change=policy or wh,
+            )
+        )
+        return r
+
+    for wh, policy in (
+        ("append_new_columns", None), ("fail", None), ("fail_empty", "fail")
+    ):
+        src["ddl"], src["rows"] = "id int, name string, v int", [(1, "a", 1)]
+        mk(wh, policy).run()
+
+    # id drifts to bigint with a value past int range, newer tracking v
+    src["ddl"] = "id bigint, name string, v int"
+    src["rows"] = [(5_000_000_000, "big", 2)]
+
+    mk("append_new_columns").run()
+    out = spark.read.parquet(os.path.join(tmp_path, "append_new_columns", "m"))
+    assert dict(out.dtypes)["id"] == "bigint"
+    assert {r.id for r in out.collect()} == {1, 5_000_000_000}
+
+    with pytest.raises(ValueError, match="type drift"):
+        mk("fail").run()
+
+    # drifted batch entirely BEHIND the HWM: delta is empty, but 'fail'
+    # must still surface the drift now rather than defer it
+    src["rows"] = [(4_000_000_000, "behind", 0)]
+    with pytest.raises(ValueError, match="type drift"):
+        mk("fail_empty", "fail").run()
