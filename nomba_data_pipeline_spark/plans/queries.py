@@ -7772,6 +7772,316 @@ LEFT JOIN fact_agg ON dim_agg.segment = fact_agg.segment
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
+def q_type_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-PROMOTION schema evolution as a graded row — the evolution
+    case widen_to (new columns) doesn't cover: a SHARED column whose
+    type widens on a late batch. Run 1 loads orders with `val` as INT
+    (CAST(o_custkey AS INT): exactly integral, no cross-engine
+    rounding ambiguity). The source system then widens the column:
+    run 2's source carries val as BIGINT, with corrected rows
+    (o_orderkey % 13 == 0) whose values exceed int range
+    (o_orderkey + 5e9) and tracking dates +10 years so they clear the
+    HWM. Under on_schema_change='append_new_columns' the runner
+    PROMOTES the stored column (ParquetTable.promote_types: one
+    rewrite on the introducing batch) and merges — previously
+    _align_to_target's cast-to-target would have silently narrowed the
+    overflowing values. Grading max/sum of the merged column catches a
+    narrowed value (int wrap/NULL), a lost correction, or a promotion
+    that dropped rows. The non-widening direction (loud refusal) is
+    pinned in tests/test_merge.py / test_pipeline.py. Oracle replays
+    the evolved state declaratively."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    def _write(root: str) -> None:
+        src = os.path.join(root, "src")
+        wh = os.path.join(root, "wh")
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_custkey").cast("int").alias("val"),
+            "o_orderdate",
+        )
+        base.write.mode("overwrite").parquet(src)
+        spec = ModelSpec(
+            name="orders_tev",
+            fn=lambda s, d: s.read.parquet(d),
+            materialization="incremental",
+            upsert_key=["o_orderkey"],
+            tracking_column="o_orderdate",
+            on_schema_change="append_new_columns",
+        )
+        r1 = PipelineRunner(spark, wh, src)
+        r1.register(spec)
+        r1.run()
+        # the source's own type widened: the full extract now carries
+        # val as BIGINT; corrected rows exceed int range and clear the
+        # HWM, everything else stays behind it
+        corrected = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.col("o_orderkey") + F.lit(5_000_000_000),
+            )
+            .otherwise(F.col("o_custkey"))
+            .cast("bigint")
+            .alias("val"),
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.col("o_orderdate") + F.expr("INTERVAL 10 YEARS"),
+            )
+            .otherwise(F.col("o_orderdate"))
+            .alias("o_orderdate"),
+        )
+        corrected.write.mode("overwrite").parquet(src)
+        r2 = PipelineRunner(spark, wh, src)
+        r2.register(spec)
+        r2.run()
+
+    root = _stage_dir("type_evo", sf_dir, _write)
+    return (
+        spark.read.parquet(os.path.join(root, "wh", "orders_tev"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+            F.max("val").cast("long").alias("max_val"),
+        )
+    )
+
+
+SQL_TYPE_EVOLUTION_ROUNDTRIP = """
+WITH delta AS (
+    SELECT o_orderkey, o_orderstatus, o_orderkey + 5000000000 AS val
+    FROM orders WHERE o_orderkey % 13 = 0
+), merged AS (
+    SELECT o_orderkey, o_orderstatus, val FROM delta
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, CAST(o_custkey AS BIGINT) AS val
+    FROM orders b
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       CAST(max(val) AS BIGINT) AS max_val
+FROM merged GROUP BY 1
+"""
+
+
+def q_join_view_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim DELETE over a maintained join view — the tombstone pattern
+    the module docstring prescribes, made a first-class verb
+    (JoinViewTable.retire_dim_keys) and graded: build orders⋈customer,
+    RETIRE every customer with custkey % 7 == 0 (their view rows'
+    enrichment attributes become NULL via the same bucketed
+    O(touched-buckets) rewrite — no view scan), then RE-INSERT the
+    custkey % 14 == 0 half with a renamed segment ('RE-' prefix) to
+    prove a retired key resurrects cleanly through apply_dim_delta.
+    Grading the per-segment aggregate (incl. the NULL segment group
+    and sum of the tombstoned acctbal) catches a retire that missed
+    rows, nulled the wrong columns, or a resurrection that failed to
+    re-enrich. Oracle replays the final dim state declaratively
+    against the unchanged fact."""
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+    )
+
+    def _write(path: str) -> None:
+        fact = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("c_custkey"),
+            "o_totalprice",
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        v = JoinViewTable(
+            spark, path,
+            fact_key=["o_orderkey"], dim_key="c_custkey",
+            dim_cols=["c_mktsegment", "c_acctbal"], n_buckets=16,
+        )
+        v.build(fact, cust)
+        v.retire_dim_keys(cust.filter(F.col("c_custkey") % 7 == 0))
+        v.apply_dim_delta(
+            cust.filter(F.col("c_custkey") % 14 == 0).withColumn(
+                "c_mktsegment", F.concat(F.lit("RE-"), F.col("c_mktsegment"))
+            )
+        )
+
+    path = _stage_dir("join_view_tomb", sf_dir, _write)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # the tombstoned group's balances are ALL NULL: coalesce the
+            # sum to 0 on both sides (pandas would render DuckDB's NULL
+            # as NaN — a cross-engine hash hazard, not a semantic one)
+            F.coalesce(
+                F.round(F.sum(_dec("c_acctbal")), 2).cast("double"), F.lit(0.0)
+            ).alias("sum_bal"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_JOIN_VIEW_TOMBSTONE = """
+WITH d AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 14 = 0 THEN concat('RE-', c_mktsegment)
+                WHEN c_custkey % 7 = 0 THEN NULL
+                ELSE c_mktsegment END AS segment,
+           CASE WHEN c_custkey % 14 = 0 THEN c_acctbal
+                WHEN c_custkey % 7 = 0 THEN NULL
+                ELSE c_acctbal END AS bal
+    FROM customer
+)
+SELECT d.segment,
+       count(*) AS n_rows,
+       CAST(coalesce(round(sum(CAST(d.bal AS DECIMAL(18,4))), 2), 0)
+            AS DOUBLE) AS sum_bal,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM orders o LEFT JOIN d ON o.o_custkey = d.c_custkey
+GROUP BY 1
+"""
+
+
+def q_join_view_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-view IVM as a PIPELINE materialization — the runner
+    verb (materialization='join_view', PipelineRunner._run_join_view)
+    rather than the bare operator: register a lineitem fact model, an
+    orders dim model, and a mart declared as their maintained join
+    view. Run 1 builds everything (the one O(F⋈D) pass + HWM state
+    sidecar). The sources then move: orders % 19 == 0 are repriced
+    (+1000, tracking +10y) and lineitem % 23 == 0 gains shifted copy
+    rows (txn_id +50, price +0.5, shipdate +10y). Run 2 — a FRESH
+    runner — picks both deltas off the persisted HWM state: the dim
+    patch rewrites only its buckets (never a fact rescan; pinned with
+    per-bucket file listings in tests/test_pipeline.py), the fact
+    delta re-enriches against the already-patched dim. Grading the
+    mart's per-status aggregate (sum of BOTH sides' measures) catches
+    a stale dim attribute, a lost/duplicated fact row, or broken HWM
+    state across runner instances. Oracle replays the final sources
+    joined declaratively."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    def _write(root: str) -> None:
+        src_f = os.path.join(root, "src_fact")
+        src_d = os.path.join(root, "src_dim")
+        wh = os.path.join(root, "wh")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("txn_id"),
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_extendedprice").alias("price"),
+            "l_shipdate",
+        )
+        ords = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        li.write.mode("overwrite").parquet(src_f)
+        ords.write.mode("overwrite").parquet(src_d)
+
+        def mk() -> PipelineRunner:
+            r = PipelineRunner(spark, wh, src_f)
+            r.register(
+                ModelSpec(
+                    name="f_li",
+                    fn=lambda s, d: s.read.parquet(src_f),
+                    materialization="incremental",
+                    upsert_key=["txn_id"],
+                    tracking_column="l_shipdate",
+                )
+            )
+            r.register(
+                ModelSpec(
+                    name="d_ord",
+                    fn=lambda s, d: s.read.parquet(src_d),
+                    materialization="incremental",
+                    upsert_key=["o_orderkey"],
+                    tracking_column="o_orderdate",
+                )
+            )
+            r.register(
+                ModelSpec(
+                    name="mart",
+                    fn=None,
+                    materialization="join_view",
+                    view_fact="f_li",
+                    view_dim="d_ord",
+                    view_dim_key="o_orderkey",
+                    view_dim_cols=["o_orderstatus", "o_totalprice"],
+                    view_dim_tracking="o_orderdate",
+                    upsert_key=["txn_id"],
+                    tracking_column="l_shipdate",
+                    view_buckets=16,
+                )
+            )
+            return r
+
+        mk().run()
+        # dim reprice + fact late copies, both past their HWMs
+        ords.filter(F.col("o_orderkey") % 19 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 10 YEARS")).alias(
+                "o_orderdate"
+            ),
+        ).write.mode("append").parquet(src_d)
+        li.filter(F.col("o_orderkey") % 23 == 0).select(
+            (F.col("txn_id") + F.lit(50)).alias("txn_id"),
+            "o_orderkey",
+            (F.col("price") + F.lit(0.5)).alias("price"),
+            (F.col("l_shipdate") + F.expr("INTERVAL 10 YEARS")).alias(
+                "l_shipdate"
+            ),
+        ).write.mode("append").parquet(src_f)
+        mk().run()
+
+    root = _stage_dir("join_view_pipe", sf_dir, _write)
+    return (
+        spark.read.parquet(os.path.join(root, "wh", "mart"))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("price")), 2).cast("double").alias("sum_price"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("sum_total"),
+        )
+    )
+
+
+SQL_JOIN_VIEW_PIPELINE_ROUNDTRIP = """
+WITH f AS (
+    SELECT l_orderkey * 100 + l_linenumber AS txn_id,
+           l_orderkey AS o_orderkey, l_extendedprice AS price
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey * 100 + l_linenumber + 50 AS txn_id,
+           l_orderkey AS o_orderkey, l_extendedprice + 0.5 AS price
+    FROM lineitem WHERE l_orderkey % 23 = 0
+), d AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 19 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+)
+SELECT d.o_orderstatus AS status,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(f.price AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+       CAST(round(sum(CAST(d.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_total
+FROM f LEFT JOIN d ON f.o_orderkey = d.o_orderkey
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -8161,6 +8471,21 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_SCHEMA_EVOLUTION_ROUNDTRIP,
         "S6/S7:on-schema-change",
     ),
+    "type_evolution_roundtrip": QuerySpec(
+        q_type_evolution_roundtrip,
+        SQL_TYPE_EVOLUTION_ROUNDTRIP,
+        "S6/S7:type-promotion",
+    ),
+    "join_view_tombstone": QuerySpec(
+        q_join_view_tombstone,
+        SQL_JOIN_VIEW_TOMBSTONE,
+        "ext:join-ivm-delete",
+    ),
+    "join_view_pipeline_roundtrip": QuerySpec(
+        q_join_view_pipeline_roundtrip,
+        SQL_JOIN_VIEW_PIPELINE_ROUNDTRIP,
+        "ext:join-ivm-materialization",
+    ),
 }
 
 
@@ -8285,67 +8610,98 @@ REGISTRY: dict[str, QuerySpec] = {
 # older than round 6, matching the r9 verdict's staleness bar.  When
 # rotating again, re-derive per-row latest-green from the union of
 # CORRECTNESS_r0*.json keys.
-# ROUND-11 ROTATION GUIDANCE: (a) any rows added in round 11 (the
-# guard forces them in-window); (b) the 27 remaining r6-stale rows
-# plus kll_quantile_rollup, theta_user_overlap, and
+# ROUND-11 ROTATION GUIDANCE (executed below): (a) any rows added in
+# round 11 (the guard forces them in-window); (b) the 27 remaining
+# r6-stale rows plus kll_quantile_rollup, theta_user_overlap, and
 # sketch_rollup_distinct (ceded their r10 slots); (c) spend leftover
 # slots on the oldest r8 evidence.
+#
+# ROUND-11 WINDOW (rotated at the start of round 11; the delivered
+# CORRECTNESS_r10.json was verified on disk first — all 50 rows of the
+# round-10 window graded, 49 oracle-green + the by-design no-oracle
+# cosine_topk_ivf).  Re-deriving per-row latest-green from the union of
+# CORRECTNESS_r0*.json gives histogram r6:27 / r8:49 / r9:49 / r10:49,
+# so this window is:
+# (a) the 3 rows added this round, never graded by construction:
+#     type_evolution_roundtrip (type-PROMOTION schema evolution — a
+#     shared column widening int->bigint on a late batch, the r10
+#     verdict's missing evolution edge, ParquetTable.promote_types),
+#     join_view_tombstone (dim DELETE over the maintained join view via
+#     JoinViewTable.retire_dim_keys — the documented tombstone pattern
+#     made a graded verb), and join_view_pipeline_roundtrip (the
+#     join-view IVM as a runner materialization,
+#     PipelineRunner._run_join_view: dim patch + fact delta picked off
+#     persisted HWM state across fresh runner instances);
+# (b) the ENTIRE round-6-stale cohort — all 27 rows whose newest
+#     driver-green evidence is round 6, in cohort order (this includes
+#     kll_quantile_rollup / theta_user_overlap / sketch_rollup_distinct,
+#     which ceded their r10 slots to that round's new rows);
+# (c) the first 20 of the 49 rows whose newest driver-green is round 8
+#     (cohort order; the remaining 29 rotate in round 12).
+# After this round grades green, no row's newest driver evidence is
+# older than round 8 — exactly the r10 verdict's bar.
+# ROUND-12 ROTATION GUIDANCE: (a) any rows added in round 12; (b) the
+# 29 remaining r8 rows (asof_join onward in the r8 cohort order:
+# range_join_count, set_ops, semi_anti_cohorts, ...); (c) leftover
+# slots on the oldest r9 evidence.  Re-derive per-row latest-green from
+# the union of CORRECTNESS_r0*.json keys before rotating.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # -- (a) added round 10, never graded by construction
-    "delete_insert_roundtrip",
-    "full_load_roundtrip",
-    "compact_roundtrip",
-    "zorder_roundtrip",
-    "cdf_replication_roundtrip",
-    "cosine_topk_ivf_roundtrip",
-    "join_view_dim_update",
-    "erasure_roundtrip",
-    "schema_evolution_roundtrip",
-    # -- (b) the 23 rows whose newest driver-green evidence is round 5
-    "doc_stats",
-    "simhash_docs",
-    "winnow_fingerprints",
-    "media_features",
-    "media_frame_sample",
-    "skew_salted_agg",
-    "corpus_prep",
-    "user_zscores",
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
-    "embedding_near_dup_lsh",
-    "label_centroids",
-    "flagship_sql_api",
-    "priority_order_check",
-    "status_pivot",
-    "forecast_revenue",
-    "disjunctive_revenue",
-    "top_value_nations",
-    "supplier_part_volume",
-    "parts_above_avg",
-    "revenue_rollup",
-    "percentiles_by_flag",
-    "id_synthesis",
-    # -- (c) first 18 of the 45 rows whose newest driver-green is
-    #    round 6 (cohort registry order; the other 27 rotate in r11)
-    "bucketed_join_agg",
-    "running_revenue",
-    "streaming_minute_rollup",
-    "token_freq",
-    "revenue_cube",
-    "streaming_user_totals",
-    "approx_percentiles_by_flag",
-    "trailing_revenue_7d",
-    "streaming_dedup",
-    "pii_redact",
-    "doc_repetition",
-    "contamination_ngrams",
-    "domain_mix_sample",
-    "sequence_packing",
-    "revenue_grouping_sets",
-    "streaming_sessionize",
-    "approx_distinct_users",
-    "sentence_split_udtf",
+    # -- (a) added round 11, never graded by construction
+    "type_evolution_roundtrip",
+    "join_view_tombstone",
+    "join_view_pipeline_roundtrip",
+    # -- (b) all 27 rows whose newest driver-green evidence is round 6
+    #    (incl. the 3 sketch anchors that ceded their r10 slots)
+    "sketch_rollup_distinct",
+    "theta_user_overlap",
+    "kll_quantile_rollup",
+    "neardup_clusters",
+    "zorder_keys",
+    "train_split_assign",
+    "tfidf_top_terms",
+    "cohort_retention",
+    "returnflag_corr",
+    "embedding_norms",
+    "streaming_enriched",
+    "event_funnel",
+    "minute_gap_fill",
+    "heavy_hitter_tokens",
+    "doc_chunking",
+    "fuzzy_name_blocked",
+    "hopping_window_counts",
+    "embedding_quantize",
+    "price_mad_by_flag",
+    "top_parts_per_brand",
+    "incremental_agg_maintenance",
+    "semantic_dedup_labels",
+    "dedup_incremental_verified",
+    "winsorized_stats",
+    "stratified_sample_k",
+    "streaming_incremental_agg",
+    "status_unpivot",
+    # -- (c) first 20 of the 49 rows whose newest driver-green is
+    #    round 8 (cohort order; the other 29 rotate in round 12)
+    "stg_users_projection",
+    "stg_plans_tz",
+    "fact_enriched",
+    "flagship_revenue_by_region",
+    "hwm_per_type",
+    "incremental_filter",
+    "keep_latest_per_key",
+    "duplicate_groups",
+    "json_flatten",
+    "top_users_by_revenue",
+    "pricing_summary",
+    "scd2_intervals",
+    "minute_rollup",
+    "exact_dedup_groups",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup",
+    "cosine_topk",
+    "embedding_near_dup",
+    "asof_join",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

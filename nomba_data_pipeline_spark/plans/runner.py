@@ -67,6 +67,25 @@ class ModelSpec:
     on_schema_change: str = "ignore"
     quality: QualitySpec = field(default_factory=QualitySpec)
     depends_on: list[str] = field(default_factory=list)
+    # materialization="join_view": a mart kept as a materialized
+    # `fact LEFT JOIN dim` with DELTA maintenance
+    # (operators/incremental_join.JoinViewTable) — the delta-native
+    # alternative to full-refresh dim propagation (see the staleness
+    # NOTE in plans/pipeline.py). `fn` is unused (pass None): the two
+    # sides are other registered models; upsert_key is the fact key and
+    # tracking_column the fact side's HWM column. The dim side needs
+    # its own tracking column for delta detection. Per run: fact rows
+    # past the view's fact-HWM re-enrich + upsert (O(|ΔF|)); dim rows
+    # past the dim-HWM patch only the buckets their keys hash into
+    # (O(touched buckets), never a fact rescan). HWM state lives in a
+    # `._view_state` sidecar written AFTER the applies — both applies
+    # are idempotent, so a crash before the state write replays safely.
+    view_fact: str | None = None  # fact-side model name
+    view_dim: str | None = None  # dim-side model name
+    view_dim_key: str | None = None  # join column
+    view_dim_cols: list[str] = field(default_factory=list)  # enrichment cols
+    view_dim_tracking: str | None = None  # dim-side HWM column
+    view_buckets: int = 32
 
 
 class PipelineRunner:
@@ -83,6 +102,10 @@ class PipelineRunner:
         self.last_timings: dict[str, float] = {}
 
     def register(self, spec: ModelSpec) -> None:
+        if spec.materialization == "join_view":
+            for side in (spec.view_fact, spec.view_dim):
+                if side and side not in spec.depends_on:
+                    spec.depends_on.append(side)
         self.models[spec.name] = spec
 
     def table(self, name: str) -> ParquetTable:
@@ -143,6 +166,8 @@ class PipelineRunner:
     def run_model(self, name: str) -> int:
         spec = self.models[name]
         target = self.table(spec.name)
+        if spec.materialization == "join_view":
+            return self._run_join_view(spec)
         df = spec.fn(self.spark, self.sf_dir)
 
         if spec.materialization == "incremental" and target.exists() and spec.tracking_column:
@@ -214,6 +239,100 @@ class PipelineRunner:
         out = self.read_model(spec.name)
         return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
 
+    def _run_join_view(self, spec: ModelSpec) -> int:
+        """Materialize/maintain a `materialization="join_view"` mart —
+        the delta answer to dbt's full-refresh-only dim propagation
+        (pipeline.py staleness NOTE): a dim attribute change reaches
+        ALREADY-LOADED mart rows in O(affected dim-key buckets) instead
+        of an O(fact) rebuild.
+
+        First run: one O(F ⋈ D) build (JoinViewTable.build). Later
+        runs: fact rows past the stored fact-HWM re-enrich against the
+        CURRENT dim and upsert; dim rows past the dim-HWM patch only
+        their buckets. Dim patches apply FIRST so the fact delta joins
+        the already-patched dim. HWM state persists in a 1-row parquet
+        sidecar (same pattern as the view's parameter sidecar), written
+        AFTER the applies — both applies are idempotent keyed rewrites,
+        so a crash between apply and state write replays safely. The
+        dim side must be unique per key (apply_dim_delta raises on
+        duplicates — register the dim model with a `unique` gate)."""
+        import json as _json
+
+        from nomba_data_pipeline_spark.operators.incremental_join import JoinViewTable
+
+        required = {
+            "view_fact": spec.view_fact,
+            "view_dim": spec.view_dim,
+            "view_dim_key": spec.view_dim_key,
+            "view_dim_cols": spec.view_dim_cols,
+            "view_dim_tracking": spec.view_dim_tracking,
+            "upsert_key (fact key)": spec.upsert_key,
+            "tracking_column (fact HWM)": spec.tracking_column,
+        }
+        missing = [k for k, v in required.items() if not v]
+        if missing:
+            raise ValueError(f"model {spec.name}: join_view requires {missing}")
+
+        fact = self.read_model(spec.view_fact)
+        dim = self.read_model(spec.view_dim)
+        path = os.path.join(self.warehouse_dir, spec.name)
+        state_path = path + "._view_state"
+        view = JoinViewTable(
+            self.spark, path,
+            fact_key=spec.upsert_key, dim_key=spec.view_dim_key,
+            dim_cols=spec.view_dim_cols, n_buckets=spec.view_buckets,
+        )
+
+        def _hwm(df: DataFrame, col: str) -> str | None:
+            row = df.agg(F.max(col).alias("m")).first()
+            # stored as str; reparsed via cast to the column's own dtype
+            return None if row is None or row["m"] is None else str(row["m"])
+
+        def _save(fact_hwm: str | None, dim_hwm: str | None) -> None:
+            self.spark.createDataFrame(
+                [(_json.dumps({"fact_hwm": fact_hwm, "dim_hwm": dim_hwm}),)],
+                "state string",
+            ).coalesce(1).write.mode("overwrite").parquet(state_path)
+
+        if not view._table.exists():
+            view.build(fact, dim)
+            _save(
+                _hwm(fact, spec.tracking_column),
+                _hwm(dim, spec.view_dim_tracking),
+            )
+        else:
+            state = _json.loads(
+                self.spark.read.parquet(state_path).first()["state"]
+            )
+            dim_delta = dim
+            if state["dim_hwm"] is not None:
+                dim_delta = dim.filter(
+                    F.col(spec.view_dim_tracking)
+                    > F.lit(state["dim_hwm"]).cast(
+                        dict(dim.dtypes)[spec.view_dim_tracking]
+                    )
+                )
+            fact_delta = fact
+            if state["fact_hwm"] is not None:
+                fact_delta = fact.filter(
+                    F.col(spec.tracking_column)
+                    > F.lit(state["fact_hwm"]).cast(
+                        dict(fact.dtypes)[spec.tracking_column]
+                    )
+                )
+            if dim_delta.limit(1).count() > 0:
+                view.apply_dim_delta(
+                    dim_delta.select(spec.view_dim_key, *spec.view_dim_cols)
+                )
+            if fact_delta.limit(1).count() > 0:
+                view.apply_fact_delta(fact_delta, dim)
+            _save(
+                _hwm(fact_delta, spec.tracking_column) or state["fact_hwm"],
+                _hwm(dim_delta, spec.view_dim_tracking) or state["dim_hwm"],
+            )
+        out = self.read_model(spec.name)
+        return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
+
     def _apply_schema_policy(self, spec: ModelSpec, target, df: DataFrame) -> None:
         """dbt `on_schema_change` for incremental models: validate the
         configured policy, then apply it against the target's CURRENT
@@ -268,8 +387,11 @@ class PipelineRunner:
         target.promote_types(df, partition_by=pb)
 
     def read_model(self, name: str) -> DataFrame:
-        """Read a materialized model; reassembles split-SCD2 storage."""
+        """Read a materialized model; reassembles split-SCD2 storage and
+        hides the join-view's internal bucket column."""
         spec = self.models.get(name)
+        if spec is not None and spec.materialization == "join_view":
+            return self.table(name).read().drop("__dim_bucket")
         if spec is not None and spec.materialization == "scd2" and spec.scd2_split:
             open_t = self.table(name + "__open")
             closed_t = self.table(name + "__closed")
@@ -550,7 +672,7 @@ class PipelineRunner:
         for name in wanted:
             if self.models[name].materialization == "scd2":
                 continue  # re-runs, but history storage is preserved
-            for suffix in ("", "__open", "__closed"):
+            for suffix in ("", "__open", "__closed", "._view_meta", "._view_state"):
                 self._rm_dir(os.path.join(self.warehouse_dir, name + suffix))
         return self.run(only=list(wanted))
 

@@ -450,3 +450,81 @@ def test_on_schema_change_type_drift(spark, tmp_path):
     src["rows"] = [(4_000_000_000, "behind", 0)]
     with pytest.raises(ValueError, match="type drift"):
         mk("fail_empty", "fail").run()
+
+
+def test_join_view_materialization_e2e(spark, tmp_path):
+    """materialization='join_view': a dim attribute update reaches
+    already-loaded mart rows on the next run WITHOUT a fact rescan —
+    per-bucket file listings prove only the patched buckets were
+    rewritten. State (fact/dim HWMs) persists across runner instances."""
+    import glob as _glob
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    fact_src = {"rows": [(1, 10, 100.0, 1), (2, 20, 200.0, 1), (3, 10, 300.0, 1)]}
+    dim_src = {"rows": [(10, "alpha", 1), (20, "beta", 1)]}
+
+    def mk():
+        r = PipelineRunner(spark, os.path.join(tmp_path, "wh"), SF_SMALL)
+        r.register(
+            ModelSpec(
+                name="f",
+                fn=lambda s, _: s.createDataFrame(
+                    fact_src["rows"], "fk long, dk long, amount double, v int"
+                ),
+                materialization="incremental", upsert_key=["fk"],
+                tracking_column="v",
+            )
+        )
+        r.register(
+            ModelSpec(
+                name="d",
+                fn=lambda s, _: s.createDataFrame(
+                    dim_src["rows"], "dk long, name string, u int"
+                ),
+                materialization="incremental", upsert_key=["dk"],
+                tracking_column="u",
+            )
+        )
+        r.register(
+            ModelSpec(
+                name="mart", fn=None, materialization="join_view",
+                view_fact="f", view_dim="d", view_dim_key="dk",
+                view_dim_cols=["name"], view_dim_tracking="u",
+                upsert_key=["fk"], tracking_column="v", view_buckets=8,
+            )
+        )
+        return r
+
+    mk().run()
+    mart = os.path.join(tmp_path, "wh", "mart")
+
+    def rows(r):
+        return {x["fk"]: (x["dk"], x["name"]) for x in r.read_model("mart").collect()}
+
+    r = mk()
+    assert rows(r) == {1: (10, "alpha"), 2: (20, "beta"), 3: (10, "alpha")}
+
+    files_before = {
+        d: sorted(os.listdir(d)) for d in _glob.glob(os.path.join(mart, "__dim_bucket=*"))
+    }
+    # dim attribute change for dk=10, new tracking value — fresh runner
+    dim_src["rows"] = dim_src["rows"] + [(10, "ALPHA2", 2)]
+    r2 = mk()
+    r2.run()
+    assert rows(r2) == {1: (10, "ALPHA2"), 2: (20, "beta"), 3: (10, "ALPHA2")}
+    files_after = {
+        d: sorted(os.listdir(d)) for d in _glob.glob(os.path.join(mart, "__dim_bucket=*"))
+    }
+    changed = [d for d in files_before if files_before[d] != files_after.get(d)]
+    assert len(changed) == 1, "only dk=10's bucket may be rewritten"
+
+    # fact delta: arrives enriched against the CURRENT (patched) dim
+    fact_src["rows"] = fact_src["rows"] + [(4, 10, 400.0, 2)]
+    r3 = mk()
+    r3.run()
+    assert rows(r3)[4] == (10, "ALPHA2")
+    # replay with no new data: HWM state short-circuits both sides
+    r4 = mk()
+    r4.run()
+    assert rows(r4) == rows(r3)

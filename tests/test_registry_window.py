@@ -39,7 +39,8 @@ def test_never_driver_graded_rows_are_all_in_window():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     graded: set[str] = set()
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+    # r* (not r0*): the round counter has two digits from round 10 on
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         d = json.load(open(f))
         rows = d.get("queries", d)
         if isinstance(rows, dict):
@@ -48,3 +49,21 @@ def test_never_driver_graded_rows_are_all_in_window():
     window = set(_DRIVER_WINDOW)
     missing = never - window
     assert not missing, f"never-graded rows outside the window: {sorted(missing)}"
+
+
+def test_readme_oracle_count_claim_matches_registry():
+    """README's 'N of M rows carry a DuckDB oracle' claim is derived
+    from the registry, so it can't drift as rows are added."""
+    import os
+    import re
+
+    total = len(REGISTRY)
+    with_oracle = sum(1 for s in REGISTRY.values() if s.oracle)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(repo, "README.md")).read()
+    m = re.search(r"DuckDB oracle \((\d+) of (\d+) rows", text)
+    assert m, "README oracle-count sentence not found"
+    assert (int(m.group(1)), int(m.group(2))) == (with_oracle, total), (
+        f"README claims {m.group(1)}/{m.group(2)}, registry has "
+        f"{with_oracle}/{total} — update README.md"
+    )
