@@ -155,6 +155,13 @@ HEADLINE = [
     "erasure_roundtrip",
     # dbt on_schema_change='append_new_columns' through the runner
     "schema_evolution_roundtrip",
+    # round-11: type-promotion evolution (shared column int->bigint
+    # through the runner), join-view dim DELETE via tombstones, and the
+    # join-view IVM as a runner materialization (build + HWM-state
+    # maintenance across fresh runner instances)
+    "type_evolution_roundtrip",
+    "join_view_tombstone",
+    "join_view_pipeline_roundtrip",
 ]
 
 
@@ -685,7 +692,12 @@ def main() -> None:
             "neardup_64k_exact r10: two-pass fp32-screen/fp64-refine "
             "kernel — quiet-box 6 reps 4.2-8.5s (was 9.8-21.8s), "
             "identical pair set; residual swing is box contention on "
-            "the 2G-sim GEMM, not allocation churn."
+            "the 2G-sim GEMM, not allocation churn. r11: kernel "
+            "UNCHANGED since the r10 rewrite; quiet-box best-of-2 "
+            "3.3s, consistent with the 4.2-8.5s band's floor — any "
+            "driver number within ~1.5x of r10's 11.1s closes the "
+            "variance question (r9 criterion: two consecutive driver "
+            "rounds within 1.5x on an unchanged kernel)."
         ),
         # recall@5 fractions (0..1) for the ANN fast paths vs brute-force
         # ground truth — separate key so consumers of `queries` never

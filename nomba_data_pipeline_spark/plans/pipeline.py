@@ -96,7 +96,11 @@ def build_pipeline(
     # marts where an O(fact) refresh is unacceptable, the delta-native
     # alternative is operators/incremental_join.JoinViewTable, which
     # propagates dim patches to a materialized enrichment view in
-    # O(affected dim-key buckets) (graded row join_view_dim_update).
+    # O(affected dim-key buckets) (graded row join_view_dim_update) —
+    # declarable directly in this runner as materialization="join_view"
+    # (PipelineRunner._run_join_view; graded row
+    # join_view_pipeline_roundtrip) when a mart should stay dim-fresh
+    # without the dbt-parity staleness above.
     runner.register(
         ModelSpec(
             name="dim_plans",
