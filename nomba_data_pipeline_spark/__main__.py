@@ -152,6 +152,20 @@ def cmd_view(args) -> int:
             spark.read.parquet(args.fact), spark.read.parquet(args.dim)
         )
         print(json.dumps({"applied": args.path, "rows": v.read().count()}))
+    elif args.action == "retire-dim":
+        # dim DELETE as a tombstone: a parquet of retired keys (only the
+        # dim-key column is read) nulls the enrichment attributes of
+        # every matching view row, bucket-scoped (retire_dim_keys)
+        if not args.dim:
+            print(json.dumps({"error": "retire-dim requires --dim (key parquet)"}))
+            return 1
+        keys = spark.read.parquet(args.dim)
+        v.retire_dim_keys(keys)
+        print(
+            json.dumps(
+                {"retired": args.path, "keys": keys.select(v.dim_key).distinct().count()}
+            )
+        )
     else:  # stats
         from pyspark.sql import functions as F
 
@@ -443,9 +457,14 @@ def main(argv: list[str] | None = None) -> int:
 
     jv = sub.add_parser(
         "view",
-        help="materialized join-view lifecycle: build / patch-dim / apply-fact / stats",
+        help=(
+            "materialized join-view lifecycle: build / patch-dim / "
+            "apply-fact / retire-dim / stats"
+        ),
     )
-    jv.add_argument("action", choices=["build", "patch-dim", "apply-fact", "stats"])
+    jv.add_argument(
+        "action", choices=["build", "patch-dim", "apply-fact", "retire-dim", "stats"]
+    )
     jv.add_argument("--path", required=True, help="view root directory")
     jv.add_argument("--fact", help="fact parquet path (build / apply-fact)")
     jv.add_argument("--dim", help="dim parquet path (build / patch-dim / apply-fact)")

@@ -606,6 +606,13 @@ class ParquetTable:
                             f.name, F.lit(None).cast(f.dataType)
                         )
                     self.overwrite(widened)
+                # replicate TYPE drift too: a primary that promoted a
+                # column (promote_types) emits the wider type in the
+                # feed; aligning it back to the replica's narrower type
+                # would silently diverge the replica from the primary —
+                # promote here as well (raises on a non-widening drift,
+                # same policy as the primary)
+                self.promote_types(post)
             self.merge_upsert(post, keys)
             mfs.create(mpath, True).close()
             applied.append(bid)

@@ -284,3 +284,29 @@ def test_apply_cdf_widens_replica_on_schema_drift(spark, tmp_path):
     replica.apply_cdf(cdf, ["id"])
     rows = {r.id: (r.v, r.amt, r.country) for r in replica.read().collect()}
     assert rows == {1: ("a", 10, None), 2: ("b", 20, "NG")}
+
+
+def test_apply_cdf_promotes_replica_on_type_drift(spark, tmp_path):
+    """A column the primary PROMOTED (int->bigint) must promote on the
+    replica too — aligning the feed back to the replica's narrower type
+    would silently diverge replica values from the primary."""
+    src = ParquetTable(spark, os.path.join(tmp_path, "src"))
+    replica = ParquetTable(spark, os.path.join(tmp_path, "replica"))
+    cdf = os.path.join(tmp_path, "cdf")
+    src.merge_upsert_cdf(
+        spark.createDataFrame([(1, "a", 10)], SCHEMA), ["id"], cdf, "b0000"
+    )
+    replica.apply_cdf(cdf, ["id"])
+    # the primary's amt column widened; a value exceeds int range
+    big = spark.createDataFrame(
+        [(2, "b", 5_000_000_000)], "id int, v string, amt bigint"
+    )
+    src.promote_types(big)
+    src.merge_upsert_cdf(big, ["id"], cdf, "b0001")
+    replica.apply_cdf(cdf, ["id"])
+    assert dict(replica.read().dtypes)["amt"] == "bigint"
+    rows = {r.id: r.amt for r in replica.read().collect()}
+    assert rows == {1: 10, 2: 5_000_000_000}
+    assert sorted(map(tuple, replica.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )

@@ -324,6 +324,18 @@ def test_cli_view_lifecycle(spark, tmp_path, capsys):
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["rows"] == 2
 
+    # retire-dim: a parquet of retired keys tombstones their view rows
+    retire_p = os.path.join(str(tmp_path), "retire")
+    spark.createDataFrame([(10,)], "dk long").write.parquet(retire_p)
+    rc = main(["view", "retire-dim", "--path", view_p, "--dim", retire_p])
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["keys"] == 1
+    got = {
+        r["fk"]: r["nm"]
+        for r in JoinViewTable.open(spark, view_p).read().collect()
+    }
+    assert got == {1: None, 2: "beta"}
+
 
 def test_streaming_foreachbatch_maintains_view_across_restarts(spark, tmp_path):
     """Structured-Streaming leg: a file-source fact stream maintains the
