@@ -162,6 +162,9 @@ HEADLINE = [
     "type_evolution_roundtrip",
     "join_view_tombstone",
     "join_view_pipeline_roundtrip",
+    # star/snowflake chaining: F⋈D1⋈D2 as two views, upstream dim
+    # patch propagated bucket-scoped through chain_dim_patch
+    "join_view_star_chain",
 ]
 
 

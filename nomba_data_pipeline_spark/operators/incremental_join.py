@@ -46,6 +46,18 @@ Semantics and limits (stated, not hidden):
 - NULL dim keys bucket deterministically (coalesced sentinel before
   hashing) so null-keyed fact rows live in one ordinary partition
   instead of Hive's default-partition escape hatch.
+
+Star/snowflake schemas CHAIN views instead of widening one: a single
+physical layout can only bucket by ONE dim key, so `F ⋈ D1 ⋈ D2` is
+two views — view1 = F⋈D1 bucketed by D1's key, view2 = view1⋈D2
+bucketed by D2's key. A D1 patch then propagates as: patch view1
+(O(its buckets)), extract EXACTLY the changed rows with a
+bucket-pruned read (`rows_for_dim_keys`), and upsert them into view2
+as an ordinary fact delta (O(the buckets their D2 keys hash into) —
+including D2-key MIGRATION when the patch changed which D2 row a fact
+joins, e.g. an order reassigned to another customer). `chain_dim_patch`
+packages the three steps; total cost stays O(touched buckets) at every
+level, never O(F⋈D).
 """
 
 from __future__ import annotations
@@ -269,6 +281,35 @@ class JoinViewTable:
         finally:
             d.unpersist()
 
+    # -- chained (star/snowflake) propagation ---------------------------
+    def rows_for_dim_keys(self, keys: DataFrame) -> DataFrame:
+        """Partition-pruned read of the view rows whose dim key appears
+        in `keys` — the delta-extraction half of CHAINING views into a
+        star schema (module docstring): after a dim patch on this view,
+        these exact rows are the FACT delta for a downstream view keyed
+        on another dim. Reads only the buckets the keys hash into (the
+        same pruning apply_dim_delta uses), never the view; the key set
+        broadcasts when CDC-sized, same policy as the patch path."""
+        self._validate_meta()
+        k = _with_bucket(
+            keys.select(self.dim_key).distinct(), self.dim_key, self.n_buckets
+        ).cache()
+        try:
+            stats = k.groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(_BUCKET).alias("buckets"),
+            ).first()
+            n_keys, buckets = (stats["n"], list(stats["buckets"])) if stats else (0, [])
+            if not buckets:
+                return self.read().limit(0)
+            hint = F.broadcast if n_keys <= 1_000_000 else (lambda df: df)
+            view = self._table.read().filter(F.col(_BUCKET).isin(buckets))
+            return view.join(
+                hint(k.drop(_BUCKET)), self.dim_key, "semi"
+            ).drop(_BUCKET)
+        finally:
+            k.unpersist()
+
     # -- dim delete: tombstone the enrichment columns -------------------
     def retire_dim_keys(self, keys: DataFrame) -> None:
         """Dim-DELETE as an explicit tombstone update: every view row
@@ -293,3 +334,37 @@ class JoinViewTable:
             )
         )
         self.apply_dim_delta(tomb)
+
+
+def chain_dim_patch(
+    upstream: JoinViewTable,
+    downstream: JoinViewTable,
+    dim_delta: DataFrame,
+    downstream_dim: DataFrame,
+) -> None:
+    """Propagate a dim patch through a CHAIN of join views (star /
+    snowflake: downstream's FACT side is upstream's row shape — e.g.
+    view1 = lineitem⋈orders bucketed by order key, view2 =
+    view1⋈customer bucketed by the customer key that arrived as one of
+    view1's enrichment columns). Three bucket-scoped steps:
+
+      1. patch upstream's buckets (apply_dim_delta — O(buckets the
+         patch keys hash into));
+      2. extract exactly the changed rows with a partition-pruned read
+         (rows_for_dim_keys — same buckets, no view scan);
+      3. upsert them into downstream as an ordinary fact delta
+         (apply_fact_delta against the CURRENT downstream dim) — this
+         re-enriches under the patched upstream attributes, INCLUDING
+         downstream-key migration when the patch changed which
+         downstream dim row a fact joins (an order reassigned to a new
+         customer moves its rows to the new customer's bucket; the
+         partitioned merge rewrites both holder buckets).
+
+    Total cost is O(touched buckets) at every level — the star-schema
+    generalization of the single-view bound, replacing the O(F⋈D1⋈D2)
+    mart rebuild. `downstream_dim` must be the CURRENT (already
+    patched, if it also changed) dim of the downstream view so the
+    re-enrichment lands on one consistent state."""
+    upstream.apply_dim_delta(dim_delta)
+    changed = upstream.rows_for_dim_keys(dim_delta.select(upstream.dim_key))
+    downstream.apply_fact_delta(changed, downstream_dim)

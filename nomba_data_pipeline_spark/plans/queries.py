@@ -8082,6 +8082,121 @@ GROUP BY 1
 """
 
 
+def q_join_view_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star/snowflake CHAINING of join views — the multi-dim extension
+    of the single-view IVM (one physical layout can only bucket by one
+    dim key, so F⋈D1⋈D2 is two chained views; module docstring of
+    operators/incremental_join.py §star chaining). view1 =
+    lineitem⋈orders bucketed by order key (the customer key arrives as
+    a view1 enrichment column); view2 = view1⋈customer bucketed by
+    that customer key. Two patches land: (1) customer % 7 == 0 renamed
+    segments ('X-' prefix) patch view2 directly; (2) orders % 19 == 0
+    are REASSIGNED to a different customer ((o_custkey % 100) + 1,
+    status flipped to 'R') and propagate through chain_dim_patch —
+    view1's buckets rewritten, exactly the changed rows re-enter view2
+    as a fact delta, and the customer-key migration moves them to the
+    new holder bucket enriched under the ALREADY-PATCHED customer dim.
+    Grading the per-segment aggregate (with the count of reassigned
+    rows) catches a chain level that missed rows, re-enriched against
+    the wrong dim state, or lost/duplicated migrating rows. Oracle
+    replays the final three-way join declaratively."""
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+        chain_dim_patch,
+    )
+
+    def _write(root: str) -> None:
+        import os
+
+        fact = load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("txn_id"),
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        d1 = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderstatus",
+        )
+        d2 = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        v1 = JoinViewTable(
+            spark, os.path.join(root, "v1"),
+            fact_key=["txn_id"], dim_key="o_orderkey",
+            dim_cols=["c_custkey", "o_orderstatus"], n_buckets=16,
+        )
+        v1.build(fact, d1)
+        v2 = JoinViewTable(
+            spark, os.path.join(root, "v2"),
+            fact_key=["txn_id"], dim_key="c_custkey",
+            dim_cols=["c_mktsegment"], n_buckets=16,
+        )
+        v2.build(v1.read(), d2)
+        # patch the downstream dim FIRST (segment renames), so the
+        # chained re-enrichment below must land on the patched state
+        d2_patch = d2.filter(F.col("c_custkey") % 7 == 0).withColumn(
+            "c_mktsegment", F.concat(F.lit("X-"), F.col("c_mktsegment"))
+        )
+        v2.apply_dim_delta(d2_patch)
+        d2_current = d2.withColumn(
+            "c_mktsegment",
+            F.when(
+                F.col("c_custkey") % 7 == 0,
+                F.concat(F.lit("X-"), F.col("c_mktsegment")),
+            ).otherwise(F.col("c_mktsegment")),
+        )
+        # upstream dim patch: reassign the order to another customer
+        d1_patch = d1.filter(F.col("o_orderkey") % 19 == 0).select(
+            "o_orderkey",
+            ((F.col("c_custkey") % 100) + 1).alias("c_custkey"),
+            F.lit("R").alias("o_orderstatus"),
+        )
+        chain_dim_patch(v1, v2, d1_patch, d2_current)
+
+    root = _stage_dir("join_view_star", sf_dir, _write)
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(root, "v2"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("o_orderstatus") == "R").cast("int"))
+            .cast("long")
+            .alias("n_reassigned"),
+            F.round(F.sum(_dec("price")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_JOIN_VIEW_STAR_CHAIN = """
+WITH d1 AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 19 = 0 THEN (o_custkey % 100) + 1
+                ELSE o_custkey END AS c_custkey,
+           CASE WHEN o_orderkey % 19 = 0 THEN 'R'
+                ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+), d2 AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN concat('X-', c_mktsegment)
+                ELSE c_mktsegment END AS segment
+    FROM customer
+)
+SELECT d2.segment,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN d1.o_orderstatus = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_reassigned,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM lineitem l
+LEFT JOIN d1 ON l.l_orderkey = d1.o_orderkey
+LEFT JOIN d2 ON d1.c_custkey = d2.c_custkey
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -8486,6 +8601,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_JOIN_VIEW_PIPELINE_ROUNDTRIP,
         "ext:join-ivm-materialization",
     ),
+    "join_view_star_chain": QuerySpec(
+        q_join_view_star_chain,
+        SQL_JOIN_VIEW_STAR_CHAIN,
+        "ext:join-ivm-star",
+    ),
 }
 
 
@@ -8622,35 +8742,40 @@ REGISTRY: dict[str, QuerySpec] = {
 # cosine_topk_ivf).  Re-deriving per-row latest-green from the union of
 # CORRECTNESS_r0*.json gives histogram r6:27 / r8:49 / r9:49 / r10:49,
 # so this window is:
-# (a) the 3 rows added this round, never graded by construction:
+# (a) the 4 rows added this round, never graded by construction:
 #     type_evolution_roundtrip (type-PROMOTION schema evolution — a
 #     shared column widening int->bigint on a late batch, the r10
 #     verdict's missing evolution edge, ParquetTable.promote_types),
 #     join_view_tombstone (dim DELETE over the maintained join view via
 #     JoinViewTable.retire_dim_keys — the documented tombstone pattern
-#     made a graded verb), and join_view_pipeline_roundtrip (the
+#     made a graded verb), join_view_pipeline_roundtrip (the
 #     join-view IVM as a runner materialization,
 #     PipelineRunner._run_join_view: dim patch + fact delta picked off
-#     persisted HWM state across fresh runner instances);
+#     persisted HWM state across fresh runner instances), and
+#     join_view_star_chain (star/snowflake CHAINING: F⋈D1⋈D2 as two
+#     views, an upstream dim patch propagating bucket-scoped through
+#     chain_dim_patch incl. downstream-key migration);
 # (b) the ENTIRE round-6-stale cohort — all 27 rows whose newest
 #     driver-green evidence is round 6, in cohort order (this includes
 #     kll_quantile_rollup / theta_user_overlap / sketch_rollup_distinct,
 #     which ceded their r10 slots to that round's new rows);
-# (c) the first 20 of the 49 rows whose newest driver-green is round 8
-#     (cohort order; the remaining 29 rotate in round 12).
+# (c) the first 19 of the 49 rows whose newest driver-green is round 8
+#     (cohort order; the remaining 30 rotate in round 12).
 # After this round grades green, no row's newest driver evidence is
 # older than round 8 — exactly the r10 verdict's bar.
 # ROUND-12 ROTATION GUIDANCE: (a) any rows added in round 12; (b) the
-# 29 remaining r8 rows (asof_join onward in the r8 cohort order:
-# range_join_count, set_ops, semi_anti_cohorts, ...); (c) leftover
-# slots on the oldest r9 evidence.  Re-derive per-row latest-green from
-# the union of CORRECTNESS_r0*.json keys before rotating.
+# 30 remaining r8 rows (asof_join onward in the r8 cohort order:
+# asof_join, range_join_count, set_ops, semi_anti_cohorts, ...); (c)
+# leftover slots on the oldest r9 evidence.  Re-derive per-row
+# latest-green from the union of CORRECTNESS_r*.json keys (two-digit
+# rounds!) before rotating.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
     # -- (a) added round 11, never graded by construction
     "type_evolution_roundtrip",
     "join_view_tombstone",
     "join_view_pipeline_roundtrip",
+    "join_view_star_chain",
     # -- (b) all 27 rows whose newest driver-green evidence is round 6
     #    (incl. the 3 sketch anchors that ceded their r10 slots)
     "sketch_rollup_distinct",
@@ -8680,8 +8805,8 @@ _DRIVER_WINDOW: list[str] = [
     "stratified_sample_k",
     "streaming_incremental_agg",
     "status_unpivot",
-    # -- (c) first 20 of the 49 rows whose newest driver-green is
-    #    round 8 (cohort order; the other 29 rotate in round 12)
+    # -- (c) first 19 of the 49 rows whose newest driver-green is
+    #    round 8 (cohort order; the other 30 rotate in round 12)
     "stg_users_projection",
     "stg_plans_tz",
     "fact_enriched",
@@ -8701,7 +8826,6 @@ _DRIVER_WINDOW: list[str] = [
     "simhash_near_dup",
     "cosine_topk",
     "embedding_near_dup",
-    "asof_join",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -435,3 +435,73 @@ def test_maintained_view_equals_declarative_join(spark, tmp_path):
         ).collect()
     }
     assert _rows(v) == expect
+
+
+def test_rows_for_dim_keys_bucket_pruned_extract(spark, tmp_path):
+    v, fact, dim = _mk(spark, str(tmp_path))
+    got = {
+        r["fk"]
+        for r in v.rows_for_dim_keys(
+            spark.createDataFrame([(10,), (10,), (777,)], "dk long")
+        ).collect()
+    }
+    assert got == {1, 3}  # only dk=10's fact rows; unknown key matches none
+    assert v.rows_for_dim_keys(
+        spark.createDataFrame([], "dk long")
+    ).count() == 0
+
+
+def test_chain_dim_patch_star_schema(spark, tmp_path):
+    """Snowflake chain: view1 = fact⋈D1 (bucketed by the D1 key),
+    view2 = view1⋈D2 (bucketed by the D2 key that arrived as one of
+    view1's enrichment columns). A D1 patch that also REASSIGNS a
+    fact's D2 key propagates through chain_dim_patch: view1's buckets
+    are patched, exactly the changed rows re-enter view2 as a fact
+    delta, and the D2-key migration moves them to the new holder
+    bucket. Final view2 equals the declarative 3-way join."""
+    from nomba_data_pipeline_spark.operators.incremental_join import chain_dim_patch
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 6.0), (3, 20, 7.0), (4, 30, 8.0)],
+        "fk long, d1k long, amt double",
+    )
+    d1 = spark.createDataFrame(
+        [(10, 100, "a"), (20, 100, "b"), (30, 200, "c")],
+        "d1k long, d2k long, tag string",
+    )
+    d2 = spark.createDataFrame(
+        [(100, "SEG-X"), (200, "SEG-Y")], "d2k long, seg string"
+    )
+    v1 = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "v1"),
+        fact_key=["fk"], dim_key="d1k", dim_cols=["d2k", "tag"], n_buckets=8,
+    )
+    v1.build(fact, d1)
+    v2 = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "v2"),
+        fact_key=["fk"], dim_key="d2k", dim_cols=["seg"], n_buckets=8,
+    )
+    v2.build(v1.read(), d2)
+
+    # D1 patch: d1k=10 reassigned to d2k=200 with a new tag
+    patch = spark.createDataFrame(
+        [(10, 200, "a2")], "d1k long, d2k long, tag string"
+    )
+    chain_dim_patch(v1, v2, patch, d2)
+
+    d1_final = spark.createDataFrame(
+        [(10, 200, "a2"), (20, 100, "b"), (30, 200, "c")],
+        "d1k long, d2k long, tag string",
+    )
+    expect = {
+        r["fk"]: (r["d2k"], r["tag"], r["seg"])
+        for r in fact.join(d1_final, "d1k", "left")
+        .join(d2, "d2k", "left")
+        .collect()
+    }
+    got = {
+        r["fk"]: (r["d2k"], r["tag"], r["seg"]) for r in v2.read().collect()
+    }
+    assert got == expect
+    assert got[1] == (200, "a2", "SEG-Y")  # migrated + re-enriched
+    assert got[3] == (100, "b", "SEG-X")  # untouched chain rows intact
