@@ -505,3 +505,20 @@ def test_chain_dim_patch_star_schema(spark, tmp_path):
     assert got == expect
     assert got[1] == (200, "a2", "SEG-Y")  # migrated + re-enriched
     assert got[3] == (100, "b", "SEG-X")  # untouched chain rows intact
+
+
+def test_rows_for_dim_keys_plan_is_partition_pruned(spark, tmp_path):
+    """PLAN PIN: the chained-propagation extract must read ONLY the
+    buckets its keys hash into (PartitionFilters on __dim_bucket) and
+    broadcast the key set — a full-view scan here would break the
+    star-chain cost bound at 100 TB."""
+    v, fact, dim = _mk(spark, str(tmp_path))
+    df = v.rows_for_dim_keys(spark.createDataFrame([(10,)], "dk long"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # one key -> Catalyst folds isin([b]) to equality; several -> IN
+    assert pf and "__dim_bucket" in pf[0] and (" IN " in pf[0] or " = " in pf[0]), pf
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
