@@ -701,6 +701,11 @@ class PipelineRunner:
           * stg_transactions / fact_transactions: rows whose plan_id
             belongs to the subject (resolved from stg_plans BEFORE any
             deletion), plus fact rows carrying the user_id directly.
+          * every registered join_view mart whose columns carry
+            user_id or plan_id: rewritten BUCKET-SCOPED (only the
+            dim-key buckets holding subject rows are swapped, emptied
+            buckets deleted) so the view's layout — and the O(touched
+            buckets) maintenance bound — survives the erasure.
 
         The ids ship as a broadcast anti-join build side, not an
         isin() literal — a bulk erasure list of millions of keys stays
@@ -806,6 +811,59 @@ class PipelineRunner:
         erase_plain("dim_users", [(ids_b, "user_id")])
         erase_plain("stg_plans", [(ids_b, "user_id")])
         erase_plain("dim_plans", [(ids_b, "user_id")])
+
+        # join_view marts: a maintained fact⋈dim view keyed (directly or
+        # via plan_id) to the subject would silently RETAIN erased rows
+        # if skipped — and erase_plain's flat overwrite would destroy
+        # its bucket layout if used. Rewrite partition-scoped instead:
+        # one pruned semi-join finds the buckets holding subject rows,
+        # and only those directories are swapped (the same O(touched
+        # buckets) bound as the view's own maintenance).
+        for name, spec in self.models.items():
+            if spec.materialization != "join_view":
+                continue
+            t = self.table(name)
+            if not t.exists():
+                continue
+            cur = t.read()  # includes __dim_bucket (raw table read)
+            kept = cur
+            for match_df, col in ((ids_b, "user_id"), (plan_ids, "plan_id")):
+                if match_df is None or col not in cur.columns:
+                    continue
+                kept = kept.join(match_df, col, "left_anti")
+            n_before, n_kept = cur.count(), kept.count()
+            if n_kept == 0 and n_before > 0:
+                # every bucket emptied: removing all dirs would leave an
+                # unreadable table — same schema-keeping fallback as
+                # erase_plain (one empty unpartitioned file)
+                t.overwrite(kept.repartition(1), partition_by=None)
+            elif n_kept < n_before:
+                gone = cur.join(kept, spec.upsert_key, "left_anti")
+                buckets = [
+                    r["__dim_bucket"]
+                    for r in gone.select("__dim_bucket").distinct().collect()
+                ]
+                kept_slice = kept.filter(F.col("__dim_bucket").isin(buckets))
+                live = {
+                    r["__dim_bucket"]
+                    for r in kept_slice.select("__dim_bucket").distinct().collect()
+                }
+                if live:
+                    t.insert_overwrite_partitions(kept_slice, ["__dim_bucket"])
+                # dynamic overwrite only replaces partitions PRESENT in
+                # the delta: a bucket emptied of every row must be
+                # deleted explicitly or its subject rows would survive
+                for b in buckets:
+                    if b not in live:
+                        self._rm_dir(
+                            os.path.join(
+                                self.warehouse_dir, name, f"__dim_bucket={b}"
+                            )
+                        )
+                self.spark.catalog.refreshByPath(
+                    os.path.join(self.warehouse_dir, name)
+                )
+            removed[name] = n_before - n_kept
 
         # closed SCD2 history: partition-scoped rewrite
         closed_path = os.path.join(self.warehouse_dir, "users_snapshot__closed")

@@ -195,3 +195,72 @@ def test_bulk_erasure_stages_plan_mapping(spark, warehouse):
     # replay: idempotent, reuses the staged mapping, removes nothing
     again = runner.erase_subject(cohort, "bulk-1")
     assert all(v == 0 for v in again.values()), again
+
+
+def test_erasure_reaches_join_view_marts(spark, tmp_path):
+    """A maintained join_view mart keyed by user_id must not retain
+    erased subjects — and the erasure must be BUCKET-SCOPED: subject
+    rows vanish, untouched buckets keep their exact files, the hive
+    bucket layout survives, and an erase-everything still leaves a
+    readable table."""
+    import glob as _glob
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    wh = os.path.join(tmp_path, "wh2")
+    r = PipelineRunner(spark, wh, SF_SMALL)
+    r.register(
+        ModelSpec(
+            name="f",
+            fn=lambda s, _: s.createDataFrame(
+                [(i, i % 5 + 1, float(i)) for i in range(50)],
+                "txn long, user_id long, amt double",
+            ),
+            materialization="incremental", upsert_key=["txn"],
+            tracking_column="amt",
+        )
+    )
+    r.register(
+        ModelSpec(
+            name="d",
+            fn=lambda s, _: s.createDataFrame(
+                [(u, f"u{u}", u) for u in range(1, 6)],
+                "user_id long, nm string, u int",
+            ),
+            materialization="incremental", upsert_key=["user_id"],
+            tracking_column="u",
+        )
+    )
+    r.register(
+        ModelSpec(
+            name="mart", fn=None, materialization="join_view",
+            view_fact="f", view_dim="d", view_dim_key="user_id",
+            view_dim_cols=["nm"], view_dim_tracking="u",
+            upsert_key=["txn"], tracking_column="amt", view_buckets=8,
+        )
+    )
+    r.run()
+    mart_dir = os.path.join(wh, "mart")
+    before = {
+        d: sorted(os.listdir(d))
+        for d in _glob.glob(os.path.join(mart_dir, "__dim_bucket=*"))
+    }
+
+    removed = r.erase_subject([2], "jv-1")
+    assert removed["mart"] == 10
+    mart = r.read_model("mart")
+    assert mart.filter(F.col("user_id") == 2).count() == 0
+    assert mart.count() == 40
+    after = {
+        d: sorted(os.listdir(d))
+        for d in _glob.glob(os.path.join(mart_dir, "__dim_bucket=*"))
+    }
+    changed = [d for d in before if before[d] != after.get(d, [])]
+    assert len(changed) == 1, "only user 2's bucket may be touched"
+    for d in before:
+        if d not in changed:
+            assert before[d] == after[d]
+
+    # erase everyone else: table stays readable with zero rows
+    r.erase_subject([1, 3, 4, 5], "jv-2")
+    assert r.table("mart").read().count() == 0
