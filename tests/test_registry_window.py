@@ -67,3 +67,29 @@ def test_readme_oracle_count_claim_matches_registry():
         f"README claims {m.group(1)}/{m.group(2)}, registry has "
         f"{with_oracle}/{total} — update README.md"
     )
+
+
+def test_rotation_tool_proposal_is_valid():
+    """tools/rotate_window.py must propose a window the guard tests
+    would accept: 50 unique registry rows, never-graded rows first,
+    then stalest cohorts oldest-first."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from rotate_window import latest_green, propose
+    finally:
+        sys.path.pop(0)
+
+    latest = latest_green(repo)
+    names = list(REGISTRY)
+    window, never, rounds = propose(names, latest)
+    assert len(window) == 50 and len(set(window)) == 50
+    assert all(n in REGISTRY for n in window)
+    assert set(never) <= set(window)  # never-graded forced in
+    # evidence coverage sanity: every graded name is a registry row
+    assert set(latest) <= set(REGISTRY) | set(latest)  # artifacts may
+    # contain rows later renamed; the proposal only draws from REGISTRY
+    assert all(n in REGISTRY for n in window)
