@@ -131,7 +131,10 @@ def cmd_view(args) -> int:
             return 1
         v = JoinViewTable(
             spark, args.path,
-            fact_key=args.fact_key, dim_key=args.dim_key,
+            fact_key=args.fact_key,
+            # one column stays a plain string (meta-sidecar compat);
+            # several form a composite key
+            dim_key=args.dim_key[0] if len(args.dim_key) == 1 else args.dim_key,
             dim_cols=args.dim_cols, n_buckets=args.n_buckets,
         )
         v.build(spark.read.parquet(args.fact), spark.read.parquet(args.dim))
@@ -163,7 +166,7 @@ def cmd_view(args) -> int:
         v.retire_dim_keys(keys)
         print(
             json.dumps(
-                {"retired": args.path, "keys": keys.select(v.dim_key).distinct().count()}
+                {"retired": args.path, "keys": keys.select(*v._keys).distinct().count()}
             )
         )
     else:  # stats
@@ -469,7 +472,10 @@ def main(argv: list[str] | None = None) -> int:
     jv.add_argument("--fact", help="fact parquet path (build / apply-fact)")
     jv.add_argument("--dim", help="dim parquet path (build / patch-dim / apply-fact)")
     jv.add_argument("--fact-key", nargs="+", help="fact key columns (build)")
-    jv.add_argument("--dim-key", help="dim join column (build)")
+    jv.add_argument(
+        "--dim-key", nargs="+",
+        help="dim join column(s) — several form a composite key (build)",
+    )
     jv.add_argument("--dim-cols", nargs="+", help="dim enrichment columns (build)")
     jv.add_argument("--n-buckets", type=int, default=32)
     jv.set_defaults(fn=cmd_view)

@@ -46,6 +46,11 @@ Semantics and limits (stated, not hidden):
 - NULL dim keys bucket deterministically (coalesced sentinel before
   hashing) so null-keyed fact rows live in one ordinary partition
   instead of Hive's default-partition escape hatch.
+- COMPOSITE dim keys (pass a list, e.g. ["region", "tier"]) hash every
+  sentinel-coalesced component into the bucket and join/patch on the
+  full tuple; a NULL in ANY component is refused (SQL left-join
+  semantics can never match it). Single-column keys keep the identical
+  hash and sidecar bytes as before.
 
 Star/snowflake schemas CHAIN views instead of widening one: a single
 physical layout can only bucket by ONE dim key, so `F ⋈ D1 ⋈ D2` is
@@ -72,15 +77,37 @@ from nomba_data_pipeline_spark.operators.merge import ParquetTable
 _BUCKET = "__dim_bucket"
 
 
-def _with_bucket(df: DataFrame, dim_key: str, n_buckets: int) -> DataFrame:
+def _key_cols(dim_key) -> list[str]:
+    """Normalize the dim key: a plain string (the common case) or a
+    list of columns for COMPOSITE dim keys (e.g. (country, date))."""
+    return [dim_key] if isinstance(dim_key, str) else list(dim_key)
+
+
+def _with_bucket(df: DataFrame, dim_key, n_buckets: int) -> DataFrame:
     # coalesce before hashing: xxhash64 skips NULL inputs (yielding the
     # seed), which would silently fold null keys into whatever bucket
     # the seed hashes to — an explicit sentinel keeps the intent visible
-    # and survives any future change to null-hashing semantics
-    key = F.coalesce(F.col(dim_key).cast("string"), F.lit("\x00<null-dim-key>"))
+    # and survives any future change to null-hashing semantics.
+    # Composite keys hash every component (each sentinel-coalesced so
+    # (NULL,'a') and ('a',NULL) land in distinct buckets); the
+    # single-column form produces the identical hash as before, so
+    # existing views' bucket assignments are unchanged.
+    keys = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00<null-dim-key>"))
+        for c in _key_cols(dim_key)
+    ]
     return df.withColumn(
-        _BUCKET, F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+        _BUCKET, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     )
+
+
+def _any_null(cols: list[str]):
+    """True when ANY component of a (possibly composite) key is NULL —
+    a row SQL left-join semantics can never match."""
+    cond = F.col(cols[0]).isNull()
+    for c in cols[1:]:
+        cond = cond | F.col(c).isNull()
+    return cond
 
 
 class JoinViewTable:
@@ -93,15 +120,18 @@ class JoinViewTable:
         spark: SparkSession,
         path: str,
         fact_key: list[str],
-        dim_key: str,
+        dim_key,  # str, or list[str] for composite dim keys
         dim_cols: list[str],
         n_buckets: int = 32,
     ):
-        if dim_key in dim_cols:
+        self._keys = _key_cols(dim_key)
+        if any(k in dim_cols for k in self._keys):
             raise ValueError("dim_key is the join column, not an enrichment column")
         self.spark = spark
         self.path = path
         self.fact_key = list(fact_key)
+        # stored as given (str stays str) so existing views' parameter
+        # sidecars keep validating byte-for-byte
         self.dim_key = dim_key
         self.dim_cols = list(dim_cols)
         self.n_buckets = n_buckets
@@ -170,8 +200,8 @@ class JoinViewTable:
         self._meta_checked = True
 
     def _enrich(self, fact: DataFrame, dim: DataFrame) -> DataFrame:
-        d = dim.select(self.dim_key, *self.dim_cols)
-        return fact.join(d, on=self.dim_key, how="left")
+        d = dim.select(*self._keys, *self.dim_cols)
+        return fact.join(d, on=self._keys, how="left")
 
     def read(self) -> DataFrame:
         return self._table.read().drop(_BUCKET)
@@ -205,7 +235,7 @@ class JoinViewTable:
         appears in the delta — partition-scoped: only the buckets the
         delta's keys hash into are read and swapped. The delta must
         carry full replacement rows (dim_key + every dim_col)."""
-        missing = {self.dim_key, *self.dim_cols} - set(dim_delta.columns)
+        missing = {*self._keys, *self.dim_cols} - set(dim_delta.columns)
         if missing:
             raise ValueError(
                 f"dim delta must carry full replacement rows; missing {sorted(missing)}"
@@ -214,16 +244,18 @@ class JoinViewTable:
             raise ValueError(f"join view {self.path} not built yet")
         self._validate_meta()
         d = _with_bucket(
-            dim_delta.select(self.dim_key, *self.dim_cols),
+            dim_delta.select(*self._keys, *self.dim_cols),
             self.dim_key,
             self.n_buckets,
         ).cache()
         try:
             stats = d.groupBy().agg(
                 F.count(F.lit(1)).alias("n"),
-                F.countDistinct(self.dim_key).alias("n_keys"),
+                F.countDistinct(*self._keys).alias("n_keys"),
                 F.collect_set(_BUCKET).alias("buckets"),
-                F.sum(F.col(self.dim_key).isNull().cast("int")).alias("n_null"),
+                F.sum(
+                    _any_null(self._keys).cast("int")
+                ).alias("n_null"),
             ).first()
             n_patch, buckets = (stats["n"], list(stats["buckets"])) if stats else (0, [])
             if not buckets:
@@ -264,18 +296,18 @@ class JoinViewTable:
             # swap below replaces exactly these directories
             view = self._table.read().filter(F.col(_BUCKET).isin(buckets))
             patch = d.drop(_BUCKET)
-            keys = patch.select(self.dim_key)
+            keys = patch.select(*self._keys)
             # split-and-reassemble inside the affected buckets: rows
             # whose key is in the delta get re-enriched from the patch
             # (including previously-unmatched rows whose dim row arrived
             # late — their NULL attrs become real ones); the rest keep
             # stored attributes
             hit = (
-                view.join(hint(keys), self.dim_key, "semi")
+                view.join(hint(keys), self._keys, "semi")
                 .drop(*self.dim_cols)
-                .join(hint(patch), self.dim_key, "left")
+                .join(hint(patch), self._keys, "left")
             )
-            miss = view.join(hint(keys), self.dim_key, "anti")
+            miss = view.join(hint(keys), self._keys, "anti")
             new_content = miss.unionByName(hit.select(*miss.columns))
             self._table.insert_overwrite_partitions(new_content, [_BUCKET])
         finally:
@@ -292,7 +324,7 @@ class JoinViewTable:
         broadcasts when CDC-sized, same policy as the patch path."""
         self._validate_meta()
         k = _with_bucket(
-            keys.select(self.dim_key).distinct(), self.dim_key, self.n_buckets
+            keys.select(*self._keys).distinct(), self.dim_key, self.n_buckets
         ).cache()
         try:
             stats = k.groupBy().agg(
@@ -305,7 +337,7 @@ class JoinViewTable:
             hint = F.broadcast if n_keys <= 1_000_000 else (lambda df: df)
             view = self._table.read().filter(F.col(_BUCKET).isin(buckets))
             return view.join(
-                hint(k.drop(_BUCKET)), self.dim_key, "semi"
+                hint(k.drop(_BUCKET)), self._keys, "semi"
             ).drop(_BUCKET)
         finally:
             k.unpersist()
@@ -326,10 +358,10 @@ class JoinViewTable:
         self._validate_meta()
         types = {f.name: f.dataType for f in self._table.read().schema.fields}
         tomb = (
-            keys.select(self.dim_key)
+            keys.select(*self._keys)
             .distinct()
             .select(
-                F.col(self.dim_key),
+                *[F.col(k) for k in self._keys],
                 *[F.lit(None).cast(types[c]).alias(c) for c in self.dim_cols],
             )
         )

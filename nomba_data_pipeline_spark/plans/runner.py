@@ -321,8 +321,14 @@ class PipelineRunner:
                     )
                 )
             if dim_delta.limit(1).count() > 0:
+                from nomba_data_pipeline_spark.operators.incremental_join import (
+                    _key_cols,
+                )
+
                 view.apply_dim_delta(
-                    dim_delta.select(spec.view_dim_key, *spec.view_dim_cols)
+                    dim_delta.select(
+                        *_key_cols(spec.view_dim_key), *spec.view_dim_cols
+                    )
                 )
             if fact_delta.limit(1).count() > 0:
                 view.apply_fact_delta(fact_delta, dim)

@@ -522,3 +522,68 @@ def test_rows_for_dim_keys_plan_is_partition_pruned(spark, tmp_path):
     assert pf and "__dim_bucket" in pf[0] and (" IN " in pf[0] or " = " in pf[0]), pf
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_composite_dim_key(spark, tmp_path):
+    """COMPOSITE dim keys (e.g. (region, tier)): build, patch, tombstone
+    and NULL-component refusal all operate on the full key tuple; a
+    patch rewrites only the buckets its key TUPLES hash into."""
+    fact = spark.createDataFrame(
+        [(1, "eu", 1, 10.0), (2, "eu", 2, 20.0), (3, "us", 1, 30.0), (4, "ap", 9, 40.0)],
+        "fk long, region string, tier int, amt double",
+    )
+    dim = spark.createDataFrame(
+        [("eu", 1, "E1"), ("eu", 2, "E2"), ("us", 1, "U1")],
+        "region string, tier int, label string",
+    )
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key=["region", "tier"], dim_cols=["label"],
+        n_buckets=8,
+    )
+    v.build(fact, dim)
+    got = {r["fk"]: r["label"] for r in v.read().collect()}
+    assert got == {1: "E1", 2: "E2", 3: "U1", 4: None}
+
+    # patch one key TUPLE: (eu, 1) only — (eu, 2) must keep its label
+    v.apply_dim_delta(
+        spark.createDataFrame([("eu", 1, "E1v2")], "region string, tier int, label string")
+    )
+    got = {r["fk"]: r["label"] for r in v.read().collect()}
+    assert got == {1: "E1v2", 2: "E2", 3: "U1", 4: None}
+
+    # a NULL in ANY key component is refused (never matches)
+    with pytest.raises(ValueError, match="NULL join keys"):
+        v.apply_dim_delta(
+            spark.createDataFrame(
+                [("eu", None, "x")], "region string, tier int, label string"
+            )
+        )
+    # duplicate TUPLE refused
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        v.apply_dim_delta(
+            spark.createDataFrame(
+                [("eu", 1, "a"), ("eu", 1, "b")],
+                "region string, tier int, label string",
+            )
+        )
+
+    # tombstone one tuple; extract by tuple stays bucket-scoped
+    v.retire_dim_keys(spark.createDataFrame([("us", 1)], "region string, tier int"))
+    got = {r["fk"]: r["label"] for r in v.read().collect()}
+    assert got[3] is None and got[1] == "E1v2"
+    sub = v.rows_for_dim_keys(spark.createDataFrame([("eu", 2)], "region string, tier int"))
+    assert {r["fk"] for r in sub.collect()} == {2}
+
+    # open() reconstructs the composite key from the sidecar
+    opened = JoinViewTable.open(spark, os.path.join(str(tmp_path), "view"))
+    assert opened.dim_key == ["region", "tier"]
+    v2 = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key=["tier", "region"], dim_cols=["label"],
+        n_buckets=8,
+    )
+    with pytest.raises(ValueError, match="mis-scope"):
+        v2.apply_dim_delta(
+            spark.createDataFrame([("eu", 1, "z")], "region string, tier int, label string")
+        )
