@@ -587,3 +587,77 @@ def test_composite_dim_key(spark, tmp_path):
         v2.apply_dim_delta(
             spark.createDataFrame([("eu", 1, "z")], "region string, tier int, label string")
         )
+
+
+def test_streaming_dim_cdc_patches_view(spark, tmp_path):
+    """Streaming DIM-side leg: a file-source dim-CDC stream maintains
+    the view through foreachBatch — each micro-batch is SQUASHED to one
+    replacement row per key (keep-latest by the CDC sequence; an
+    unsquashed batch trips apply_dim_delta's duplicate refusal by
+    design), the checkpoint survives a restart, and a replayed patch
+    converges. The view tracks the declarative join against the latest
+    dim state."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    feed = os.path.join(str(tmp_path), "dimfeed")
+    ck = os.path.join(str(tmp_path), "ck")
+    os.makedirs(feed, exist_ok=True)
+
+    fact = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 200.0), (3, 10, 300.0)],
+        "fk long, dk long, amt double",
+    )
+    dim = spark.createDataFrame([(10, "alpha"), (20, "beta")], "dk long, nm string")
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["nm"], n_buckets=4,
+    )
+    v.build(fact, dim)
+
+    def _patch_batch(df, _bid):
+        if df.isEmpty():
+            return
+        w = Window.partitionBy("dk").orderBy(
+            F.desc("seq"), F.desc(F.xxhash64("nm"))
+        )
+        squashed = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("dk", "nm")
+        )
+        v.apply_dim_delta(squashed)
+
+    def _arrive(name, rows):
+        spark.createDataFrame(rows, "dk long, nm string, seq long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(feed, name))
+
+    def _drain():
+        q = (
+            spark.readStream.schema("dk long, nm string, seq long")
+            .option("recursiveFileLookup", "true")
+            .parquet(feed)
+            .writeStream.foreachBatch(_patch_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # one batch carries TWO updates for dk=10 — squash keeps seq=2
+    _arrive("b1", [(10, "a-v1", 1), (10, "a-v2", 2), (20, "b-v1", 1)])
+    _drain()
+    got = {r["fk"]: r["nm"] for r in v.read().collect()}
+    assert got == {1: "a-v2", 2: "b-v1", 3: "a-v2"}
+
+    # restart drains only the new file
+    _arrive("b2", [(20, "b-v2", 3)])
+    _drain()
+    got = {r["fk"]: r["nm"] for r in v.read().collect()}
+    assert got == {1: "a-v2", 2: "b-v2", 3: "a-v2"}
+
+    # replay converges
+    v.apply_dim_delta(spark.createDataFrame([(20, "b-v2")], "dk long, nm string"))
+    assert {r["fk"]: r["nm"] for r in v.read().collect()} == got

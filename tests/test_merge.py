@@ -505,3 +505,52 @@ def test_promote_types_preserves_partition_layout(spark, tmp_path):
         p for p in os.listdir(os.path.join(tmp_path, "t")) if p.startswith("state=")
     }
     assert parts == {"state=X", "state=Y"}
+
+
+def test_promote_types_property_never_loses_values(spark, tmp_path):
+    """PROPERTY (boundary-driven): for every admitted widening move,
+    values at the extreme of the SOURCE type survive the promotion
+    rewrite exactly; and every admitted move round-trips src->dst->src
+    without change (the lattice's exact-representability contract)."""
+    import pyspark.sql.types as T
+
+    from nomba_data_pipeline_spark.operators.merge import _is_widening
+
+    cases = [
+        (T.ByteType(), T.ShortType(), [-128, 127]),
+        (T.ShortType(), T.IntegerType(), [-32768, 32767]),
+        (T.IntegerType(), T.LongType(), [-2147483648, 2147483647]),
+        (T.IntegerType(), T.DoubleType(), [-2147483648, 2147483647]),
+        (T.FloatType(), T.DoubleType(), [3.5, -0.015625]),  # exact binary fracs
+        (T.DecimalType(10, 2), T.DecimalType(18, 4), ["99999999.99", "-0.01"]),
+        (T.IntegerType(), T.DecimalType(12, 2), [-2147483648, 2147483647]),
+    ]
+    from decimal import Decimal
+
+    for src, dst, extremes in cases:
+        assert _is_widening(src, dst), (src, dst)
+        vals = [
+            Decimal(v) if isinstance(src, T.DecimalType) else v for v in extremes
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)],
+            T.StructType(
+                [T.StructField("id", T.IntegerType()), T.StructField("x", src)]
+            ),
+        )
+        t = ParquetTable(
+            spark, os.path.join(tmp_path, f"t_{src.simpleString()}_{dst.simpleString()}")
+        )
+        t.overwrite(df)
+        delta = df.limit(0).select("id", F.col("x").cast(dst).alias("x"))
+        assert t.promote_types(delta) == ["x"]
+        out = t.read()
+        assert out.schema["x"].dataType == dst
+        # round-trip back to the source type is lossless
+        back = {r.id: r.b for r in out.select("id", F.col("x").cast(src).alias("b")).collect()}
+        fwd = {r.id: r.x for r in out.collect()}
+        orig = {i: v for i, v in enumerate(vals)}
+        for i in orig:
+            assert back[i] == orig[i], (src, dst, i, back[i], orig[i])
+            if not isinstance(src, T.DecimalType):
+                assert fwd[i] == orig[i] or float(fwd[i]) == float(orig[i])
