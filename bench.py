@@ -165,6 +165,9 @@ HEADLINE = [
     # star/snowflake chaining: F⋈D1⋈D2 as two views, upstream dim
     # patch propagated bucket-scoped through chain_dim_patch
     "join_view_star_chain",
+    # composite dim keys: the full lifecycle on a (nationkey, segment)
+    # tuple key
+    "join_view_composite_roundtrip",
 ]
 
 

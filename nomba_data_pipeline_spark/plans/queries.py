@@ -8197,6 +8197,122 @@ GROUP BY 1
 """
 
 
+def q_join_view_composite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE dim keys through the join-view lifecycle: the dim is
+    keyed by the (c_nationkey, c_mktsegment) TUPLE — the shape of any
+    reference table keyed by more than one column — and every
+    maintenance verb operates on the full tuple. Build customer ⋈
+    tier-dim, patch the tuples whose nationkey % 5 == 0 (bucketed by
+    the tuple hash: only their buckets rewrite), retire the
+    (nationkey % 7 == 0, 'BUILDING') tuples as tombstones, then apply a
+    fact delta (custkey % 11 repriced +100) re-enriched under the final
+    dim. Grading the per-tier aggregate catches a patch that matched on
+    one key component instead of the tuple (the classic composite-key
+    bug: (0, BUILDING) and (0, MACHINERY) must move independently), a
+    tombstone that over- or under-matched, or a delta enriched against
+    a stale tuple. Oracle replays the final dim state declaratively."""
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+    )
+
+    def _write(path: str) -> None:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+        )
+        # the composite-keyed reference dim: one row per
+        # (nationkey, segment) tuple with deterministic attributes
+        dim = (
+            cust.select("c_nationkey", "c_mktsegment")
+            .distinct()
+            .select(
+                "c_nationkey",
+                "c_mktsegment",
+                F.concat(
+                    F.col("c_mktsegment"),
+                    F.lit("-"),
+                    (F.col("c_nationkey") % 3).cast("string"),
+                ).alias("tier"),
+            )
+        )
+        v = JoinViewTable(
+            spark, path,
+            fact_key=["c_custkey"],
+            dim_key=["c_nationkey", "c_mktsegment"],
+            dim_cols=["tier"], n_buckets=16,
+        )
+        v.build(cust, dim)
+        v.apply_dim_delta(
+            dim.filter(F.col("c_nationkey") % 5 == 0).withColumn(
+                "tier", F.concat(F.lit("P-"), F.col("tier"))
+            )
+        )
+        v.retire_dim_keys(
+            dim.filter(
+                (F.col("c_nationkey") % 7 == 0)
+                & (F.col("c_mktsegment") == "BUILDING")
+            ).select("c_nationkey", "c_mktsegment")
+        )
+        dim_final = dim.withColumn(
+            "tier",
+            F.when(
+                (F.col("c_nationkey") % 7 == 0)
+                & (F.col("c_mktsegment") == "BUILDING"),
+                F.lit(None).cast("string"),
+            )
+            .when(
+                F.col("c_nationkey") % 5 == 0,
+                F.concat(F.lit("P-"), F.col("tier")),
+            )
+            .otherwise(F.col("tier")),
+        )
+        v.apply_fact_delta(
+            cust.filter(F.col("c_custkey") % 11 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+            ),
+            dim_final,
+        )
+
+    path = _stage_dir("join_view_composite", sf_dir, _write)
+    return (
+        spark.read.parquet(path)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+SQL_JOIN_VIEW_COMPOSITE_ROUNDTRIP = """
+WITH f AS (
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+), d AS (
+    SELECT c_nationkey, c_mktsegment,
+           CASE WHEN c_nationkey % 7 = 0 AND c_mktsegment = 'BUILDING'
+                THEN NULL
+                WHEN c_nationkey % 5 = 0
+                THEN concat('P-', c_mktsegment, '-',
+                            CAST(c_nationkey % 3 AS VARCHAR))
+                ELSE concat(c_mktsegment, '-',
+                            CAST(c_nationkey % 3 AS VARCHAR)) END AS tier
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+)
+SELECT d.tier,
+       count(*) AS n_rows,
+       count(DISTINCT f.c_nationkey) AS n_nations,
+       CAST(round(sum(CAST(f.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_bal
+FROM f
+LEFT JOIN d ON f.c_nationkey = d.c_nationkey
+           AND f.c_mktsegment = d.c_mktsegment
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -8606,6 +8722,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_JOIN_VIEW_STAR_CHAIN,
         "ext:join-ivm-star",
     ),
+    "join_view_composite_roundtrip": QuerySpec(
+        q_join_view_composite_roundtrip,
+        SQL_JOIN_VIEW_COMPOSITE_ROUNDTRIP,
+        "ext:join-ivm-composite-key",
+    ),
 }
 
 
@@ -8742,7 +8863,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # cosine_topk_ivf).  Re-deriving per-row latest-green from the union of
 # CORRECTNESS_r0*.json gives histogram r6:27 / r8:49 / r9:49 / r10:49,
 # so this window is:
-# (a) the 4 rows added this round, never graded by construction:
+# (a) the 5 rows added this round, never graded by construction:
 #     type_evolution_roundtrip (type-PROMOTION schema evolution — a
 #     shared column widening int->bigint on a late batch, the r10
 #     verdict's missing evolution edge, ParquetTable.promote_types),
@@ -8754,18 +8875,21 @@ REGISTRY: dict[str, QuerySpec] = {
 #     persisted HWM state across fresh runner instances), and
 #     join_view_star_chain (star/snowflake CHAINING: F⋈D1⋈D2 as two
 #     views, an upstream dim patch propagating bucket-scoped through
-#     chain_dim_patch incl. downstream-key migration);
+#     chain_dim_patch incl. downstream-key migration), and
+#     join_view_composite_roundtrip (COMPOSITE dim keys: build / patch /
+#     tombstone / fact delta all on the (nationkey, segment) tuple);
 # (b) the ENTIRE round-6-stale cohort — all 27 rows whose newest
 #     driver-green evidence is round 6, in cohort order (this includes
 #     kll_quantile_rollup / theta_user_overlap / sketch_rollup_distinct,
 #     which ceded their r10 slots to that round's new rows);
-# (c) the first 19 of the 49 rows whose newest driver-green is round 8
-#     (cohort order; the remaining 30 rotate in round 12).
+# (c) the first 18 of the 49 rows whose newest driver-green is round 8
+#     (cohort order; the remaining 31 rotate in round 12).
 # After this round grades green, no row's newest driver evidence is
 # older than round 8 — exactly the r10 verdict's bar.
 # ROUND-12 ROTATION GUIDANCE: (a) any rows added in round 12; (b) the
-# 30 remaining r8 rows (asof_join onward in the r8 cohort order:
-# asof_join, range_join_count, set_ops, semi_anti_cohorts, ...); (c)
+# 31 remaining r8 rows (embedding_near_dup onward in the r8 cohort
+# order: embedding_near_dup, asof_join, range_join_count, set_ops,
+# semi_anti_cohorts, ...); (c)
 # leftover slots on the oldest r9 evidence.  Re-derive per-row
 # latest-green from the union of CORRECTNESS_r*.json keys (two-digit
 # rounds!) before rotating.
@@ -8776,6 +8900,7 @@ _DRIVER_WINDOW: list[str] = [
     "join_view_tombstone",
     "join_view_pipeline_roundtrip",
     "join_view_star_chain",
+    "join_view_composite_roundtrip",
     # -- (b) all 27 rows whose newest driver-green evidence is round 6
     #    (incl. the 3 sketch anchors that ceded their r10 slots)
     "sketch_rollup_distinct",
@@ -8805,8 +8930,8 @@ _DRIVER_WINDOW: list[str] = [
     "stratified_sample_k",
     "streaming_incremental_agg",
     "status_unpivot",
-    # -- (c) first 19 of the 49 rows whose newest driver-green is
-    #    round 8 (cohort order; the other 30 rotate in round 12)
+    # -- (c) first 18 of the 49 rows whose newest driver-green is
+    #    round 8 (cohort order; the other 31 rotate in round 12)
     "stg_users_projection",
     "stg_plans_tz",
     "fact_enriched",
@@ -8825,7 +8950,6 @@ _DRIVER_WINDOW: list[str] = [
     "ngram_jaccard_pairs",
     "simhash_near_dup",
     "cosine_topk",
-    "embedding_near_dup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
