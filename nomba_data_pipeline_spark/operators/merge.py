@@ -1042,6 +1042,7 @@ class ParquetTable:
         tracking_col: str,
         partition_by: list[str] | None = None,
         partition_stable: bool = False,
+        evolve_schema: bool = False,
     ) -> None:
         """O8 'special' load (base_loader.py:419-555): upsert then keep only
         the latest row per key by tracking column.
@@ -1057,6 +1058,10 @@ class ParquetTable:
         in the slice because affected includes the partitions holding
         those keys. Pre-existing duplicates in untouched partitions are
         left as-is (they were deduped when their own delta landed).
+
+        Schema drift follows merge_upsert's policy exactly: dropped /
+        cast-to-target by default (reference parity), or widened +
+        type-promoted first with evolve_schema=True.
         """
 
         def keep_latest(base: DataFrame) -> DataFrame:
@@ -1078,6 +1083,11 @@ class ParquetTable:
                 partition_by=partition_by,
             )
             return
+        if evolve_schema:
+            # same one-time rewrite policy as merge_upsert: widen new
+            # columns, promote widened shared types, refuse narrowing
+            self.widen_to(delta, partition_by=partition_by)
+            self.promote_types(delta, partition_by=partition_by)
         target = self.read()
         delta = _align_to_target(delta, target)
         if partition_by:

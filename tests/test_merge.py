@@ -554,3 +554,22 @@ def test_promote_types_property_never_loses_values(spark, tmp_path):
             assert back[i] == orig[i], (src, dst, i, back[i], orig[i])
             if not isinstance(src, T.DecimalType):
                 assert fwd[i] == orig[i] or float(fwd[i]) == float(orig[i])
+
+
+def test_merge_upsert_dedup_evolve_schema(spark, tmp_path, base_df):
+    """O8 keep-latest honors the same opt-in evolution as merge_upsert:
+    a drifted delta widens the target (new column) and promotes a
+    widened shared type (v int -> bigint) before the keep-latest merge."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    t.overwrite(base_df)  # id/name/state/v(int)
+    delta = spark.createDataFrame(
+        [(2, "b2", "Y", 5_000_000_000, "eu"), (2, "b1", "Y", 15, "us")],
+        "id int, name string, state string, v bigint, region string",
+    )
+    t.merge_upsert_dedup(delta, ["id"], "v", evolve_schema=True)
+    dt = dict(t.read().dtypes)
+    assert dt["v"] == "bigint" and "region" in dt
+    rows = {r.id: (r.name, r.v, r.region) for r in t.read().collect()}
+    # keep-latest by v: the 5e9 correction wins for id=2
+    assert rows[2] == ("b2", 5_000_000_000, "eu")
+    assert rows[1] == ("a", 10, None)
