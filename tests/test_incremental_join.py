@@ -661,3 +661,56 @@ def test_streaming_dim_cdc_patches_view(spark, tmp_path):
     # replay converges
     v.apply_dim_delta(spark.createDataFrame([(20, "b-v2")], "dk long, nm string"))
     assert {r["fk"]: r["nm"] for r in v.read().collect()} == got
+
+
+_cdim_row = st.tuples(st.integers(0, 2), st.integers(0, 2), st.integers(0, 9))
+_cfact_row = st.tuples(st.integers(1, 8), st.integers(0, 3), st.integers(0, 3))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    f1=st.lists(_cfact_row, min_size=1, max_size=6),
+    d1=st.lists(_cdim_row, min_size=1, max_size=4),
+    dd=st.lists(_cdim_row, min_size=0, max_size=3),
+)
+def test_random_composite_key_sequences_equal_declarative_join(
+    spark, tmp_path_factory, f1, d1, dd
+):
+    """PROPERTY (composite keys): maintained view == from-scratch left
+    join on the full (a, b) tuple after any dim-patch sequence —
+    including fact tuples with no dim row and patches to tuples no fact
+    row carries. The fact key range deliberately exceeds the dim range
+    so dimless tuples always occur."""
+    import os
+
+    td = str(tmp_path_factory.mktemp("jvc"))
+
+    def facts(rows):
+        return spark.createDataFrame(
+            [(k, a, b, float(k)) for k, a, b in rows],
+            "fk long, a int, b int, amt double",
+        ).dropDuplicates(["fk"])
+
+    def dims(rows):
+        return spark.createDataFrame(
+            [(a, b, f"n{p}") for a, b, p in rows], "a int, b int, nm string"
+        ).dropDuplicates(["a", "b"])
+
+    fact, dim = facts(f1), dims(d1)
+    v = JoinViewTable(
+        spark, os.path.join(td, "v"), ["fk"], ["a", "b"], ["nm"], n_buckets=4
+    )
+    v.build(fact, dim)
+    dim_final = dim
+    if dd:
+        patch = dims(dd)
+        v.apply_dim_delta(patch)
+        dim_final = dim.join(
+            patch.select("a", "b"), ["a", "b"], "anti"
+        ).unionByName(patch)
+    got = {r["fk"]: (r["a"], r["b"], r["nm"]) for r in v.read().collect()}
+    expect = {
+        r["fk"]: (r["a"], r["b"], r["nm"])
+        for r in fact.join(dim_final, ["a", "b"], "left").collect()
+    }
+    assert got == expect
