@@ -155,6 +155,39 @@ def cmd_view(args) -> int:
             spark.read.parquet(args.fact), spark.read.parquet(args.dim)
         )
         print(json.dumps({"applied": args.path, "rows": v.read().count()}))
+    elif args.action == "chain-patch":
+        # star/snowflake propagation: patch THIS view's dim, then push
+        # exactly the changed rows into the downstream view as a fact
+        # delta (chain_dim_patch) — all bucket-scoped
+        from nomba_data_pipeline_spark.operators.incremental_join import (
+            chain_dim_patch,
+        )
+
+        if not (args.dim and args.downstream and args.downstream_dim):
+            print(
+                json.dumps(
+                    {
+                        "error": "chain-patch requires --dim, --downstream "
+                        "and --downstream-dim"
+                    }
+                )
+            )
+            return 1
+        down = JoinViewTable.open(spark, args.downstream)
+        chain_dim_patch(
+            v, down,
+            spark.read.parquet(args.dim),
+            spark.read.parquet(args.downstream_dim),
+        )
+        print(
+            json.dumps(
+                {
+                    "chained": args.path,
+                    "downstream": args.downstream,
+                    "rows": down.read().count(),
+                }
+            )
+        )
     elif args.action == "retire-dim":
         # dim DELETE as a tombstone: a parquet of retired keys (only the
         # dim-key column is read) nulls the enrichment attributes of
@@ -462,11 +495,14 @@ def main(argv: list[str] | None = None) -> int:
         "view",
         help=(
             "materialized join-view lifecycle: build / patch-dim / "
-            "apply-fact / retire-dim / stats"
+            "apply-fact / retire-dim / chain-patch / stats"
         ),
     )
     jv.add_argument(
-        "action", choices=["build", "patch-dim", "apply-fact", "retire-dim", "stats"]
+        "action",
+        choices=[
+            "build", "patch-dim", "apply-fact", "retire-dim", "chain-patch", "stats",
+        ],
     )
     jv.add_argument("--path", required=True, help="view root directory")
     jv.add_argument("--fact", help="fact parquet path (build / apply-fact)")
@@ -478,6 +514,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     jv.add_argument("--dim-cols", nargs="+", help="dim enrichment columns (build)")
     jv.add_argument("--n-buckets", type=int, default=32)
+    jv.add_argument("--downstream", help="downstream view root (chain-patch)")
+    jv.add_argument(
+        "--downstream-dim", help="downstream dim parquet path (chain-patch)"
+    )
     jv.set_defaults(fn=cmd_view)
 
     ix = sub.add_parser(

@@ -714,3 +714,43 @@ def test_random_composite_key_sequences_equal_declarative_join(
         for r in fact.join(dim_final, ["a", "b"], "left").collect()
     }
     assert got == expect
+
+
+def test_cli_chain_patch(spark, tmp_path, capsys):
+    """CLI chain-patch drives chain_dim_patch across two sidecar-opened
+    views."""
+    import json as _json
+
+    from nomba_data_pipeline_spark.__main__ import main
+    from nomba_data_pipeline_spark.operators.incremental_join import JoinViewTable as JV
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 6.0)], "fk long, d1k long, amt double"
+    )
+    d1 = spark.createDataFrame(
+        [(10, 100, "a"), (20, 200, "b")], "d1k long, d2k long, tag string"
+    )
+    d2 = spark.createDataFrame([(100, "X"), (200, "Y")], "d2k long, seg string")
+    v1 = JV(spark, os.path.join(str(tmp_path), "v1"), ["fk"], "d1k", ["d2k", "tag"], 4)
+    v1.build(fact, d1)
+    v2 = JV(spark, os.path.join(str(tmp_path), "v2"), ["fk"], "d2k", ["seg"], 4)
+    v2.build(v1.read(), d2)
+
+    patch_p = os.path.join(str(tmp_path), "patch")
+    d2_p = os.path.join(str(tmp_path), "d2")
+    spark.createDataFrame(
+        [(10, 200, "a2")], "d1k long, d2k long, tag string"
+    ).write.parquet(patch_p)
+    d2.write.parquet(d2_p)
+
+    rc = main([
+        "view", "chain-patch", "--path", os.path.join(str(tmp_path), "v1"),
+        "--dim", patch_p,
+        "--downstream", os.path.join(str(tmp_path), "v2"),
+        "--downstream-dim", d2_p,
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2
+    got = {r["fk"]: (r["tag"], r["seg"]) for r in v2.read().collect()}
+    assert got == {1: ("a2", "Y"), 2: ("b", "Y")}
