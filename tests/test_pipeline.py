@@ -528,3 +528,74 @@ def test_join_view_materialization_e2e(spark, tmp_path):
     r4 = mk()
     r4.run()
     assert rows(r4) == rows(r3)
+
+
+def test_join_view_state_crash_replay_converges(spark, tmp_path):
+    """FAULT INJECTION: a crash between the join-view applies and the
+    HWM-state write leaves stale state; the replayed run re-applies the
+    same deltas and must converge (both applies are idempotent keyed
+    rewrites) — the ordering contract _run_join_view documents."""
+    import shutil
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    fact_src = {"rows": [(1, 10, 100.0, 1)]}
+    dim_src = {"rows": [(10, "alpha", 1)]}
+
+    def mk():
+        r = PipelineRunner(spark, os.path.join(tmp_path, "wh"), SF_SMALL)
+        r.register(
+            ModelSpec(
+                name="f",
+                fn=lambda s, _: s.createDataFrame(
+                    fact_src["rows"], "fk long, dk long, amount double, v int"
+                ),
+                materialization="incremental", upsert_key=["fk"],
+                tracking_column="v",
+            )
+        )
+        r.register(
+            ModelSpec(
+                name="d",
+                fn=lambda s, _: s.createDataFrame(
+                    dim_src["rows"], "dk long, name string, u int"
+                ),
+                materialization="incremental", upsert_key=["dk"],
+                tracking_column="u",
+            )
+        )
+        r.register(
+            ModelSpec(
+                name="mart", fn=None, materialization="join_view",
+                view_fact="f", view_dim="d", view_dim_key="dk",
+                view_dim_cols=["name"], view_dim_tracking="u",
+                upsert_key=["fk"], tracking_column="v", view_buckets=4,
+            )
+        )
+        return r
+
+    mk().run()
+    state = os.path.join(tmp_path, "wh", "mart._view_state")
+    stale = os.path.join(tmp_path, "stale_state")
+    shutil.copytree(state, stale)  # snapshot the post-build state
+
+    # new data on both sides; run applies it and advances the state
+    fact_src["rows"] += [(2, 10, 200.0, 2)]
+    dim_src["rows"] += [(10, "ALPHA2", 2)]
+    mk().run()
+    want = {
+        r["fk"]: (r["dk"], r["name"])
+        for r in mk().read_model("mart").collect()
+    }
+    assert want == {1: (10, "ALPHA2"), 2: (10, "ALPHA2")}
+
+    # CRASH SIMULATION: roll the state back to the pre-apply snapshot
+    # (as if the process died between the applies and the state write)
+    shutil.rmtree(state)
+    shutil.copytree(stale, state)
+    mk().run()  # replay re-applies the same dim patch + fact delta
+    got = {
+        r["fk"]: (r["dk"], r["name"])
+        for r in mk().read_model("mart").collect()
+    }
+    assert got == want  # converged, no duplicates, no lost patch
