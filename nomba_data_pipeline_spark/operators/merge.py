@@ -17,7 +17,18 @@ Reference semantics being re-expressed (cited file:line into /root/reference):
 Spark-first design: a managed parquet table directory with
 write-to-temp + atomic-rename swap (parquet has no ACID MERGE; the swap
 emulates ClickHouse's delete+insert without partial-failure corruption —
-SURVEY §7.4 hard-part 2). All joins/dedup inside are plain DataFrame ops
+SURVEY §7.4 hard-part 2).
+
+Concurrency contract (stated, not hidden): ONE WRITER PER TABLE. The
+rename dance makes any single writer crash-safe and keeps readers off
+half-written data, but two concurrent writers to the same table race
+their swaps (last rename wins; the loser's rows are lost, not
+corrupted). That is the reference's operating model too — one Dagster
+job owns each table (all_jobs.py) — and the runner preserves it (a DAG
+run materializes each model once, sequentially). Cross-TABLE
+parallelism is safe and expected; same-table writers need external
+serialization (a scheduler, or a lock service this engine deliberately
+does not invent). All joins/dedup inside are plain DataFrame ops
 so Catalyst broadcasts the delta side when it is small (the common CDC
 case: a trickle of changes against a huge target). The snapshot mode maps
 to dynamic partition overwrite, which on a cluster touches only the
