@@ -157,13 +157,33 @@ class JoinViewTable:
         }
 
     def _write_meta(self) -> None:
-        self.spark.createDataFrame(
-            [(json.dumps(self._meta_dict()),)], "meta string"
-        ).coalesce(1).write.mode("overwrite").parquet(self._meta_path())
+        # temp+atomic-swap (ParquetTable.overwrite), not a plain parquet
+        # overwrite: evolve_dim_cols/rebucket rewrite this sidecar after
+        # build, and a crash mid-write must leave the PREVIOUS contract
+        # readable (rebucket's resume path reads it back)
+        ParquetTable(self.spark, self._meta_path()).overwrite(
+            self.spark.createDataFrame(
+                [(json.dumps(self._meta_dict()),)], "meta string"
+            ).coalesce(1)
+        )
+
+    def _intent_path(self) -> str:
+        # presence = a rebucket() was interrupted between its data swap
+        # and sidecar update; bucket-scoped maintenance must not run
+        # until the rewrite completes (the stored modulus may not match
+        # the on-disk layout, silently mis-scoping every rewrite)
+        return self._meta_path() + ".rebucket-intent"
 
     def _validate_meta(self) -> None:
         if self._meta_checked:
             return
+        fs, ip = self._table._fs_and_path(self._intent_path())
+        if fs.exists(ip):
+            raise ValueError(
+                f"join view {self.path} has an interrupted rebucket() — the "
+                "stored bucket modulus may not match the on-disk layout; "
+                "call rebucket(n_buckets) again to complete it"
+            )
         fs, jp = self._table._fs_and_path(self._meta_path())
         if fs.exists(jp):
             stored = json.loads(
@@ -197,6 +217,11 @@ class JoinViewTable:
         view = _with_bucket(self._enrich(fact, dim), self.dim_key, self.n_buckets)
         self._table.overwrite(view, partition_by=[_BUCKET])
         self._write_meta()
+        # a full build supersedes any interrupted rebucket: data and
+        # sidecar are consistent again, so clear the refusal marker
+        fs, ip = self._table._fs_and_path(self._intent_path())
+        if fs.exists(ip):
+            fs.delete(ip, False)
         self._meta_checked = True
 
     def _enrich(self, fact: DataFrame, dim: DataFrame) -> DataFrame:
@@ -367,6 +392,104 @@ class JoinViewTable:
         )
         self.apply_dim_delta(tomb)
 
+    # -- lifecycle evolution --------------------------------------------
+    def evolve_dim_cols(self, dim_sample: DataFrame) -> list[str]:
+        """Opt-in schema evolution for the DIM side — the join-view
+        analogue of ParquetTable.widen_to (operators/merge.py:widen_to):
+        add the dim's NEW enrichment columns to the view as NULL-filled
+        fields (one bucketed O(view) rewrite on the introducing batch,
+        layout preserved) and update the parameter sidecar so later
+        patches carry them. Without this verb, `dim_cols` are frozen at
+        build and apply_dim_delta refuses partial-column patches, so a
+        dim gaining a column forced a full O(F⋈D) rebuild. `dim_sample`
+        is any frame carrying the evolved dim schema (the dim itself or
+        a delta); columns already tracked are ignored, VOID-typed
+        (all-NULL, no concrete type) columns are skipped until a batch
+        materializes a type, and a new dim column that collides with a
+        FACT-side column is refused (the view row would be ambiguous).
+        Existing rows hold NULL for the new columns until a dim delta
+        (e.g. the full evolved dim) backfills their buckets through the
+        ordinary apply_dim_delta path. Returns the added column names."""
+        from pyspark.sql.types import NullType
+
+        if not self._table.exists():
+            raise ValueError(f"join view {self.path} not built yet")
+        self._validate_meta()
+        cur = self._table.read()
+        tracked = {*self._keys, *self.dim_cols, _BUCKET}
+        new_fields = []
+        for f in dim_sample.schema.fields:
+            if f.name in tracked or isinstance(f.dataType, NullType):
+                continue
+            if f.name in cur.columns:
+                raise ValueError(
+                    f"dim column {f.name!r} collides with a fact-side view "
+                    "column — rename it on the dim before evolving"
+                )
+            new_fields.append(f)
+        if not new_fields:
+            return []
+        widened = cur
+        for f in new_fields:
+            widened = widened.withColumn(f.name, F.lit(None).cast(f.dataType))
+        self._table.overwrite(widened, partition_by=[_BUCKET])
+        # sidecar update AFTER the data rewrite: a crash in between
+        # leaves the old contract with NULL-filled extra columns at
+        # rest — apply_dim_delta keeps refusing the new column until
+        # the (idempotent) evolve is re-run, never a silent mis-scope
+        self.dim_cols = self.dim_cols + [f.name for f in new_fields]
+        self._write_meta()
+        return [f.name for f in new_fields]
+
+    def rebucket(self, n_buckets: int) -> None:
+        """Change the bucket modulus: one O(view) re-hash rewrite + a
+        sidecar update — the maintenance verb for a view that outgrew
+        (or over-provisioned) its build-time `n_buckets` (a bucket
+        should stay a healthy ~128 MB-1 GB partition; a view that grew
+        100× has buckets 100× that, and every patch pays it). After it,
+        patch / tombstone / fact-delta are O(touched buckets) under the
+        new modulus. Crash-safe via an intent marker: the marker is
+        written first and removed last, and while it exists every
+        OTHER maintenance verb refuses (_validate_meta — a stored
+        modulus that disagrees with the on-disk layout would silently
+        mis-scope rewrites); re-running rebucket() completes the
+        interrupted rewrite (idempotent: buckets re-derive from the
+        key columns, and the data swap is atomic so a reader always
+        sees a wholly-old or wholly-new layout)."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        if not self._table.exists():
+            raise ValueError(f"join view {self.path} not built yet")
+        fs, ip = self._table._fs_and_path(self._intent_path())
+        resuming = fs.exists(ip)
+        if resuming:
+            # completing an interrupted rebucket: skip the marker
+            # refusal (it refers to exactly this in-flight operation)
+            # but still verify the non-layout parameters match
+            stored = json.loads(
+                self.spark.read.parquet(self._meta_path()).first()["meta"]
+            )
+            mine = {k: v for k, v in self._meta_dict().items() if k != "n_buckets"}
+            theirs = {k: v for k, v in stored.items() if k != "n_buckets"}
+            if mine != theirs:
+                raise ValueError(
+                    f"join view {self.path} was built with {stored}, but this "
+                    f"instance carries {self._meta_dict()}"
+                )
+        else:
+            self._validate_meta()
+            if n_buckets == self.n_buckets:
+                return
+            fs.create(ip, True).close()
+        cur = self._table.read().drop(_BUCKET)
+        self._table.overwrite(
+            _with_bucket(cur, self.dim_key, n_buckets), partition_by=[_BUCKET]
+        )
+        self.n_buckets = n_buckets
+        self._write_meta()
+        fs.delete(ip, False)
+        self._meta_checked = True
+
 
 def chain_dim_patch(
     upstream: JoinViewTable,
@@ -397,6 +520,44 @@ def chain_dim_patch(
     mart rebuild. `downstream_dim` must be the CURRENT (already
     patched, if it also changed) dim of the downstream view so the
     re-enrichment lands on one consistent state."""
-    upstream.apply_dim_delta(dim_delta)
-    changed = upstream.rows_for_dim_keys(dim_delta.select(upstream.dim_key))
-    downstream.apply_fact_delta(changed, downstream_dim)
+    propagate_dim_patch([upstream, downstream], dim_delta, [downstream_dim])
+
+
+def propagate_dim_patch(
+    views: list[JoinViewTable],
+    dim_delta: DataFrame,
+    dims: list[DataFrame],
+) -> None:
+    """Depth-N generalization of chain_dim_patch: propagate a dim patch
+    through an arbitrarily deep snowflake chain `views[0] → views[1] →
+    ... → views[-1]` (views[i+1]'s FACT side is views[i]'s row shape).
+    `dims[i]` is the CURRENT dim of `views[i+1]` — already patched if
+    it also changed — so every level re-enriches against one
+    consistent state; len(dims) == len(views) - 1.
+
+    The head view takes the patch (apply_dim_delta, O(its buckets));
+    the changed rows are extracted ONCE with a bucket-pruned read
+    (rows_for_dim_keys) and then carried downstream level by level,
+    re-enriched IN FLIGHT: each level's fact delta is the previous
+    level's changed rows left-joined to that level's dim — exactly the
+    frame apply_fact_delta just upserted — so no level re-reads its
+    own view to feed the next (the intermediate extract/upsert
+    choreography a hand-rolled chain gets wrong). Cost stays
+    O(touched buckets) at every level, including dim-key migration
+    (the partitioned merge rewrites old + new holder buckets)."""
+    if len(views) < 2:
+        raise ValueError("a chain needs at least two views")
+    if len(dims) != len(views) - 1:
+        raise ValueError(
+            f"need one CURRENT dim per downstream view: {len(views) - 1} "
+            f"views downstream of the patch, got {len(dims)} dims"
+        )
+    head = views[0]
+    head.apply_dim_delta(dim_delta)
+    changed = head.rows_for_dim_keys(dim_delta.select(*head._keys))
+    for view, dim in zip(views[1:], dims):
+        view.apply_fact_delta(changed, dim)
+        # the rows just upserted, re-enriched against this level's dim —
+        # the next level's fact delta, computed in flight (same join
+        # apply_fact_delta performed; a small delta broadcasts)
+        changed = view._enrich(changed, dim)

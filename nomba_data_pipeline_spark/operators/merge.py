@@ -602,29 +602,26 @@ class ParquetTable:
                 break
             feed = self.spark.read.parquet(f"{cdf_path}/batch_id={bid}")
             post = feed.filter(F.col("_op") != "update_preimage").drop("_op")
+            # the replica's hive layout is not handed to apply_cdf, so
+            # derive it from the directory structure — otherwise the
+            # widen/promote/merge rewrites below would silently flatten
+            # a partitioned replica on the first drifted (or any) batch
+            pcols = self._layout_partition_cols() or None
             # replicate schema drift: the merge aligns the delta to the
             # REPLICA's schema, so a column the primary gained would be
             # silently dropped here forever — widen the replica first
             # (one NULL-filled rewrite, only on the batch that
             # introduces the column)
             if self.exists():
-                have = set(self.read().columns)
-                new_cols = [f for f in post.schema.fields if f.name not in have]
-                if new_cols:
-                    widened = self.read()
-                    for f in new_cols:
-                        widened = widened.withColumn(
-                            f.name, F.lit(None).cast(f.dataType)
-                        )
-                    self.overwrite(widened)
+                self.widen_to(post, partition_by=pcols)
                 # replicate TYPE drift too: a primary that promoted a
                 # column (promote_types) emits the wider type in the
                 # feed; aligning it back to the replica's narrower type
                 # would silently diverge the replica from the primary —
                 # promote here as well (raises on a non-widening drift,
                 # same policy as the primary)
-                self.promote_types(post)
-            self.merge_upsert(post, keys)
+                self.promote_types(post, partition_by=pcols)
+            self.merge_upsert(post, keys, partition_by=pcols)
             mfs.create(mpath, True).close()
             applied.append(bid)
         return applied
@@ -748,6 +745,12 @@ class ParquetTable:
         if sort_cols:
             staged = staged.sortWithinPartitions(*partition_by, *sort_cols)
         staged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+        # a partition-dir swap into a root that still holds FLAT data
+        # files would leave a mixed flat+hive layout Spark's partition
+        # discovery rejects — the shape erase_subject's keep-the-schema
+        # fallback produces (one empty unpartitioned file after an
+        # all-rows erasure). Heal empty residue; refuse real flat data.
+        self._heal_flat_root()
         fs, _ = self._fs_and_path(self.path)
         jvm = self.spark._jvm
         jvm_path = jvm.org.apache.hadoop.fs.Path
@@ -773,6 +776,40 @@ class ParquetTable:
                 fs.rename(src, dst)
             # else: every row of this partition migrated away -> stays deleted
         fs.delete(jvm_path(tmp), True)
+        self.spark.catalog.refreshByPath(self.path)
+
+    def _heal_flat_root(self) -> None:
+        """Delete EMPTY root-level data files before a partition-scoped
+        swap. An all-rows erasure of a partitioned table keeps the
+        schema readable as one empty unpartitioned file
+        (runner.erase_subject's fallback); the next partitioned write
+        swaps `col=value/` dirs in around it, and the mixed layout
+        makes the table unreadable. Zero-row root files are pure layout
+        residue — remove them so the swap recreates a clean hive
+        layout. NON-empty root files mean the table is genuinely flat:
+        a partition-scoped rewrite against it would silently drop the
+        rows outside the swapped dirs, so refuse loudly instead."""
+        fs, jroot = self._fs_and_path(self.path)
+        if not fs.exists(jroot):
+            return
+        flat = [
+            st.getPath()
+            for st in fs.listStatus(jroot)
+            if st.isFile()
+            and not st.getPath().getName().startswith(("_", "."))
+        ]
+        if not flat:
+            return
+        paths = [p.toString() for p in flat]
+        if self.spark.read.parquet(*paths).limit(1).count() > 0:
+            raise ValueError(
+                f"{self.path} holds non-empty root-level data files (flat "
+                "layout); a partition-scoped rewrite would lose the rows "
+                "outside the swapped directories — rebuild with "
+                "overwrite(df, partition_by=...) first"
+            )
+        for p in flat:
+            fs.delete(p, False)
         self.spark.catalog.refreshByPath(self.path)
 
     # -- maintenance ---------------------------------------------------------
@@ -898,6 +935,36 @@ class ParquetTable:
             if st.isDirectory() and "=" in st.getPath().getName():
                 return True
         return False
+
+    def _layout_partition_cols(self) -> list[str]:
+        """Partition columns as evidenced by the on-disk hive layout:
+        root-level `col=value` dirs, descending one level per nested
+        partition column. Writers that must PRESERVE a table's layout
+        without being handed it (apply_cdf replicating a feed onto a
+        partitioned replica) derive it here instead of silently
+        rewriting the table flat. Empty list for flat tables."""
+        if not self.exists():
+            return []
+        fs, jpath = self._fs_and_path(self.path)
+        jvm = self.spark._jvm
+        cols: list[str] = []
+        cur = jpath
+        while True:
+            sub = [
+                st.getPath()
+                for st in fs.listStatus(cur)
+                if st.isDirectory() and "=" in st.getPath().getName()
+            ]
+            if not sub:
+                return cols
+            name = sub[0].getName().split("=", 1)[0]
+            # dir names are Hive-escaped by the writer (part_dir below)
+            cols.append(
+                jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(
+                    name
+                )
+            )
+            cur = sub[0]
 
     def _scan_split_count(self) -> int:
         """ceil(table bytes / spark.sql.files.maxPartitionBytes): the

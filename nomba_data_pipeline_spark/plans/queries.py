@@ -8313,6 +8313,305 @@ GROUP BY 1
 """
 
 
+def q_join_view_evolve_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIM-SCHEMA EVOLUTION through the join-view lifecycle (the r11
+    verdict's top lifecycle gap: `dim_cols` were frozen in the
+    parameter sidecar, so a dim gaining an enrichment column forced a
+    full O(F⋈D) rebuild). Build customer ⋈ nation with n_name only;
+    the dim then GAINS region_key — evolve_dim_cols NULL-fills it with
+    one bucketed O(view) rewrite and updates the sidecar; the full
+    evolved dim backfills through the ORDINARY apply_dim_delta path;
+    and a post-evolve patch (nationkey % 5 == 0: 'Z-' rename + region
+    shifted +10) proves patches now carry the new column. Grading the
+    (region_key, nation) aggregate catches an evolve that dropped the
+    layout, a backfill that missed buckets, or a patch refused/applied
+    under the old contract. Oracle replays the final dim state
+    declaratively."""
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+    )
+
+    def _write(path: str) -> None:
+        fact = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+        nation = load_table(spark, sf_dir, "nation")
+        dim0 = nation.select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_name"
+        )
+        v = JoinViewTable(
+            spark, path,
+            fact_key=["c_custkey"], dim_key="c_nationkey",
+            dim_cols=["n_name"], n_buckets=8,
+        )
+        v.build(fact, dim0)
+        # the dim gains an enrichment column after the build
+        dim1 = nation.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("region_key"),
+        )
+        v.evolve_dim_cols(dim1)  # one NULL-filled bucketed rewrite
+        v.apply_dim_delta(dim1)  # backfill via the ordinary patch path
+        v.apply_dim_delta(  # post-evolve patch carries the new column
+            dim1.filter(F.col("c_nationkey") % 5 == 0)
+            .withColumn("n_name", F.concat(F.lit("Z-"), F.col("n_name")))
+            .withColumn("region_key", F.col("region_key") + 10)
+        )
+
+    path = _stage_dir("join_view_evolve", sf_dir, _write)
+    return (
+        spark.read.parquet(path)
+        .groupBy("region_key", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+SQL_JOIN_VIEW_EVOLVE_ROUNDTRIP = """
+WITH d AS (
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN concat('Z-', n_name)
+                ELSE n_name END AS nation,
+           CAST(CASE WHEN n_nationkey % 5 = 0 THEN n_regionkey + 10
+                     ELSE n_regionkey END AS BIGINT) AS region_key
+    FROM nation
+)
+SELECT d.region_key, d.nation,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_bal
+FROM customer c
+LEFT JOIN d ON c.c_nationkey = d.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_join_view_rebucket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-COUNT EVOLUTION (the r11 verdict's other lifecycle gap:
+    `n_buckets` was fixed at build, so a view that outgrew its layout
+    had no path but rebuild). Build orders ⋈ customer at 4 buckets,
+    patch (custkey % 9 == 0: 'A-' segments), rebucket(16) — one
+    O(view) re-hash rewrite + sidecar update, crash-guarded by an
+    intent marker — then keep maintaining UNDER THE NEW MODULUS: a
+    second patch (custkey % 4 == 0: 'B-' segments, replacing any 'A-')
+    and a fact delta (orderkey % 13 repriced +1000) re-enriched
+    against the final dim. Grading the per-segment aggregate catches
+    a rebucket that lost/duplicated rows or a post-rebucket rewrite
+    scoped under the stale modulus (it would silently miss buckets).
+    Oracle replays the final states declaratively."""
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+    )
+
+    def _write(path: str) -> None:
+        fact = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_totalprice").alias("price"),
+        )
+        dim = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_mktsegment").alias("seg")
+        )
+        v = JoinViewTable(
+            spark, path,
+            fact_key=["o_orderkey"], dim_key="c_custkey",
+            dim_cols=["seg"], n_buckets=4,
+        )
+        v.build(fact, dim)
+        v.apply_dim_delta(
+            dim.filter(F.col("c_custkey") % 9 == 0).withColumn(
+                "seg", F.concat(F.lit("A-"), F.col("seg"))
+            )
+        )
+        v.rebucket(16)
+        v.apply_dim_delta(
+            dim.filter(F.col("c_custkey") % 4 == 0).withColumn(
+                "seg", F.concat(F.lit("B-"), F.col("seg"))
+            )
+        )
+        dim_cur = dim.withColumn(
+            "seg",
+            F.when(
+                F.col("c_custkey") % 4 == 0, F.concat(F.lit("B-"), F.col("seg"))
+            )
+            .when(
+                F.col("c_custkey") % 9 == 0, F.concat(F.lit("A-"), F.col("seg"))
+            )
+            .otherwise(F.col("seg")),
+        )
+        v.apply_fact_delta(
+            fact.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                "price", F.col("price") + 1000.0
+            ),
+            dim_cur,
+        )
+
+    path = _stage_dir("join_view_rebucket", sf_dir, _write)
+    return (
+        spark.read.parquet(path)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("price")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_JOIN_VIEW_REBUCKET_ROUNDTRIP = """
+WITH d AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 4 = 0 THEN concat('B-', c_mktsegment)
+                WHEN c_custkey % 9 = 0 THEN concat('A-', c_mktsegment)
+                ELSE c_mktsegment END AS seg
+    FROM customer
+), f AS (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS price
+    FROM orders
+)
+SELECT d.seg,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(f.price AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM f
+LEFT JOIN d ON f.o_custkey = d.c_custkey
+GROUP BY 1
+"""
+
+
+def q_join_view_chain_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPTH-N snowflake propagation (propagate_dim_patch — r11's
+    chain_dim_patch covered exactly two levels; deeper chains composed
+    by hand, and the intermediate extract/upsert choreography is where
+    a user drops a step). Three chained views: v1 = lineitem⋈orders
+    (bucketed by order key), v2 = v1⋈customer (by the customer key
+    that arrived as a v1 enrichment), v3 = v2⋈nation (by the nation
+    key that arrived as a v2 enrichment). A mid-chain patch lands
+    first (customer % 6 segments 'X-'-renamed, propagated v2→v3), then
+    a HEAD patch (orders % 23 reassigned to (custkey % 50)+1, status
+    'R') propagates v1→v2→v3 with key migration at BOTH downstream
+    levels — the reassigned rows change customer bucket in v2 and
+    nation bucket in v3, each level re-enriching in flight against the
+    already-patched dims. Grading the per-nation aggregate catches a
+    level that missed rows, enriched against pre-patch state, or
+    lost/duplicated migrating rows. Oracle replays the 4-way join."""
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+        propagate_dim_patch,
+    )
+
+    def _write(root: str) -> None:
+        import os
+
+        fact = load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("txn_id"),
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        d1 = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderstatus",
+        )
+        d2 = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_mktsegment"
+        )
+        d3 = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_name"
+        )
+        v1 = JoinViewTable(
+            spark, os.path.join(root, "v1"),
+            fact_key=["txn_id"], dim_key="o_orderkey",
+            dim_cols=["c_custkey", "o_orderstatus"], n_buckets=16,
+        )
+        v1.build(fact, d1)
+        v2 = JoinViewTable(
+            spark, os.path.join(root, "v2"),
+            fact_key=["txn_id"], dim_key="c_custkey",
+            dim_cols=["c_nationkey", "c_mktsegment"], n_buckets=16,
+        )
+        v2.build(v1.read(), d2)
+        v3 = JoinViewTable(
+            spark, os.path.join(root, "v3"),
+            fact_key=["txn_id"], dim_key="c_nationkey",
+            dim_cols=["n_name"], n_buckets=8,
+        )
+        v3.build(v2.read(), d3)
+        # mid-chain patch first: segment renames propagate v2 -> v3, so
+        # the head patch below must re-enrich against the patched state
+        d2_patch = d2.filter(F.col("c_custkey") % 6 == 0).withColumn(
+            "c_mktsegment", F.concat(F.lit("X-"), F.col("c_mktsegment"))
+        )
+        propagate_dim_patch([v2, v3], d2_patch, [d3])
+        d2_cur = d2.withColumn(
+            "c_mktsegment",
+            F.when(
+                F.col("c_custkey") % 6 == 0,
+                F.concat(F.lit("X-"), F.col("c_mktsegment")),
+            ).otherwise(F.col("c_mktsegment")),
+        )
+        # head patch: order reassigned to another customer — migrates
+        # buckets at v2 (customer key) AND v3 (that customer's nation)
+        d1_patch = d1.filter(F.col("o_orderkey") % 23 == 0).select(
+            "o_orderkey",
+            ((F.col("c_custkey") % 50) + 1).alias("c_custkey"),
+            F.lit("R").alias("o_orderstatus"),
+        )
+        propagate_dim_patch([v1, v2, v3], d1_patch, [d2_cur, d3])
+
+    root = _stage_dir("join_view_chain3", sf_dir, _write)
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(root, "v3"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("o_orderstatus") == "R").cast("int"))
+            .cast("long")
+            .alias("n_reassigned"),
+            F.sum(F.col("c_mktsegment").startswith("X-").cast("int"))
+            .cast("long")
+            .alias("n_xseg"),
+            F.round(F.sum(_dec("price")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_JOIN_VIEW_CHAIN_DEPTH3 = """
+WITH d1 AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 23 = 0 THEN (o_custkey % 50) + 1
+                ELSE o_custkey END AS c_custkey,
+           CASE WHEN o_orderkey % 23 = 0 THEN 'R'
+                ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+), d2 AS (
+    SELECT c_custkey, c_nationkey,
+           CASE WHEN c_custkey % 6 = 0 THEN concat('X-', c_mktsegment)
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+)
+SELECT n.n_name AS nation,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN d1.o_orderstatus = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_reassigned,
+       CAST(sum(CASE WHEN d2.c_mktsegment LIKE 'X-%' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_xseg,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM lineitem l
+LEFT JOIN d1 ON l.l_orderkey = d1.o_orderkey
+LEFT JOIN d2 ON d1.c_custkey = d2.c_custkey
+LEFT JOIN nation n ON d2.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -8726,6 +9025,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q_join_view_composite_roundtrip,
         SQL_JOIN_VIEW_COMPOSITE_ROUNDTRIP,
         "ext:join-ivm-composite-key",
+    ),
+    "join_view_evolve_roundtrip": QuerySpec(
+        q_join_view_evolve_roundtrip,
+        SQL_JOIN_VIEW_EVOLVE_ROUNDTRIP,
+        "ext:join-ivm-dim-schema-evolution",
+    ),
+    "join_view_rebucket_roundtrip": QuerySpec(
+        q_join_view_rebucket_roundtrip,
+        SQL_JOIN_VIEW_REBUCKET_ROUNDTRIP,
+        "ext:join-ivm-rebucket",
+    ),
+    "join_view_chain_depth3": QuerySpec(
+        q_join_view_chain_depth3,
+        SQL_JOIN_VIEW_CHAIN_DEPTH3,
+        "ext:join-ivm-snowflake-depth-n",
     ),
 }
 

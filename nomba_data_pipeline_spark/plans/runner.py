@@ -289,10 +289,38 @@ class PipelineRunner:
             return None if row is None or row["m"] is None else str(row["m"])
 
         def _save(fact_hwm: str | None, dim_hwm: str | None) -> None:
-            self.spark.createDataFrame(
-                [(_json.dumps({"fact_hwm": fact_hwm, "dim_hwm": dim_hwm}),)],
-                "state string",
-            ).coalesce(1).write.mode("overwrite").parquet(state_path)
+            # temp+atomic-rename (ParquetTable.overwrite's swap), not a
+            # plain parquet overwrite: a crash mid-save must leave the
+            # PREVIOUS state readable, never a half-written sidecar
+            from nomba_data_pipeline_spark.operators.merge import (
+                ParquetTable as _PT,
+            )
+
+            _PT(self.spark, state_path).overwrite(
+                self.spark.createDataFrame(
+                    [(_json.dumps({"fact_hwm": fact_hwm, "dim_hwm": dim_hwm}),)],
+                    "state string",
+                ).coalesce(1)
+            )
+
+        def _load_state() -> dict:
+            # a missing or unreadable sidecar (crash between build() and
+            # _save, or pre-atomic-swap residue) is NOT fatal: both
+            # applies are idempotent keyed rewrites, so {None, None}
+            # replays the full fact/dim as deltas and converges — one
+            # expensive-but-correct recovery run instead of raising
+            # until a manual full_refresh
+            from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+            st_fs, st_jp = fs_and_path(self.spark, state_path)
+            if st_fs.exists(st_jp):
+                try:
+                    return _json.loads(
+                        self.spark.read.parquet(state_path).first()["state"]
+                    )
+                except Exception:
+                    pass
+            return {"fact_hwm": None, "dim_hwm": None}
 
         if not view._table.exists():
             view.build(fact, dim)
@@ -301,9 +329,7 @@ class PipelineRunner:
                 _hwm(dim, spec.view_dim_tracking),
             )
         else:
-            state = _json.loads(
-                self.spark.read.parquet(state_path).first()["state"]
-            )
+            state = _load_state()
             dim_delta = dim
             if state["dim_hwm"] is not None:
                 dim_delta = dim.filter(

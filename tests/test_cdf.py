@@ -310,3 +310,45 @@ def test_apply_cdf_promotes_replica_on_type_drift(spark, tmp_path):
     assert sorted(map(tuple, replica.read().collect())) == sorted(
         map(tuple, src.read().collect())
     )
+
+
+def test_apply_cdf_preserves_partitioned_replica_layout(spark, tmp_path):
+    """A PARTITIONED replica must stay partitioned across apply_cdf: the
+    layout is derived from the directory structure (the feed doesn't
+    carry it), so the widen/promote/merge rewrites keep the hive dirs
+    instead of silently flattening them (ADVICE r11)."""
+    import glob as _glob
+
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    cdf = os.path.join(tmp_path, "cdf")
+    t.overwrite(spark.createDataFrame([(1, "a", 10), (2, "b", 20)], SCHEMA))
+
+    rep = ParquetTable(spark, os.path.join(tmp_path, "rep"))
+    rep.overwrite(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], SCHEMA),
+        partition_by=["v"],
+    )
+    # batch 1: plain update; batch 2 introduces a NEW column (widen) and
+    # a TYPE promotion (amt int -> bigint) — every rewrite path in one run
+    t.merge_upsert_cdf(
+        spark.createDataFrame([(2, "b", 99)], SCHEMA), ["id"], cdf, "b1"
+    )
+    t2 = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    wide = spark.createDataFrame(
+        [(3, "c", 2**40, "new")], "id int, v string, amt bigint, extra string"
+    )
+    t2.widen_to(wide)
+    t2.promote_types(wide)
+    t2.merge_upsert_cdf(wide, ["id"], cdf, "b2")
+
+    assert rep.apply_cdf(cdf, ["id"]) == ["b1", "b2"]
+    # layout survived every rewrite
+    assert _glob.glob(os.path.join(tmp_path, "rep", "v=*"))
+    flat = [
+        f for f in os.listdir(os.path.join(tmp_path, "rep"))
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(tmp_path, "rep", f))
+    ]
+    assert flat == []
+    got = sorted((r.id, r.v, r.amt, r.extra) for r in rep.read().collect())
+    assert got == [(1, "a", 10, None), (2, "b", 99, None), (3, "c", 2**40, "new")]
+    assert dict(rep.read().dtypes)["amt"] == "bigint"

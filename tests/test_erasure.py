@@ -62,7 +62,7 @@ def test_erasure_removes_subject_everywhere(spark, warehouse):
             "dim_users",
             "stg_plans",
             "dim_plans",
-            "stg_transactions",
+            "fact_transactions",
             "fact_transactions",
         )
     }
@@ -74,7 +74,7 @@ def test_erasure_removes_subject_everywhere(spark, warehouse):
         .collect()
     }
     subject_txns = (
-        runner.table("stg_transactions")
+        runner.table("fact_transactions")
         .read()
         .filter(F.col("plan_id").isin(list(subject_plans)))
         .count()
@@ -104,7 +104,7 @@ def test_erasure_removes_subject_everywhere(spark, warehouse):
     # transactions on the subject's plans are gone
     if subject_plans:
         assert (
-            runner.table("stg_transactions")
+            runner.table("fact_transactions")
             .read()
             .filter(F.col("plan_id").isin(list(subject_plans)))
             .count()
@@ -112,7 +112,7 @@ def test_erasure_removes_subject_everywhere(spark, warehouse):
         )
     assert removed["stg_users"] == 1
     assert removed["users_snapshot__closed"] >= 1
-    assert removed["stg_transactions"] == subject_txns
+    assert removed["fact_transactions"] == subject_txns
 
     # everyone else untouched: per-table count drop == rows_removed
     for name, pre in pre_counts.items():
@@ -264,3 +264,79 @@ def test_erasure_reaches_join_view_marts(spark, tmp_path):
     # erase everyone else: table stays readable with zero rows
     r.erase_subject([1, 3, 4, 5], "jv-2")
     assert r.table("mart").read().count() == 0
+
+
+def test_erase_all_then_reload_restores_clean_layout(spark, tmp_path):
+    """REGRESSION (ADVICE r11): an all-rows erasure keeps a partitioned
+    table readable as one empty FLAT file; the next partition-scoped
+    load used to swap hive dirs in around that root file, leaving a
+    mixed layout Spark's partition discovery rejects. The next load
+    must heal the residue and come back readable — for both a plain
+    partitioned incremental table and a join_view mart."""
+    import glob as _glob
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    wh = os.path.join(tmp_path, "wh3")
+    fact_src = {"rows": [(i, i % 2 + 1, float(i), 1) for i in range(8)]}
+    dim_src = {"rows": [(1, "u1", 1), (2, "u2", 1)]}
+
+    def mk():
+        r = PipelineRunner(spark, wh, SF_SMALL)
+        r.register(
+            ModelSpec(
+                name="fact_transactions",
+                fn=lambda s, _: s.createDataFrame(
+                    fact_src["rows"], "txn long, user_id long, amt double, v int"
+                ),
+                materialization="incremental", upsert_key=["txn"],
+                tracking_column="v", partition_by=["user_id"],
+            )
+        )
+        r.register(
+            ModelSpec(
+                name="d",
+                fn=lambda s, _: s.createDataFrame(
+                    dim_src["rows"], "user_id long, nm string, u int"
+                ),
+                materialization="incremental", upsert_key=["user_id"],
+                tracking_column="u",
+            )
+        )
+        r.register(
+            ModelSpec(
+                name="mart", fn=None, materialization="join_view",
+                view_fact="fact_transactions", view_dim="d",
+                view_dim_key="user_id", view_dim_cols=["nm"],
+                view_dim_tracking="u", upsert_key=["txn"],
+                tracking_column="v", view_buckets=4,
+            )
+        )
+        return r
+
+    mk().run()
+    # erase EVERY subject -> both partitioned tables fall back to the
+    # one-empty-flat-file shape (schema stays readable)
+    mk().erase_subject([1, 2], "all-gone")
+    r = mk()
+    assert r.table("fact_transactions").read().count() == 0
+    assert r.table("mart").read().count() == 0
+
+    # new data arrives; the next loads are partition-scoped writes
+    fact_src["rows"] = fact_src["rows"] + [(100, 1, 1000.0, 2)]
+    dim_src["rows"] = dim_src["rows"] + [(1, "u1b", 2)]
+    r2 = mk()
+    r2.run()
+    # both tables readable again, clean hive layouts, no flat residue
+    for name, pat in (("fact_transactions", "user_id=*"), ("mart", "__dim_bucket=*")):
+        tdir = os.path.join(wh, name)
+        got = spark.read.parquet(tdir)
+        assert got.count() >= 1, name
+        assert _glob.glob(os.path.join(tdir, pat)), name
+        flat = [
+            f for f in os.listdir(tdir)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(tdir, f))
+        ]
+        assert flat == [], name
+    got = {r_["txn"]: r_["nm"] for r_ in r2.read_model("mart").collect()}
+    assert got == {100: "u1b"}

@@ -754,3 +754,173 @@ def test_cli_chain_patch(spark, tmp_path, capsys):
     assert out["rows"] == 2
     got = {r["fk"]: (r["tag"], r["seg"]) for r in v2.read().collect()}
     assert got == {1: ("a2", "Y"), 2: ("b", "Y")}
+
+
+# ---------------------------------------------------------------------------
+# lifecycle evolution verbs (round 12): evolve_dim_cols / rebucket /
+# depth-N propagate_dim_patch
+# ---------------------------------------------------------------------------
+def test_evolve_dim_cols_widens_without_rebuild(spark, tmp_path):
+    """A dim gaining an enrichment column must not force an O(F⋈D)
+    rebuild: evolve_dim_cols NULL-fills it (layout preserved), updates
+    the sidecar so patches carry it, and open() reconstructs the
+    evolved contract."""
+    v, fact, dim = _mk(spark, str(tmp_path))
+    evolved_dim = dim.withColumn("region", F.concat(F.lit("r-"), F.col("name")))
+    # BEFORE the evolve, a patch carrying the new column is refused
+    with pytest.raises(ValueError, match="full replacement"):
+        v.apply_dim_delta(
+            spark.createDataFrame(
+                [(10, "A", 1.0, "r-A")],
+                "dk long, name string, score double, region string",
+            ).drop("name")
+        )
+    added = v.evolve_dim_cols(evolved_dim)
+    assert added == ["region"]
+    got = v.read()
+    assert got.filter(F.col("region").isNotNull()).count() == 0  # NULL-filled
+    # layout preserved: still hive-bucketed
+    assert glob.glob(os.path.join(str(tmp_path), "view", "__dim_bucket=*"))
+    # a full-dim backfill now flows through the ordinary patch path
+    v.apply_dim_delta(evolved_dim)
+    rows = {r["fk"]: r["region"] for r in v.read().collect()}
+    assert rows[1] == "r-alpha" and rows[2] == "r-beta"
+    assert rows[4] is None  # dimless fact row keeps NULL attrs
+    # sidecar updated: open() carries the evolved contract
+    opened = JoinViewTable.open(spark, os.path.join(str(tmp_path), "view"))
+    assert opened.dim_cols == ["name", "score", "region"]
+    # idempotent: evolving again with the same schema is a no-op
+    assert opened.evolve_dim_cols(evolved_dim) == []
+
+
+def test_evolve_dim_cols_refuses_fact_collision_and_skips_void(spark, tmp_path):
+    v, fact, dim = _mk(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="collides with a fact-side"):
+        v.evolve_dim_cols(dim.withColumn("amount", F.lit(1.0)))
+    # VOID (all-NULL, typeless) columns are skipped until a concrete type
+    assert v.evolve_dim_cols(dim.withColumn("maybe", F.lit(None))) == []
+
+
+def test_rebucket_rescopes_maintenance(spark, tmp_path):
+    """rebucket(n) is the grow-the-layout verb: one O(view) rewrite +
+    sidecar update; content is unchanged and subsequent patches are
+    bucket-scoped under the NEW modulus."""
+    v, fact, dim = _mk(spark, str(tmp_path), n_buckets=2)
+    before = _rows(v)
+    v.rebucket(16)
+    assert _rows(v) == before
+    opened = JoinViewTable.open(spark, os.path.join(str(tmp_path), "view"))
+    assert opened.n_buckets == 16
+    # stale-modulus handles are refused by the sidecar as usual
+    stale = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["name", "score"], n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="mis-scope"):
+        stale.apply_dim_delta(
+            spark.createDataFrame([(10, "X", 0.0)], "dk long, name string, score double")
+        )
+    # patches under the new modulus stay partition-scoped
+    dirs = {
+        d: sorted(os.listdir(d))
+        for d in glob.glob(os.path.join(str(tmp_path), "view", "__dim_bucket=*"))
+    }
+    opened.apply_dim_delta(
+        spark.createDataFrame([(10, "X", 0.0)], "dk long, name string, score double")
+    )
+    after = {
+        d: sorted(os.listdir(d))
+        for d in glob.glob(os.path.join(str(tmp_path), "view", "__dim_bucket=*"))
+    }
+    changed = [d for d in dirs if dirs[d] != after.get(d, [])]
+    assert len(changed) >= 1
+    for d in dirs:
+        if d not in changed:
+            assert dirs[d] == after[d]
+    assert _rows(opened)[1] == (10, 100.0, "X", 0.0)
+    # same-modulus rebucket is a no-op
+    opened.rebucket(16)
+    assert _rows(opened)[1] == (10, 100.0, "X", 0.0)
+
+
+def test_rebucket_interrupted_refuses_then_resumes(spark, tmp_path):
+    """FAULT INJECTION: an intent marker (crash mid-rebucket) makes
+    every other maintenance verb refuse — a stored modulus that
+    disagrees with the on-disk layout would silently mis-scope — and
+    re-running rebucket() completes the rewrite and clears it."""
+    v, fact, dim = _mk(spark, str(tmp_path), n_buckets=2)
+    marker = os.path.join(str(tmp_path), "view._view_meta.rebucket-intent")
+    open(marker, "w").close()  # simulate the crash window
+    fresh = JoinViewTable.open(spark, os.path.join(str(tmp_path), "view"))
+    with pytest.raises(ValueError, match="interrupted rebucket"):
+        fresh.apply_dim_delta(
+            spark.createDataFrame([(10, "X", 0.0)], "dk long, name string, score double")
+        )
+    fresh.rebucket(8)  # completes the interrupted rewrite
+    assert not os.path.exists(marker)
+    assert _rows(fresh) == _rows(v)
+    opened = JoinViewTable.open(spark, os.path.join(str(tmp_path), "view"))
+    assert opened.n_buckets == 8
+    opened.apply_dim_delta(
+        spark.createDataFrame([(10, "X", 0.0)], "dk long, name string, score double")
+    )
+    assert _rows(opened)[1] == (10, 100.0, "X", 0.0)
+
+
+def test_propagate_dim_patch_depth3_equals_declarative_join(spark, tmp_path):
+    """Depth-3 snowflake chain F⋈D1 → ⋈D2 → ⋈D3: a D1 patch that also
+    REASSIGNS downstream keys propagates bucket-scoped through all
+    three views and the final view equals the declarative 4-way join —
+    the depth-N generalization chain_dim_patch covered only for 2."""
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        propagate_dim_patch,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 6.0), (3, 10, 7.0), (4, 30, 8.0)],
+        "fk long, d1k long, amt double",
+    )
+    d1 = spark.createDataFrame(
+        [(10, 100, "a"), (20, 200, "b"), (30, 100, "c")],
+        "d1k long, d2k long, tag string",
+    )
+    d2 = spark.createDataFrame(
+        [(100, 1000, "X"), (200, 2000, "Y")], "d2k long, d3k long, seg string"
+    )
+    d3 = spark.createDataFrame([(1000, "N"), (2000, "S")], "d3k long, zone string")
+    v1 = JoinViewTable(spark, os.path.join(str(tmp_path), "v1"), ["fk"], "d1k", ["d2k", "tag"], 4)
+    v1.build(fact, d1)
+    v2 = JoinViewTable(spark, os.path.join(str(tmp_path), "v2"), ["fk"], "d2k", ["d3k", "seg"], 4)
+    v2.build(v1.read(), d2)
+    v3 = JoinViewTable(spark, os.path.join(str(tmp_path), "v3"), ["fk"], "d3k", ["zone"], 4)
+    v3.build(v2.read(), d3)
+
+    # D1 patch: d1k=10 re-tagged AND reassigned to d2k=200 (so its rows
+    # must migrate buckets in v2 and re-enrich down to v3's zone)
+    patch = spark.createDataFrame(
+        [(10, 200, "a2")], "d1k long, d2k long, tag string"
+    )
+    propagate_dim_patch([v1, v2, v3], patch, [d2, d3])
+
+    d1_final = spark.createDataFrame(
+        [(10, 200, "a2"), (20, 200, "b"), (30, 100, "c")],
+        "d1k long, d2k long, tag string",
+    )
+    expect = {
+        r["fk"]: (r["tag"], r["seg"], r["zone"])
+        for r in fact.join(d1_final, "d1k", "left")
+        .join(d2, "d2k", "left")
+        .join(d3, "d3k", "left")
+        .collect()
+    }
+    got = {
+        r["fk"]: (r["tag"], r["seg"], r["zone"]) for r in v3.read().collect()
+    }
+    assert got == expect
+    assert got[1] == ("a2", "Y", "S")  # migrated all the way down
+
+    # arity validation
+    with pytest.raises(ValueError, match="one CURRENT dim per"):
+        propagate_dim_patch([v1, v2, v3], patch, [d2])
+    with pytest.raises(ValueError, match="at least two"):
+        propagate_dim_patch([v1], patch, [])

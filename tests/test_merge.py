@@ -573,3 +573,62 @@ def test_merge_upsert_dedup_evolve_schema(spark, tmp_path, base_df):
     # keep-latest by v: the 5e9 correction wins for id=2
     assert rows[2] == ("b2", 5_000_000_000, "eu")
     assert rows[1] == ("a", 10, None)
+
+
+def test_partition_write_heals_empty_flat_root(spark, tmp_path):
+    """An all-rows erasure keeps a partitioned table readable as ONE
+    empty unpartitioned file (erase_subject's fallback); the next
+    partition-scoped write must heal that residue instead of swapping
+    partition dirs in AROUND it — the mixed flat+hive layout makes the
+    table unreadable (ADVICE r11)."""
+    import glob as _glob
+
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    df = spark.createDataFrame(
+        [(1, "a", "X", 1), (2, "b", "Y", 1)], "id int, name string, state string, v int"
+    )
+    t.overwrite(df, partition_by=["state"])
+    # the erase-everything fallback shape: one empty flat file
+    t.overwrite(df.limit(0).drop("state").withColumn("state", F.lit(None).cast("string")).repartition(1))
+    root_files = [
+        f for f in os.listdir(os.path.join(tmp_path, "t"))
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(tmp_path, "t", f))
+    ]
+    assert root_files, "precondition: flat empty residue exists"
+
+    delta = spark.createDataFrame([(3, "c", "X", 2)], "id int, name string, state string, v int")
+    t.merge_upsert(delta, ["id"], partition_by=["state"])
+    # root data files healed away; table readable with a clean hive layout
+    root_files = [
+        f for f in os.listdir(os.path.join(tmp_path, "t"))
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(tmp_path, "t", f))
+    ]
+    assert root_files == []
+    assert _glob.glob(os.path.join(tmp_path, "t", "state=*"))
+    assert _rows(t) == [(3, "c", 2)]
+
+
+def test_partition_write_refuses_nonempty_flat_root(spark, tmp_path):
+    """A partition-scoped rewrite against a GENUINELY flat table would
+    silently drop every row outside the swapped dirs — refuse loudly."""
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    df = spark.createDataFrame(
+        [(1, "a", "X", 1), (2, "b", "Y", 1)], "id int, name string, state string, v int"
+    )
+    t.overwrite(df)  # flat, non-empty
+    delta = spark.createDataFrame([(3, "c", "X", 2)], "id int, name string, state string, v int")
+    with pytest.raises(ValueError, match="flat"):
+        t.insert_overwrite_partitions(delta, ["state"])
+
+
+def test_layout_partition_cols_derivation(spark, tmp_path):
+    t = ParquetTable(spark, os.path.join(tmp_path, "t"))
+    assert t._layout_partition_cols() == []
+    df = spark.createDataFrame(
+        [(1, "a", "X", 10), (2, "b", "Y", 20)], "id int, name string, state string, v int"
+    )
+    t.overwrite(df, partition_by=["state", "v"])
+    assert t._layout_partition_cols() == ["state", "v"]
+    t2 = ParquetTable(spark, os.path.join(tmp_path, "t2"))
+    t2.overwrite(df)
+    assert t2._layout_partition_cols() == []

@@ -599,3 +599,110 @@ def test_join_view_state_crash_replay_converges(spark, tmp_path):
         for r in mk().read_model("mart").collect()
     }
     assert got == want  # converged, no duplicates, no lost patch
+
+
+def test_join_view_missing_state_sidecar_recovers(spark, tmp_path):
+    """FAULT INJECTION (ADVICE r11): a crash between build() and the
+    state write — or an unreadable sidecar — must NOT brick the view.
+    _run_join_view treats missing state as {None, None}: both applies
+    replay the full fact/dim as deltas (idempotent keyed rewrites) and
+    converge, instead of raising until a manual full_refresh."""
+    import shutil
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    fact_src = {"rows": [(1, 10, 100.0, 1)]}
+    dim_src = {"rows": [(10, "alpha", 1)]}
+
+    def mk():
+        r = PipelineRunner(spark, os.path.join(tmp_path, "wh"), SF_SMALL)
+        r.register(
+            ModelSpec(
+                name="f",
+                fn=lambda s, _: s.createDataFrame(
+                    fact_src["rows"], "fk long, dk long, amount double, v int"
+                ),
+                materialization="incremental", upsert_key=["fk"],
+                tracking_column="v",
+            )
+        )
+        r.register(
+            ModelSpec(
+                name="d",
+                fn=lambda s, _: s.createDataFrame(
+                    dim_src["rows"], "dk long, name string, u int"
+                ),
+                materialization="incremental", upsert_key=["dk"],
+                tracking_column="u",
+            )
+        )
+        r.register(
+            ModelSpec(
+                name="mart", fn=None, materialization="join_view",
+                view_fact="f", view_dim="d", view_dim_key="dk",
+                view_dim_cols=["name"], view_dim_tracking="u",
+                upsert_key=["fk"], tracking_column="v", view_buckets=4,
+            )
+        )
+        return r
+
+    mk().run()
+    state = os.path.join(tmp_path, "wh", "mart._view_state")
+    # CRASH SIMULATION: the sidecar never landed (died between build
+    # and _save)
+    shutil.rmtree(state)
+
+    fact_src["rows"] += [(2, 10, 200.0, 2)]
+    dim_src["rows"] += [(10, "ALPHA2", 2)]
+    r2 = mk()
+    r2.run()  # full reapply under {None, None} state — converges
+    got = {
+        r["fk"]: (r["dk"], r["name"])
+        for r in r2.read_model("mart").collect()
+    }
+    assert got == {1: (10, "ALPHA2"), 2: (10, "ALPHA2")}
+    assert os.path.exists(state)  # state re-established
+    # next run short-circuits off the restored HWMs and stays converged
+    r3 = mk()
+    r3.run()
+    assert {
+        r["fk"]: (r["dk"], r["name"])
+        for r in r3.read_model("mart").collect()
+    } == got
+
+
+@pytest.mark.parametrize(
+    "dtype,lo,hi",
+    [
+        ("int", "1", "2"),
+        ("bigint", "9007199254740993", "9007199254740994"),  # > 2^53
+        ("float", "0.1", "0.2"),
+        ("double", "0.1000000000000001", "0.2"),
+        ("decimal(12,2)", "12345.67", "12345.68"),
+        ("date", "DATE'2024-03-01'", "DATE'2024-03-02'"),
+        (
+            "timestamp",
+            "TIMESTAMP'2024-03-01 12:34:56.123456'",
+            "TIMESTAMP'2024-03-01 12:34:56.123457'",
+        ),
+        ("string", "'abc'", "'abd'"),
+    ],
+)
+def test_join_view_hwm_string_roundtrip_is_exact(spark, dtype, lo, hi):
+    """PIN the _run_join_view HWM contract (VERDICT r11 honesty note):
+    the stored `str(max)` reparsed via cast to the tracking column's
+    own dtype must be EXACT — the max row itself is excluded by the
+    strict `>` filter and the next value up is included. A dtype whose
+    str() round-trip truncated would silently re-apply (or skip) rows
+    at every incremental run."""
+    df = spark.sql(
+        f"SELECT CAST({lo} AS {dtype}) AS t UNION ALL SELECT CAST({hi} AS {dtype})"
+    )
+    mx = df.agg(F.max("t").alias("m")).first()["m"]
+    hwm = str(mx)  # what _run_join_view persists
+    filt = df.filter(F.col("t") > F.lit(hwm).cast(dtype))
+    assert filt.count() == 0, f"{dtype}: max leaked past its own HWM"
+    lower = spark.sql(f"SELECT CAST({lo} AS {dtype}) AS t")
+    hwm_lo = str(lower.agg(F.max('t').alias('m')).first()["m"])
+    above = df.filter(F.col("t") > F.lit(hwm_lo).cast(dtype))
+    assert above.count() == 1, f"{dtype}: value above the HWM was lost"

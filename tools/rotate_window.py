@@ -51,6 +51,14 @@ def latest_green(repo: str) -> dict[str, int]:
 
 def propose(registry_names: list[str], latest: dict[str, int], size: int = 50):
     never = [n for n in registry_names if n not in latest]
+    if len(never) > size:
+        # silently truncating would propose a window the
+        # test_never_driver_graded_rows_are_all_in_window guard rejects
+        # with no hint why — refuse with the overflow spelled out
+        raise ValueError(
+            f"{len(never)} never-graded rows exceed the {size}-slot window; "
+            f"overflow: {never[size:]} — grade across two rounds or raise size"
+        )
     window = list(never[:size])
     rounds = sorted({r for r in latest.values()})
     for rnd in rounds:
