@@ -168,6 +168,11 @@ HEADLINE = [
     # composite dim keys: the full lifecycle on a (nationkey, segment)
     # tuple key
     "join_view_composite_roundtrip",
+    # r12 join-view lifecycle verbs: dim-schema evolution, bucket-count
+    # evolution, depth-3 snowflake patch propagation
+    "join_view_evolve_roundtrip",
+    "join_view_rebucket_roundtrip",
+    "join_view_chain_depth3",
 ]
 
 
@@ -300,6 +305,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     recalls: dict[str, float] = {}  # recall fractions, NOT seconds
     errors: dict[str, str] = {}
+    # raw sorted rep times for the median-of-3 synthetic demos, so a
+    # round-over-round reader can tell a real regression (all three
+    # reps slow) from box contention (one outlier rep)
+    synthetic_reps: dict[str, list[float]] = {}
     # one warmup pass of the flagship to absorb JVM/codegen startup
     try:
         REGISTRY["flagship_revenue_by_region"].fn(spark, SF_DIR).count()
@@ -411,38 +420,47 @@ def main() -> None:
         )
         n_big = big.count()
         qf = (F.col("vec_id") < 1_000_000) & (F.col("vec_id") % 100 == 0)
+        # median-of-3 + spread, same rationale as the neardup_64k_*
+        # rows below: synthetic demos swing with box contention, and a
+        # single best-of-2 can't flag a real regression
         for bname, fn in (
             ("ann_x64_brute", cosine_topk),
             ("ann_x64_lsh", cosine_topk_lsh),
             ("ann_x64_ivf", lambda df, q, k=5: cosine_topk_ivf(df, q, k=k, n_probe=8)),
         ):
-            best = float("inf")
-            for _ in range(2):
+            reps = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(big, qf, k=5).count()
-                best = min(best, time.perf_counter() - t0)
-            timings[bname] = round(best, 3)
+                reps.append(time.perf_counter() - t0)
+            reps.sort()
+            timings[bname] = round(reps[1], 3)
+            synthetic_reps[bname] = [round(r, 3) for r in reps]
         t0 = time.perf_counter()
         idx = lsh_index(big).cache()
         idx.count()
         timings["ann_x64_index_build"] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
+        reps = []
+        for _ in range(3):
             t0 = time.perf_counter()
             cosine_topk_lsh_indexed(idx, qf, k=5).count()
-            best = min(best, time.perf_counter() - t0)
-        timings["ann_x64_lsh_indexed"] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        timings["ann_x64_lsh_indexed"] = round(reps[1], 3)
+        synthetic_reps["ann_x64_lsh_indexed"] = [round(r, 3) for r in reps]
         idx.unpersist()
         t0 = time.perf_counter()
         ividx = ivf_index(big, n_lists=16).cache()
         ividx.count()
         timings["ann_x64_ivf_index_build"] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
+        reps = []
+        for _ in range(3):
             t0 = time.perf_counter()
             cosine_topk_ivf_indexed(ividx, qf, k=5, n_lists=16).count()
-            best = min(best, time.perf_counter() - t0)
-        timings["ann_x64_ivf_indexed"] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        timings["ann_x64_ivf_indexed"] = round(reps[1], 3)
+        synthetic_reps["ann_x64_ivf_indexed"] = [round(r, 3) for r in reps]
 
         # index MAINTENANCE: appending a 1x delta (2k rows) to the
         # persisted 64x index must cost O(delta), not O(rebuild) —
@@ -584,6 +602,12 @@ def main() -> None:
         synth.count()
         from nomba_data_pipeline_spark.operators.similarity import semantic_dedup
 
+        # median-of-3 + recorded spread for the 64k synthetic demos:
+        # the r10->r11 driver swing on neardup_64k_exact was 3.5x on an
+        # UNCHANGED kernel (11.14s -> 3.14s; quiet-box floor ~3.3s), so
+        # a single best-of-2 cannot distinguish a real 2x regression
+        # from box contention.  These rows are excluded from the
+        # headline total, so the extra rep costs only bench wall time.
         for bname, fn in (
             ("neardup_64k_exact", lambda df: near_dup_pairs(df, 0.9, n_blocks=16)),
             (
@@ -598,12 +622,14 @@ def main() -> None:
                 lambda df: semantic_dedup(df, 0.9, cluster_col="cluster"),
             ),
         ):
-            best = float("inf")
-            for _ in range(2):
+            reps: list[float] = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(synth).count()
-                best = min(best, time.perf_counter() - t0)
-            timings[bname] = round(best, 3)
+                reps.append(time.perf_counter() - t0)
+            reps.sort()
+            timings[bname] = round(reps[1], 3)  # median of 3
+            synthetic_reps[bname] = [round(r, 3) for r in reps]
 
         # second corpus regime: synth is CLUSTERED (tight near-dup
         # groups, near-orthogonal strangers) where the sf embeddings
@@ -700,11 +726,14 @@ def main() -> None:
             "identical pair set; residual swing is box contention on "
             "the 2G-sim GEMM, not allocation churn. r11: kernel "
             "UNCHANGED since the r10 rewrite; quiet-box best-of-2 "
-            "3.3s, consistent with the 4.2-8.5s band's floor — any "
-            "driver number within ~1.5x of r10's 11.1s closes the "
-            "variance question (r9 criterion: two consecutive driver "
-            "rounds within 1.5x on an unchanged kernel)."
+            "3.3s, consistent with the 4.2-8.5s band's floor. r12: "
+            "the 64k/x64 synthetic demos now report MEDIAN-of-3 with "
+            "the sorted rep times in synthetic_reps — a real "
+            "regression shows all three reps slow; box contention "
+            "shows one outlier."
         ),
+        # sorted per-rep seconds for the median-of-3 synthetic demos
+        "synthetic_reps": synthetic_reps,
         # recall@5 fractions (0..1) for the ANN fast paths vs brute-force
         # ground truth — separate key so consumers of `queries` never
         # read a recall as seconds

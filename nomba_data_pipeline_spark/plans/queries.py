@@ -9200,70 +9200,98 @@ REGISTRY: dict[str, QuerySpec] = {
 #     (cohort order; the remaining 31 rotate in round 12).
 # After this round grades green, no row's newest driver evidence is
 # older than round 8 — exactly the r10 verdict's bar.
-# ROUND-12 ROTATION GUIDANCE: (a) any rows added in round 12; (b) the
-# 31 remaining r8 rows (embedding_near_dup onward in the r8 cohort
-# order: embedding_near_dup, asof_join, range_join_count, set_ops,
-# semi_anti_cohorts, ...); (c)
-# leftover slots on the oldest r9 evidence.  Re-derive per-row
-# latest-green from the union of CORRECTNESS_r*.json keys (two-digit
-# rounds!) before rotating.
+# ROUND-12 ROTATION GUIDANCE (executed below): (a) any rows added in
+# round 12; (b) the 31 remaining r8 rows (embedding_near_dup onward in
+# the r8 cohort order) plus cosine_topk_lsh_indexed; (c) leftover
+# slots on the oldest r9 evidence.
+#
+# ROUND-12 WINDOW (rotated at the start of round 12; the delivered
+# CORRECTNESS_r11.json was verified on disk first — all 50 rows of the
+# round-11 window graded oracle-green, zero no-oracle entries).
+# Re-deriving per-row latest-green from the union of
+# CORRECTNESS_r*.json via tools/rotate_window.py gives histogram
+# r8:32 / r9:50 / r10:50 / r11:50, so this window is:
+# (a) the 3 rows added at the r11->r12 boundary, never graded by
+#     construction: join_view_evolve_roundtrip (dim-schema evolution —
+#     JoinViewTable.evolve_dim_cols widens the view with one
+#     NULL-filled bucketed rewrite, then patches carry the new
+#     column), join_view_rebucket_roundtrip (rebucket(n) — bucket-count
+#     evolution under a crash-safe intent marker), and
+#     join_view_chain_depth3 (propagate_dim_patch over a depth-3
+#     snowflake chain, equal to the declarative 4-way join);
+# (b) the ENTIRE remaining round-8 cohort — all 32 rows whose newest
+#     driver-green evidence is round 8, in cohort order.  This
+#     includes cosine_topk_lsh_indexed, the one row whose CURRENT
+#     value-hash oracle has never been driver-run (its r8 artifact
+#     predates the rows-only -> full value-hash upgrade);
+# (c) the first 15 of the 50 rows whose newest driver-green is round 9
+#     (cohort order; the remaining 35 rotate in round 13).
+# After this round grades green, no row's newest driver evidence is
+# older than round 9.
+# ROUND-13 ROTATION GUIDANCE: (a) any rows added in round 13; (b) the
+# 35 remaining r9 rows (volume_shipping onward in the r9 cohort
+# order); (c) leftover slots on the oldest r10 evidence.  Run
+# tools/rotate_window.py — it re-derives per-row latest-green from the
+# union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
+# window; don't hand-pick.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # -- (a) added round 11, never graded by construction
-    "type_evolution_roundtrip",
-    "join_view_tombstone",
-    "join_view_pipeline_roundtrip",
-    "join_view_star_chain",
-    "join_view_composite_roundtrip",
-    # -- (b) all 27 rows whose newest driver-green evidence is round 6
-    #    (incl. the 3 sketch anchors that ceded their r10 slots)
-    "sketch_rollup_distinct",
-    "theta_user_overlap",
-    "kll_quantile_rollup",
-    "neardup_clusters",
-    "zorder_keys",
-    "train_split_assign",
-    "tfidf_top_terms",
-    "cohort_retention",
-    "returnflag_corr",
-    "embedding_norms",
-    "streaming_enriched",
-    "event_funnel",
-    "minute_gap_fill",
-    "heavy_hitter_tokens",
-    "doc_chunking",
-    "fuzzy_name_blocked",
-    "hopping_window_counts",
-    "embedding_quantize",
-    "price_mad_by_flag",
-    "top_parts_per_brand",
-    "incremental_agg_maintenance",
-    "semantic_dedup_labels",
-    "dedup_incremental_verified",
-    "winsorized_stats",
-    "stratified_sample_k",
-    "streaming_incremental_agg",
-    "status_unpivot",
-    # -- (c) first 18 of the 49 rows whose newest driver-green is
-    #    round 8 (cohort order; the other 31 rotate in round 12)
-    "stg_users_projection",
-    "stg_plans_tz",
-    "fact_enriched",
-    "flagship_revenue_by_region",
-    "hwm_per_type",
-    "incremental_filter",
-    "keep_latest_per_key",
-    "duplicate_groups",
-    "json_flatten",
-    "top_users_by_revenue",
-    "pricing_summary",
-    "scd2_intervals",
-    "minute_rollup",
-    "exact_dedup_groups",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_near_dup",
-    "cosine_topk",
+    # -- (a) added at the r11->r12 boundary, never graded by construction
+    "join_view_evolve_roundtrip",
+    "join_view_rebucket_roundtrip",
+    "join_view_chain_depth3",
+    # -- (b) all 32 rows whose newest driver-green evidence is round 8
+    #    (incl. cosine_topk_lsh_indexed's first run of its upgraded
+    #    value-hash oracle)
+    "mongo_extract_events",
+    "scd2_asof_lookup",
+    "sessionize",
+    "embedding_near_dup",
+    "asof_join",
+    "range_join_count",
+    "set_ops",
+    "semi_anti_cohorts",
+    "cosine_topk_lsh_indexed",
+    "quality_profile",
+    "revenue_quartiles",
+    "price_histogram",
+    "segment_percent_rank",
+    "schema_drift_union",
+    "corpus_datacard",
+    "dsir_importance",
+    "vocab_coverage",
+    "shipping_priority",
+    "quality_filter_cascade",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "min_price_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "linestatus_priority_counts",
+    "top_revenue_supplier",
+    "supplier_cnt_by_part",
+    "large_volume_orders",
+    "dominant_part_suppliers",
+    "waiting_suppliers",
+    "idle_high_balance_customers",
+    # -- (c) first 15 of the 50 rows whose newest driver-green is
+    #    round 9 (cohort order; the other 35 rotate in round 13)
+    "dim_users_enriched",
+    "streaming_paged_feed",
+    "dedup_incremental_batch",
+    "winsorized_stats_approx",
+    "incremental_agg_multi",
+    "unigram_logppl",
+    "semantic_dedup_kmeans",
+    "streaming_corpus_dedup",
+    "domain_temperature_sample",
+    "corpus_shuffle_shards",
+    "snapshot_drift_psi",
+    "boilerplate_removal",
+    "source_precedence_dedup",
+    "snapshot_table_diff",
+    "graph_pagerank",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
