@@ -1,0 +1,532 @@
+"""Manifest-based table VERSIONING: time travel, rollback, vacuum.
+
+The reference has no recovery story below a full reload: a bad delta
+merged into a warehouse table (base_loader.py's upsert/delete+insert
+modes) can only be undone by re-extracting and rebuilding the model
+(dbt --full-refresh), and yesterday's state is simply gone once the
+merge lands. At 100 TB both are unacceptable — an erroneous CDC batch
+must be revertible in O(metadata), and an auditor must be able to read
+the table AS OF a prior load. This module adds both on plain parquet,
+following the published lakehouse design (Delta Lake: VLDB 2020
+"Delta Lake: High-Performance ACID Table Storage over Cloud Object
+Stores"; Apache Iceberg's manifest/snapshot model):
+
+    path/_gen/g-<hex>/part-*.parquet   immutable data files
+    path/_manifests/v<N>               one manifest per version: the
+                                       FILE LIST + schema + per-file
+                                       column stats (JSON in a 1-row
+                                       parquet, atomic-swapped)
+    path/_latest                       pointer to the current version
+                                       (1-row parquet, atomic-swapped)
+
+Every write makes a NEW version out of mostly OLD files (copy-on-write
+at file granularity):
+
+  * overwrite(df)            all-new file list (one new generation).
+  * merge_upsert(delta,keys) only files that HOLD a delta key are
+                             rewritten; untouched files are carried by
+                             reference into the new manifest. A 100-row
+                             CDC delta into a 100 TB table costs
+                             O(touched files), never O(table).
+  * delete_where(cond)       same CoW bound: files with no matching row
+                             are carried by reference.
+  * rollback(v)              a NEW version whose file list is v's — an
+                             O(metadata) revert that preserves history
+                             (Delta's RESTORE semantics), no data moved.
+  * read(version=...)        time travel: plan over that manifest's
+                             file list with the manifest's pinned
+                             schema. No directory listing at all — at
+                             object-store scale the manifest IS the
+                             listing.
+  * read_range(col, lo, hi)  manifest-level file skipping on per-file
+                             min/max stats (Iceberg-style scan
+                             planning) + the residual predicate pushed
+                             into the parquet scan, so pruning is a
+                             pure I/O saving and never a semantics
+                             change.
+  * checkpoint()             rewrite the current file list into one
+                             fresh generation — bounds manifest size
+                             and scan fan-out after many small deltas
+                             (the compaction every LSM-shaped layout
+                             needs).
+  * vacuum(retain_last=k)    delete generations unreferenced by the
+                             retained manifests + off-chain orphans
+                             from crashed writers.
+
+Crash safety (one writer per table, the repo-wide contract stated in
+operators/merge.py): data generations are written FIRST, the manifest
+SECOND, and the latest-pointer swap LAST. A crash at any point leaves
+the previous version fully readable; the orphan generation/manifest is
+invisible (history() walks the parent chain from the pointer) and is
+reclaimed by vacuum(). Version numbers are allocated as
+max(pointer, max manifest on disk) + 1, so a crashed writer's orphan
+manifest can never collide with the next successful write.
+
+Partition-pruning stance: versioned tables keep would-be partition
+columns AS DATA (no hive directories) and rely on manifest stats +
+parquet row-group stats for skipping — reading an explicit file list
+is incompatible with directory-derived partition values, and
+clustering (`cluster_by=` on overwrite/checkpoint uses a range
+repartition) gives the same skip behavior with file-count control.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from nomba_data_pipeline_spark.operators.merge import (
+    ParquetTable,
+    _align_to_target,
+    _semi_anti_null_safe,
+    fs_and_path,
+)
+
+# per-file stats are only recorded for types whose parquet footer
+# min/max are exact (string bounds may be writer-truncated — same
+# exactness guard as ParquetTable.high_water_mark_stats)
+_STATS_SAFE_PREFIXES = (
+    "int", "bigint", "smallint", "tinyint", "float", "double",
+    "date", "timestamp", "decimal",
+)
+
+
+def _stats_safe(dtype: str) -> bool:
+    return dtype.startswith(_STATS_SAFE_PREFIXES)
+
+
+class VersionedTable:
+    """A versioned parquet table: every write is a new manifest over
+    mostly-shared immutable files; any retained version stays readable."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 stats_cols: list[str] | None = None):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        # columns to record per-file min/max for in the manifest
+        # (None = every stats-safe top-level column)
+        self.stats_cols = list(stats_cols) if stats_cols is not None else None
+        self._pt = ParquetTable(spark, self.path)  # reuse FS plumbing
+
+    # -- layout --------------------------------------------------------
+    def _gen_root(self) -> str:
+        return f"{self.path}/_gen"
+
+    def _manifest_dir(self, version: int) -> str:
+        return f"{self.path}/_manifests/v{version:08d}"
+
+    def _latest_path(self) -> str:
+        return f"{self.path}/_latest"
+
+    def _fs(self, p: str):
+        return fs_and_path(self.spark, p)
+
+    # -- pointer / manifest IO (1-row parquet, atomic swap — the same
+    # sidecar pattern JoinViewTable._write_meta documents: a crash
+    # mid-write must leave the previous bytes readable) ----------------
+    def _read_json(self, p: str) -> dict:
+        return json.loads(self.spark.read.parquet(p).first()["j"])
+
+    def _write_json(self, p: str, d: dict) -> None:
+        ParquetTable(self.spark, p).overwrite(
+            self.spark.createDataFrame([(json.dumps(d),)], "j string").coalesce(1)
+        )
+
+    def exists(self) -> bool:
+        fs, jp = self._fs(self._latest_path())
+        return bool(fs.exists(jp))
+
+    def latest_version(self) -> int | None:
+        if not self.exists():
+            return None
+        return int(self._read_json(self._latest_path())["version"])
+
+    def _manifest(self, version: int) -> dict:
+        fs, jp = self._fs(self._manifest_dir(version))
+        if not fs.exists(jp):
+            raise ValueError(
+                f"version {version} of {self.path} does not exist "
+                "(never written, or reclaimed by vacuum)"
+            )
+        return self._read_json(self._manifest_dir(version))
+
+    def _versions_on_disk(self) -> list[int]:
+        fs, jp = self._fs(f"{self.path}/_manifests")
+        if not fs.exists(jp):
+            return []
+        out = []
+        for st in fs.listStatus(jp):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def _next_version(self) -> int:
+        # max(pointer, max manifest on disk) + 1: a crashed writer may
+        # have left a manifest ABOVE the pointer; reusing its number
+        # would make the orphan spring to life as someone else's commit
+        latest = self.latest_version() or 0
+        on_disk = self._versions_on_disk()
+        return max([latest] + on_disk) + 1
+
+    # -- data-generation write + stats ---------------------------------
+    def _write_gen(self, df: DataFrame,
+                   cluster_by: list[str] | None = None,
+                   target_files: int | None = None) -> list[dict]:
+        """Write one immutable generation; return its manifest file
+        entries. Range-repartitioning by cluster_by gives each file a
+        narrow value range, which is what makes the manifest min/max
+        stats selective (a hash layout would spread every value over
+        every file and no read_range could skip anything).
+        target_files sizes the layout explicitly (files should land
+        near spark.sql.files.maxPartitionBytes so one scan task reads
+        one file); without it AQE picks the count from data size."""
+        gen = f"{self._gen_root()}/g-{uuid.uuid4().hex[:12]}"
+        if cluster_by and target_files:
+            df = df.repartitionByRange(target_files, *cluster_by)
+        elif cluster_by:
+            df = df.repartitionByRange(*cluster_by)
+        elif target_files:
+            df = df.repartition(target_files)
+        df.write.mode("error").parquet(gen)
+        fs, jp = self._fs(gen)
+        rels = sorted(
+            f"{gen[len(self.path) + 1:]}/{st.getPath().getName()}"
+            for st in fs.listStatus(jp)
+            if st.getPath().getName().endswith(".parquet")
+        )
+        want = self._stats_targets(df.schema)
+        return [
+            {"path": r, "stats": self._file_stats(f"{self.path}/{r}", want)}
+            for r in rels
+        ]
+
+    def _stats_targets(self, schema: StructType) -> list[str]:
+        cols = [f.name for f in schema.fields
+                if _stats_safe(f.dataType.simpleString())]
+        if self.stats_cols is not None:
+            cols = [c for c in cols if c in self.stats_cols]
+        return cols
+
+    def _file_stats(self, abs_path: str, cols: list[str]):
+        """Per-file min/max from the parquet FOOTER — no data scan.
+        Local filesystems only (pyarrow path), like
+        high_water_mark_stats: elsewhere stats are simply omitted and
+        read_range keeps the file (pruning is an optimization, never a
+        correctness dependency)."""
+        if not cols:
+            return None
+        local = abs_path
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+        if "://" in local or not os.path.isfile(local):
+            return None
+        try:
+            import pyarrow.parquet as _pq
+
+            md = _pq.ParquetFile(local).metadata
+            out = {}
+            for c in cols:
+                try:
+                    idx = md.schema.names.index(c)
+                except ValueError:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    # JSON-portable; compared against str(value) bounds
+                    # in read_range, exact for the stats-safe types
+                    out[c] = [str(lo), str(hi)]
+            return out or None
+        except Exception:
+            return None
+
+    def _commit(self, files: list[dict], op: str, schema_ddl: str,
+                extra: dict | None = None) -> int:
+        v = self._next_version()
+        man = {
+            "version": v,
+            "parent": self.latest_version(),
+            "op": op,
+            "schema": schema_ddl,
+            "files": files,
+        }
+        if extra:
+            man.update(extra)
+        self._write_json(self._manifest_dir(v), man)
+        # the pointer swap IS the commit: a crash before this line
+        # leaves an invisible orphan manifest (vacuum reclaims it)
+        self._write_json(self._latest_path(), {"version": v})
+        return v
+
+    # -- write verbs ----------------------------------------------------
+    def overwrite(self, df: DataFrame,
+                  cluster_by: list[str] | None = None,
+                  target_files: int | None = None) -> int:
+        """Full load as a NEW version — the previous version's files
+        are untouched and stay readable until vacuumed."""
+        files = self._write_gen(df, cluster_by=cluster_by,
+                                target_files=target_files)
+        return self._commit(files, "overwrite", df.schema.json())
+
+    def _resolve(self, version: int | None) -> dict:
+        if version is None:
+            latest = self.latest_version()
+            if latest is None:
+                raise ValueError(f"versioned table {self.path} has no versions")
+            version = latest
+        return self._manifest(version)
+
+    def _read_files(self, man: dict, rel_files: list[str]) -> DataFrame:
+        # schema.json() round-trips every Spark type exactly (DDL and
+        # simpleString forms drop nullability / struct field metadata)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        if not rel_files:
+            return self.spark.createDataFrame([], schema)
+        # schema pinned from the manifest: an explicit file list must
+        # not re-infer (order-dependent) or silently union-widen
+        return self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{r}" for r in rel_files]
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Time travel: the table AS OF `version` (default: latest)."""
+        man = self._resolve(version)
+        return self._read_files(man, [f["path"] for f in man["files"]])
+
+    def read_range(self, col: str, lo=None, hi=None,
+                   version: int | None = None) -> DataFrame:
+        """Manifest-level file skipping + the exact residual filter.
+
+        Files whose recorded [min, max] for `col` cannot intersect
+        [lo, hi] are dropped from the PLAN (never opened, never listed
+        — the Iceberg scan-planning move); files without stats are
+        kept. The same bounds are then applied as a real predicate, so
+        the result is byte-identical to an unpruned filter."""
+        man = self._resolve(version)
+        lo_s = None if lo is None else str(lo)
+        hi_s = None if hi is None else str(hi)
+        keep = []
+        for f in man["files"]:
+            st = (f.get("stats") or {}).get(col)
+            if st is not None:
+                fmin, fmax = st
+                # str() ordering is exact for the stats-safe types'
+                # canonical renderings ONLY when widths align (ints of
+                # different magnitudes don't compare lexically) — so
+                # only prune when both sides render comparably, i.e.
+                # same-width or non-numeric (ISO dates/timestamps).
+                # Numeric safety: compare as floats when both parse.
+                if not self._ranges_intersect(fmin, fmax, lo_s, hi_s):
+                    continue
+            keep.append(f["path"])
+        df = self._read_files(man, keep)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    @staticmethod
+    def _ranges_intersect(fmin: str, fmax: str, lo: str | None,
+                          hi: str | None) -> bool:
+        def _cmp_pair(a: str, b: str):
+            try:
+                return float(a), float(b)  # numeric types
+            except ValueError:
+                return a, b  # ISO dates/timestamps compare lexically
+
+        if lo is not None:
+            fmax_c, lo_c = _cmp_pair(fmax, lo)
+            if fmax_c < lo_c:
+                return False
+        if hi is not None:
+            fmin_c, hi_c = _cmp_pair(fmin, hi)
+            if fmin_c > hi_c:
+                return False
+        return True
+
+    def merge_upsert(self, delta: DataFrame, keys: list[str]) -> int:
+        """Keyed upsert with FILE-level copy-on-write: only files that
+        currently hold one of the delta's keys are rewritten (anti-join
+        out the old rows, union the delta); every other file is carried
+        into the new manifest by reference. NULL keys match null-safely
+        — the same contract as ParquetTable.merge_upsert."""
+        if not self.exists():
+            return self.overwrite(delta)
+        man = self._resolve(None)
+        target = self.read()
+        delta = _align_to_target(delta, target)
+        # which files hold a delta key? input_file_name() tags each row
+        # with its source file; the collect is bounded by |touched
+        # files| — the same bounded-driver-list shape as the partition
+        # scans in ParquetTable._merge_scoped_partitions
+        tagged = target.withColumn("__vfile", F.input_file_name())
+        touched_abs = [
+            r["__vfile"]
+            for r in _semi_anti_null_safe(
+                tagged, delta.select(*keys), keys, "left_semi"
+            ).select("__vfile").distinct().collect()
+        ]
+        touched = {self._rel(p) for p in touched_abs}
+        kept = [f for f in man["files"] if f["path"] not in touched]
+        if touched:
+            old_rows = self._read_files(man, sorted(touched))
+            rewritten = _semi_anti_null_safe(
+                old_rows, delta.select(*keys), keys, "left_anti"
+            ).unionByName(delta)
+        else:
+            rewritten = delta
+        new_files = self._write_gen(rewritten)
+        return self._commit(
+            kept + new_files, "merge_upsert", man["schema"],
+            {"rewrote_files": len(touched), "carried_files": len(kept)},
+        )
+
+    def delete_where(self, condition) -> int:
+        """CoW delete: files with no matching row are carried by
+        reference; matching files are rewritten with the kept rows
+        (NULL-valued conditions keep the row — DELETE only removes rows
+        where the predicate is TRUE, per SQL)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        man = self._resolve(None)
+        tagged = self.read().withColumn("__vfile", F.input_file_name())
+        touched_abs = [
+            r["__vfile"]
+            for r in tagged.filter(cond).select("__vfile").distinct().collect()
+        ]
+        touched = {self._rel(p) for p in touched_abs}
+        kept = [f for f in man["files"] if f["path"] not in touched]
+        new_files = []
+        if touched:
+            survivors = self._read_files(man, sorted(touched)).filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
+            new_files = self._write_gen(survivors)
+        return self._commit(
+            kept + new_files, "delete_where", man["schema"],
+            {"rewrote_files": len(touched), "carried_files": len(kept)},
+        )
+
+    def _rel(self, abs_uri: str) -> str:
+        """input_file_name() URI -> manifest-relative path."""
+        p = abs_uri
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):  # file:/// form
+                p = p[1:]
+        root = self.path
+        if root.startswith("file:"):
+            root = root[len("file:"):]
+        i = p.find("/_gen/")
+        if i < 0:
+            raise ValueError(f"file {abs_uri} is not under {self.path}/_gen")
+        return p[i + 1:]
+
+    def rollback(self, version: int) -> int:
+        """Revert to `version` as a NEW version referencing its files —
+        O(metadata), nothing rewritten, history preserved (Delta
+        RESTORE semantics: the bad versions stay inspectable until
+        vacuum). Refuses if the target's files were already vacuumed."""
+        man = self._manifest(version)
+        for f in man["files"]:
+            fs, jp = self._fs(f"{self.path}/{f['path']}")
+            if not fs.exists(jp):
+                raise ValueError(
+                    f"cannot roll back {self.path} to version {version}: "
+                    f"data file {f['path']} was reclaimed by vacuum"
+                )
+        return self._commit(
+            list(man["files"]), "rollback", man["schema"],
+            {"rolled_back_to": version},
+        )
+
+    def checkpoint(self, cluster_by: list[str] | None = None,
+                   target_files: int | None = None) -> int:
+        """Rewrite the CURRENT version into one fresh generation: after
+        many small CoW deltas the file list (and scan fan-out) grows —
+        this is the bounded-compaction step, same role as
+        ParquetTable.compact for flat tables."""
+        man = self._resolve(None)
+        files = self._write_gen(self.read(), cluster_by=cluster_by,
+                                target_files=target_files)
+        return self._commit(
+            files, "checkpoint", man["schema"],
+            {"compacted_files": len(man["files"])},
+        )
+
+    # -- history / retention --------------------------------------------
+    def history(self) -> list[dict]:
+        """Committed versions only (newest first): walks the parent
+        chain from the pointer, so a crashed writer's orphan manifest
+        never appears."""
+        out = []
+        v = self.latest_version()
+        while v is not None:
+            man = self._manifest(v)
+            out.append({
+                "version": man["version"], "op": man["op"],
+                "n_files": len(man["files"]),
+                **{k: man[k] for k in ("rolled_back_to",) if k in man},
+            })
+            v = man["parent"]
+        return out
+
+    def vacuum(self, retain_last: int = 2) -> dict:
+        """Reclaim storage: keep the newest `retain_last` versions ON
+        THE COMMITTED CHAIN; delete every other manifest (including
+        off-chain orphans from crashed writers) and every generation
+        file no retained manifest references. Returns counts. After
+        vacuum, rollback to a reclaimed version refuses loudly."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        chain = []
+        v = self.latest_version()
+        while v is not None and len(chain) < retain_last:
+            chain.append(v)
+            v = self._manifest(v)["parent"]
+        retained_files: set[str] = set()
+        for rv in chain:
+            retained_files.update(f["path"] for f in self._manifest(rv)["files"])
+        dropped_manifests = 0
+        for mv in self._versions_on_disk():
+            if mv in chain:
+                continue
+            fs, jp = self._fs(self._manifest_dir(mv))
+            fs.delete(jp, True)
+            dropped_manifests += 1
+        # delete unreferenced data files, then empty generations
+        dropped_files = 0
+        fs, groot = self._fs(self._gen_root())
+        if fs.exists(groot):
+            for gst in fs.listStatus(groot):
+                gname = gst.getPath().getName()
+                live = 0
+                for fst in fs.listStatus(gst.getPath()):
+                    fname = fst.getPath().getName()
+                    rel = f"_gen/{gname}/{fname}"
+                    if fname.endswith(".parquet") and rel not in retained_files:
+                        fs.delete(fst.getPath(), False)
+                        dropped_files += 1
+                    elif fname.endswith(".parquet"):
+                        live += 1
+                if live == 0:
+                    fs.delete(gst.getPath(), True)
+        # stale plans may cache the deleted files' listing
+        self.spark.catalog.refreshByPath(self.path)
+        return {
+            "retained_versions": chain,
+            "dropped_manifests": dropped_manifests,
+            "dropped_files": dropped_files,
+        }

@@ -1,0 +1,323 @@
+"""VersionedTable: time travel, file-level CoW, rollback, vacuum,
+manifest-stat pruning, and crash-safety of the commit protocol."""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+
+def _base(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 10).cast("int").alias("grp"),
+    )
+
+
+def _mk(spark, tmp_path, n=200, files=8, **kw):
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"), **kw)
+    # explicit target_files: AQE would coalesce these tiny test tables
+    # to one file, and the CoW/pruning assertions need a multi-file layout
+    t.overwrite(_base(spark, n), cluster_by=["k"], target_files=files)
+    return t
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select("k", "v", "grp").collect()}
+
+
+# -- time travel / CoW -------------------------------------------------------
+def test_overwrite_and_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert _rows(t.read()) == _rows(_base(spark))
+    assert t.latest_version() == 1
+    assert t.history()[0]["op"] == "overwrite"
+
+
+def test_merge_upsert_updates_inserts_and_time_travels(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    delta = spark.createDataFrame(
+        [(10, -1, 0), (999, -2, 9)], "k long, v long, grp int"
+    )
+    v2 = t.merge_upsert(delta, ["k"])
+    cur = {r["k"]: r["v"] for r in t.read().collect()}
+    assert cur[10] == -1 and cur[999] == -2 and len(cur) == 201
+    # version 1 is untouched by the upsert
+    old = {r["k"]: r["v"] for r in t.read(1).collect()}
+    assert old[10] == 20 and 999 not in old and len(old) == 200
+    assert t.latest_version() == v2 == 2
+
+
+def test_merge_upsert_is_file_level_cow(spark, tmp_path):
+    """A narrow delta must CARRY most files by reference, not rewrite
+    the table — the property that bounds a CDC batch at O(touched)."""
+    t = _mk(spark, tmp_path, n=10_000)
+    man1 = t._manifest(1)
+    assert len(man1["files"]) > 3, "need a multi-file table for this test"
+    t.merge_upsert(
+        spark.createDataFrame([(5, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+    man2 = t._manifest(2)
+    carried = {f["path"] for f in man1["files"]} & {
+        f["path"] for f in man2["files"]
+    }
+    assert man2["rewrote_files"] == 1
+    assert len(carried) == len(man1["files"]) - 1
+
+
+def test_merge_upsert_null_key_is_null_safe(spark, tmp_path):
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(
+        spark.createDataFrame([(None, 1, 0), (2, 2, 0)], "k long, v long, grp int")
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(None, 99, 0)], "k long, v long, grp int"), ["k"]
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {None: 99, 2: 2}
+
+
+def test_merge_upsert_aligns_drifted_delta(spark, tmp_path):
+    """Source-only columns dropped, missing columns NULL-filled — the
+    same _align_to_target contract as ParquetTable.merge_upsert."""
+    t = _mk(spark, tmp_path, n=20)
+    t.merge_upsert(
+        spark.createDataFrame([(3, 77, "noise")], "k long, v long, extra string"),
+        ["k"],
+    )
+    row = t.read().filter("k = 3").first()
+    assert row["v"] == 77 and row["grp"] is None
+    assert "extra" not in t.read().columns
+
+
+def test_delete_where_cow_and_null_semantics(spark, tmp_path):
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 5, 0), (2, None, 0), (3, 50, 0)], "k long, v long, grp int"
+        )
+    )
+    t.delete_where("v > 10")
+    # NULL predicate keeps the row (SQL DELETE removes only TRUE rows)
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    assert {r["k"] for r in t.read(1).collect()} == {1, 2, 3}
+
+
+def test_delete_where_untouched_files_carried(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10_000)
+    man1 = t._manifest(1)
+    t.delete_where("k = 7")  # clustered by k -> one file holds it
+    man2 = t._manifest(2)
+    assert man2["rewrote_files"] == 1
+    assert len({f["path"] for f in man1["files"]}
+               & {f["path"] for f in man2["files"]}) == len(man1["files"]) - 1
+
+
+def test_rollback_restores_and_preserves_history(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(
+        spark.createDataFrame([(0, -999, 0)], "k long, v long, grp int"), ["k"]
+    )
+    v3 = t.rollback(1)
+    assert _rows(t.read()) == _rows(_base(spark))
+    # the bad version stays inspectable (Delta RESTORE semantics)
+    assert t.read(2).filter("v = -999").count() == 1
+    assert [h["version"] for h in t.history()] == [v3, 2, 1]
+    assert t.history()[0]["rolled_back_to"] == 1
+
+
+def test_checkpoint_compacts_without_changing_content(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5_000)
+    for i in range(3):
+        t.merge_upsert(
+            spark.createDataFrame([(i, -i, 0)], "k long, v long, grp int"), ["k"]
+        )
+    before = _rows(t.read())
+    pre_files = len(t._manifest(t.latest_version())["files"])
+    t.checkpoint(cluster_by=["k"])
+    assert _rows(t.read()) == before
+    assert len(t._manifest(t.latest_version())["files"]) < pre_files
+
+
+def test_read_missing_version_refuses(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(41)
+
+
+# -- vacuum ------------------------------------------------------------------
+def test_vacuum_reclaims_and_rollback_refuses_after(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k < 100")          # v2 rewrites everything
+    t.overwrite(_base(spark, 50))      # v3: fresh generation
+    res = t.vacuum(retain_last=1)
+    assert res["retained_versions"] == [3]
+    assert res["dropped_manifests"] == 2 and res["dropped_files"] > 0
+    assert t.read().count() == 50      # latest unaffected
+    with pytest.raises(ValueError, match="does not exist|reclaimed"):
+        t.rollback(1)
+
+
+def test_vacuum_keeps_files_shared_with_retained_versions(spark, tmp_path):
+    """A CoW-carried file is referenced by BOTH the old and new
+    manifest; vacuuming the old version must not break the new one."""
+    t = _mk(spark, tmp_path, n=10_000)
+    t.merge_upsert(
+        spark.createDataFrame([(5, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+    t.vacuum(retain_last=1)
+    assert t.read().count() == 10_000  # carried files survived
+
+
+def test_vacuum_retain_zero_refuses(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="retain_last"):
+        t.vacuum(retain_last=0)
+
+
+# -- manifest-stat pruning ---------------------------------------------------
+def test_read_range_equals_plain_filter(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5_000)
+    got = _rows(t.read_range("k", lo=100, hi=250))
+    want = _rows(t.read().filter("k >= 100 and k <= 250"))
+    assert got == want
+
+
+def test_read_range_prunes_file_list(spark, tmp_path):
+    """The range read must PLAN over fewer files than the table holds
+    (manifest-level skipping, not just a parquet row-group filter)."""
+    t = _mk(spark, tmp_path, n=50_000)
+    man = t._manifest(1)
+    assert len(man["files"]) > 3
+    planned = t.read_range("k", lo=0, hi=10).inputFiles()
+    assert 0 < len(planned) < len(man["files"])
+
+
+def test_read_range_keeps_files_without_stats(spark, tmp_path):
+    """Stats are an optimization: a manifest entry with stats stripped
+    must still be scanned (pruning never changes semantics)."""
+    t = _mk(spark, tmp_path, n=5_000)
+    man = t._manifest(1)
+    for f in man["files"]:
+        f["stats"] = None
+    t._write_json(t._manifest_dir(1), man)
+    got = _rows(t.read_range("k", lo=100, hi=250))
+    assert got == _rows(_base(spark, 5_000).filter("k >= 100 and k <= 250"))
+
+
+def test_stats_cols_filter_limits_recorded_stats(spark, tmp_path):
+    t = VersionedTable(
+        spark, os.path.join(str(tmp_path), "tbl"), stats_cols=["k"]
+    )
+    t.overwrite(_base(spark, 100), cluster_by=["k"])
+    for f in t._manifest(1)["files"]:
+        if f["stats"] is not None:
+            assert set(f["stats"]) <= {"k"}
+
+
+# -- crash safety ------------------------------------------------------------
+def test_crash_before_manifest_leaves_table_unchanged(spark, tmp_path):
+    """FAULT INJECTION: die after writing the data generation but
+    before the manifest — the table must still read as v1, the next
+    write must commit normally, and vacuum must reclaim the orphan."""
+    t = _mk(spark, tmp_path)
+    boom = RuntimeError("crash before manifest")
+
+    def _die(*a, **k):
+        raise boom
+
+    real_commit = t._commit
+    t._commit = _die
+    with pytest.raises(RuntimeError, match="crash before manifest"):
+        t.merge_upsert(
+            spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int"), ["k"]
+        )
+    t._commit = real_commit
+    assert t.latest_version() == 1
+    assert _rows(t.read()) == _rows(_base(spark))
+    # recovery: the same upsert on a fresh handle commits as v2
+    t2 = VersionedTable(spark, t.path)
+    assert t2.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int"), ["k"]
+    ) == 2
+    res = t2.vacuum(retain_last=2)
+    assert res["dropped_files"] > 0  # the orphan generation
+
+
+def test_crash_between_manifest_and_pointer_is_invisible(spark, tmp_path):
+    """FAULT INJECTION: die after the manifest write but before the
+    pointer swap — the orphan manifest must be invisible to history(),
+    must not collide with the next committed version number, and must
+    be reclaimed by vacuum."""
+    t = _mk(spark, tmp_path)
+    real_write = t._write_json
+
+    def _die_on_pointer(p, d):
+        if p == t._latest_path():
+            raise RuntimeError("crash before pointer swap")
+        real_write(p, d)
+
+    t._write_json = _die_on_pointer
+    with pytest.raises(RuntimeError, match="pointer swap"):
+        t.delete_where("k < 10")
+    t._write_json = real_write
+    assert t.latest_version() == 1
+    assert [h["version"] for h in t.history()] == [1]
+    # orphan manifest v2 exists on disk but next commit takes v3
+    assert t._versions_on_disk() == [1, 2]
+    v = t.overwrite(_base(spark, 10))
+    assert v == 3
+    res = t.vacuum(retain_last=2)
+    assert 2 not in res["retained_versions"]
+    assert t._versions_on_disk() == [1, 3]
+
+
+# -- model-based property test ----------------------------------------------
+def test_random_op_sequences_match_dict_model(spark, tmp_path):
+    """Random overwrite/upsert/delete/rollback/checkpoint sequences
+    must equal a driver-side dict model at EVERY retained version —
+    the same mirror-model style as the join-view property test."""
+    import random
+
+    rng = random.Random(4242)
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    model: dict[int, dict[int, int]] = {}  # version -> {k: v}
+    cur: dict[int, int] = {}
+
+    def snap(ver):
+        model[ver] = dict(cur)
+
+    ver = t.overwrite(
+        spark.createDataFrame(
+            [(k, k * 2, 0) for k in range(50)], "k long, v long, grp int"
+        )
+    )
+    cur = {k: k * 2 for k in range(50)}
+    snap(ver)
+    for _ in range(12):
+        op = rng.choice(["upsert", "delete", "rollback", "checkpoint"])
+        if op == "upsert":
+            ks = rng.sample(range(80), rng.randint(1, 6))
+            rows = [(k, rng.randint(-99, 99), 0) for k in ks]
+            ver = t.merge_upsert(
+                spark.createDataFrame(rows, "k long, v long, grp int"), ["k"]
+            )
+            cur.update({k: v for k, v, _ in rows})
+        elif op == "delete":
+            cut = rng.randint(0, 80)
+            ver = t.delete_where(f"k >= {cut} and k < {cut + 5}")
+            cur = {k: v for k, v in cur.items() if not (cut <= k < cut + 5)}
+        elif op == "rollback":
+            target = rng.choice(sorted(model))
+            ver = t.rollback(target)
+            cur = dict(model[target])
+        else:
+            ver = t.checkpoint()
+        snap(ver)
+    for v_check, want in model.items():
+        got = {r["k"]: r["v"] for r in t.read(v_check).collect()}
+        assert got == want, f"version {v_check} diverged from model"
