@@ -173,6 +173,11 @@ HEADLINE = [
     "join_view_evolve_roundtrip",
     "join_view_rebucket_roundtrip",
     "join_view_chain_depth3",
+    # r12 table versioning: time travel over file-level CoW, rollback +
+    # vacuum, manifest-stat pruned scan
+    "time_travel_roundtrip",
+    "version_rollback_roundtrip",
+    "versioned_prune_scan",
 ]
 
 

@@ -8612,6 +8612,190 @@ GROUP BY 1
 """
 
 
+def q_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE VERSIONING end-to-end (operators/versioned.py — the
+    recovery/audit surface the reference lacks: a bad CDC batch into
+    its warehouse is only undoable by full reload, base_loader.py's
+    merge modes keep no history). v1 = full load of orders; v2 =
+    file-level copy-on-write upsert (every o_orderkey % 7 == 0
+    repriced +1000, status 'X'); v3 = CoW delete of the repriced rows
+    divisible by 3. The graded result reads versions 1 AND 3 — the
+    same table AS OF two different commits — so a time travel that
+    leaked the upsert into v1, a CoW rewrite that dropped carried
+    files, or a delete that removed the wrong rows all fail the hash.
+    Oracle replays both versions declaratively."""
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    def _write(root: str) -> None:
+        t = VersionedTable(spark, root + "/tbl")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.overwrite(base, cluster_by=["o_orderkey"], target_files=8)
+        t.merge_upsert(
+            base.filter(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey",
+                F.lit("X").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            ),
+            ["o_orderkey"],
+        )
+        t.delete_where("o_orderstatus = 'X' AND o_orderkey % 3 = 0")
+
+    root = _stage_dir("versioned_tt", sf_dir, _write)
+    t = VersionedTable(spark, root + "/tbl")
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("o_totalprice")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        ).select(F.lit(version).cast("int").alias("version"), "*")
+
+    return _agg(t.read(1), 1).unionByName(_agg(t.read(3), 3))
+
+
+SQL_TIME_TRAVEL_ROUNDTRIP = """
+WITH v2 AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+), v3 AS (
+    SELECT * FROM v2
+    WHERE NOT (o_orderstatus = 'X' AND o_orderkey % 3 = 0)
+)
+SELECT CAST(1 AS INTEGER) AS version, o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM orders GROUP BY 2
+UNION ALL
+SELECT CAST(3 AS INTEGER) AS version, o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM v3 GROUP BY 2
+"""
+
+
+def q_version_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK + VACUUM through the versioned lifecycle: v1 = clean
+    customer load, v2 = a BAD batch (every c_custkey % 5 == 0 gets
+    acctbal +1e6 and segment 'BAD'), v3 = rollback(1) — the
+    O(metadata) revert — then checkpoint (v4) and vacuum(retain_last=2),
+    which reclaims the bad generation while the restored data (carried
+    by reference into v3/v4) must survive. Grading the per-segment
+    aggregate of the final read catches a rollback that kept bad rows,
+    a vacuum that deleted still-referenced files, or a checkpoint that
+    changed content. The refusal path (rollback to a vacuumed version)
+    is pinned in tests/test_versioned.py. Oracle is simply the clean
+    base state."""
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    def _write(root: str) -> None:
+        t = VersionedTable(spark, root + "/tbl")
+        base = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t.overwrite(base, cluster_by=["c_custkey"], target_files=8)
+        t.merge_upsert(
+            base.filter(F.col("c_custkey") % 5 == 0).select(
+                "c_custkey",
+                F.lit("BAD").alias("c_mktsegment"),
+                (F.col("c_acctbal") + 1_000_000).alias("c_acctbal"),
+            ),
+            ["c_custkey"],
+        )
+        t.rollback(1)
+        t.checkpoint(cluster_by=["c_custkey"])
+        t.vacuum(retain_last=2)
+
+    root = _stage_dir("versioned_rb", sf_dir, _write)
+    return (
+        VersionedTable(spark, root + "/tbl")
+        .read()
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+SQL_VERSION_ROLLBACK_ROUNDTRIP = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_bal
+FROM customer GROUP BY 1
+"""
+
+
+def q_versioned_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-STAT FILE SKIPPING (Iceberg-style scan planning): the
+    versioned load clusters lineitem by l_shipdate (range repartition
+    -> each file covers a narrow date band, recorded as per-file
+    min/max in the manifest), and read_range plans over ONLY the files
+    whose recorded range intersects 1996-H1 (the testdata's shipdates
+    span 1995..2001, so the window holds a real slice) — at
+    100 TB the manifest prune happens before any file is opened or
+    even listed. The residual predicate still applies, so grading the
+    aggregate against a declarative BETWEEN catches a prune that
+    dropped an intersecting file (missing rows) or skipped the
+    residual filter (extra rows). That the file list actually shrinks
+    is pinned in tests/test_versioned.py."""
+    import datetime
+
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    def _write(root: str) -> None:
+        t = VersionedTable(spark, root + "/tbl")
+        t.overwrite(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_shipdate",
+                "l_returnflag", "l_linestatus", "l_extendedprice",
+            ),
+            cluster_by=["l_shipdate"],
+            target_files=16,
+        )
+
+    root = _stage_dir("versioned_prune", sf_dir, _write)
+    return (
+        VersionedTable(spark, root + "/tbl")
+        .read_range(
+            "l_shipdate",
+            # l_shipdate is a TIMESTAMP in this testdata: timestamp
+            # bounds render in the same 'YYYY-MM-DD HH:MM:SS' form the
+            # manifest records, keeping the stat comparison exact
+            lo=datetime.datetime(1996, 1, 1, 0, 0, 0),
+            hi=datetime.datetime(1996, 6, 30, 23, 59, 59),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SQL_VERSIONED_PRUNE_SCAN = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1996-06-30 23:59:59'
+GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -9041,6 +9225,21 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_JOIN_VIEW_CHAIN_DEPTH3,
         "ext:join-ivm-snowflake-depth-n",
     ),
+    "time_travel_roundtrip": QuerySpec(
+        q_time_travel_roundtrip,
+        SQL_TIME_TRAVEL_ROUNDTRIP,
+        "ext:versioned-time-travel-cow",
+    ),
+    "version_rollback_roundtrip": QuerySpec(
+        q_version_rollback_roundtrip,
+        SQL_VERSION_ROLLBACK_ROUNDTRIP,
+        "ext:versioned-rollback-vacuum",
+    ),
+    "versioned_prune_scan": QuerySpec(
+        q_versioned_prune_scan,
+        SQL_VERSIONED_PRUNE_SCAN,
+        "ext:versioned-manifest-prune",
+    ),
 }
 
 
@@ -9211,8 +9410,13 @@ REGISTRY: dict[str, QuerySpec] = {
 # Re-deriving per-row latest-green from the union of
 # CORRECTNESS_r*.json via tools/rotate_window.py gives histogram
 # r8:32 / r9:50 / r10:50 / r11:50, so this window is:
-# (a) the 3 rows added at the r11->r12 boundary, never graded by
-#     construction: join_view_evolve_roundtrip (dim-schema evolution —
+# (a) the 6 never-graded rows: the 3 added at the r11->r12 boundary
+#     plus the 3 table-versioning rows added in round 12
+#     (time_travel_roundtrip: v1/v3 time travel over file-level CoW
+#     upsert+delete; version_rollback_roundtrip: O(metadata) rollback,
+#     checkpoint, vacuum with carried-file protection;
+#     versioned_prune_scan: manifest-stat file skipping) —
+#     join_view_evolve_roundtrip (dim-schema evolution —
 #     JoinViewTable.evolve_dim_cols widens the view with one
 #     NULL-filled bucketed rewrite, then patches carry the new
 #     column), join_view_rebucket_roundtrip (rebucket(n) — bucket-count
@@ -9224,22 +9428,32 @@ REGISTRY: dict[str, QuerySpec] = {
 #     includes cosine_topk_lsh_indexed, the one row whose CURRENT
 #     value-hash oracle has never been driver-run (its r8 artifact
 #     predates the rows-only -> full value-hash upgrade);
-# (c) the first 15 of the 50 rows whose newest driver-green is round 9
-#     (cohort order; the remaining 35 rotate in round 13).
+# (c) the first 12 of the 50 rows whose newest driver-green is round 9
+#     (cohort order; the remaining 38 rotate in round 13 — the 3
+#     displaced by the round-12 versioning rows lead that cohort:
+#     source_precedence_dedup, snapshot_table_diff, graph_pagerank).
 # After this round grades green, no row's newest driver evidence is
 # older than round 9.
 # ROUND-13 ROTATION GUIDANCE: (a) any rows added in round 13; (b) the
-# 35 remaining r9 rows (volume_shipping onward in the r9 cohort
-# order); (c) leftover slots on the oldest r10 evidence.  Run
+# 38 remaining r9 rows (source_precedence_dedup, snapshot_table_diff,
+# graph_pagerank, then volume_shipping onward in the r9 cohort order);
+# (c) leftover slots on the oldest r10 evidence.  Run
 # tools/rotate_window.py — it re-derives per-row latest-green from the
 # union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
 # window; don't hand-pick.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # -- (a) added at the r11->r12 boundary, never graded by construction
+    # -- (a) never graded by construction: the 3 rows added at the
+    #    r11->r12 boundary plus the 3 table-versioning rows added in
+    #    round 12 (VersionedTable: time travel / rollback+vacuum /
+    #    manifest-stat pruning).  Their 3 slots come out of the (c)
+    #    r9-refresh tail, whose displaced rows lead the r13 cohort.
     "join_view_evolve_roundtrip",
     "join_view_rebucket_roundtrip",
     "join_view_chain_depth3",
+    "time_travel_roundtrip",
+    "version_rollback_roundtrip",
+    "versioned_prune_scan",
     # -- (b) all 32 rows whose newest driver-green evidence is round 8
     #    (incl. cosine_topk_lsh_indexed's first run of its upgraded
     #    value-hash oracle)
@@ -9275,8 +9489,8 @@ _DRIVER_WINDOW: list[str] = [
     "dominant_part_suppliers",
     "waiting_suppliers",
     "idle_high_balance_customers",
-    # -- (c) first 15 of the 50 rows whose newest driver-green is
-    #    round 9 (cohort order; the other 35 rotate in round 13)
+    # -- (c) first 12 of the 50 rows whose newest driver-green is
+    #    round 9 (cohort order; the other 38 rotate in round 13)
     "dim_users_enriched",
     "streaming_paged_feed",
     "dedup_incremental_batch",
@@ -9289,9 +9503,6 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_shuffle_shards",
     "snapshot_drift_psi",
     "boilerplate_removal",
-    "source_precedence_dedup",
-    "snapshot_table_diff",
-    "graph_pagerank",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
