@@ -223,6 +223,45 @@ def cmd_view(args) -> int:
     return 0
 
 
+def cmd_versioned(args) -> int:
+    """Versioned-table lifecycle (operators/versioned): history and
+    time travel are read-only; rollback is the O(metadata) revert an
+    on-call engineer reaches for after a bad CDC batch; vtvacuum /
+    vtcheckpoint bound storage and scan fan-out."""
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    spark = _spark(args)
+    t = VersionedTable(spark, args.path)
+    if args.action == "history":
+        print(json.dumps({"history": t.history()}))
+    elif args.action == "show":
+        df = t.read(args.version)
+        print(json.dumps({
+            "version": args.version or t.latest_version(),
+            "rows": df.count(),
+            "schema": df.schema.simpleString(),
+        }))
+    elif args.action == "rollback":
+        if args.version is None:
+            print(json.dumps({"error": "rollback requires --version"}))
+            return 1
+        v = t.rollback(args.version)
+        print(json.dumps({
+            "rolled_back_to": args.version, "new_version": v,
+            "rows": t.read().count(),
+        }))
+    elif args.action == "checkpoint":
+        v = t.checkpoint(cluster_by=args.cluster_by)
+        print(json.dumps({
+            "checkpointed": v,
+            "files": len(t._manifest(v)["files"]),
+        }))
+    else:  # vacuum
+        res = t.vacuum(retain_last=args.retain_last)
+        print(json.dumps(res))
+    return 0
+
+
 def cmd_index(args) -> int:
     """Index lifecycle: build / append / fold / stats over the persisted
     ANN layouts (operators/similarity.py) or the MinHash band index for
@@ -519,6 +558,25 @@ def main(argv: list[str] | None = None) -> int:
         "--downstream-dim", help="downstream dim parquet path (chain-patch)"
     )
     jv.set_defaults(fn=cmd_view)
+
+    vt = sub.add_parser(
+        "versioned",
+        help=(
+            "versioned-table lifecycle: history / show (time travel) / "
+            "rollback / checkpoint / vacuum"
+        ),
+    )
+    vt.add_argument(
+        "action",
+        choices=["history", "show", "rollback", "checkpoint", "vacuum"],
+    )
+    vt.add_argument("--path", required=True, help="versioned table root")
+    vt.add_argument("--version", type=int, help="version (show / rollback)")
+    vt.add_argument(
+        "--cluster-by", nargs="+", help="range-cluster columns (checkpoint)"
+    )
+    vt.add_argument("--retain-last", type=int, default=2, help="vacuum retention")
+    vt.set_defaults(fn=cmd_versioned)
 
     ix = sub.add_parser(
         "index",

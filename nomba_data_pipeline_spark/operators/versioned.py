@@ -253,14 +253,24 @@ class VersionedTable:
             return None
 
     def _commit(self, files: list[dict], op: str, schema_ddl: str,
-                extra: dict | None = None) -> int:
+                extra: dict | None = None,
+                txn: tuple[str, int] | None = None) -> int:
         v = self._next_version()
+        parent = self.latest_version()
+        # writer-transaction map (Delta's txn appId/version design):
+        # carried forward whole on every commit — one entry per writer
+        # app, so it stays O(writers), never O(history) — and read from
+        # the LATEST manifest only, so the idempotency check is O(1)
+        txns = dict(self._manifest(parent).get("txns") or {}) if parent else {}
+        if txn is not None:
+            txns[txn[0]] = int(txn[1])
         man = {
             "version": v,
-            "parent": self.latest_version(),
+            "parent": parent,
             "op": op,
             "schema": schema_ddl,
             "files": files,
+            "txns": txns,
         }
         if extra:
             man.update(extra)
@@ -270,15 +280,35 @@ class VersionedTable:
         self._write_json(self._latest_path(), {"version": v})
         return v
 
+    def txn_version(self, app: str) -> int | None:
+        """Last committed transaction version for a writer app, or None
+        — the replay guard a foreachBatch sink checks (Structured
+        Streaming re-delivers the in-flight batch on restart; a batch
+        id at or below this value has already been committed)."""
+        latest = self.latest_version()
+        if latest is None:
+            return None
+        t = self._manifest(latest).get("txns") or {}
+        return int(t[app]) if app in t else None
+
+    def _txn_applied(self, txn: tuple[str, int] | None) -> bool:
+        if txn is None:
+            return False
+        last = self.txn_version(txn[0])
+        return last is not None and int(txn[1]) <= last
+
     # -- write verbs ----------------------------------------------------
     def overwrite(self, df: DataFrame,
                   cluster_by: list[str] | None = None,
-                  target_files: int | None = None) -> int:
+                  target_files: int | None = None,
+                  txn: tuple[str, int] | None = None) -> int:
         """Full load as a NEW version — the previous version's files
         are untouched and stay readable until vacuumed."""
+        if self._txn_applied(txn):
+            return self.latest_version()
         files = self._write_gen(df, cluster_by=cluster_by,
                                 target_files=target_files)
-        return self._commit(files, "overwrite", df.schema.json())
+        return self._commit(files, "overwrite", df.schema.json(), txn=txn)
 
     def _resolve(self, version: int | None) -> dict:
         if version is None:
@@ -357,14 +387,23 @@ class VersionedTable:
                 return False
         return True
 
-    def merge_upsert(self, delta: DataFrame, keys: list[str]) -> int:
+    def merge_upsert(self, delta: DataFrame, keys: list[str],
+                     txn: tuple[str, int] | None = None) -> int:
         """Keyed upsert with FILE-level copy-on-write: only files that
         currently hold one of the delta's keys are rewritten (anti-join
         out the old rows, union the delta); every other file is carried
         into the new manifest by reference. NULL keys match null-safely
-        — the same contract as ParquetTable.merge_upsert."""
+        — the same contract as ParquetTable.merge_upsert.
+
+        txn=(app, batch_version) makes the commit REPLAY-IDEMPOTENT
+        (Delta's transactional-writer design): a batch id at or below
+        the app's recorded high-water is skipped, so a Structured
+        Streaming foreachBatch sink that crashes between commit and
+        checkpoint converges to exactly-once on redelivery."""
         if not self.exists():
-            return self.overwrite(delta)
+            return self.overwrite(delta, txn=txn)
+        if self._txn_applied(txn):
+            return self.latest_version()
         man = self._resolve(None)
         target = self.read()
         delta = _align_to_target(delta, target)
@@ -392,13 +431,17 @@ class VersionedTable:
         return self._commit(
             kept + new_files, "merge_upsert", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
+            txn=txn,
         )
 
-    def delete_where(self, condition) -> int:
+    def delete_where(self, condition,
+                     txn: tuple[str, int] | None = None) -> int:
         """CoW delete: files with no matching row are carried by
         reference; matching files are rewritten with the kept rows
         (NULL-valued conditions keep the row — DELETE only removes rows
-        where the predicate is TRUE, per SQL)."""
+        where the predicate is TRUE, per SQL). txn as in merge_upsert."""
+        if self._txn_applied(txn):
+            return self.latest_version()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         man = self._resolve(None)
         tagged = self.read().withColumn("__vfile", F.input_file_name())
@@ -417,6 +460,7 @@ class VersionedTable:
         return self._commit(
             kept + new_files, "delete_where", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
+            txn=txn,
         )
 
     def _rel(self, abs_uri: str) -> str:

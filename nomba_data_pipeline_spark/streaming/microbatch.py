@@ -96,6 +96,34 @@ def run_incremental_merge_stream(
     )
 
 
+def run_versioned_merge_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    app: str = "stream",
+) -> None:
+    """Streaming CDC into a VERSIONED table: each micro-batch commits
+    as a file-level CoW upsert tagged txn=(app, batch_id), so the
+    redelivered in-flight batch after a crash-between-commit-and-
+    checkpoint is skipped by the manifest's writer-transaction map —
+    exactly-once WITH full version history (every batch is a
+    time-travelable, rollback-able commit). Blocks until the backlog
+    is consumed."""
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    target = VersionedTable(spark, target_path)
+    _run_merge_stream(
+        spark,
+        source_dir,
+        schema,
+        checkpoint_dir,
+        lambda df, bid: target.merge_upsert(df, keys, txn=(app, bid)),
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str],

@@ -321,3 +321,131 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path):
     for v_check, want in model.items():
         got = {r["k"]: r["v"] for r in t.read(v_check).collect()}
         assert got == want, f"version {v_check} diverged from model"
+
+
+# -- transactional writer idempotency (txn) ----------------------------------
+def test_txn_replayed_batch_is_skipped(spark, tmp_path):
+    """Structured Streaming redelivers the in-flight batch on restart:
+    a merge_upsert replayed with the same (app, batch) must be a no-op
+    that returns the existing version — exactly-once convergence."""
+    t = _mk(spark, tmp_path)
+    delta = spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int")
+    v2 = t.merge_upsert(delta, ["k"], txn=("stream-a", 7))
+    assert t.txn_version("stream-a") == 7
+    replay = t.merge_upsert(delta, ["k"], txn=("stream-a", 7))
+    assert replay == v2 and t.latest_version() == v2
+    # older batch ids are also skipped; newer ones commit
+    assert t.merge_upsert(delta, ["k"], txn=("stream-a", 3)) == v2
+    v3 = t.merge_upsert(delta, ["k"], txn=("stream-a", 8))
+    assert v3 == v2 + 1
+
+
+def test_txn_map_is_per_app_and_carried_forward(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    d = spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int")
+    t.merge_upsert(d, ["k"], txn=("app-a", 5))
+    t.delete_where("k = 199", txn=("app-b", 2))
+    t.checkpoint()  # non-txn commit must carry the map forward
+    assert t.txn_version("app-a") == 5
+    assert t.txn_version("app-b") == 2
+    assert t.txn_version("app-c") is None
+    # app-b's guard doesn't block app-a
+    v = t.merge_upsert(d, ["k"], txn=("app-a", 6))
+    assert v == t.latest_version()
+
+
+def test_txn_on_first_write_creates_and_guards(spark, tmp_path):
+    import os
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    d = spark.createDataFrame([(1, 1, 0)], "k long, v long, grp int")
+    v1 = t.merge_upsert(d, ["k"], txn=("s", 0))  # create via overwrite path
+    assert v1 == 1 and t.txn_version("s") == 0
+    assert t.merge_upsert(d, ["k"], txn=("s", 0)) == 1  # replay skipped
+
+
+# -- CLI ----------------------------------------------------------------------
+def test_cli_versioned_lifecycle(spark, tmp_path, capsys):
+    import json as _json
+
+    from nomba_data_pipeline_spark.__main__ import main
+
+    t = _mk(spark, tmp_path, n=50)
+    t.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+
+    def run(*argv):
+        rc = main(list(argv))
+        assert rc == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    hist = run("versioned", "history", "--path", t.path)
+    assert [h["version"] for h in hist["history"]] == [2, 1]
+    shown = run("versioned", "show", "--path", t.path, "--version", "1")
+    assert shown["rows"] == 50
+    rb = run("versioned", "rollback", "--path", t.path, "--version", "1")
+    assert rb["new_version"] == 3 and rb["rows"] == 50
+    ck = run("versioned", "checkpoint", "--path", t.path, "--cluster-by", "k")
+    assert ck["checkpointed"] == 4
+    vac = run("versioned", "vacuum", "--path", t.path, "--retain-last", "2")
+    assert vac["retained_versions"] == [4, 3]
+    assert run("versioned", "show", "--path", t.path)["rows"] == 50
+
+
+# -- streaming sink ------------------------------------------------------------
+def test_versioned_merge_stream_exactly_once_with_history(spark, tmp_path):
+    """Streaming CDC into a versioned table: each micro-batch is a
+    time-travelable commit, a restart replays nothing (txn map), and
+    rollback works over streamed history."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        run_versioned_merge_stream,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    src = os.path.join(str(tmp_path), "src")
+    tgt = os.path.join(str(tmp_path), "tgt")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, datetime(2026, 1, 1), 1.0), (2, datetime(2026, 1, 1), 2.0)])
+    run_versioned_merge_stream(spark, src, schema, tgt, ["k"], ckpt)
+    t = VersionedTable(spark, tgt)
+    v_after_b0 = t.latest_version()
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, 1.0), (2, 2.0)}
+
+    write_batch([(2, datetime(2026, 1, 2), 20.0), (3, datetime(2026, 1, 2), 3.0)])
+    run_versioned_merge_stream(spark, src, schema, tgt, ["k"], ckpt)
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, 1.0), (2, 20.0), (3, 3.0),
+    }
+    # the pre-update state is still readable (streamed history)
+    assert {(r.k, r.v) for r in t.read(v_after_b0).collect()} == {
+        (1, 1.0), (2, 2.0),
+    }
+    # no new files: rerun commits nothing (checkpoint + txn guard)
+    latest = t.latest_version()
+    run_versioned_merge_stream(spark, src, schema, tgt, ["k"], ckpt)
+    assert t.latest_version() == latest
+    # manual replay of an already-committed batch id is also skipped
+    replay = spark.createDataFrame(
+        [(9, datetime(2026, 1, 3), 9.0)], schema
+    )
+    assert t.merge_upsert(replay, ["k"], txn=("stream", 0)) == latest
+    assert t.read().filter("k = 9").count() == 0
+    # rollback over streamed history
+    t.rollback(v_after_b0)
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, 1.0), (2, 2.0)}
