@@ -178,6 +178,9 @@ HEADLINE = [
     "time_travel_roundtrip",
     "version_rollback_roundtrip",
     "versioned_prune_scan",
+    # r12 aggregate-over-join IVM: group reassignment / tombstone /
+    # key-migration maintenance at O(touched buckets)
+    "agg_join_view_roundtrip",
 ]
 
 

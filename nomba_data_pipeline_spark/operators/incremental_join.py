@@ -232,12 +232,14 @@ class JoinViewTable:
         return self._table.read().drop(_BUCKET)
 
     # -- fact delta: ΔF ⋈ D, then keyed upsert -------------------------
-    def apply_fact_delta(self, fact_delta: DataFrame, dim: DataFrame) -> None:
+    def apply_fact_delta(self, fact_delta: DataFrame, dim: DataFrame) -> list[int]:
         """Re-enrich the delta against the CURRENT dim and merge by fact
         key. Steady-state CDC broadcasts the delta through both the join
         and the merge's anti-join; the partitioned merge rewrites only
         touched buckets and handles dim-key migration (old + new holder
-        partitions both rewritten)."""
+        partitions both rewritten). Returns the touched bucket ids —
+        downstream materializations (AggJoinView) scope their refresh
+        by them."""
         if not self._table.exists():
             # without this guard merge_upsert's create-when-absent branch
             # would bootstrap the table WITHOUT the parameter sidecar,
@@ -250,16 +252,18 @@ class JoinViewTable:
         enriched = _with_bucket(
             self._enrich(fact_delta, dim), self.dim_key, self.n_buckets
         )
-        self._table.merge_upsert(
+        affected = self._table.merge_upsert(
             enriched, self.fact_key, partition_by=[_BUCKET]
         )
+        return sorted(int(r[_BUCKET]) for r in (affected or []))
 
     # -- dim delta: patch affected buckets only ------------------------
-    def apply_dim_delta(self, dim_delta: DataFrame) -> None:
+    def apply_dim_delta(self, dim_delta: DataFrame) -> list[int]:
         """Rewrite the dim attributes of every view row whose dim key
         appears in the delta — partition-scoped: only the buckets the
         delta's keys hash into are read and swapped. The delta must
-        carry full replacement rows (dim_key + every dim_col)."""
+        carry full replacement rows (dim_key + every dim_col).
+        Returns the touched bucket ids."""
         missing = {*self._keys, *self.dim_cols} - set(dim_delta.columns)
         if missing:
             raise ValueError(
@@ -284,7 +288,7 @@ class JoinViewTable:
             ).first()
             n_patch, buckets = (stats["n"], list(stats["buckets"])) if stats else (0, [])
             if not buckets:
-                return
+                return []
             # a duplicate-key delta (unsquashed CDC batch) would fan
             # every matching fact row out through the left join below,
             # silently multiplying view rows — refuse loudly, in the
@@ -335,6 +339,7 @@ class JoinViewTable:
             miss = view.join(hint(keys), self._keys, "anti")
             new_content = miss.unionByName(hit.select(*miss.columns))
             self._table.insert_overwrite_partitions(new_content, [_BUCKET])
+            return sorted(int(b) for b in buckets)
         finally:
             d.unpersist()
 
@@ -368,7 +373,7 @@ class JoinViewTable:
             k.unpersist()
 
     # -- dim delete: tombstone the enrichment columns -------------------
-    def retire_dim_keys(self, keys: DataFrame) -> None:
+    def retire_dim_keys(self, keys: DataFrame) -> list[int]:
         """Dim-DELETE as an explicit tombstone update: every view row
         joined to a retired key gets its enrichment attributes nulled
         (back to the never-matched left-join shape), via the same
@@ -377,7 +382,8 @@ class JoinViewTable:
         column keeps its value (it belongs to the fact row); if the key
         is later re-inserted, a normal apply_dim_delta re-enriches the
         same buckets. `keys` needs only the dim_key column; duplicates
-        are squashed here (a delete list is a set by nature)."""
+        are squashed here (a delete list is a set by nature). Returns
+        the touched bucket ids, like apply_dim_delta."""
         if not self._table.exists():
             raise ValueError(f"join view {self.path} not built yet")
         self._validate_meta()
@@ -390,7 +396,7 @@ class JoinViewTable:
                 *[F.lit(None).cast(types[c]).alias(c) for c in self.dim_cols],
             )
         )
-        self.apply_dim_delta(tomb)
+        return self.apply_dim_delta(tomb)
 
     # -- lifecycle evolution --------------------------------------------
     def evolve_dim_cols(self, dim_sample: DataFrame) -> list[str]:

@@ -389,8 +389,13 @@ class ParquetTable:
         partition_by: list[str] | None = None,
         partition_stable: bool = False,
         evolve_schema: bool = False,
-    ) -> None:
+    ) -> list | None:
         """O7 incremental upsert (base_loader.py:344-417).
+
+        Returns the affected partition-value rows for a partitioned
+        target (None for unpartitioned / create-when-absent, where the
+        whole table was written) — downstream scoped materializations
+        key their own refresh off this list.
 
         MERGE = kept-target-rows (left_anti on the upsert key) UNION delta.
         The anti-join's delta side is small in steady-state CDC, so
@@ -424,7 +429,7 @@ class ParquetTable:
         """
         if not self.exists():
             self.overwrite(delta, partition_by=partition_by)
-            return
+            return None
         if evolve_schema:
             # widen BEFORE aligning: the one-time rewrite makes the new
             # columns part of the target contract, so this and every
@@ -436,13 +441,15 @@ class ParquetTable:
             self.widen_to(delta, partition_by=partition_by)
             self.promote_types(delta, partition_by=partition_by)
         if partition_by:
-            self._merge_upsert_partitioned(delta, keys, partition_by, partition_stable)
-            return
+            return self._merge_upsert_partitioned(
+                delta, keys, partition_by, partition_stable
+            )
         target = self.read()
         delta = _align_to_target(delta, target)
         kept = _semi_anti_null_safe(target, delta.select(*keys), keys, "left_anti")
         merged = kept.unionByName(delta)
         self.overwrite(merged)
+        return None  # whole table rewritten — no scoped-partition list
 
     def merge_upsert_cdf(
         self,
@@ -632,11 +639,11 @@ class ParquetTable:
         keys: list[str],
         partition_by: list[str],
         partition_stable: bool = False,
-    ) -> None:
+    ) -> list:
         target = self.read()
         delta = _align_to_target(delta, target)
         dkeys = delta.select(*keys).dropDuplicates(keys)
-        self._merge_scoped_partitions(
+        return self._merge_scoped_partitions(
             delta,
             keys,
             partition_by,
@@ -648,7 +655,7 @@ class ParquetTable:
 
     def insert_overwrite_partitions(
         self, delta: DataFrame, partition_by: list[str]
-    ) -> None:
+    ) -> list | None:
         """dbt's `insert_overwrite` incremental strategy: replace
         exactly the partitions present in the delta with the delta's
         rows — no key matching, no join against existing data. The
@@ -664,12 +671,13 @@ class ParquetTable:
         writes into the live directory)."""
         if not self.exists():
             self.overwrite(delta, partition_by=partition_by)
-            return
+            return None  # whole table written — no scoped-partition list
         delta = _align_to_target(delta, self.read())
         affected = delta.select(*partition_by).dropDuplicates(partition_by).collect()
         if not affected:
-            return
+            return []
         self._stage_and_swap_partitions(delta, partition_by, affected)
+        return affected
 
     def _merge_scoped_partitions(
         self,
@@ -678,9 +686,12 @@ class ParquetTable:
         partition_by: list[str],
         combine,
         partition_stable: bool = False,
-    ) -> None:
-        """Rewrite only the partitions the delta touches. `combine` maps
-        (target_slice, delta) -> merged content for those partitions.
+    ) -> list:
+        """Rewrite only the partitions the delta touches, returning the
+        affected partition-value rows (the maintenance hook downstream
+        materializations — e.g. AggJoinView — scope THEIR refresh by).
+        `combine` maps (target_slice, delta) -> merged content for those
+        partitions.
 
         partition_stable=True declares that a key's partition value never
         changes (event-time partitions on immutable facts): affected =
@@ -709,12 +720,13 @@ class ParquetTable:
             )
         affected_rows = affected.collect()
         if not affected_rows:
-            return
+            return []
         # null-safe: the NULL partition's pre-existing rows must be in the
         # rewrite slice, or the directory swap below would drop them
         target_slice = _semi_anti_null_safe(target, affected, partition_by, "left_semi")
         merged = combine(target_slice, delta)
         self._stage_and_swap_partitions(merged, partition_by, affected_rows)
+        return affected_rows
 
     def _stage_and_swap_partitions(
         self,

@@ -8796,6 +8796,117 @@ GROUP BY 1, 2
 """
 
 
+def q_agg_join_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE-OVER-JOIN IVM (operators/agg_join_view.py): the
+    per-segment revenue rollup maintained over a maintained orders ⋈
+    customer view through the three maintenance shapes fold-based agg
+    IVM cannot express — (1) a dim patch that REASSIGNS groups (every
+    c_custkey % 7 == 0 re-segmented 'SEG-X': contributions must move
+    between groups), (2) a tombstone (c_custkey % 9 == 0 retired:
+    contributions move to the NULL group), and (3) a fact delta with
+    dim-KEY MIGRATION (every o_orderkey % 11 == 0 reassigned to
+    customer (o_custkey % 50) + 1 and repriced +500: the old AND new
+    holder buckets' partials refresh). Each step costs O(touched
+    buckets): the agg recomputes exactly the bucket partials the view
+    rewrote (no retraction — a bucket recompute is a full local
+    re-aggregation, so min/max survive deletes), and result() merges
+    <= n_buckets x |groups| state rows. Grading cnt/sum/avg/min/max per
+    segment catches a stale partial, a missed old-holder bucket, or a
+    group that kept a moved contribution. Oracle replays the final
+    fact/dim state declaratively (decimal-exact state makes fold order
+    irrelevant). Crash healing via the precomputed bucket intent is
+    fault-injection-pinned in tests/test_agg_join_view.py."""
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+    )
+
+    def _write(root: str) -> None:
+        fact = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        dim0 = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        v = JoinViewTable(
+            spark, root + "/view",
+            fact_key=["o_orderkey"], dim_key="o_custkey",
+            dim_cols=["c_mktsegment"], n_buckets=8,
+        )
+        v.build(fact, dim0)
+        a = AggJoinView(
+            spark, root + "/agg",
+            view=v, group_keys=["c_mktsegment"], measures=["o_totalprice"],
+        )
+        a.build()
+        # (1) group reassignment
+        a.apply_dim_delta(
+            dim0.filter(F.col("o_custkey") % 7 == 0).withColumn(
+                "c_mktsegment", F.lit("SEG-X")
+            )
+        )
+        # (2) tombstone
+        a.retire_dim_keys(
+            dim0.filter(F.col("o_custkey") % 9 == 0).select("o_custkey")
+        )
+        # (3) fact delta with key migration, enriched vs the CURRENT dim
+        cur_dim = (
+            dim0.withColumn(
+                "c_mktsegment",
+                F.when(F.col("o_custkey") % 7 == 0, F.lit("SEG-X")).otherwise(
+                    F.col("c_mktsegment")
+                ),
+            ).filter(F.col("o_custkey") % 9 != 0)
+        )
+        delta = fact.filter(F.col("o_orderkey") % 11 == 0).select(
+            "o_orderkey",
+            ((F.col("o_custkey") % 50) + 1).alias("o_custkey"),
+            (F.col("o_totalprice") + 500).alias("o_totalprice"),
+        )
+        a.apply_fact_delta(delta, cur_dim)
+
+    root = _stage_dir("agg_join_view", sf_dir, _write)
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+
+    return AggJoinView.open(spark, root + "/agg").result().select(
+        F.col("c_mktsegment").alias("segment"),
+        "cnt",
+        F.col("sum_o_totalprice").alias("sum_price"),
+        F.col("avg_o_totalprice").alias("avg_price"),
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+    )
+
+
+SQL_AGG_JOIN_VIEW_ROUNDTRIP = """
+WITH d1 AS (
+    SELECT c_custkey AS k,
+           CASE WHEN c_custkey % 7 = 0 THEN 'SEG-X' ELSE c_mktsegment END
+               AS seg
+    FROM customer
+), cur AS (
+    SELECT k, seg FROM d1 WHERE k % 9 <> 0
+), fact AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN (o_custkey % 50) + 1
+                ELSE o_custkey END AS k,
+           CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 500
+                ELSE o_totalprice END AS price
+    FROM orders
+)
+SELECT cur.seg AS segment,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(f.price AS DECIMAL(38,4))), 2) AS DOUBLE)
+           AS sum_price,
+       CAST(round(sum(CAST(f.price AS DECIMAL(38,4))) / count(*), 6) AS DOUBLE)
+           AS avg_price,
+       CAST(min(f.price) AS DOUBLE) AS min_price,
+       CAST(max(f.price) AS DOUBLE) AS max_price
+FROM fact f LEFT JOIN cur ON f.k = cur.k
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -9240,6 +9351,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_VERSIONED_PRUNE_SCAN,
         "ext:versioned-manifest-prune",
     ),
+    "agg_join_view_roundtrip": QuerySpec(
+        q_agg_join_view_roundtrip,
+        SQL_AGG_JOIN_VIEW_ROUNDTRIP,
+        "ext:agg-over-join-ivm",
+    ),
 }
 
 
@@ -9415,7 +9531,9 @@ REGISTRY: dict[str, QuerySpec] = {
 #     (time_travel_roundtrip: v1/v3 time travel over file-level CoW
 #     upsert+delete; version_rollback_roundtrip: O(metadata) rollback,
 #     checkpoint, vacuum with carried-file protection;
-#     versioned_prune_scan: manifest-stat file skipping) —
+#     versioned_prune_scan: manifest-stat file skipping; plus
+#     agg_join_view_roundtrip, the aggregate-over-join IVM with group
+#     reassignment / tombstone / key-migration maintenance) —
 #     join_view_evolve_roundtrip (dim-schema evolution —
 #     JoinViewTable.evolve_dim_cols widens the view with one
 #     NULL-filled bucketed rewrite, then patches carry the new
@@ -9428,16 +9546,17 @@ REGISTRY: dict[str, QuerySpec] = {
 #     includes cosine_topk_lsh_indexed, the one row whose CURRENT
 #     value-hash oracle has never been driver-run (its r8 artifact
 #     predates the rows-only -> full value-hash upgrade);
-# (c) the first 12 of the 50 rows whose newest driver-green is round 9
-#     (cohort order; the remaining 38 rotate in round 13 — the 3
-#     displaced by the round-12 versioning rows lead that cohort:
-#     source_precedence_dedup, snapshot_table_diff, graph_pagerank).
+# (c) the first 11 of the 50 rows whose newest driver-green is round 9
+#     (cohort order; the remaining 39 rotate in round 13 — the 4
+#     displaced by the round-12 rows lead that cohort:
+#     boilerplate_removal, source_precedence_dedup, snapshot_table_diff,
+#     graph_pagerank).
 # After this round grades green, no row's newest driver evidence is
 # older than round 9.
 # ROUND-13 ROTATION GUIDANCE: (a) any rows added in round 13; (b) the
-# 38 remaining r9 rows (source_precedence_dedup, snapshot_table_diff,
-# graph_pagerank, then volume_shipping onward in the r9 cohort order);
-# (c) leftover slots on the oldest r10 evidence.  Run
+# 39 remaining r9 rows (boilerplate_removal, source_precedence_dedup,
+# snapshot_table_diff, graph_pagerank, then volume_shipping onward in
+# the r9 cohort order); (c) leftover slots on the oldest r10 evidence.  Run
 # tools/rotate_window.py — it re-derives per-row latest-green from the
 # union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
 # window; don't hand-pick.
@@ -9454,6 +9573,7 @@ _DRIVER_WINDOW: list[str] = [
     "time_travel_roundtrip",
     "version_rollback_roundtrip",
     "versioned_prune_scan",
+    "agg_join_view_roundtrip",
     # -- (b) all 32 rows whose newest driver-green evidence is round 8
     #    (incl. cosine_topk_lsh_indexed's first run of its upgraded
     #    value-hash oracle)
@@ -9489,8 +9609,8 @@ _DRIVER_WINDOW: list[str] = [
     "dominant_part_suppliers",
     "waiting_suppliers",
     "idle_high_balance_customers",
-    # -- (c) first 12 of the 50 rows whose newest driver-green is
-    #    round 9 (cohort order; the other 38 rotate in round 13)
+    # -- (c) first 11 of the 50 rows whose newest driver-green is
+    #    round 9 (cohort order; the other 39 rotate in round 13)
     "dim_users_enriched",
     "streaming_paged_feed",
     "dedup_incremental_batch",
@@ -9502,7 +9622,6 @@ _DRIVER_WINDOW: list[str] = [
     "domain_temperature_sample",
     "corpus_shuffle_shards",
     "snapshot_drift_psi",
-    "boilerplate_removal",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

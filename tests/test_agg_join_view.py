@@ -1,0 +1,275 @@
+"""AggJoinView: aggregate-over-join IVM via bucket-partial states —
+group reassignment, migration, tombstones, crash healing, scoped
+refresh."""
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+from nomba_data_pipeline_spark.operators.incremental_join import JoinViewTable
+
+
+def _fact(spark, n=200):
+    # fk = fact key, dk = dim key (fact-side column), amt = measure
+    return spark.range(n).select(
+        F.col("id").alias("fk"),
+        (F.col("id") % 20).alias("dk"),
+        (F.col("id") * 1.5).alias("amt"),
+    )
+
+
+def _dim(spark):
+    # grp: the dim attribute the rollup groups by
+    return spark.range(20).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"),
+    )
+
+
+def _mk(spark, tmp_path, n=200, n_buckets=8):
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["grp"], n_buckets=n_buckets,
+    )
+    fact, dim = _fact(spark, n), _dim(spark)
+    v.build(fact, dim)
+    a = AggJoinView(
+        spark, os.path.join(str(tmp_path), "agg"),
+        view=v, group_keys=["grp"], measures=["amt"],
+    )
+    a.build()
+    return a, v, fact, dim
+
+
+def _expected(fact, dim):
+    """The declarative answer: agg over the fresh join."""
+    joined = fact.join(dim, "dk", "left")
+    rows = joined.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.col("amt").cast("decimal(38,4)")), 2)
+        .cast("double").alias("sum_amt"),
+        F.min(F.col("amt").cast("double")).alias("min_amt"),
+        F.max(F.col("amt").cast("double")).alias("max_amt"),
+    ).collect()
+    return {
+        r["grp"]: (r["cnt"], r["sum_amt"], r["min_amt"], r["max_amt"])
+        for r in rows
+    }
+
+
+def _got(a: AggJoinView):
+    return {
+        r["grp"]: (r["cnt"], r["sum_amt"], r["min_amt"], r["max_amt"])
+        for r in a.result().collect()
+    }
+
+
+def test_build_matches_declarative(spark, tmp_path):
+    a, v, fact, dim = _mk(spark, tmp_path)
+    assert _got(a) == _expected(fact, dim)
+
+
+def test_dim_patch_reassigns_groups(spark, tmp_path):
+    """The hard IVM case: a dim patch changes the GROUPING attribute of
+    every fact row on that key — contributions must MOVE between
+    groups, which fold-based maintenance cannot express."""
+    a, v, fact, dim = _mk(spark, tmp_path)
+    patch = spark.createDataFrame([(3, "gX"), (7, "gX")], "dk long, grp string")
+    a.apply_dim_delta(patch)
+    new_dim = (
+        dim.filter(~F.col("dk").isin(3, 7))
+        .unionByName(spark.createDataFrame([(3, "gX"), (7, "gX")], "dk long, grp string"))
+    )
+    assert _got(a) == _expected(fact, new_dim)
+
+
+def test_tombstone_moves_contributions_to_null_group(spark, tmp_path):
+    a, v, fact, dim = _mk(spark, tmp_path)
+    a.retire_dim_keys(spark.createDataFrame([(5,)], "dk long"))
+    new_dim = dim.filter(F.col("dk") != 5)
+    assert _got(a) == _expected(fact, new_dim)
+    assert None in _got(a)  # the retired key's rows group under NULL
+
+
+def test_fact_delta_with_dim_key_migration(spark, tmp_path):
+    """A fact row reassigned to a different dim key moves buckets AND
+    groups: both the old and new holder partials must refresh."""
+    a, v, fact, dim = _mk(spark, tmp_path)
+    # fk=10 (dk 10) migrates to dk=0 with a new amount; fk=900 is new
+    delta = spark.createDataFrame(
+        [(10, 0, 999.0), (900, 19, 7.0)], "fk long, dk long, amt double"
+    )
+    a.apply_fact_delta(delta, dim)
+    new_fact = (
+        fact.filter(~F.col("fk").isin(10, 900)).unionByName(delta)
+    )
+    assert _got(a) == _expected(new_fact, dim)
+
+
+def test_refresh_is_bucket_scoped(spark, tmp_path):
+    """A one-key dim patch must rewrite only that key's bucket in the
+    STATE table, not every partial."""
+    a, v, fact, dim = _mk(spark, tmp_path, n=2000)
+    before = {
+        d: os.path.getmtime(d)
+        for d in glob.glob(os.path.join(a.path, "__dim_bucket=*"))
+    }
+    assert len(before) > 2
+    a.apply_dim_delta(
+        spark.createDataFrame([(3, "gZ")], "dk long, grp string")
+    )
+    after = {
+        d: os.path.getmtime(d)
+        for d in glob.glob(os.path.join(a.path, "__dim_bucket=*"))
+    }
+    changed = [d for d in before if after.get(d) != before[d]]
+    assert len(changed) == 1
+
+
+def test_crash_between_view_apply_and_refresh_heals(spark, tmp_path):
+    """FAULT INJECTION: the view mutates, the agg refresh never runs —
+    the leftover intent must heal on the next operation, INCLUDING the
+    old-holder bucket of a migrated fact key (undiscoverable from the
+    merged view, which is why the intent is precomputed)."""
+    a, v, fact, dim = _mk(spark, tmp_path)
+    delta = spark.createDataFrame([(10, 0, 999.0)], "fk long, dk long, amt double")
+
+    real_refresh = a._refresh
+    calls = {"n": 0}
+
+    def _die(buckets):
+        calls["n"] += 1
+        raise RuntimeError("crash before agg refresh")
+
+    a._refresh = _die
+    with pytest.raises(RuntimeError, match="crash before agg refresh"):
+        a.apply_fact_delta(delta, dim)
+    a._refresh = real_refresh
+    assert calls["n"] == 1
+    # fresh handle (a restarted job): result() heals from the intent
+    a2 = AggJoinView.open(spark, a.path)
+    new_fact = fact.filter(F.col("fk") != 10).unionByName(delta)
+    assert _got(a2) == _expected(new_fact, dim)
+    # intent cleared; heal is now a no-op
+    assert a2.heal() == []
+
+
+def test_crash_before_view_apply_leaves_consistent_state(spark, tmp_path):
+    """FAULT INJECTION: intent written but the view never mutated — the
+    heal re-refreshes unchanged buckets (no-op) and the agg still
+    matches the unchanged view."""
+    a, v, fact, dim = _mk(spark, tmp_path)
+
+    real_apply = v.apply_dim_delta
+
+    def _die(d):
+        raise RuntimeError("crash before view apply")
+
+    v.apply_dim_delta = _die
+    with pytest.raises(RuntimeError, match="crash before view apply"):
+        a.apply_dim_delta(
+            spark.createDataFrame([(3, "gX")], "dk long, grp string")
+        )
+    v.apply_dim_delta = real_apply
+    healed = a.heal()
+    assert healed != [] or _got(a) == _expected(fact, dim)
+    assert _got(a) == _expected(fact, dim)
+
+
+def test_open_roundtrip_and_meta_guard(spark, tmp_path):
+    a, v, fact, dim = _mk(spark, tmp_path)
+    a2 = AggJoinView.open(spark, a.path)
+    assert _got(a2) == _expected(fact, dim)
+    # a divergent layout (e.g. different group keys) is refused
+    bad = AggJoinView(
+        spark, a.path, view=v, group_keys=["grp", "dk"], measures=["amt"],
+    )
+    with pytest.raises(ValueError, match="was built with"):
+        bad.result()
+
+
+def test_rebucket_requires_rebuild(spark, tmp_path):
+    """The partial layout is keyed to the view's bucket modulus: after
+    a view rebucket the agg must refuse until rebuild()."""
+    a, v, fact, dim = _mk(spark, tmp_path)
+    v.rebucket(16)
+    reopened = AggJoinView.open(spark, a.path)  # view now carries n=16
+    with pytest.raises(ValueError, match="rebucket|was built with"):
+        reopened.result()
+    reopened.rebuild()
+    assert _got(reopened) == _expected(fact, dim)
+    # maintenance under the new modulus still works
+    reopened.apply_dim_delta(
+        spark.createDataFrame([(3, "gY")], "dk long, grp string")
+    )
+    new_dim = dim.filter(F.col("dk") != 3).unionByName(
+        spark.createDataFrame([(3, "gY")], "dk long, grp string")
+    )
+    assert _got(reopened) == _expected(fact, new_dim)
+
+
+def test_unbuilt_refuses(spark, tmp_path):
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["grp"], n_buckets=4,
+    )
+    v.build(_fact(spark, 10), _dim(spark))
+    a = AggJoinView(
+        spark, os.path.join(str(tmp_path), "agg"),
+        view=v, group_keys=["grp"], measures=["amt"],
+    )
+    with pytest.raises(ValueError, match="not built"):
+        a.result()
+
+
+def test_random_maintenance_sequence_equals_declarative(spark, tmp_path):
+    """Property test mirror of the join-view one: random interleavings
+    of dim patches / tombstones / fact deltas keep result() equal to
+    the declarative aggregate over the mirrored inputs."""
+    import random
+
+    rng = random.Random(1212)
+    a, v, fact, dim = _mk(spark, tmp_path, n=300)
+    cur_fact = [(r["fk"], r["dk"], r["amt"]) for r in fact.collect()]
+    cur_dim = {r["dk"]: r["grp"] for r in dim.collect()}
+
+    for step in range(6):
+        op = rng.choice(["patch", "tombstone", "fact"])
+        if op == "patch":
+            ks = rng.sample(sorted(cur_dim) or [0], min(2, len(cur_dim)))
+            rows = [(k, f"p{step}") for k in ks]
+            a.apply_dim_delta(
+                spark.createDataFrame(rows, "dk long, grp string")
+            )
+            cur_dim.update(dict(rows))
+        elif op == "tombstone":
+            if not cur_dim:
+                continue
+            k = rng.choice(sorted(cur_dim))
+            a.retire_dim_keys(spark.createDataFrame([(k,)], "dk long"))
+            del cur_dim[k]
+        else:
+            rows = [
+                (rng.randrange(400), rng.randrange(25), float(rng.randint(1, 99)))
+                for _ in range(3)
+            ]
+            dim_df = spark.createDataFrame(
+                sorted(cur_dim.items()), "dk long, grp string"
+            )
+            a.apply_fact_delta(
+                spark.createDataFrame(rows, "fk long, dk long, amt double"),
+                dim_df,
+            )
+            by_key = {fk: (fk, dk, amt) for fk, dk, amt in rows}
+            cur_fact = [t for t in cur_fact if t[0] not in by_key]
+            cur_fact.extend(by_key.values())
+
+        f_df = spark.createDataFrame(cur_fact, "fk long, dk long, amt double")
+        d_df = spark.createDataFrame(
+            sorted(cur_dim.items()), "dk long, grp string"
+        )
+        assert _got(a) == _expected(f_df, d_df), f"diverged at step {step} ({op})"
