@@ -179,8 +179,10 @@ HEADLINE = [
     "version_rollback_roundtrip",
     "versioned_prune_scan",
     # r12 aggregate-over-join IVM: group reassignment / tombstone /
-    # key-migration maintenance at O(touched buckets)
+    # key-migration maintenance at O(touched buckets), plus the same
+    # IVM as a runner materialization off persisted HWM state
     "agg_join_view_roundtrip",
+    "agg_view_pipeline_roundtrip",
 ]
 
 

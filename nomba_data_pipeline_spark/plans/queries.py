@@ -8907,6 +8907,122 @@ GROUP BY 1
 """
 
 
+def q_agg_view_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregate-over-join IVM as a PIPELINE materialization
+    (materialization='agg_view', PipelineRunner._run_agg_view) — the
+    rollup mart owns BOTH layers (<mart>__view join view + <mart>
+    bucket partials) and maintains them off persisted HWM state.
+    Register a lineitem fact model and an orders dim model; the mart is
+    the per-status price rollup over their join. Run 1 builds (one
+    O(F⋈D) pass + one O(view) aggregation). The sources then move:
+    orders % 19 == 0 change STATUS to 'X' (tracking +10y) — a GROUP
+    REASSIGNMENT arriving through the pipeline, the case fold-based agg
+    IVM cannot express — and lineitem % 23 == 0 gains shifted copies
+    (txn_id +50, price +0.5, shipdate +10y). Run 2, a FRESH runner,
+    picks both deltas off the HWM sidecar; each layer refreshes at
+    O(touched buckets). Grading cnt/sum/avg/min/max per status catches
+    a partial that kept a moved contribution, a missed bucket refresh,
+    or broken HWM state across instances. Oracle replays the final
+    sources declaratively."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    def _write(root: str) -> None:
+        src_f = os.path.join(root, "src_fact")
+        src_d = os.path.join(root, "src_dim")
+        wh = os.path.join(root, "wh")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("txn_id"),
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_extendedprice").alias("price"),
+            "l_shipdate",
+        )
+        ords = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderdate"
+        )
+        li.write.mode("overwrite").parquet(src_f)
+        ords.write.mode("overwrite").parquet(src_d)
+
+        def mk() -> PipelineRunner:
+            r = PipelineRunner(spark, wh, src_f)
+            r.register(ModelSpec(
+                name="f_li", fn=lambda s, d: s.read.parquet(src_f),
+                materialization="incremental", upsert_key=["txn_id"],
+                tracking_column="l_shipdate",
+            ))
+            r.register(ModelSpec(
+                name="d_ord", fn=lambda s, d: s.read.parquet(src_d),
+                materialization="incremental", upsert_key=["o_orderkey"],
+                tracking_column="o_orderdate",
+            ))
+            r.register(ModelSpec(
+                name="mart", fn=None, materialization="agg_view",
+                view_fact="f_li", view_dim="d_ord",
+                view_dim_key="o_orderkey", view_dim_cols=["o_orderstatus"],
+                view_dim_tracking="o_orderdate",
+                upsert_key=["txn_id"], tracking_column="l_shipdate",
+                agg_group_keys=["o_orderstatus"], agg_measures=["price"],
+                view_buckets=16,
+            ))
+            return r
+
+        mk().run()
+        # dim regroup + fact late copies, both past their HWMs
+        ords.filter(F.col("o_orderkey") % 19 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 10 YEARS")).alias(
+                "o_orderdate"
+            ),
+        ).write.mode("append").parquet(src_d)
+        li.filter(F.col("o_orderkey") % 23 == 0).select(
+            (F.col("txn_id") + F.lit(50)).alias("txn_id"),
+            "o_orderkey",
+            (F.col("price") + F.lit(0.5)).alias("price"),
+            (F.col("l_shipdate") + F.expr("INTERVAL 10 YEARS")).alias(
+                "l_shipdate"
+            ),
+        ).write.mode("append").parquet(src_f)
+        mk().run()
+
+    root = _stage_dir("agg_view_pipe", sf_dir, _write)
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+
+    return AggJoinView.open(spark, os.path.join(root, "wh", "mart")).result().select(
+        F.col("o_orderstatus").alias("status"),
+        "cnt",
+        "sum_price",
+        "avg_price",
+        "min_price",
+        "max_price",
+    )
+
+
+SQL_AGG_VIEW_PIPELINE_ROUNDTRIP = """
+WITH d AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 19 = 0 THEN 'X' ELSE o_orderstatus END
+               AS status
+    FROM orders
+), f AS (
+    SELECT l_orderkey AS o_orderkey, l_extendedprice AS price FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_extendedprice + 0.5 FROM lineitem
+    WHERE l_orderkey % 23 = 0
+)
+SELECT d.status, count(*) AS cnt,
+       CAST(round(sum(CAST(f.price AS DECIMAL(38,4))), 2) AS DOUBLE)
+           AS sum_price,
+       CAST(round(sum(CAST(f.price AS DECIMAL(38,4))) / count(*), 6) AS DOUBLE)
+           AS avg_price,
+       CAST(min(f.price) AS DOUBLE) AS min_price,
+       CAST(max(f.price) AS DOUBLE) AS max_price
+FROM f LEFT JOIN d USING (o_orderkey)
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -9356,6 +9472,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_AGG_JOIN_VIEW_ROUNDTRIP,
         "ext:agg-over-join-ivm",
     ),
+    "agg_view_pipeline_roundtrip": QuerySpec(
+        q_agg_view_pipeline_roundtrip,
+        SQL_AGG_VIEW_PIPELINE_ROUNDTRIP,
+        "ext:agg-over-join-ivm-pipeline",
+    ),
 }
 
 
@@ -9533,7 +9654,9 @@ REGISTRY: dict[str, QuerySpec] = {
 #     checkpoint, vacuum with carried-file protection;
 #     versioned_prune_scan: manifest-stat file skipping; plus
 #     agg_join_view_roundtrip, the aggregate-over-join IVM with group
-#     reassignment / tombstone / key-migration maintenance) —
+#     reassignment / tombstone / key-migration maintenance, and
+#     agg_view_pipeline_roundtrip, the same IVM as a runner
+#     materialization picking deltas off persisted HWM state) —
 #     join_view_evolve_roundtrip (dim-schema evolution —
 #     JoinViewTable.evolve_dim_cols widens the view with one
 #     NULL-filled bucketed rewrite, then patches carry the new
@@ -9546,17 +9669,18 @@ REGISTRY: dict[str, QuerySpec] = {
 #     includes cosine_topk_lsh_indexed, the one row whose CURRENT
 #     value-hash oracle has never been driver-run (its r8 artifact
 #     predates the rows-only -> full value-hash upgrade);
-# (c) the first 11 of the 50 rows whose newest driver-green is round 9
-#     (cohort order; the remaining 39 rotate in round 13 — the 4
+# (c) the first 10 of the 50 rows whose newest driver-green is round 9
+#     (cohort order; the remaining 40 rotate in round 13 — the 5
 #     displaced by the round-12 rows lead that cohort:
-#     boilerplate_removal, source_precedence_dedup, snapshot_table_diff,
-#     graph_pagerank).
+#     snapshot_drift_psi, boilerplate_removal, source_precedence_dedup,
+#     snapshot_table_diff, graph_pagerank).
 # After this round grades green, no row's newest driver evidence is
 # older than round 9.
 # ROUND-13 ROTATION GUIDANCE: (a) any rows added in round 13; (b) the
-# 39 remaining r9 rows (boilerplate_removal, source_precedence_dedup,
-# snapshot_table_diff, graph_pagerank, then volume_shipping onward in
-# the r9 cohort order); (c) leftover slots on the oldest r10 evidence.  Run
+# 40 remaining r9 rows (snapshot_drift_psi, boilerplate_removal,
+# source_precedence_dedup, snapshot_table_diff, graph_pagerank, then
+# volume_shipping onward in the r9 cohort order); (c) leftover slots
+# on the oldest r10 evidence.  Run
 # tools/rotate_window.py — it re-derives per-row latest-green from the
 # union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
 # window; don't hand-pick.
@@ -9574,6 +9698,7 @@ _DRIVER_WINDOW: list[str] = [
     "version_rollback_roundtrip",
     "versioned_prune_scan",
     "agg_join_view_roundtrip",
+    "agg_view_pipeline_roundtrip",
     # -- (b) all 32 rows whose newest driver-green evidence is round 8
     #    (incl. cosine_topk_lsh_indexed's first run of its upgraded
     #    value-hash oracle)
@@ -9609,8 +9734,8 @@ _DRIVER_WINDOW: list[str] = [
     "dominant_part_suppliers",
     "waiting_suppliers",
     "idle_high_balance_customers",
-    # -- (c) first 11 of the 50 rows whose newest driver-green is
-    #    round 9 (cohort order; the other 39 rotate in round 13)
+    # -- (c) first 10 of the 50 rows whose newest driver-green is
+    #    round 9 (cohort order; the other 40 rotate in round 13)
     "dim_users_enriched",
     "streaming_paged_feed",
     "dedup_incremental_batch",
@@ -9621,7 +9746,6 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_corpus_dedup",
     "domain_temperature_sample",
     "corpus_shuffle_shards",
-    "snapshot_drift_psi",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -86,6 +86,17 @@ class ModelSpec:
     view_dim_cols: list[str] = field(default_factory=list)  # enrichment cols
     view_dim_tracking: str | None = None  # dim-side HWM column
     view_buckets: int = 32
+    # materialization="agg_view": a ROLLUP mart kept as an
+    # aggregate-over-join IVM (operators/agg_join_view.AggJoinView).
+    # Reuses every join_view field above for the underlying fact ⋈ dim
+    # layer (owned by this model at <name>__view); the rollup's bucket
+    # partials live at <name> and refresh at O(touched buckets)
+    # whenever a delta lands — including dim patches that REASSIGN
+    # groups, which plain incremental aggregation cannot express.
+    # read_model() returns the finalized rollup (merge of the
+    # partials, <= buckets x groups rows).
+    agg_group_keys: list[str] = field(default_factory=list)
+    agg_measures: list[str] = field(default_factory=list)
 
 
 class PipelineRunner:
@@ -102,7 +113,7 @@ class PipelineRunner:
         self.last_timings: dict[str, float] = {}
 
     def register(self, spec: ModelSpec) -> None:
-        if spec.materialization == "join_view":
+        if spec.materialization in ("join_view", "agg_view"):
             for side in (spec.view_fact, spec.view_dim):
                 if side and side not in spec.depends_on:
                     spec.depends_on.append(side)
@@ -168,6 +179,8 @@ class PipelineRunner:
         target = self.table(spec.name)
         if spec.materialization == "join_view":
             return self._run_join_view(spec)
+        if spec.materialization == "agg_view":
+            return self._run_agg_view(spec)
         df = spec.fn(self.spark, self.sf_dir)
 
         if spec.materialization == "incremental" and target.exists() and spec.tracking_column:
@@ -284,43 +297,13 @@ class PipelineRunner:
         )
 
         def _hwm(df: DataFrame, col: str) -> str | None:
-            row = df.agg(F.max(col).alias("m")).first()
-            # stored as str; reparsed via cast to the column's own dtype
-            return None if row is None or row["m"] is None else str(row["m"])
+            return self._hwm_str(df, col)
 
         def _save(fact_hwm: str | None, dim_hwm: str | None) -> None:
-            # temp+atomic-rename (ParquetTable.overwrite's swap), not a
-            # plain parquet overwrite: a crash mid-save must leave the
-            # PREVIOUS state readable, never a half-written sidecar
-            from nomba_data_pipeline_spark.operators.merge import (
-                ParquetTable as _PT,
-            )
-
-            _PT(self.spark, state_path).overwrite(
-                self.spark.createDataFrame(
-                    [(_json.dumps({"fact_hwm": fact_hwm, "dim_hwm": dim_hwm}),)],
-                    "state string",
-                ).coalesce(1)
-            )
+            self._save_view_state(state_path, fact_hwm, dim_hwm)
 
         def _load_state() -> dict:
-            # a missing or unreadable sidecar (crash between build() and
-            # _save, or pre-atomic-swap residue) is NOT fatal: both
-            # applies are idempotent keyed rewrites, so {None, None}
-            # replays the full fact/dim as deltas and converges — one
-            # expensive-but-correct recovery run instead of raising
-            # until a manual full_refresh
-            from nomba_data_pipeline_spark.operators.merge import fs_and_path
-
-            st_fs, st_jp = fs_and_path(self.spark, state_path)
-            if st_fs.exists(st_jp):
-                try:
-                    return _json.loads(
-                        self.spark.read.parquet(state_path).first()["state"]
-                    )
-                except Exception:
-                    pass
-            return {"fact_hwm": None, "dim_hwm": None}
+            return self._load_view_state(state_path)
 
         if not view._table.exists():
             view.build(fact, dim)
@@ -364,6 +347,149 @@ class PipelineRunner:
             )
         out = self.read_model(spec.name)
         return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
+
+    def _run_agg_view(self, spec: ModelSpec) -> int:
+        """Materialize/maintain a `materialization="agg_view"` rollup
+        mart — the aggregate-over-join IVM as a first-class pipeline
+        materialization. The model OWNS both layers: the fact ⋈ dim
+        join view at `<name>__view` and the bucket-partial aggregate
+        state at `<name>`; every delta flows through
+        AggJoinView.apply_* so the partials refresh for exactly the
+        buckets the view rewrote (dim patches that reassign groups,
+        tombstoned keys, and dim-key migration all included — the
+        shapes a fold-based incremental aggregate cannot express).
+
+        First run: one O(F ⋈ D) build + one O(view) aggregation pass.
+        Later runs: dim rows past the dim-HWM patch first (so the fact
+        delta joins the patched dim), fact rows past the fact-HWM
+        upsert, each at O(touched buckets) for BOTH layers. HWM state
+        persists like _run_join_view's (written AFTER the applies;
+        idempotent applies make a crash replay safe), and AggJoinView's
+        own bucket-intent sidecar additionally heals a crash BETWEEN
+        the view apply and the partial refresh."""
+        from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+        from nomba_data_pipeline_spark.operators.incremental_join import (
+            JoinViewTable,
+            _key_cols,
+        )
+
+        required = {
+            "view_fact": spec.view_fact,
+            "view_dim": spec.view_dim,
+            "view_dim_key": spec.view_dim_key,
+            "view_dim_cols": spec.view_dim_cols,
+            "view_dim_tracking": spec.view_dim_tracking,
+            "upsert_key (fact key)": spec.upsert_key,
+            "tracking_column (fact HWM)": spec.tracking_column,
+            "agg_group_keys": spec.agg_group_keys,
+            "agg_measures": spec.agg_measures,
+        }
+        missing = [k for k, v in required.items() if not v]
+        if missing:
+            raise ValueError(f"model {spec.name}: agg_view requires {missing}")
+
+        fact = self.read_model(spec.view_fact)
+        dim = self.read_model(spec.view_dim)
+        agg_path = os.path.join(self.warehouse_dir, spec.name)
+        view = JoinViewTable(
+            self.spark, agg_path + "__view",
+            fact_key=spec.upsert_key, dim_key=spec.view_dim_key,
+            dim_cols=spec.view_dim_cols, n_buckets=spec.view_buckets,
+        )
+        agg = AggJoinView(
+            self.spark, agg_path,
+            view=view, group_keys=spec.agg_group_keys,
+            measures=spec.agg_measures,
+        )
+        state_path = agg_path + "._view_state"
+
+        if not view._table.exists():
+            view.build(fact, dim)
+            agg.build()
+            self._save_view_state(
+                state_path,
+                self._hwm_str(fact, spec.tracking_column),
+                self._hwm_str(dim, spec.view_dim_tracking),
+            )
+        else:
+            state = self._load_view_state(state_path)
+            dim_delta = dim
+            if state["dim_hwm"] is not None:
+                dim_delta = dim.filter(
+                    F.col(spec.view_dim_tracking)
+                    > F.lit(state["dim_hwm"]).cast(
+                        dict(dim.dtypes)[spec.view_dim_tracking]
+                    )
+                )
+            fact_delta = fact
+            if state["fact_hwm"] is not None:
+                fact_delta = fact.filter(
+                    F.col(spec.tracking_column)
+                    > F.lit(state["fact_hwm"]).cast(
+                        dict(fact.dtypes)[spec.tracking_column]
+                    )
+                )
+            if dim_delta.limit(1).count() > 0:
+                agg.apply_dim_delta(
+                    dim_delta.select(
+                        *_key_cols(spec.view_dim_key), *spec.view_dim_cols
+                    )
+                )
+            if fact_delta.limit(1).count() > 0:
+                agg.apply_fact_delta(fact_delta, dim)
+            # even a no-delta run heals a leftover bucket intent
+            agg.heal()
+            self._save_view_state(
+                state_path,
+                self._hwm_str(fact_delta, spec.tracking_column)
+                or state["fact_hwm"],
+                self._hwm_str(dim_delta, spec.view_dim_tracking)
+                or state["dim_hwm"],
+            )
+        out = self.read_model(spec.name)
+        return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
+
+    # -- view-state sidecar helpers (shared by join_view / agg_view) -----
+    def _hwm_str(self, df: DataFrame, col: str) -> str | None:
+        row = df.agg(F.max(col).alias("m")).first()
+        # stored as str; reparsed via cast to the column's own dtype —
+        # the round-trip is pinned per tracking dtype in test_pipeline
+        return None if row is None or row["m"] is None else str(row["m"])
+
+    def _save_view_state(self, state_path: str,
+                         fact_hwm: str | None, dim_hwm: str | None) -> None:
+        # temp+atomic-rename (ParquetTable.overwrite's swap), not a
+        # plain parquet overwrite: a crash mid-save must leave the
+        # PREVIOUS state readable, never a half-written sidecar
+        import json as _json
+
+        ParquetTable(self.spark, state_path).overwrite(
+            self.spark.createDataFrame(
+                [(_json.dumps({"fact_hwm": fact_hwm, "dim_hwm": dim_hwm}),)],
+                "state string",
+            ).coalesce(1)
+        )
+
+    def _load_view_state(self, state_path: str) -> dict:
+        # a missing or unreadable sidecar (crash between build() and
+        # the state save, or pre-atomic-swap residue) is NOT fatal: the
+        # applies are idempotent keyed rewrites, so {None, None} replays
+        # the full fact/dim as deltas and converges — one
+        # expensive-but-correct recovery run instead of raising until a
+        # manual full_refresh
+        import json as _json
+
+        from nomba_data_pipeline_spark.operators.merge import fs_and_path
+
+        st_fs, st_jp = fs_and_path(self.spark, state_path)
+        if st_fs.exists(st_jp):
+            try:
+                return _json.loads(
+                    self.spark.read.parquet(state_path).first()["state"]
+                )
+            except Exception:
+                pass
+        return {"fact_hwm": None, "dim_hwm": None}
 
     def _apply_schema_policy(self, spec: ModelSpec, target, df: DataFrame) -> None:
         """dbt `on_schema_change` for incremental models: validate the
@@ -424,6 +550,16 @@ class PipelineRunner:
         spec = self.models.get(name)
         if spec is not None and spec.materialization == "join_view":
             return self.table(name).read().drop("__dim_bucket")
+        if spec is not None and spec.materialization == "agg_view":
+            # the finalized rollup: merge of the bucket partials
+            # (<= buckets x groups state rows), never a view scan
+            from nomba_data_pipeline_spark.operators.agg_join_view import (
+                AggJoinView,
+            )
+
+            return AggJoinView.open(
+                self.spark, os.path.join(self.warehouse_dir, name)
+            ).result()
         if spec is not None and spec.materialization == "scd2" and spec.scd2_split:
             open_t = self.table(name + "__open")
             closed_t = self.table(name + "__closed")

@@ -273,3 +273,118 @@ def test_random_maintenance_sequence_equals_declarative(spark, tmp_path):
             sorted(cur_dim.items()), "dk long, grp string"
         )
         assert _got(a) == _expected(f_df, d_df), f"diverged at step {step} ({op})"
+
+
+# -- runner materialization ----------------------------------------------------
+def _runner(spark, src, wh):
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    r = PipelineRunner(spark, wh, src)
+    r.register(ModelSpec(
+        name="f", fn=lambda s, d: s.read.parquet(d + "/fact"),
+        materialization="table",
+    ))
+    r.register(ModelSpec(
+        name="d", fn=lambda s, d: s.read.parquet(d + "/dim"),
+        materialization="table",
+    ))
+    r.register(ModelSpec(
+        name="seg_rollup", fn=None, materialization="agg_view",
+        view_fact="f", view_dim="d", view_dim_key="dk",
+        view_dim_cols=["grp"], view_dim_tracking="dver",
+        upsert_key=["fk"], tracking_column="ver",
+        agg_group_keys=["grp"], agg_measures=["amt"], view_buckets=4,
+    ))
+    return r
+
+
+def _src_frames(spark):
+    fact = spark.range(60).select(
+        F.col("id").alias("fk"), (F.col("id") % 10).alias("dk"),
+        (F.col("id") * 2.0).alias("amt"), F.lit(1).alias("ver"),
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        F.lit(1).alias("dver"),
+    )
+    return fact, dim
+
+
+def _rollup(runner):
+    return {
+        (r["grp"], r["cnt"], r["sum_amt"])
+        for r in runner.read_model("seg_rollup").collect()
+    }
+
+
+def test_agg_view_pipeline_incremental_across_runner_instances(spark, tmp_path):
+    """The agg_view materialization picks dim patches and fact deltas
+    off persisted HWM state across FRESH runner instances — and the
+    rollup equals the declarative aggregate at every step."""
+    import os
+
+    src, wh = os.path.join(str(tmp_path), "src"), os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    fact, dim = _src_frames(spark)
+    fact.write.parquet(src + "/fact")
+    dim.write.parquet(src + "/dim")
+    _runner(spark, src, wh).run()
+
+    def expected():
+        f = spark.read.parquet(src + "/fact")
+        d = spark.read.parquet(src + "/dim")
+        return {
+            (r["grp"], r["cnt"], r["s"])
+            for r in f.join(d, "dk", "left").groupBy("grp").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum(F.col("amt").cast("decimal(38,4)")), 2)
+                .cast("double").alias("s"),
+            ).collect()
+        }
+
+    assert _rollup(_runner(spark, src, wh)) == expected()
+
+    # dim patch past the dim HWM: dk=3 regrouped (group REASSIGNMENT)
+    d1 = spark.read.parquet(src + "/dim").withColumn(
+        "grp", F.when(F.col("dk") == 3, F.lit("gX")).otherwise(F.col("grp"))
+    ).withColumn(
+        "dver", F.when(F.col("dk") == 3, F.lit(2)).otherwise(F.col("dver"))
+    )
+    d1.write.mode("overwrite").parquet(src + "/dim_new")
+    import shutil
+
+    shutil.rmtree(src + "/dim"); shutil.move(src + "/dim_new", src + "/dim")
+    # fact delta past the fact HWM: fk=5 migrates dk 5 -> 0
+    f1 = spark.read.parquet(src + "/fact").filter("fk <> 5").unionByName(
+        spark.createDataFrame([(5, 0, 999.0, 2)], "fk long, dk long, amt double, ver long")
+    )
+    f1.write.mode("overwrite").parquet(src + "/fact_new")
+    shutil.rmtree(src + "/fact"); shutil.move(src + "/fact_new", src + "/fact")
+
+    r2 = _runner(spark, src, wh)  # FRESH instance: state from the sidecar
+    r2.run()
+    assert _rollup(r2) == expected()
+    # idempotent rerun (no new deltas)
+    r3 = _runner(spark, src, wh)
+    r3.run()
+    assert _rollup(r3) == expected()
+
+
+def test_agg_view_requires_its_fields(spark, tmp_path):
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    r = PipelineRunner(spark, str(tmp_path), str(tmp_path))
+    r.register(ModelSpec(
+        name="bad", fn=None, materialization="agg_view",
+        view_fact="f", view_dim="d", view_dim_key="dk",
+        view_dim_cols=["grp"], view_dim_tracking="dver",
+        upsert_key=["fk"], tracking_column="ver",
+        # agg_group_keys / agg_measures missing
+    ))
+    r.register(ModelSpec(name="f", fn=lambda s, d: None, materialization="table"))
+    r.register(ModelSpec(name="d", fn=lambda s, d: None, materialization="table"))
+    with pytest.raises(ValueError, match="agg_view requires"):
+        r._run_agg_view(r.models["bad"])
