@@ -874,6 +874,12 @@ class PipelineRunner:
             dim-key buckets holding subject rows are swapped, emptied
             buckets deleted) so the view's layout — and the O(touched
             buckets) maintenance bound — survives the erasure.
+          * every registered agg_view mart: its UNDERLYING view
+            (<name>__view) holds the row-level subject data and is
+            swept with the same bucket-scoped rewrite, then the rollup
+            PARTIALS of exactly those buckets are re-derived — an
+            aggregate that kept counting an erased subject would leak
+            their activity through the mart.
 
         The ids ship as a broadcast anti-join build side, not an
         isin() literal — a bulk erasure list of millions of keys stays
@@ -988,9 +994,17 @@ class PipelineRunner:
         # and only those directories are swapped (the same O(touched
         # buckets) bound as the view's own maintenance).
         for name, spec in self.models.items():
-            if spec.materialization != "join_view":
+            if spec.materialization not in ("join_view", "agg_view"):
                 continue
-            t = self.table(name)
+            # join_view: the mart itself is the bucketed view.
+            # agg_view: the mart is a ROLLUP whose row-level subject
+            # data lives in its underlying view at <name>__view —
+            # skipping it would retain erased rows at row grain, and
+            # the rollup partials must be re-derived for the touched
+            # buckets afterwards or the aggregate would keep COUNTING
+            # the erased subject.
+            vname = name if spec.materialization == "join_view" else name + "__view"
+            t = ParquetTable(self.spark, os.path.join(self.warehouse_dir, vname))
             if not t.exists():
                 continue
             cur = t.read()  # includes __dim_bucket (raw table read)
@@ -1000,6 +1014,7 @@ class PipelineRunner:
                     continue
                 kept = kept.join(match_df, col, "left_anti")
             n_before, n_kept = cur.count(), kept.count()
+            touched_buckets: list = []
             if n_kept == 0 and n_before > 0:
                 # every bucket emptied: removing all dirs would leave an
                 # unreadable table — same schema-keeping fallback as
@@ -1011,6 +1026,7 @@ class PipelineRunner:
                     r["__dim_bucket"]
                     for r in gone.select("__dim_bucket").distinct().collect()
                 ]
+                touched_buckets = buckets
                 kept_slice = kept.filter(F.col("__dim_bucket").isin(buckets))
                 live = {
                     r["__dim_bucket"]
@@ -1025,13 +1041,42 @@ class PipelineRunner:
                     if b not in live:
                         self._rm_dir(
                             os.path.join(
-                                self.warehouse_dir, name, f"__dim_bucket={b}"
+                                self.warehouse_dir, vname, f"__dim_bucket={b}"
                             )
                         )
                 self.spark.catalog.refreshByPath(
-                    os.path.join(self.warehouse_dir, name)
+                    os.path.join(self.warehouse_dir, vname)
                 )
-            removed[name] = n_before - n_kept
+            removed[vname] = n_before - n_kept
+            if spec.materialization == "agg_view" and n_kept < n_before:
+                from nomba_data_pipeline_spark.operators.agg_join_view import (
+                    AggJoinView,
+                )
+                from nomba_data_pipeline_spark.operators.incremental_agg import (
+                    agg_state,
+                )
+
+                agg = AggJoinView.open(
+                    self.spark, os.path.join(self.warehouse_dir, name)
+                )
+                if n_kept == 0:
+                    # the view fell back to one empty flat file; mirror
+                    # that shape for the partials (an empty PARTITIONED
+                    # overwrite would write no data files and leave the
+                    # state unreadable) — the next build() restores the
+                    # bucketed layout
+                    agg._table.overwrite(
+                        agg_state(
+                            t.read(),
+                            ["__dim_bucket", *agg.group_keys],
+                            agg.measures,
+                        ).repartition(1)
+                    )
+                else:
+                    # recompute exactly the partials of the buckets the
+                    # erasure rewrote — same O(touched buckets) bound as
+                    # the view's own maintenance
+                    agg._refresh(touched_buckets)
 
         # closed SCD2 history: partition-scoped rewrite
         closed_path = os.path.join(self.warehouse_dir, "users_snapshot__closed")

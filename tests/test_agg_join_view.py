@@ -388,3 +388,69 @@ def test_agg_view_requires_its_fields(spark, tmp_path):
     r.register(ModelSpec(name="d", fn=lambda s, d: None, materialization="table"))
     with pytest.raises(ValueError, match="agg_view requires"):
         r._run_agg_view(r.models["bad"])
+
+
+def test_erasure_sweeps_agg_view_underlying_view_and_partials(spark, tmp_path):
+    """GDPR erasure over an agg_view mart: the underlying view loses
+    the subject's rows bucket-scoped AND the rollup partials stop
+    counting them — an aggregate retaining an erased subject would
+    leak their activity through the mart."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    src, wh = os.path.join(str(tmp_path), "src"), os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    # fact carries user_id so the erasure sweep matches it
+    fact = spark.range(80).select(
+        F.col("id").alias("fk"), (F.col("id") % 8).alias("dk"),
+        (F.col("id") % 5).alias("user_id"),
+        (F.col("id") * 2.0).alias("amt"), F.lit(1).alias("ver"),
+    )
+    dim = spark.range(8).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        F.lit(1).alias("dver"),
+    )
+    fact.write.parquet(src + "/fact")
+    dim.write.parquet(src + "/dim")
+    r = PipelineRunner(spark, wh, src)
+    r.register(ModelSpec(
+        name="f", fn=lambda s, d: s.read.parquet(d + "/fact"),
+        materialization="table",
+    ))
+    r.register(ModelSpec(
+        name="d", fn=lambda s, d: s.read.parquet(d + "/dim"),
+        materialization="table",
+    ))
+    r.register(ModelSpec(
+        name="seg_rollup", fn=None, materialization="agg_view",
+        view_fact="f", view_dim="d", view_dim_key="dk",
+        view_dim_cols=["grp"], view_dim_tracking="dver",
+        upsert_key=["fk"], tracking_column="ver",
+        agg_group_keys=["grp"], agg_measures=["amt"], view_buckets=4,
+    ))
+    r.run()
+
+    removed = r.erase_subject([2], "er-1")
+    assert removed["seg_rollup__view"] == 16  # user_id == 2 rows
+    view_df = spark.read.parquet(wh + "/seg_rollup__view")
+    assert view_df.filter("user_id = 2").count() == 0
+    # the rollup no longer counts the subject
+    expected = {
+        (x["grp"], x["cnt"], x["s"])
+        for x in fact.filter("user_id <> 2").join(dim, "dk", "left")
+        .groupBy("grp").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("amt").cast("decimal(38,4)")), 2)
+            .cast("double").alias("s"),
+        ).collect()
+    }
+    got = {
+        (x["grp"], x["cnt"], x["sum_amt"])
+        for x in r.read_model("seg_rollup").collect()
+    }
+    assert got == expected
+    # replay is a no-op
+    removed2 = r.erase_subject([2], "er-1-replay")
+    assert removed2["seg_rollup__view"] == 0
