@@ -256,6 +256,15 @@ def cmd_versioned(args) -> int:
             "checkpointed": v,
             "files": len(t._manifest(v)["files"]),
         }))
+    elif args.action == "purge":
+        # the erasure verb: CoW-delete + vacuum-to-one so NO retained
+        # version (or on-disk file) still holds the subject — history
+        # across the purge is deliberately gone
+        if not args.where:
+            print(json.dumps({"error": "purge requires --where"}))
+            return 1
+        res = t.purge_where(args.where)
+        print(json.dumps({**res, "rows": t.read().count()}))
     else:  # vacuum
         res = t.vacuum(retain_last=args.retain_last)
         print(json.dumps(res))
@@ -563,15 +572,16 @@ def main(argv: list[str] | None = None) -> int:
         "versioned",
         help=(
             "versioned-table lifecycle: history / show (time travel) / "
-            "rollback / checkpoint / vacuum"
+            "rollback / checkpoint / vacuum / purge (GDPR erasure)"
         ),
     )
     vt.add_argument(
         "action",
-        choices=["history", "show", "rollback", "checkpoint", "vacuum"],
+        choices=["history", "show", "rollback", "checkpoint", "vacuum", "purge"],
     )
     vt.add_argument("--path", required=True, help="versioned table root")
     vt.add_argument("--version", type=int, help="version (show / rollback)")
+    vt.add_argument("--where", help="SQL predicate of rows to purge (purge)")
     vt.add_argument(
         "--cluster-by", nargs="+", help="range-cluster columns (checkpoint)"
     )

@@ -463,6 +463,25 @@ class VersionedTable:
             txn=txn,
         )
 
+    def purge_where(self, condition, txn: tuple[str, int] | None = None) -> dict:
+        """GDPR-grade deletion under time travel: a plain delete_where
+        removes rows from the NEW version only — every retained older
+        version (and rollback) still reads the subject, which is
+        exactly what an erasure regulator forbids. purge_where composes
+        the honest sequence (the same remedy Delta Lake documents:
+        DELETE then VACUUM): CoW-delete the matching rows, then vacuum
+        down to ONLY the delete version. Its file list already contains
+        no subject bytes anywhere — carried files never held a match
+        and the rewritten generation holds only survivors — so the
+        vacuum physically deletes every file that ever held a purged
+        row at O(touched files + metadata), never an O(table) rewrite.
+        The deliberate cost is history: time travel across the purge is
+        gone (that is the point), so this is the erasure verb, not the
+        everyday delete."""
+        v = self.delete_where(condition, txn=txn)
+        res = self.vacuum(retain_last=1)
+        return {"purged_version": v, **res}
+
     def _rel(self, abs_uri: str) -> str:
         """input_file_name() URI -> manifest-relative path."""
         p = abs_uri
@@ -518,6 +537,9 @@ class VersionedTable:
         out = []
         v = self.latest_version()
         while v is not None:
+            fs, jp = self._fs(self._manifest_dir(v))
+            if not fs.exists(jp):
+                break  # retention horizon: the parent was vacuumed
             man = self._manifest(v)
             out.append({
                 "version": man["version"], "op": man["op"],
@@ -538,6 +560,9 @@ class VersionedTable:
         chain = []
         v = self.latest_version()
         while v is not None and len(chain) < retain_last:
+            fs, jp = self._fs(self._manifest_dir(v))
+            if not fs.exists(jp):
+                break  # a prior vacuum already trimmed past here
             chain.append(v)
             v = self._manifest(v)["parent"]
         retained_files: set[str] = set()

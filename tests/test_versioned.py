@@ -449,3 +449,57 @@ def test_versioned_merge_stream_exactly_once_with_history(spark, tmp_path):
     # rollback over streamed history
     t.rollback(v_after_b0)
     assert {(r.k, r.v) for r in t.read().collect()} == {(1, 1.0), (2, 2.0)}
+
+
+# -- GDPR purge -----------------------------------------------------------------
+def test_purge_where_removes_subject_from_every_version(spark, tmp_path):
+    """A plain delete keeps the subject readable via time travel; purge
+    must leave NO retained version (and no on-disk file) holding it."""
+    import glob as _glob
+    import os
+
+    t = _mk(spark, tmp_path, n=1000)
+    t.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+    # plain delete: history still leaks the subject
+    t.delete_where("k = 7")
+    assert t.read(1).filter("k = 7").count() == 1
+    # purge: subject gone from the only retained version and from disk
+    res = t.purge_where("k >= 500")
+    assert t.read().filter("k >= 500").count() == 0
+    assert t.read().count() == 499  # 500 minus the k=7 delete
+    assert t.history()[0]["version"] == res["purged_version"]
+    assert len(t.history()) == 1  # history collapsed — that's the point
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(1)
+    # no surviving parquet file contains a purged key
+    import pyarrow.parquet as pq
+
+    for f in _glob.glob(os.path.join(t.path, "_gen", "*", "*.parquet")):
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert all(k < 500 for k in ks), f
+
+
+def test_purge_where_is_cow_not_full_rewrite(spark, tmp_path):
+    """The purge must carry untouched files by reference — never an
+    O(table) rewrite (the k-clustered layout localizes the subject)."""
+    t = _mk(spark, tmp_path, n=10_000)
+    files_before = {f["path"] for f in t._manifest(1)["files"]}
+    t.purge_where("k < 10")  # one file's range under cluster_by=k
+    files_after = {f["path"] for f in t._manifest(t.latest_version())["files"]}
+    carried = files_before & files_after
+    assert len(carried) == len(files_before) - 1
+
+
+def test_cli_purge(spark, tmp_path, capsys):
+    import json as _json
+
+    from nomba_data_pipeline_spark.__main__ import main
+
+    t = _mk(spark, tmp_path, n=100)
+    rc = main(["versioned", "purge", "--path", t.path, "--where", "k >= 90"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 90
+    assert len(t.history()) == 1
