@@ -183,6 +183,9 @@ HEADLINE = [
     # IVM as a runner materialization off persisted HWM state
     "agg_join_view_roundtrip",
     "agg_view_pipeline_roundtrip",
+    # r12 versioned table as a runner materialization (manifest-stat
+    # HWM, time-travelable commits)
+    "versioned_pipeline_roundtrip",
 ]
 
 

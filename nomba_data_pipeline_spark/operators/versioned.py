@@ -463,6 +463,84 @@ class VersionedTable:
             txn=txn,
         )
 
+    def high_water_mark_str(self, tracking_col: str) -> str | None:
+        """MAX(tracking_col) as its string rendering — from MANIFEST
+        stats when every file carries them (pure metadata, zero scan:
+        the versioned analogue of ParquetTable.high_water_mark_stats),
+        falling back to an exact scan otherwise. String form because
+        the runner's delta predicate re-parses it with a cast to the
+        column's own dtype — the same pinned round-trip the join-view
+        HWM sidecar uses."""
+        if not self.exists():
+            return None
+        man = self._resolve(None)
+        best: str | None = None
+        stats_ok = len(man["files"]) > 0
+        dtype = next(
+            (f.dataType.simpleString()
+             for f in StructType.fromJson(json.loads(man["schema"])).fields
+             if f.name == tracking_col),
+            "",
+        )
+        numeric = dtype.startswith(("int", "bigint", "smallint", "tinyint",
+                                    "float", "double", "decimal"))
+        for f in man["files"]:
+            st = (f.get("stats") or {}).get(tracking_col)
+            if st is None:
+                stats_ok = False
+                break
+            hi = st[1]
+            if best is None:
+                best = hi
+            elif numeric:
+                best = hi if float(hi) > float(best) else best
+            else:  # ISO timestamps/dates compare lexically
+                best = max(best, hi)
+        if stats_ok and best is not None:
+            return best
+        row = self.read().agg(F.max(tracking_col).alias("m")).first()
+        return None if row is None or row["m"] is None else str(row["m"])
+
+    def delete_keys(self, keys: DataFrame, cols: list[str],
+                    txn: tuple[str, int] | None = None) -> int:
+        """CoW delete BY KEY FRAME (null-safe) — the bulk form of
+        delete_where: a predicate cannot express 'rows whose key is in
+        this million-row frame', but an anti-join can. Same file-level
+        bound: files holding no matching key are carried by
+        reference."""
+        if self._txn_applied(txn):
+            return self.latest_version()
+        man = self._resolve(None)
+        keys = keys.select(*cols)
+        tagged = self.read().withColumn("__vfile", F.input_file_name())
+        touched_abs = [
+            r["__vfile"]
+            for r in _semi_anti_null_safe(tagged, keys, cols, "left_semi")
+            .select("__vfile").distinct().collect()
+        ]
+        touched = {self._rel(p) for p in touched_abs}
+        kept = [f for f in man["files"] if f["path"] not in touched]
+        new_files = []
+        if touched:
+            survivors = _semi_anti_null_safe(
+                self._read_files(man, sorted(touched)), keys, cols, "left_anti"
+            )
+            new_files = self._write_gen(survivors)
+        return self._commit(
+            kept + new_files, "delete_keys", man["schema"],
+            {"rewrote_files": len(touched), "carried_files": len(kept)},
+            txn=txn,
+        )
+
+    def purge_keys(self, keys: DataFrame, cols: list[str]) -> dict:
+        """GDPR erasure by key frame: delete_keys + vacuum-to-one, the
+        same contract as purge_where (no retained version or on-disk
+        file still holds the subject; history across the purge is
+        deliberately gone)."""
+        v = self.delete_keys(keys, cols)
+        res = self.vacuum(retain_last=1)
+        return {"purged_version": v, **res}
+
     def purge_where(self, condition, txn: tuple[str, int] | None = None) -> dict:
         """GDPR-grade deletion under time travel: a plain delete_where
         removes rows from the NEW version only — every retained older

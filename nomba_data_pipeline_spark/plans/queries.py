@@ -9023,6 +9023,93 @@ GROUP BY 1
 """
 
 
+def q_versioned_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table versioning as a PIPELINE materialization
+    (materialization='versioned_incremental',
+    PipelineRunner._run_versioned): the runner's HWM-gated incremental
+    model committing every batch as a time-travelable manifest. Run 1
+    full-loads orders (clustered by key, so the HWM reads from MANIFEST
+    stats — pure metadata, no scan); the source then moves (every
+    o_orderkey % 13 == 0 repriced +2000, status 'V', tracking +10y) and
+    run 2 — a FRESH runner — picks the delta off the manifest-stat HWM
+    and commits it as a file-level CoW upsert. Grading the per-status
+    aggregate of BOTH versions (v1 AND latest) catches a leaked upsert
+    in the pre-batch state, a manifest-stat HWM that missed or
+    re-applied the delta, or a CoW rewrite that dropped carried files.
+    Oracle replays both versions declaratively. The rollback/purge legs
+    of the same materialization are pytest-pinned
+    (tests/test_versioned.py)."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    def _write(root: str) -> None:
+        src = os.path.join(root, "src")
+        wh = os.path.join(root, "wh")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        orders.write.mode("overwrite").parquet(src)
+
+        def mk() -> PipelineRunner:
+            r = PipelineRunner(spark, wh, src)
+            r.register(ModelSpec(
+                name="ledger", fn=lambda s, d: s.read.parquet(src),
+                materialization="versioned_incremental",
+                upsert_key=["o_orderkey"], tracking_column="o_orderdate",
+                partition_by=["o_orderkey"],
+            ))
+            return r
+
+        mk().run()
+        orders.filter(F.col("o_orderkey") % 13 == 0).select(
+            "o_orderkey",
+            F.lit("V").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 2000).alias("o_totalprice"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 10 YEARS")).alias(
+                "o_orderdate"
+            ),
+        ).write.mode("append").parquet(src)
+        mk().run()
+
+    root = _stage_dir("versioned_pipe", sf_dir, _write)
+    t = VersionedTable(spark, os.path.join(root, "wh", "ledger"))
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("o_totalprice")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        ).select(F.lit(version).cast("int").alias("version"), "*")
+
+    return _agg(t.read(1), 1).unionByName(_agg(t.read(), 2))
+
+
+SQL_VERSIONED_PIPELINE_ROUNDTRIP = """
+WITH merged AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN 'V' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 2000
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+)
+SELECT CAST(1 AS INTEGER) AS version, o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM orders GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS version, o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM merged GROUP BY 2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -9477,6 +9564,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_AGG_VIEW_PIPELINE_ROUNDTRIP,
         "ext:agg-over-join-ivm-pipeline",
     ),
+    "versioned_pipeline_roundtrip": QuerySpec(
+        q_versioned_pipeline_roundtrip,
+        SQL_VERSIONED_PIPELINE_ROUNDTRIP,
+        "ext:versioned-pipeline",
+    ),
 }
 
 
@@ -9656,7 +9748,9 @@ REGISTRY: dict[str, QuerySpec] = {
 #     agg_join_view_roundtrip, the aggregate-over-join IVM with group
 #     reassignment / tombstone / key-migration maintenance, and
 #     agg_view_pipeline_roundtrip, the same IVM as a runner
-#     materialization picking deltas off persisted HWM state) —
+#     materialization picking deltas off persisted HWM state, and
+#     versioned_pipeline_roundtrip, the versioned table as an
+#     HWM-gated runner materialization with manifest-stat HWM) —
 #     join_view_evolve_roundtrip (dim-schema evolution —
 #     JoinViewTable.evolve_dim_cols widens the view with one
 #     NULL-filled bucketed rewrite, then patches carry the new
@@ -9669,18 +9763,18 @@ REGISTRY: dict[str, QuerySpec] = {
 #     includes cosine_topk_lsh_indexed, the one row whose CURRENT
 #     value-hash oracle has never been driver-run (its r8 artifact
 #     predates the rows-only -> full value-hash upgrade);
-# (c) the first 10 of the 50 rows whose newest driver-green is round 9
-#     (cohort order; the remaining 40 rotate in round 13 — the 5
+# (c) the first 9 of the 50 rows whose newest driver-green is round 9
+#     (cohort order; the remaining 41 rotate in round 13 — the 6
 #     displaced by the round-12 rows lead that cohort:
-#     snapshot_drift_psi, boilerplate_removal, source_precedence_dedup,
-#     snapshot_table_diff, graph_pagerank).
+#     corpus_shuffle_shards, snapshot_drift_psi, boilerplate_removal,
+#     source_precedence_dedup, snapshot_table_diff, graph_pagerank).
 # After this round grades green, no row's newest driver evidence is
 # older than round 9.
 # ROUND-13 ROTATION GUIDANCE: (a) any rows added in round 13; (b) the
-# 40 remaining r9 rows (snapshot_drift_psi, boilerplate_removal,
-# source_precedence_dedup, snapshot_table_diff, graph_pagerank, then
-# volume_shipping onward in the r9 cohort order); (c) leftover slots
-# on the oldest r10 evidence.  Run
+# 41 remaining r9 rows (corpus_shuffle_shards, snapshot_drift_psi,
+# boilerplate_removal, source_precedence_dedup, snapshot_table_diff,
+# graph_pagerank, then volume_shipping onward in the r9 cohort
+# order); (c) leftover slots on the oldest r10 evidence.  Run
 # tools/rotate_window.py — it re-derives per-row latest-green from the
 # union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
 # window; don't hand-pick.
@@ -9699,6 +9793,7 @@ _DRIVER_WINDOW: list[str] = [
     "versioned_prune_scan",
     "agg_join_view_roundtrip",
     "agg_view_pipeline_roundtrip",
+    "versioned_pipeline_roundtrip",
     # -- (b) all 32 rows whose newest driver-green evidence is round 8
     #    (incl. cosine_topk_lsh_indexed's first run of its upgraded
     #    value-hash oracle)
@@ -9734,8 +9829,8 @@ _DRIVER_WINDOW: list[str] = [
     "dominant_part_suppliers",
     "waiting_suppliers",
     "idle_high_balance_customers",
-    # -- (c) first 10 of the 50 rows whose newest driver-green is
-    #    round 9 (cohort order; the other 40 rotate in round 13)
+    # -- (c) first 9 of the 50 rows whose newest driver-green is
+    #    round 9 (cohort order; the other 41 rotate in round 13)
     "dim_users_enriched",
     "streaming_paged_feed",
     "dedup_incremental_batch",
@@ -9745,7 +9840,6 @@ _DRIVER_WINDOW: list[str] = [
     "semantic_dedup_kmeans",
     "streaming_corpus_dedup",
     "domain_temperature_sample",
-    "corpus_shuffle_shards",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

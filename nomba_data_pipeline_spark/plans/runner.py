@@ -181,6 +181,8 @@ class PipelineRunner:
             return self._run_join_view(spec)
         if spec.materialization == "agg_view":
             return self._run_agg_view(spec)
+        if spec.materialization == "versioned_incremental":
+            return self._run_versioned(spec)
         df = spec.fn(self.spark, self.sf_dir)
 
         if spec.materialization == "incremental" and target.exists() and spec.tracking_column:
@@ -345,6 +347,45 @@ class PipelineRunner:
                 _hwm(fact_delta, spec.tracking_column) or state["fact_hwm"],
                 _hwm(dim_delta, spec.view_dim_tracking) or state["dim_hwm"],
             )
+        out = self.read_model(spec.name)
+        return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
+
+    def _run_versioned(self, spec: ModelSpec) -> int:
+        """Materialize a `materialization="versioned_incremental"`
+        model into a VERSIONED table (operators/versioned.py): the
+        same HWM-gated delta extraction as 'incremental', but every run
+        commits a new manifest over mostly-shared files — so a bad CDC
+        batch is revertible in O(metadata) (`versioned rollback` on the
+        CLI), the pre-batch state stays auditable via time travel, and
+        vacuum bounds storage. The HWM itself reads from MANIFEST stats
+        (pure metadata; exact-scan fallback), the versioned analogue of
+        the parquet-footer fast path. partition_by doubles as the
+        cluster_by of the initial load so manifest stats stay tight."""
+        from nomba_data_pipeline_spark.operators.versioned import (
+            VersionedTable,
+        )
+
+        if not spec.upsert_key or not spec.tracking_column:
+            raise ValueError(
+                f"model {spec.name}: versioned_incremental requires "
+                "upsert_key and tracking_column"
+            )
+        vt = VersionedTable(
+            self.spark, os.path.join(self.warehouse_dir, spec.name)
+        )
+        df = spec.fn(self.spark, self.sf_dir)
+        if not vt.exists():
+            vt.overwrite(df, cluster_by=(spec.partition_by or None))
+        else:
+            hwm = vt.high_water_mark_str(spec.tracking_column)
+            delta = df
+            if hwm is not None:
+                delta = df.filter(
+                    F.col(spec.tracking_column)
+                    > F.lit(hwm).cast(dict(df.dtypes)[spec.tracking_column])
+                )
+            if delta.limit(1).count() > 0:
+                vt.merge_upsert(delta, spec.upsert_key)
         out = self.read_model(spec.name)
         return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
 
@@ -560,6 +601,14 @@ class PipelineRunner:
             return AggJoinView.open(
                 self.spark, os.path.join(self.warehouse_dir, name)
             ).result()
+        if spec is not None and spec.materialization == "versioned_incremental":
+            from nomba_data_pipeline_spark.operators.versioned import (
+                VersionedTable,
+            )
+
+            return VersionedTable(
+                self.spark, os.path.join(self.warehouse_dir, name)
+            ).read()
         if spec is not None and spec.materialization == "scd2" and spec.scd2_split:
             open_t = self.table(name + "__open")
             closed_t = self.table(name + "__closed")
@@ -880,6 +929,10 @@ class PipelineRunner:
             PARTIALS of exactly those buckets are re-derived — an
             aggregate that kept counting an erased subject would leak
             their activity through the mart.
+          * every registered versioned_incremental mart: PURGED
+            (delete_keys + vacuum-to-one) rather than deleted — a
+            plain delete would keep serving the subject through time
+            travel and rollback from retained history.
 
         The ids ship as a broadcast anti-join build side, not an
         isin() literal — a bulk erasure list of millions of keys stays
@@ -1077,6 +1130,37 @@ class PipelineRunner:
                     # erasure rewrote — same O(touched buckets) bound as
                     # the view's own maintenance
                     agg._refresh(touched_buckets)
+
+        # versioned marts: a plain delete is NOT an erasure here — time
+        # travel and rollback would keep serving the subject from
+        # retained history — so these are PURGED (CoW delete by key
+        # frame + vacuum-to-one; operators/versioned.purge_keys): every
+        # file that ever held a subject row is physically deleted and
+        # no manifest references it again. History across the purge is
+        # deliberately lost; that is what the regulator asks for.
+        for name, spec in self.models.items():
+            if spec.materialization != "versioned_incremental":
+                continue
+            from nomba_data_pipeline_spark.operators.versioned import (
+                VersionedTable,
+            )
+
+            vt = VersionedTable(
+                self.spark, os.path.join(self.warehouse_dir, name)
+            )
+            if not vt.exists():
+                continue
+            cur = vt.read()
+            n_before = cur.count()
+            deleted_any = False
+            for match_df, col in ((ids_b, "user_id"), (plan_ids, "plan_id")):
+                if match_df is None or col not in cur.columns:
+                    continue
+                vt.delete_keys(match_df.select(col), [col])
+                deleted_any = True
+            if deleted_any:
+                vt.vacuum(retain_last=1)
+            removed[name] = n_before - vt.read().count()
 
         # closed SCD2 history: partition-scoped rewrite
         closed_path = os.path.join(self.warehouse_dir, "users_snapshot__closed")

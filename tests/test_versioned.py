@@ -503,3 +503,90 @@ def test_cli_purge(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 90
     assert len(t.history()) == 1
+
+
+# -- runner materialization -----------------------------------------------------
+def test_versioned_incremental_materialization(spark, tmp_path):
+    """materialization='versioned_incremental': HWM-gated delta commits
+    with full history — a bad batch is revertible in O(metadata)."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    src = os.path.join(str(tmp_path), "src")
+    wh = os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"),
+        F.lit(1).alias("ver"),
+    )
+    base.write.parquet(src + "/m")
+
+    def mk():
+        r = PipelineRunner(spark, wh, src)
+        r.register(ModelSpec(
+            name="m", fn=lambda s, d: s.read.parquet(d + "/m"),
+            materialization="versioned_incremental",
+            upsert_key=["k"], tracking_column="ver", partition_by=["k"],
+        ))
+        return r
+
+    mk().run()
+    t = VersionedTable(spark, wh + "/m")
+    assert t.latest_version() == 1 and t.read().count() == 50
+    # HWM comes from manifest stats (no scan needed) and matches
+    assert t.high_water_mark_str("ver") == "1"
+
+    # delta past the HWM: k=3 updated, k=99 inserted (ver=2)
+    base.unionByName(spark.createDataFrame(
+        [(3, -1.0, 2), (99, 9.0, 2)], "k long, v double, ver int"
+    ).withColumn("ver", F.col("ver").cast("int"))) \
+        .filter("k <> 3 or ver = 2") \
+        .write.mode("overwrite").parquet(src + "/m_new")
+    import shutil
+
+    shutil.rmtree(src + "/m"); shutil.move(src + "/m_new", src + "/m")
+    r2 = mk()
+    r2.run()
+    assert t.latest_version() == 2
+    got = {x["k"]: x["v"] for x in r2.read_model("m").collect()}
+    assert got[3] == -1.0 and got[99] == 9.0 and len(got) == 51
+    # no new data: rerun commits nothing (HWM gate)
+    mk().run()
+    assert t.latest_version() == 2
+    # the bad-batch story: rollback restores run-1 state in O(metadata)
+    t.rollback(1)
+    assert {x["k"] for x in mk().read_model("m").collect()} == set(range(50))
+
+
+def test_erasure_purges_versioned_marts(spark, tmp_path):
+    """erase_subject on a versioned mart must purge: the subject gone
+    from EVERY retained version, not just the head."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    src = os.path.join(str(tmp_path), "src")
+    wh = os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    spark.range(40).select(
+        F.col("id").alias("txn"), (F.col("id") % 4).alias("user_id"),
+        (F.col("id") * 1.0).alias("amt"), F.lit(1).alias("ver"),
+    ).write.parquet(src + "/m")
+    r = PipelineRunner(spark, wh, src)
+    r.register(ModelSpec(
+        name="vmart", fn=lambda s, d: s.read.parquet(d + "/m"),
+        materialization="versioned_incremental",
+        upsert_key=["txn"], tracking_column="ver",
+    ))
+    r.run()
+    t = VersionedTable(spark, wh + "/vmart")
+    assert t.read().filter("user_id = 1").count() == 10
+
+    removed = r.erase_subject([1], "er-v1")
+    assert removed["vmart"] == 10
+    assert t.read().filter("user_id = 1").count() == 0
+    # no retained version can time-travel back to the subject
+    assert len(t.history()) == 1
+    # replay is a no-op on rows
+    assert r.erase_subject([1], "er-v2")["vmart"] == 0
