@@ -387,8 +387,81 @@ class VersionedTable:
                 return False
         return True
 
+    def evolve_schema_to(self, sample: DataFrame) -> list[str]:
+        """Schema evolution with ZERO data movement — the versioning
+        superpower plain tables don't have: because every read plans
+        with the MANIFEST's pinned schema and Spark's parquet reader
+        NULL-fills columns missing from a file, adding a column is one
+        metadata commit — the widened schema over the UNCHANGED file
+        list. ParquetTable.widen_to pays one O(table) NULL-filled
+        rewrite for the same contract; here old files are never
+        touched, and time travel keeps each version's own schema.
+
+        Shared-column TYPE drift follows ParquetTable.promote_types'
+        lattice (_is_widening): an exactly-representable widening
+        (int->bigint, float->double, decimal growth) promotes via ONE
+        O(table) cast-rewrite (reading an int32 file under a bigint
+        schema is reader-dependent, so carried files must be rewritten
+        for promotions — only column ADDS are free); anything else
+        raises rather than narrow stored values. VOID-typed (all-NULL)
+        sample columns are skipped until a batch materializes a type.
+        Returns the added column names."""
+        from pyspark.sql.types import NullType
+
+        from nomba_data_pipeline_spark.operators.merge import _is_widening
+
+        man = self._resolve(None)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        existing = {f.name: f.dataType for f in schema.fields}
+        added, promoted = [], {}
+        for f in sample.schema.fields:
+            if isinstance(f.dataType, NullType):
+                continue
+            if f.name not in existing:
+                schema = schema.add(f.name, f.dataType, True)
+                added.append(f.name)
+            elif existing[f.name] != f.dataType:
+                if not _is_widening(existing[f.name], f.dataType):
+                    raise ValueError(
+                        f"column {f.name!r} changed type "
+                        f"{existing[f.name].simpleString()} -> "
+                        f"{f.dataType.simpleString()}, which is not an "
+                        "exactly-representable widening — refusing to "
+                        "narrow stored values"
+                    )
+                promoted[f.name] = f.dataType
+        if promoted:
+            # one cast-rewrite of the whole table (the promote_types
+            # cost contract) committed FIRST, so the add below stays a
+            # pure metadata commit over the promoted files
+            cur = self.read()
+            casted = cur.select(
+                *[
+                    F.col(c).cast(promoted[c]).alias(c) if c in promoted
+                    else F.col(c)
+                    for c in cur.columns
+                ]
+            )
+            files = self._write_gen(casted)
+            self._commit(
+                files, "promote_types", casted.schema.json(),
+                {"promoted_columns": sorted(promoted)},
+            )
+            man = self._resolve(None)
+            base = StructType.fromJson(json.loads(man["schema"]))
+            for name in added:  # re-apply the adds onto the promoted base
+                fld = sample.schema[name]
+                base = base.add(fld.name, fld.dataType, True)
+            schema = base
+        if not added:
+            return sorted(promoted) if promoted else []
+        self._commit(list(man["files"]), "evolve_schema", schema.json(),
+                     {"added_columns": added})
+        return added
+
     def merge_upsert(self, delta: DataFrame, keys: list[str],
-                     txn: tuple[str, int] | None = None) -> int:
+                     txn: tuple[str, int] | None = None,
+                     evolve_schema: bool = False) -> int:
         """Keyed upsert with FILE-level copy-on-write: only files that
         currently hold one of the delta's keys are rewritten (anti-join
         out the old rows, union the delta); every other file is carried
@@ -399,11 +472,20 @@ class VersionedTable:
         (Delta's transactional-writer design): a batch id at or below
         the app's recorded high-water is skipped, so a Structured
         Streaming foreachBatch sink that crashes between commit and
-        checkpoint converges to exactly-once on redelivery."""
+        checkpoint converges to exactly-once on redelivery.
+
+        Schema drift: by default source-only columns are DROPPED and
+        shared columns cast to the target's type (_align_to_target —
+        the same reference-parity contract as ParquetTable).
+        evolve_schema=True instead widens the table first via
+        evolve_schema_to — a pure METADATA commit, no rewrite — so this
+        and every later delta carries the new columns."""
         if not self.exists():
             return self.overwrite(delta, txn=txn)
         if self._txn_applied(txn):
             return self.latest_version()
+        if evolve_schema:
+            self.evolve_schema_to(delta)
         man = self._resolve(None)
         target = self.read()
         delta = _align_to_target(delta, target)

@@ -124,6 +124,36 @@ def run_versioned_merge_stream(
     )
 
 
+def run_agg_view_fact_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    agg_path: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming FACT CDC into an aggregate-over-join view
+    (operators/agg_join_view.AggJoinView): each micro-batch re-enriches
+    against the static dim, upserts the underlying join view, and
+    refreshes exactly the touched buckets' rollup partials — the
+    stream-maintained GROUP BY over a join. Replay-convergent without a
+    txn guard: the view merge is an idempotent keyed rewrite and the
+    partial refresh RECOMPUTES (never folds), so the redelivered
+    in-flight batch after a crash lands on the same state; a crash
+    between the view apply and the refresh heals from the bucket-intent
+    sidecar on the next batch. Blocks until the backlog is consumed."""
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+
+    agg = AggJoinView.open(spark, agg_path)
+    _run_merge_stream(
+        spark,
+        source_dir,
+        schema,
+        checkpoint_dir,
+        lambda df, bid: agg.apply_fact_delta(df, dim),
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str],

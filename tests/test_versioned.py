@@ -590,3 +590,81 @@ def test_erasure_purges_versioned_marts(spark, tmp_path):
     assert len(t.history()) == 1
     # replay is a no-op on rows
     assert r.erase_subject([1], "er-v2")["vmart"] == 0
+
+
+# -- zero-rewrite schema evolution ------------------------------------------------
+def test_evolve_schema_is_metadata_only(spark, tmp_path):
+    """Adding a column must not move a byte: the widened manifest
+    carries the UNCHANGED file list, old rows NULL-fill at read, and
+    time travel keeps each version's own schema."""
+    t = _mk(spark, tmp_path, n=1000)
+    files_v1 = {f["path"] for f in t._manifest(1)["files"]}
+    delta = spark.createDataFrame(
+        [(5, -1, 0, "fresh")], "k long, v long, grp int, note string"
+    )
+    t.merge_upsert(delta, ["k"], evolve_schema=True)
+    # v2 = the evolve commit: same files, wider schema
+    man2 = t._manifest(2)
+    assert man2["op"] == "evolve_schema" and man2["added_columns"] == ["note"]
+    assert {f["path"] for f in man2["files"]} == files_v1
+    # v3 = the merge: only the touched file rewritten
+    man3 = t._manifest(3)
+    assert man3["rewrote_files"] == 1
+    cur = {r["k"]: r["note"] for r in t.read().filter("k in (5, 6)").collect()}
+    assert cur == {5: "fresh", 6: None}
+    # time travel: version 1 still reads with its own (narrow) schema
+    assert "note" not in t.read(1).columns
+    assert "note" in t.read().columns
+
+
+def test_evolve_schema_refuses_type_change(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20)
+    with pytest.raises(ValueError, match="changed type"):
+        t.evolve_schema_to(
+            spark.createDataFrame([(1.5,)], "v double")  # v is long
+        )
+
+
+def test_default_merge_still_drops_unknown_columns(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(3, -1, 0, "x")], "k long, v long, grp int, extra string"
+        ),
+        ["k"],
+    )
+    assert "extra" not in t.read().columns
+
+
+def test_evolve_schema_promotes_widening_type_drift(spark, tmp_path):
+    """Shared-column widening (int->bigint) promotes via one
+    cast-rewrite, matching ParquetTable.promote_types; the add stays
+    metadata-only on top of the promoted files."""
+    import os
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(
+        spark.range(100).select(
+            F.col("id").alias("k"), F.lit(1).cast("int").alias("v")
+        )
+    )
+    big = 5_000_000_000
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, big, "x")], "k long, v long, tag string"
+        ),
+        ["k"],
+        evolve_schema=True,
+    )
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    row = t.read().filter("k = 1").first()
+    assert row["v"] == big and row["tag"] == "x"
+    assert t.read().filter("k = 2").first()["tag"] is None
+    ops = [h["op"] for h in t.history()]
+    assert "promote_types" in ops and "evolve_schema" in ops
+
+
+def test_evolve_schema_refuses_narrowing(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20)  # v is long
+    with pytest.raises(ValueError, match="not an exactly-representable"):
+        t.evolve_schema_to(spark.createDataFrame([(1,)], "v int"))
