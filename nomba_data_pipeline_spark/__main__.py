@@ -271,6 +271,46 @@ def cmd_versioned(args) -> int:
     return 0
 
 
+def cmd_aggview(args) -> int:
+    """Aggregate-over-join view lifecycle (operators/agg_join_view):
+    result prints the finalized rollup; patch-dim / apply-fact / retire
+    maintain both layers at O(touched buckets); heal re-refreshes a
+    crashed apply's intent buckets; rebuild recovers from a view
+    rebucket."""
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+
+    spark = _spark(args)
+    a = AggJoinView.open(spark, args.path)
+    if args.action == "result":
+        a.result().show(args.limit, truncate=False)
+    elif args.action == "patch-dim":
+        if not args.dim:
+            print(json.dumps({"error": "patch-dim requires --dim"}))
+            return 1
+        buckets = a.apply_dim_delta(spark.read.parquet(args.dim))
+        print(json.dumps({"patched": args.path, "buckets": buckets}))
+    elif args.action == "apply-fact":
+        if not (args.fact and args.dim):
+            print(json.dumps({"error": "apply-fact requires --fact and --dim"}))
+            return 1
+        buckets = a.apply_fact_delta(
+            spark.read.parquet(args.fact), spark.read.parquet(args.dim)
+        )
+        print(json.dumps({"applied": args.path, "buckets": buckets}))
+    elif args.action == "retire-dim":
+        if not args.dim:
+            print(json.dumps({"error": "retire-dim requires --dim (key parquet)"}))
+            return 1
+        buckets = a.retire_dim_keys(spark.read.parquet(args.dim))
+        print(json.dumps({"retired": args.path, "buckets": buckets}))
+    elif args.action == "heal":
+        print(json.dumps({"healed_buckets": a.heal()}))
+    else:  # rebuild
+        a.rebuild()
+        print(json.dumps({"rebuilt": args.path}))
+    return 0
+
+
 def cmd_index(args) -> int:
     """Index lifecycle: build / append / fold / stats over the persisted
     ANN layouts (operators/similarity.py) or the MinHash band index for
@@ -587,6 +627,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     vt.add_argument("--retain-last", type=int, default=2, help="vacuum retention")
     vt.set_defaults(fn=cmd_versioned)
+
+    av = sub.add_parser(
+        "aggview",
+        help=(
+            "aggregate-over-join view lifecycle: result / patch-dim / "
+            "apply-fact / retire-dim / heal / rebuild"
+        ),
+    )
+    av.add_argument(
+        "action",
+        choices=["result", "patch-dim", "apply-fact", "retire-dim",
+                 "heal", "rebuild"],
+    )
+    av.add_argument("--path", required=True, help="agg view root directory")
+    av.add_argument("--fact", help="fact delta parquet (apply-fact)")
+    av.add_argument("--dim", help="dim parquet (patch-dim / apply-fact / retire-dim)")
+    av.add_argument("--limit", type=int, default=20, help="rows to show (result)")
+    av.set_defaults(fn=cmd_aggview)
 
     ix = sub.add_parser(
         "index",

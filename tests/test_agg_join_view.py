@@ -498,3 +498,36 @@ def test_streaming_fact_cdc_maintains_rollup(spark, tmp_path):
     # no new files: nothing changes
     run_agg_view_fact_stream(spark, src, schema, a.path, dim, ckpt)
     assert _got(a) == _expected(f_df, dim)
+
+
+def test_cli_aggview_lifecycle(spark, tmp_path, capsys):
+    import json as _json
+    import os
+
+    from nomba_data_pipeline_spark.__main__ import main
+
+    a, v, fact, dim = _mk(spark, tmp_path)
+    patch_p = os.path.join(str(tmp_path), "patch")
+    spark.createDataFrame([(3, "gCLI")], "dk long, grp string").write.parquet(
+        patch_p
+    )
+
+    def run(*argv):
+        rc = main(list(argv))
+        assert rc == 0
+        return capsys.readouterr().out
+
+    out = _json.loads(
+        run("aggview", "patch-dim", "--path", a.path, "--dim", patch_p)
+        .strip().splitlines()[-1]
+    )
+    assert len(out["buckets"]) == 1
+    new_dim = dim.filter(F.col("dk") != 3).unionByName(
+        spark.createDataFrame([(3, "gCLI")], "dk long, grp string")
+    )
+    assert _got(AggJoinView.open(spark, a.path)) == _expected(fact, new_dim)
+    healed = _json.loads(
+        run("aggview", "heal", "--path", a.path).strip().splitlines()[-1]
+    )
+    assert healed["healed_buckets"] == []
+    assert "gCLI" in run("aggview", "result", "--path", a.path)
