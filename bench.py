@@ -187,6 +187,9 @@ HEADLINE = [
     # HWM, time-travelable commits) and zero-rewrite schema evolution
     "versioned_pipeline_roundtrip",
     "versioned_evolution_roundtrip",
+    # r12 manifest-derived CDF: diff between versions scanning only
+    # changed files
+    "version_diff_roundtrip",
 ]
 
 

@@ -689,6 +689,64 @@ class VersionedTable:
             {"compacted_files": len(man["files"])},
         )
 
+    def diff_versions(self, v_old: int, v_new: int | None,
+                      keys: list[str]) -> DataFrame:
+        """Change-data-feed BETWEEN two versions, derived from the
+        manifests: a file carried by reference into both versions holds
+        byte-identical rows, so only files present in exactly ONE
+        manifest are scanned — the diff costs O(changed files), never
+        O(2 x table), no change log was ever written. Returns one row
+        per changed key with `change_type` in (insert, update, delete):
+        insert/update rows carry the NEW version's values, delete rows
+        the old version's. Rows that merely MOVED files without
+        changing (checkpoint, rollback) compare equal and are dropped
+        (null-safe, column-by-column — no hash-collision escape hatch).
+        Schema evolution between the versions NULL-fills the old side,
+        so a backfilled column reads as an update only where a real
+        value arrived."""
+        man_o = self._manifest(v_old)
+        man_n = self._resolve(v_new)
+        po = {f["path"] for f in man_o["files"]}
+        pn = {f["path"] for f in man_n["files"]}
+        schema_n = StructType.fromJson(json.loads(man_n["schema"]))
+        cols = [f.name for f in schema_n.fields]
+        value_cols = [c for c in cols if c not in keys]
+
+        def _aligned(man, rel: list[str]) -> DataFrame:
+            df = self._read_files(man, sorted(rel))
+            have = set(df.columns)
+            return df.select(*[
+                F.col(c) if c in have
+                else F.lit(None).cast(schema_n[c].dataType).alias(c)
+                for c in cols
+            ])
+
+        old_side = _aligned(man_o, list(po - pn))
+        new_side = _aligned(man_n, list(pn - po))
+        inserts = _semi_anti_null_safe(
+            new_side, old_side.select(*keys), keys, "left_anti"
+        ).select(F.lit("insert").alias("change_type"), *cols)
+        deletes = _semi_anti_null_safe(
+            old_side, new_side.select(*keys), keys, "left_anti"
+        ).select(F.lit("delete").alias("change_type"), *cols)
+        o = old_side.select(
+            *[F.col(c).alias(f"__old_{c}") for c in cols]
+        )
+        cond = None
+        for k in keys:
+            e = new_side[k].eqNullSafe(o[f"__old_{k}"])
+            cond = e if cond is None else (cond & e)
+        changed = None
+        for c in value_cols:
+            e = ~new_side[c].eqNullSafe(o[f"__old_{c}"])
+            changed = e if changed is None else (changed | e)
+        updates = (
+            new_side.join(o, on=cond, how="inner")
+            .filter(changed if changed is not None else F.lit(False))
+            .select(F.lit("update").alias("change_type"), *cols)
+        )
+        return inserts.unionByName(updates).unionByName(deletes)
+
     # -- history / retention --------------------------------------------
     def history(self) -> list[dict]:
         """Committed versions only (newest first): walks the parent

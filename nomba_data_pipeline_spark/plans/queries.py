@@ -9210,6 +9210,81 @@ FROM merged GROUP BY 1
 """
 
 
+def q_version_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-DERIVED change-data-feed between versions
+    (VersionedTable.diff_versions): no change log is ever written —
+    files carried by reference into both manifests hold byte-identical
+    rows, so the diff scans ONLY files present in exactly one manifest
+    (O(changed files), pinned via inputFiles in tests/test_versioned.py).
+    v1 = orders; v2 = upsert (every o_orderkey % 7 == 0 repriced +1000,
+    status 'U'; plus NEW keys o_orderkey + 10e6 from the % 11 cohort,
+    status 'I', price 42); v3 = delete of every key % 9 == 0. Grading
+    the per-(change_type, status) aggregate of diff(v1 -> v3) catches a
+    phantom change from a moved-but-equal row, a delete reported with
+    post-update values (the CDF contract: deletes carry the OLD row), a
+    net-zero key (inserted@v2, deleted@v3) leaking through, or a missed
+    changed file. Oracle replays the three commits declaratively."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    def _write(root: str) -> None:
+        t = VersionedTable(spark, root + "/tbl")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.overwrite(base, cluster_by=["o_orderkey"], target_files=8)
+        delta = base.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        ).unionByName(
+            base.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("I").alias("o_orderstatus"),
+                F.lit(42.0).alias("o_totalprice"),
+            )
+        )
+        t.merge_upsert(delta, ["o_orderkey"])
+        t.delete_where("o_orderkey % 9 = 0")
+
+    root = _stage_dir("version_diff", sf_dir, _write)
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    return (
+        VersionedTable(spark, root + "/tbl")
+        .diff_versions(1, None, ["o_orderkey"])
+        .groupBy("change_type", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(_dec("o_totalprice")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SQL_VERSION_DIFF_ROUNDTRIP = """
+WITH diff AS (
+    SELECT 'update' AS change_type, 'U' AS o_orderstatus,
+           o_totalprice + 1000 AS price
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 9 <> 0
+    UNION ALL
+    SELECT 'insert', 'I', CAST(42 AS DOUBLE)
+    FROM orders
+    WHERE o_orderkey % 11 = 0 AND (o_orderkey + 10000000) % 9 <> 0
+    UNION ALL
+    SELECT 'delete', o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 9 = 0
+)
+SELECT change_type, o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM diff GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -9674,6 +9749,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_VERSIONED_EVOLUTION_ROUNDTRIP,
         "ext:versioned-zero-rewrite-evolution",
     ),
+    "version_diff_roundtrip": QuerySpec(
+        q_version_diff_roundtrip,
+        SQL_VERSION_DIFF_ROUNDTRIP,
+        "ext:versioned-manifest-cdf",
+    ),
 }
 
 
@@ -9857,7 +9937,9 @@ REGISTRY: dict[str, QuerySpec] = {
 #     versioned_pipeline_roundtrip, the versioned table as an
 #     HWM-gated runner materialization with manifest-stat HWM, and
 #     versioned_evolution_roundtrip, zero-rewrite column adds +
-#     widening promotion under on_schema_change) —
+#     widening promotion under on_schema_change, and
+#     version_diff_roundtrip, the manifest-derived CDF scanning only
+#     changed files) —
 #     join_view_evolve_roundtrip (dim-schema evolution —
 #     JoinViewTable.evolve_dim_cols widens the view with one
 #     NULL-filled bucketed rewrite, then patches carry the new
@@ -9870,20 +9952,21 @@ REGISTRY: dict[str, QuerySpec] = {
 #     includes cosine_topk_lsh_indexed, the one row whose CURRENT
 #     value-hash oracle has never been driver-run (its r8 artifact
 #     predates the rows-only -> full value-hash upgrade);
-# (c) the first 8 of the 50 rows whose newest driver-green is round 9
-#     (cohort order; the remaining 42 rotate in round 13 — the 7
+# (c) the first 7 of the 50 rows whose newest driver-green is round 9
+#     (cohort order; the remaining 43 rotate in round 13 — the 8
 #     displaced by the round-12 rows lead that cohort:
-#     domain_temperature_sample, corpus_shuffle_shards,
-#     snapshot_drift_psi, boilerplate_removal, source_precedence_dedup,
-#     snapshot_table_diff, graph_pagerank).
+#     streaming_corpus_dedup, domain_temperature_sample,
+#     corpus_shuffle_shards, snapshot_drift_psi, boilerplate_removal,
+#     source_precedence_dedup, snapshot_table_diff, graph_pagerank).
 # After this round grades green, no row's newest driver evidence is
 # older than round 9.
 # ROUND-13 ROTATION GUIDANCE: (a) any rows added in round 13; (b) the
-# 42 remaining r9 rows (domain_temperature_sample,
-# corpus_shuffle_shards, snapshot_drift_psi, boilerplate_removal,
-# source_precedence_dedup, snapshot_table_diff, graph_pagerank, then
-# volume_shipping onward in the r9 cohort order); (c) leftover slots
-# on the oldest r10 evidence.  Run
+# 43 remaining r9 rows (streaming_corpus_dedup,
+# domain_temperature_sample, corpus_shuffle_shards,
+# snapshot_drift_psi, boilerplate_removal, source_precedence_dedup,
+# snapshot_table_diff, graph_pagerank, then volume_shipping onward in
+# the r9 cohort order); (c) leftover slots on the oldest r10
+# evidence.  Run tools/rotate_window.py — don't hand-pick.  Run
 # tools/rotate_window.py — it re-derives per-row latest-green from the
 # union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
 # window; don't hand-pick.
@@ -9904,6 +9987,7 @@ _DRIVER_WINDOW: list[str] = [
     "agg_view_pipeline_roundtrip",
     "versioned_pipeline_roundtrip",
     "versioned_evolution_roundtrip",
+    "version_diff_roundtrip",
     # -- (b) all 32 rows whose newest driver-green evidence is round 8
     #    (incl. cosine_topk_lsh_indexed's first run of its upgraded
     #    value-hash oracle)
@@ -9939,8 +10023,8 @@ _DRIVER_WINDOW: list[str] = [
     "dominant_part_suppliers",
     "waiting_suppliers",
     "idle_high_balance_customers",
-    # -- (c) first 8 of the 50 rows whose newest driver-green is
-    #    round 9 (cohort order; the other 42 rotate in round 13)
+    # -- (c) first 7 of the 50 rows whose newest driver-green is
+    #    round 9 (cohort order; the other 43 rotate in round 13)
     "dim_users_enriched",
     "streaming_paged_feed",
     "dedup_incremental_batch",
@@ -9948,7 +10032,6 @@ _DRIVER_WINDOW: list[str] = [
     "incremental_agg_multi",
     "unigram_logppl",
     "semantic_dedup_kmeans",
-    "streaming_corpus_dedup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

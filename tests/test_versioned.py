@@ -707,3 +707,53 @@ def test_versioned_on_schema_change_policies(spark, tmp_path):
         mk("fail", wh).run()
     mk("ignore", wh + "2").run()
     assert "new" not in VersionedTable(spark, wh + "2/m").read().columns
+
+
+# -- version diff (manifest-derived CDF) ------------------------------------------
+def test_diff_versions_insert_update_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(10, -1, 0), (999, 9, 9)], "k long, v long, grp int"
+        ),
+        ["k"],
+    )
+    t.delete_where("k = 50")
+    d = {(r["change_type"], r["k"]): r["v"]
+         for r in t.diff_versions(1, None, ["k"]).collect()}
+    assert d == {("update", 10): -1, ("insert", 999): 9, ("delete", 50): 100}
+
+
+def test_diff_versions_scans_only_changed_files(spark, tmp_path):
+    """Carried files hold byte-identical rows in both versions — the
+    diff must not read them (manifest-level scoping)."""
+    t = _mk(spark, tmp_path, n=10_000)
+    t.merge_upsert(
+        spark.createDataFrame([(5, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+    df = t.diff_versions(1, 2, ["k"])
+    n_table_files = len(t._manifest(2)["files"])
+    # planned inputs = 1 rewritten old file + 1 new file << table files
+    assert 0 < len(df.inputFiles()) <= 3 < n_table_files
+    assert {(r["change_type"], r["k"]) for r in df.collect()} == {("update", 5)}
+
+
+def test_diff_versions_ignores_pure_file_moves(spark, tmp_path):
+    """checkpoint rewrites every file without changing a row — the diff
+    across it must be empty (value compare, not file compare)."""
+    t = _mk(spark, tmp_path, n=500)
+    t.checkpoint(cluster_by=["k"])
+    assert t.diff_versions(1, 2, ["k"]).count() == 0
+
+
+def test_diff_versions_across_schema_evolution(spark, tmp_path):
+    """A column added after v_old NULL-fills the old side: only rows
+    where a real value arrived read as updates."""
+    t = _mk(spark, tmp_path, n=100)
+    t.merge_upsert(
+        spark.createDataFrame([(7, 14, 0, "x")],
+                              "k long, v long, grp int, note string"),
+        ["k"], evolve_schema=True,
+    )
+    d = t.diff_versions(1, None, ["k"]).collect()
+    assert {(r["change_type"], r["k"], r["note"]) for r in d} == {("update", 7, "x")}
