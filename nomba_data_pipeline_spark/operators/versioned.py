@@ -137,9 +137,37 @@ class VersionedTable:
             self.spark.createDataFrame([(json.dumps(d),)], "j string").coalesce(1)
         )
 
-    def exists(self) -> bool:
+    def _recover_pointer(self) -> bool:
+        """Self-heal an interrupted pointer swap: ParquetTable._swap_in
+        renames the old pointer to a `.old-<hex>` backup before moving
+        the new one in, so a crash between the two renames leaves no
+        `_latest` but exactly that backup. Restoring it keeps the
+        module contract ('a crash at any point leaves the previous
+        version fully readable') — the commit whose swap was
+        interrupted becomes an ordinary invisible orphan (vacuum
+        reclaims it) instead of the table reading as empty, which
+        would let the next write fork history with parent=None and a
+        reset txn map."""
         fs, jp = self._fs(self._latest_path())
-        return bool(fs.exists(jp))
+        if fs.exists(jp):
+            return True
+        parent_dir, base = self.path, "_latest.old-"
+        fs2, pdir = self._fs(parent_dir)
+        if not fs2.exists(pdir):
+            return False
+        backups = [
+            st.getPath() for st in fs2.listStatus(pdir)
+            if st.getPath().getName().startswith(base)
+        ]
+        if not backups:
+            return False
+        # one-writer contract: at most one interrupted swap can exist
+        fs2.rename(backups[0], jp)
+        self.spark.catalog.refreshByPath(self._latest_path())
+        return True
+
+    def exists(self) -> bool:
+        return self._recover_pointer()
 
     def latest_version(self) -> int | None:
         if not self.exists():
@@ -375,7 +403,12 @@ class VersionedTable:
             try:
                 return float(a), float(b)  # numeric types
             except ValueError:
-                return a, b  # ISO dates/timestamps compare lexically
+                # ISO dates/timestamps compare lexically — but only
+                # after normalizing the date/time separator: footer
+                # stats render as '1996-06-30 23:59:59' while a caller
+                # may pass isoformat()'s '1996-06-30T23:59:59', and
+                # ' ' < 'T' would wrongly prune intersecting files
+                return a.replace("T", " "), b.replace("T", " ")
 
         if lo is not None:
             fmax_c, lo_c = _cmp_pair(fmax, lo)
@@ -454,7 +487,7 @@ class VersionedTable:
                 base = base.add(fld.name, fld.dataType, True)
             schema = base
         if not added:
-            return sorted(promoted) if promoted else []
+            return []  # promotions are recorded in history(), not returned
         self._commit(list(man["files"]), "evolve_schema", schema.json(),
                      {"added_columns": added})
         return added
@@ -649,9 +682,6 @@ class VersionedTable:
             p = p[len("file:"):]
             while p.startswith("//"):  # file:/// form
                 p = p[1:]
-        root = self.path
-        if root.startswith("file:"):
-            root = root[len("file:"):]
         i = p.find("/_gen/")
         if i < 0:
             raise ValueError(f"file {abs_uri} is not under {self.path}/_gen")
@@ -703,7 +733,12 @@ class VersionedTable:
         (null-safe, column-by-column — no hash-collision escape hatch).
         Schema evolution between the versions NULL-fills the old side,
         so a backfilled column reads as an update only where a real
-        value arrived."""
+        value arrived.
+
+        Contract: `keys` must be unique per version — the invariant
+        merge_upsert maintains. A table loaded with duplicate keys
+        (overwrite never dedupes) can misreport a surviving duplicate
+        as a delete when only one copy's file was rewritten."""
         man_o = self._manifest(v_old)
         man_n = self._resolve(v_new)
         po = {f["path"] for f in man_o["files"]}

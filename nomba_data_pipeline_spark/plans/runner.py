@@ -392,9 +392,11 @@ class PipelineRunner:
                 vt.evolve_schema_to(df)
             elif spec.on_schema_change == "fail":
                 cur = dict(vt.read().dtypes)
+                # void (all-NULL) columns carry no concrete type yet —
+                # not drift, same tolerance as _apply_schema_policy
                 drift = [
                     c for c, t in df.dtypes
-                    if c not in cur or cur[c] != t
+                    if t != "void" and (c not in cur or cur[c] != t)
                 ]
                 if drift:
                     raise ValueError(
@@ -477,6 +479,12 @@ class PipelineRunner:
                 self._hwm_str(dim, spec.view_dim_tracking),
             )
         else:
+            if not agg._exists():
+                # a crash landed between view.build() and agg.build()
+                # on the first run: complete it (build is a full
+                # recompute from the view, so this converges) instead
+                # of raising 'not built' on every later run
+                agg.build()
             state = self._load_view_state(state_path)
             dim_delta = dim
             if state["dim_hwm"] is not None:
@@ -913,7 +921,17 @@ class PipelineRunner:
         for name in wanted:
             if self.models[name].materialization == "scd2":
                 continue  # re-runs, but history storage is preserved
-            for suffix in ("", "__open", "__closed", "._view_meta", "._view_state"):
+            # agg_view marts own a second layer: the underlying join
+            # view at <name>__view (plus its sidecars and the agg's
+            # meta/intent) — leaving it behind would make the rebuild
+            # run hit the maintenance branch against a dropped partials
+            # table and raise forever
+            for suffix in (
+                "", "__open", "__closed", "._view_meta", "._view_state",
+                "._agg_meta", "._agg_intent",
+                "__view", "__view._view_meta",
+                "__view._view_meta.rebucket-intent",
+            ):
                 self._rm_dir(os.path.join(self.warehouse_dir, name + suffix))
         return self.run(only=list(wanted))
 
@@ -1084,6 +1102,19 @@ class PipelineRunner:
             t = ParquetTable(self.spark, os.path.join(self.warehouse_dir, vname))
             if not t.exists():
                 continue
+            agg = None
+            if spec.materialization == "agg_view":
+                from nomba_data_pipeline_spark.operators.agg_join_view import (
+                    AggJoinView,
+                )
+
+                agg = AggJoinView.open(
+                    self.spark, os.path.join(self.warehouse_dir, name)
+                )
+                # a prior sweep crashed between the view rewrite and
+                # the partial refresh: its intent names the buckets —
+                # heal BEFORE recomputing counts from the current view
+                agg.heal()
             cur = t.read()  # includes __dim_bucket (raw table read)
             kept = cur
             for match_df, col in ((ids_b, "user_id"), (plan_ids, "plan_id")):
@@ -1093,6 +1124,14 @@ class PipelineRunner:
             n_before, n_kept = cur.count(), kept.count()
             touched_buckets: list = []
             if n_kept == 0 and n_before > 0:
+                if agg is not None:
+                    # intent BEFORE the rewrite (same protocol as the
+                    # apply verbs): a crash between the view fallback
+                    # and the partial mirror heals on the next pass
+                    agg._write_intent([
+                        int(r["__dim_bucket"])
+                        for r in cur.select("__dim_bucket").distinct().collect()
+                    ])
                 # every bucket emptied: removing all dirs would leave an
                 # unreadable table — same schema-keeping fallback as
                 # erase_plain (one empty unpartitioned file)
@@ -1104,6 +1143,8 @@ class PipelineRunner:
                     for r in gone.select("__dim_bucket").distinct().collect()
                 ]
                 touched_buckets = buckets
+                if agg is not None:
+                    agg._write_intent(buckets)
                 kept_slice = kept.filter(F.col("__dim_bucket").isin(buckets))
                 live = {
                     r["__dim_bucket"]
@@ -1125,17 +1166,11 @@ class PipelineRunner:
                     os.path.join(self.warehouse_dir, vname)
                 )
             removed[vname] = n_before - n_kept
-            if spec.materialization == "agg_view" and n_kept < n_before:
-                from nomba_data_pipeline_spark.operators.agg_join_view import (
-                    AggJoinView,
-                )
+            if agg is not None and n_kept < n_before:
                 from nomba_data_pipeline_spark.operators.incremental_agg import (
                     agg_state,
                 )
 
-                agg = AggJoinView.open(
-                    self.spark, os.path.join(self.warehouse_dir, name)
-                )
                 if n_kept == 0:
                     # the view fell back to one empty flat file; mirror
                     # that shape for the partials (an empty PARTITIONED
@@ -1154,6 +1189,7 @@ class PipelineRunner:
                     # erasure rewrote — same O(touched buckets) bound as
                     # the view's own maintenance
                     agg._refresh(touched_buckets)
+                agg._clear_intent()
 
         # versioned marts: a plain delete is NOT an erasure here — time
         # travel and rollback would keep serving the subject from

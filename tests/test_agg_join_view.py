@@ -531,3 +531,136 @@ def test_cli_aggview_lifecycle(spark, tmp_path, capsys):
     )
     assert healed["healed_buckets"] == []
     assert "gCLI" in run("aggview", "result", "--path", a.path)
+
+
+# -- review-pass regressions --------------------------------------------------------
+def test_full_refresh_rebuilds_agg_view_cleanly(spark, tmp_path):
+    """full_refresh of an agg_view (or anything upstream) must drop the
+    underlying view + sidecars too — leaving <name>__view behind made
+    the rebuild run raise 'not built' forever."""
+    import os
+
+    src, wh = os.path.join(str(tmp_path), "src"), os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    fact, dim = _src_frames(spark)
+    fact.write.parquet(src + "/fact")
+    dim.write.parquet(src + "/dim")
+    r = _runner(spark, src, wh)
+    r.run()
+    before = _rollup(r)
+    # refresh the mart itself, then via an upstream model
+    r.full_refresh(["seg_rollup"])
+    assert _rollup(_runner(spark, src, wh)) == before
+    r2 = _runner(spark, src, wh)
+    r2.full_refresh(["f"])
+    assert _rollup(r2) == before
+
+
+def test_agg_view_first_run_crash_recovers(spark, tmp_path):
+    """A crash between view.build() and agg.build() on the first run
+    must complete on the next run, not raise 'not built' forever."""
+    import os
+
+    src, wh = os.path.join(str(tmp_path), "src"), os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    fact, dim = _src_frames(spark)
+    fact.write.parquet(src + "/fact")
+    dim.write.parquet(src + "/dim")
+    r = _runner(spark, src, wh)
+
+    import nomba_data_pipeline_spark.operators.agg_join_view as ajv
+
+    real_build = ajv.AggJoinView.build
+
+    def _die(self):
+        raise RuntimeError("crash before agg build")
+
+    ajv.AggJoinView.build = _die
+    try:
+        with pytest.raises(RuntimeError, match="crash before agg build"):
+            r.run()
+    finally:
+        ajv.AggJoinView.build = real_build
+        ajv.AggJoinView.rebuild = real_build
+    r2 = _runner(spark, src, wh)
+    r2.run()  # recovery: completes the interrupted first run
+    assert _rollup(r2) == {
+        (x["grp"], x["cnt"], x["s"])
+        for x in fact.join(dim, "dk", "left").groupBy("grp").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("amt").cast("decimal(38,4)")), 2)
+            .cast("double").alias("s"),
+        ).collect()
+    }
+
+
+def test_erasure_crash_between_view_sweep_and_refresh_heals(spark, tmp_path):
+    """FAULT INJECTION: erase_subject rewrites the agg mart's view then
+    dies before refreshing the partials — the intent written BEFORE the
+    rewrite must heal on the next erasure pass (the replay alone sees
+    zero matching rows and would otherwise skip the agg forever)."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    src, wh = os.path.join(str(tmp_path), "src"), os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    fact = spark.range(80).select(
+        F.col("id").alias("fk"), (F.col("id") % 8).alias("dk"),
+        (F.col("id") % 5).alias("user_id"),
+        (F.col("id") * 2.0).alias("amt"), F.lit(1).alias("ver"),
+    )
+    dim = spark.range(8).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        F.lit(1).alias("dver"),
+    )
+    fact.write.parquet(src + "/fact")
+    dim.write.parquet(src + "/dim")
+
+    def mk():
+        r = PipelineRunner(spark, wh, src)
+        r.register(ModelSpec(
+            name="f", fn=lambda s, d: s.read.parquet(d + "/fact"),
+            materialization="table",
+        ))
+        r.register(ModelSpec(
+            name="d", fn=lambda s, d: s.read.parquet(d + "/dim"),
+            materialization="table",
+        ))
+        r.register(ModelSpec(
+            name="seg_rollup", fn=None, materialization="agg_view",
+            view_fact="f", view_dim="d", view_dim_key="dk",
+            view_dim_cols=["grp"], view_dim_tracking="dver",
+            upsert_key=["fk"], tracking_column="ver",
+            agg_group_keys=["grp"], agg_measures=["amt"], view_buckets=4,
+        ))
+        return r
+
+    mk().run()
+
+    import nomba_data_pipeline_spark.operators.agg_join_view as ajv
+
+    real_refresh = ajv.AggJoinView._refresh
+
+    def _die(self, buckets):
+        raise RuntimeError("crash before partial refresh")
+
+    ajv.AggJoinView._refresh = _die
+    try:
+        with pytest.raises(RuntimeError, match="crash before partial refresh"):
+            mk().erase_subject([2], "er-crash")
+    finally:
+        ajv.AggJoinView._refresh = real_refresh
+    # the view WAS swept; partials are stale; the replay heals via the intent
+    mk().erase_subject([2], "er-replay")
+    expected = {
+        (x["grp"], x["cnt"], x["s"])
+        for x in fact.filter("user_id <> 2").join(dim, "dk", "left")
+        .groupBy("grp").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("amt").cast("decimal(38,4)")), 2)
+            .cast("double").alias("s"),
+        ).collect()
+    }
+    assert _rollup(mk()) == expected

@@ -757,3 +757,70 @@ def test_diff_versions_across_schema_evolution(spark, tmp_path):
     )
     d = t.diff_versions(1, None, ["k"]).collect()
     assert {(r["change_type"], r["k"], r["note"]) for r in d} == {("update", 7, "x")}
+
+
+# -- review-pass regressions -------------------------------------------------------
+def test_interrupted_pointer_swap_self_heals(spark, tmp_path):
+    """FAULT INJECTION: a crash between _swap_in's two renames leaves
+    _latest missing but its .old backup present — the table must read
+    as the PREVIOUS version (never as empty, which would let the next
+    write fork history with parent=None and a reset txn map)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    t = _mk(spark, tmp_path, n=50)
+    t.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int"),
+        ["k"], txn=("s", 5),
+    )
+    # simulate the crash window: pointer renamed away, new one not in
+    shutil.move(t._latest_path(), t._latest_path() + ".old-deadbeef")
+    t2 = VersionedTable(spark, t.path)
+    assert t2.latest_version() == 2            # recovered, not empty
+    assert t2.txn_version("s") == 5            # txn map survives
+    assert t2.read().filter("v = -1").count() == 1
+    # the restore is physical: _latest is back, backup gone
+    assert os.path.exists(t._latest_path())
+    assert not _glob.glob(t._latest_path() + ".old-*")
+    # next write continues the chain, no fork
+    v3 = t2.merge_upsert(
+        spark.createDataFrame([(2, -2, 0)], "k long, v long, grp int"), ["k"]
+    )
+    assert v3 == 3 and t2._manifest(3)["parent"] == 2
+
+
+def test_read_range_accepts_isoformat_bounds(spark, tmp_path):
+    """isoformat()'s 'T' separator must not wrongly prune files whose
+    stats render with a space separator."""
+    import datetime
+    import os
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, datetime.datetime(1996, 1 + i % 12, 1)) for i in range(48)],
+            "k long, ts timestamp",
+        ),
+        cluster_by=["ts"], target_files=6,
+    )
+    got = t.read_range("ts", lo="1996-03-01T00:00:00", hi="1996-06-30T23:59:59")
+    want = t.read().filter(
+        "ts >= timestamp'1996-03-01 00:00:00' and ts <= timestamp'1996-06-30 23:59:59'"
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_evolve_schema_returns_only_added(spark, tmp_path):
+    """Promotion-only evolution returns [] per the documented
+    'added column names' contract (promotions live in history())."""
+    import os
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).cast("int").alias("v")
+    ))
+    assert t.evolve_schema_to(
+        spark.createDataFrame([(1, 2)], "k long, v long")
+    ) == []
+    assert t.history()[0]["op"] == "promote_types"
