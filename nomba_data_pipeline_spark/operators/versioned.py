@@ -72,8 +72,10 @@ repartition) gives the same skip behavior with file-count control.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -98,6 +100,30 @@ _STATS_SAFE_PREFIXES = (
 
 def _stats_safe(dtype: str) -> bool:
     return dtype.startswith(_STATS_SAFE_PREFIXES)
+
+
+def _stat_str(v) -> str:
+    """Canonical string rendering for a manifest stat value.
+
+    pyarrow decodes Spark timestamp footer stats as TZ-AWARE datetimes
+    (str() renders '...+00:00'), while callers of read_range /
+    high_water_mark_str pass session-naive renderings — the lexical
+    comparison in _ranges_intersect and the HWM round-trip would only
+    line up under the repo's pinned-UTC session. Normalize to UTC-naive
+    before rendering (mirroring merge.high_water_mark_stats) so the
+    comparison is correct by construction, not by session config."""
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return str(v)
+
+
+# simple-comparison conjunct for _predicate_bounds: col OP literal,
+# with an optional timestamp'/date' literal prefix
+_CMP_RE = re.compile(
+    r"^\s*(\w+)\s*(>=|<=|==|=|>|<)\s*"
+    r"(?:timestamp|date)?\s*'?([^'<>=!]+?)'?\s*$",
+    re.IGNORECASE,
+)
 
 
 class VersionedTable:
@@ -161,10 +187,42 @@ class VersionedTable:
         ]
         if not backups:
             return False
-        # one-writer contract: at most one interrupted swap can exist
-        fs2.rename(backups[0], jp)
+        # More than one backup can exist: a crash in _swap_in AFTER
+        # rename(tmp->target) but before delete(old) leaves a STALE
+        # backup while _latest is valid, and a LATER interrupted swap
+        # adds a second. Restoring an arbitrary one could silently
+        # revert the table several versions — after which vacuum would
+        # reclaim the newer committed manifests as "orphans". Read each
+        # backup's pointer version and restore the MAX; the rest are
+        # residue and are deleted (committed-chain manifests/files are
+        # untouched — only pointer copies die here).
+        def _backup_version(p) -> int:
+            try:
+                return int(json.loads(
+                    self.spark.read.parquet(p.toString()).first()["j"]
+                )["version"])
+            except Exception:
+                return -1
+
+        best = max(backups, key=_backup_version)
+        for b in backups:
+            if b is not best:
+                fs2.delete(b, True)
+        fs2.rename(best, jp)
         self.spark.catalog.refreshByPath(self._latest_path())
         return True
+
+    def _sweep_pointer_backups(self) -> None:
+        """Delete `_latest.old-*` residue (a crash between _swap_in's
+        rename-in and backup-delete leaves one while `_latest` is
+        valid) so at most one backup can ever accumulate. Called after
+        every successful pointer swap — one listStatus per commit."""
+        fs, pdir = self._fs(self.path)
+        if not fs.exists(pdir):
+            return
+        for st in fs.listStatus(pdir):
+            if st.getPath().getName().startswith("_latest.old-"):
+                fs.delete(st.getPath(), True)
 
     def exists(self) -> bool:
         return self._recover_pointer()
@@ -275,7 +333,7 @@ class VersionedTable:
                 if lo is not None:
                     # JSON-portable; compared against str(value) bounds
                     # in read_range, exact for the stats-safe types
-                    out[c] = [str(lo), str(hi)]
+                    out[c] = [_stat_str(lo), _stat_str(hi)]
             return out or None
         except Exception:
             return None
@@ -306,6 +364,7 @@ class VersionedTable:
         # the pointer swap IS the commit: a crash before this line
         # leaves an invisible orphan manifest (vacuum reclaims it)
         self._write_json(self._latest_path(), {"version": v})
+        self._sweep_pointer_backups()
         return v
 
     def txn_version(self, app: str) -> int | None:
@@ -420,6 +479,118 @@ class VersionedTable:
                 return False
         return True
 
+    def _schema_dtypes(self, man: dict) -> dict[str, str]:
+        return {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(man["schema"])).fields
+        }
+
+    def _key_candidate_files(self, man: dict, delta: DataFrame,
+                             keys: list[str]) -> list[str]:
+        """Stat-pruned key location: relative paths of the files that
+        COULD hold one of the delta's keys, from the manifest's
+        per-file min/max — the same intersection the read_range scan
+        planner does, driven by the delta's own key bounds (ONE
+        aggregate over the CDC-sized delta, zero table I/O). A
+        clustered 100 TB table takes a small merge at O(intersecting
+        files), not O(table). Conservative by construction: a column
+        is only used to prune when it is stats-safe, the delta has no
+        NULL in it (footer min/max say nothing about null presence,
+        and key matching is null-safe), and the file records stats for
+        it — anything else keeps the file, so pruning can only shrink
+        I/O, never change which keys match."""
+        dtypes = self._schema_dtypes(man)
+        targets = [
+            k for k in keys
+            if k in delta.columns and _stats_safe(dtypes.get(k, ""))
+        ]
+        if not targets:
+            return [f["path"] for f in man["files"]]
+        aggs = []
+        for k in targets:
+            aggs += [
+                F.min(k).alias(f"__lo_{k}"),
+                F.max(k).alias(f"__hi_{k}"),
+                F.sum(F.col(k).isNull().cast("long")).alias(f"__null_{k}"),
+            ]
+        row = delta.agg(*aggs).first()
+        bounds: dict[str, tuple[str, str]] = {}
+        for k in targets:
+            if row is None or row[f"__lo_{k}"] is None:
+                continue  # empty delta or all-NULL key: no bound
+            if (row[f"__null_{k}"] or 0) > 0:
+                continue  # NULL keys match null-safely; stats can't see them
+            bounds[k] = (_stat_str(row[f"__lo_{k}"]),
+                         _stat_str(row[f"__hi_{k}"]))
+        if not bounds:
+            return [f["path"] for f in man["files"]]
+        keep = []
+        for f in man["files"]:
+            st = f.get("stats") or {}
+            ok = True
+            for k, (lo, hi) in bounds.items():
+                fst = st.get(k)
+                if fst is None:
+                    continue  # no stats recorded: must keep
+                if not self._ranges_intersect(fst[0], fst[1], lo, hi):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f["path"])
+        return keep
+
+    @staticmethod
+    def _predicate_bounds(condition: str,
+                          dtypes: dict[str, str]) -> dict[str, tuple]:
+        """Extract per-column [lo, hi] bounds implied by a SQL-string
+        predicate, for manifest-stat file pruning in delete_where.
+        Only an AND-conjunction of `col OP literal` comparisons on
+        stats-safe columns yields bounds; any disjunction / negation /
+        parenthesized or unrecognized fragment (functions, BETWEEN)
+        disables extraction or contributes no bound — always safe,
+        since fewer bounds only means fewer files pruned (the
+        candidate set must stay a superset of the files holding
+        matching rows)."""
+        if re.search(r"\bor\b|\bnot\b|[()]", condition, re.IGNORECASE):
+            return {}
+        out: dict[str, list] = {}
+        for part in re.split(r"\band\b", condition, flags=re.IGNORECASE):
+            m = _CMP_RE.match(part)
+            if not m:
+                continue  # unparsed conjunct: narrows rows, no bound
+            col, op, lit = m.group(1), m.group(2), m.group(3).strip()
+            if not _stats_safe(dtypes.get(col, "")):
+                continue
+            lo, hi = out.get(col, [None, None])
+            if op in (">", ">="):
+                lo = lit if lo is None else max(lo, lit)
+            elif op in ("<", "<="):
+                hi = lit if hi is None else min(hi, lit)
+            else:  # = / ==
+                lo, hi = lit, lit
+            out[col] = [lo, hi]
+        return {k: tuple(v) for k, v in out.items()}
+
+    def _bounded_candidate_files(self, man: dict,
+                                 bounds: dict[str, tuple]) -> list[str]:
+        """Files whose stats can intersect every extracted bound."""
+        if not bounds:
+            return [f["path"] for f in man["files"]]
+        keep = []
+        for f in man["files"]:
+            st = f.get("stats") or {}
+            ok = True
+            for col, (lo, hi) in bounds.items():
+                fst = st.get(col)
+                if fst is None:
+                    continue
+                if not self._ranges_intersect(fst[0], fst[1], lo, hi):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f["path"])
+        return keep
+
     def evolve_schema_to(self, sample: DataFrame) -> list[str]:
         """Schema evolution with ZERO data movement — the versioning
         superpower plain tables don't have: because every read plans
@@ -499,7 +670,12 @@ class VersionedTable:
         currently hold one of the delta's keys are rewritten (anti-join
         out the old rows, union the delta); every other file is carried
         into the new manifest by reference. NULL keys match null-safely
-        — the same contract as ParquetTable.merge_upsert.
+        — the same contract as ParquetTable.merge_upsert. Finding the
+        holding files is itself STAT-PRUNED (_key_candidate_files): the
+        delta's key min/max intersect the manifest's per-file stats, so
+        on a key-clustered table the location scan reads O(intersecting
+        files), not O(table) — the full CoW cost bound is metadata +
+        candidate-file I/O.
 
         txn=(app, batch_version) makes the commit REPLAY-IDEMPOTENT
         (Delta's transactional-writer design): a batch id at or below
@@ -520,13 +696,20 @@ class VersionedTable:
         if evolve_schema:
             self.evolve_schema_to(delta)
         man = self._resolve(None)
-        target = self.read()
-        delta = _align_to_target(delta, target)
-        # which files hold a delta key? input_file_name() tags each row
-        # with its source file; the collect is bounded by |touched
-        # files| — the same bounded-driver-list shape as the partition
-        # scans in ParquetTable._merge_scoped_partitions
-        tagged = target.withColumn("__vfile", F.input_file_name())
+        # alignment needs only the manifest's pinned schema — never
+        # plan a full-table read for it
+        delta = _align_to_target(delta, self._read_files(man, []))
+        # which files hold a delta key? Manifest stats first shrink the
+        # scan to the files whose key range can intersect the delta's
+        # (O(candidate files) on a key-clustered table, never O(table));
+        # then input_file_name() tags each candidate row with its source
+        # file; the collect is bounded by |touched files| — the same
+        # bounded-driver-list shape as the partition scans in
+        # ParquetTable._merge_scoped_partitions
+        candidates = self._key_candidate_files(man, delta, keys)
+        tagged = self._read_files(man, sorted(candidates)).withColumn(
+            "__vfile", F.input_file_name()
+        )
         touched_abs = [
             r["__vfile"]
             for r in _semi_anti_null_safe(
@@ -559,7 +742,19 @@ class VersionedTable:
             return self.latest_version()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         man = self._resolve(None)
-        tagged = self.read().withColumn("__vfile", F.input_file_name())
+        # manifest-stat pruning for the matching-file scan: a string
+        # predicate that is a conjunction of simple comparisons on
+        # stats columns only scans the files whose ranges can satisfy
+        # it (Column conditions and complex predicates scan all files
+        # — pruning is an optimization, never a semantics change)
+        bounds = (
+            self._predicate_bounds(condition, self._schema_dtypes(man))
+            if isinstance(condition, str) else {}
+        )
+        candidates = self._bounded_candidate_files(man, bounds)
+        tagged = self._read_files(man, sorted(candidates)).withColumn(
+            "__vfile", F.input_file_name()
+        )
         touched_abs = [
             r["__vfile"]
             for r in tagged.filter(cond).select("__vfile").distinct().collect()
@@ -599,20 +794,27 @@ class VersionedTable:
         )
         numeric = dtype.startswith(("int", "bigint", "smallint", "tinyint",
                                     "float", "double", "decimal"))
-        for f in man["files"]:
-            st = (f.get("stats") or {}).get(tracking_col)
-            if st is None:
-                stats_ok = False
-                break
-            hi = st[1]
-            if best is None:
-                best = hi
-            elif numeric:
-                best = hi if float(hi) > float(best) else best
-            else:  # ISO timestamps/dates compare lexically
-                best = max(best, hi)
-        if stats_ok and best is not None:
-            return best
+        try:
+            for f in man["files"]:
+                st = (f.get("stats") or {}).get(tracking_col)
+                if st is None:
+                    stats_ok = False
+                    break
+                hi = st[1]
+                if best is None:
+                    best = hi
+                elif numeric:
+                    best = hi if float(hi) > float(best) else best
+                else:  # ISO timestamps/dates compare lexically
+                    best = max(best, hi)
+            if stats_ok and best is not None:
+                return best
+        except Exception:
+            # e.g. a decimal column whose footer stats an older pyarrow
+            # left as undecoded bytes — float() would raise. Stats are
+            # an optimization, never a correctness dependency: any
+            # parse surprise falls back to the exact scan below.
+            pass
         row = self.read().agg(F.max(tracking_col).alias("m")).first()
         return None if row is None or row["m"] is None else str(row["m"])
 
@@ -627,7 +829,13 @@ class VersionedTable:
             return self.latest_version()
         man = self._resolve(None)
         keys = keys.select(*cols)
-        tagged = self.read().withColumn("__vfile", F.input_file_name())
+        # same stat-pruned key location as merge_upsert: only files
+        # whose recorded key range can intersect the key frame's are
+        # scanned for matches
+        candidates = self._key_candidate_files(man, keys, cols)
+        tagged = self._read_files(man, sorted(candidates)).withColumn(
+            "__vfile", F.input_file_name()
+        )
         touched_abs = [
             r["__vfile"]
             for r in _semi_anti_null_safe(tagged, keys, cols, "left_semi")

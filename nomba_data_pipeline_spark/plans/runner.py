@@ -1107,14 +1107,29 @@ class PipelineRunner:
                 from nomba_data_pipeline_spark.operators.agg_join_view import (
                     AggJoinView,
                 )
-
-                agg = AggJoinView.open(
-                    self.spark, os.path.join(self.warehouse_dir, name)
+                from nomba_data_pipeline_spark.operators.merge import (
+                    fs_and_path as _fs_and_path,
                 )
-                # a prior sweep crashed between the view rewrite and
-                # the partial refresh: its intent names the buckets —
-                # heal BEFORE recomputing counts from the current view
-                agg.heal()
+
+                # a first run that crashed between view.build() and
+                # agg.build() leaves the __view on disk with NO
+                # ._agg_meta sidecar (the next _run_agg_view heals by
+                # completing the build) — open() would raise and fail
+                # the entire GDPR sweep across all models. With no
+                # sidecar there are no partials to refresh either:
+                # sweep the view's buckets below with agg=None.
+                meta_fs, meta_jp = _fs_and_path(
+                    self.spark,
+                    os.path.join(self.warehouse_dir, name) + "._agg_meta",
+                )
+                if meta_fs.exists(meta_jp):
+                    agg = AggJoinView.open(
+                        self.spark, os.path.join(self.warehouse_dir, name)
+                    )
+                    # a prior sweep crashed between the view rewrite and
+                    # the partial refresh: its intent names the buckets —
+                    # heal BEFORE recomputing counts from the current view
+                    agg.heal()
             cur = t.read()  # includes __dim_bucket (raw table read)
             kept = cur
             for match_df, col in ((ids_b, "user_id"), (plan_ids, "plan_id")):

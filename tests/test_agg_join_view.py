@@ -664,3 +664,91 @@ def test_erasure_crash_between_view_sweep_and_refresh_heals(spark, tmp_path):
         ).collect()
     }
     assert _rollup(mk()) == expected
+
+
+def test_erasure_with_missing_agg_meta_sidecar_sweeps_view(spark, tmp_path):
+    """FAULT INJECTION (ADVICE r12): a first run that crashed between
+    view.build() and agg.build() leaves <name>__view on disk with NO
+    ._agg_meta sidecar. erase_subject must NOT raise on the missing
+    sidecar (that would fail the entire GDPR sweep across all models):
+    it sweeps the view's buckets anyway, and the next run() completes
+    the agg build from the already-swept view."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    src, wh = os.path.join(str(tmp_path), "src"), os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    fact = spark.range(80).select(
+        F.col("id").alias("fk"), (F.col("id") % 8).alias("dk"),
+        (F.col("id") % 5).alias("user_id"),
+        (F.col("id") * 2.0).alias("amt"), F.lit(1).alias("ver"),
+    )
+    dim = spark.range(8).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        F.lit(1).alias("dver"),
+    )
+    fact.write.parquet(src + "/fact")
+    dim.write.parquet(src + "/dim")
+
+    def mk():
+        r = PipelineRunner(spark, wh, src)
+        r.register(ModelSpec(
+            name="f", fn=lambda s, d: s.read.parquet(d + "/fact"),
+            materialization="table",
+        ))
+        r.register(ModelSpec(
+            name="d", fn=lambda s, d: s.read.parquet(d + "/dim"),
+            materialization="table",
+        ))
+        r.register(ModelSpec(
+            name="seg_rollup", fn=None, materialization="agg_view",
+            view_fact="f", view_dim="d", view_dim_key="dk",
+            view_dim_cols=["grp"], view_dim_tracking="dver",
+            upsert_key=["fk"], tracking_column="ver",
+            agg_group_keys=["grp"], agg_measures=["amt"], view_buckets=4,
+        ))
+        return r
+
+    import nomba_data_pipeline_spark.operators.agg_join_view as ajv
+
+    real_build = ajv.AggJoinView.build
+
+    def _die(self):
+        raise RuntimeError("crash before agg build")
+
+    ajv.AggJoinView.build = _die
+    ajv.AggJoinView.rebuild = _die
+    try:
+        with pytest.raises(RuntimeError, match="crash before agg build"):
+            mk().run()
+    finally:
+        ajv.AggJoinView.build = real_build
+        ajv.AggJoinView.rebuild = real_build
+    # no sidecar, view exists — the sweep must succeed, not raise
+    removed = mk().erase_subject([2], "er-nosidecar")
+    assert removed.get("seg_rollup__view", 0) > 0
+    # the view itself holds no subject rows any more
+    vw = spark.read.parquet(os.path.join(wh, "seg_rollup__view"))
+    assert vw.filter("user_id = 2").count() == 0
+    # the next run completes the interrupted build off the swept view
+    # without raising. (The SOURCE still holds the subject, and the
+    # missing HWM state replays the full fact — so the subject
+    # legitimately re-ingests; erasure is durable only once the source
+    # is cleansed, the same contract as every other materialization.)
+    r2 = mk()
+    r2.run()
+    expected = {
+        (x["grp"], x["cnt"], x["s"])
+        for x in fact.join(dim, "dk", "left")
+        .groupBy("grp").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("amt").cast("decimal(38,4)")), 2)
+            .cast("double").alias("s"),
+        ).collect()
+    }
+    assert {
+        (r["grp"], r["cnt"], r["sum_amt"])
+        for r in r2.read_model("seg_rollup").collect()
+    } == expected

@@ -824,3 +824,215 @@ def test_evolve_schema_returns_only_added(spark, tmp_path):
         spark.createDataFrame([(1, 2)], "k long, v long")
     ) == []
     assert t.history()[0]["op"] == "promote_types"
+
+
+def test_recover_pointer_restores_max_version_backup(spark, tmp_path):
+    """FAULT INJECTION (ADVICE r12): a crash in _swap_in between
+    rename(tmp->target) and delete(old) leaves a STALE backup while
+    _latest is valid; a later interrupted swap leaves TWO backups.
+    Recovery must restore the MAX-version backup — resurrecting the
+    stale one would silently revert the table several versions, after
+    which vacuum would reclaim the newer committed manifests as
+    orphans."""
+    import glob as _glob
+    import shutil
+
+    t = _mk(spark, tmp_path, n=50)
+    t.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(2, -2, 0)], "k long, v long, grp int"), ["k"]
+    )
+    assert t.latest_version() == 3
+    # stale residue from an old crash-after-rename-in (pointer v1) ...
+    t._write_json(t._latest_path() + ".old-aaaaaaaa", {"version": 1})
+    # ... plus a NEW interrupted swap: current pointer (v3) renamed away
+    shutil.move(t._latest_path(), t._latest_path() + ".old-bbbbbbbb")
+    t2 = VersionedTable(spark, t.path)
+    assert t2.latest_version() == 3          # max backup, not backups[0]
+    assert t2.read().filter("v = -2").count() == 1
+    # the stale backup is residue and must be gone (at most one backup
+    # can ever exist again)
+    assert not _glob.glob(t._latest_path() + ".old-*")
+    v4 = t2.merge_upsert(
+        spark.createDataFrame([(3, -3, 0)], "k long, v long, grp int"), ["k"]
+    )
+    assert v4 == 4 and t2._manifest(4)["parent"] == 3
+
+
+def test_commit_sweeps_pointer_backup_residue(spark, tmp_path):
+    """A crash AFTER rename-in but before backup-delete leaves a
+    `.old-*` copy while `_latest` is valid — the next successful commit
+    must sweep it (so multi-backup recovery can never face more than
+    one interrupted-swap backup)."""
+    import glob as _glob
+    import shutil
+
+    t = _mk(spark, tmp_path, n=50)
+    shutil.copytree(t._latest_path(), t._latest_path() + ".old-cccccccc")
+    t.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+    assert not _glob.glob(t._latest_path() + ".old-*")
+    assert t.latest_version() == 2
+
+
+def test_timestamp_stats_are_tz_naive(spark, tmp_path):
+    """ADVICE r12: pyarrow footer stats for Spark timestamps decode
+    TZ-AWARE ('...+00:00') while read_range / HWM callers pass naive
+    renderings — the manifest must store UTC-naive strings so the
+    lexical comparison holds by construction, not by session config."""
+    import datetime
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, datetime.datetime(1996, 1 + i % 12, 1)) for i in range(48)],
+            "k long, ts timestamp",
+        ),
+        cluster_by=["ts"], target_files=6,
+    )
+    man = t._manifest(1)
+    ts_stats = [f["stats"]["ts"] for f in man["files"] if f.get("stats")]
+    assert ts_stats, "timestamp stats must be recorded"
+    for lo, hi in ts_stats:
+        assert "+" not in lo and "+" not in hi, (lo, hi)
+    # the stats HWM round-trips as a naive rendering Spark can re-cast
+    hwm = t.high_water_mark_str("ts")
+    assert hwm == "1996-12-01 00:00:00"
+    # and an exact-boundary read_range prunes without losing rows
+    got = t.read_range("ts", lo="1996-12-01 00:00:00")
+    assert got.count() == t.read().filter(
+        "ts >= timestamp'1996-12-01 00:00:00'"
+    ).count() > 0
+    assert len(got.inputFiles()) < 6
+
+
+def test_hwm_str_falls_back_on_unparseable_stats(spark, tmp_path):
+    """ADVICE r12: a numeric column whose recorded stat string does not
+    parse (e.g. undecoded-bytes repr from an older pyarrow) must fall
+    back to the exact scan, not raise out of the stats fast path."""
+    t = _mk(spark, tmp_path, n=50, files=4)
+    man = t._read_json(t._manifest_dir(1))
+    for f in man["files"]:
+        if f.get("stats") and "v" in f["stats"]:
+            f["stats"]["v"] = ["b'\\x01'", "b'\\xff'"]
+    t._write_json(t._manifest_dir(1), man)
+    spark.catalog.refreshByPath(t._manifest_dir(1))
+    assert t.high_water_mark_str("v") == "98"  # exact scan: max(id*2), n=50
+
+
+# -- stat-pruned key location (r13) ------------------------------------------
+def _spy_read_files(monkeypatch, t):
+    """Capture every file list handed to _read_files (the location
+    scan AND the touched-file rewrite read both flow through it)."""
+    calls = []
+    real = VersionedTable._read_files
+
+    def spy(self, man, rel_files):
+        if rel_files:  # skip the schema-only alignment read ([])
+            calls.append(list(rel_files))
+        return real(self, man, rel_files)
+
+    monkeypatch.setattr(VersionedTable, "_read_files", spy)
+    return calls
+
+
+def test_merge_upsert_location_scan_is_stat_pruned(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #1: on a key-clustered table, a small merge's
+    key-location scan must READ only the files whose manifest key range
+    intersects the delta's — never the whole table."""
+    t = _mk(spark, tmp_path, n=50_000, files=8)
+    n_total = len(t._manifest(1)["files"])
+    assert n_total == 8
+    calls = _spy_read_files(monkeypatch, t)
+    delta = spark.createDataFrame(
+        [(10, -1, 0), (60, -2, 0)], "k long, v long, grp int"
+    )
+    t.merge_upsert(delta, ["k"])
+    # first _read_files call is the location scan over candidates only
+    assert calls, "location scan must go through _read_files"
+    assert 0 < len(calls[0]) < n_total
+    # and the result is exactly the unpruned merge's
+    got = _rows(t.read())
+    want = _rows(
+        _base(spark, 50_000).filter("k not in (10, 60)")
+        .unionByName(delta)
+    )
+    assert got == want
+    # untouched files were carried by reference
+    assert t._manifest(t.latest_version())["carried_files"] >= n_total - 1
+
+
+def test_merge_upsert_null_key_disables_pruning_but_stays_correct(
+    spark, tmp_path, monkeypatch
+):
+    """NULL keys match null-safely and footer stats say nothing about
+    null presence — a delta carrying a NULL key must scan ALL files."""
+    t = _mk(spark, tmp_path, n=5_000, files=6)
+    t.merge_upsert(
+        spark.createDataFrame([(None, 0, 0)], "k long, v long, grp int"),
+        ["k"],
+    )  # seed a NULL-keyed stored row
+    calls = _spy_read_files(monkeypatch, t)
+    delta = spark.createDataFrame(
+        [(None, -5, 0), (3, -6, 0)], "k long, v long, grp int"
+    )
+    t.merge_upsert(delta, ["k"])
+    man = t._manifest(t.latest_version() - 1)
+    assert len(calls[0]) == len(man["files"])  # no pruning with NULLs
+    assert t.read().filter("k is null").count() == 1
+    assert {tuple(r) for r in t.read().filter(
+        "v in (-5, -6)"
+    ).select("k", "v").collect()} == {(None, -5), (3, -6)}
+
+
+def test_delete_keys_location_scan_is_stat_pruned(spark, tmp_path, monkeypatch):
+    t = _mk(spark, tmp_path, n=50_000, files=8)
+    calls = _spy_read_files(monkeypatch, t)
+    t.delete_keys(spark.createDataFrame([(7,), (9,)], "k long"), ["k"])
+    assert 0 < len(calls[0]) < 8
+    assert t.read().filter("k in (7, 9)").count() == 0
+    assert t.read().count() == 49_998
+
+
+def test_delete_where_string_predicate_prunes_files(spark, tmp_path, monkeypatch):
+    """A conjunctive comparison predicate on a stats column must scan
+    only the files whose range can satisfy it."""
+    t = _mk(spark, tmp_path, n=50_000, files=8)
+    calls = _spy_read_files(monkeypatch, t)
+    t.delete_where("k >= 100 and k < 200")
+    assert 0 < len(calls[0]) < 8
+    assert t.read().count() == 50_000 - 100
+    assert t.read().filter("k >= 100 and k < 200").count() == 0
+
+
+def test_delete_where_complex_predicate_scans_all_and_is_correct(
+    spark, tmp_path, monkeypatch
+):
+    """OR / modulo predicates yield no bounds — all files scanned, same
+    result as ever (pruning is never a correctness dependency)."""
+    t = _mk(spark, tmp_path, n=5_000, files=6)
+    calls = _spy_read_files(monkeypatch, t)
+    t.delete_where("k % 9 = 0 or v = 2")
+    assert len(calls[0]) == 6
+    assert t.read().filter("k % 9 = 0 or v = 2").count() == 0
+
+
+def test_predicate_bounds_extraction():
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable as VT
+
+    dt = {"k": "bigint", "ts": "timestamp", "name": "string"}
+    assert VT._predicate_bounds("k >= 5 and k < 10", dt) == {"k": ("5", "10")}
+    assert VT._predicate_bounds("k = 7", dt) == {"k": ("7", "7")}
+    assert VT._predicate_bounds(
+        "ts >= timestamp'2020-01-01 00:00:00'", dt
+    ) == {"ts": ("2020-01-01 00:00:00", None)}
+    # string columns, disjunctions, negations, functions: no bounds
+    assert VT._predicate_bounds("name = 'bob'", dt) == {}
+    assert VT._predicate_bounds("k = 1 or k = 2", dt) == {}
+    assert VT._predicate_bounds("not k = 1", dt) == {}
+    assert VT._predicate_bounds("abs(k) = 1", dt) == {}
+    assert VT._predicate_bounds("k % 9 = 0", dt) == {}
+    assert VT._predicate_bounds("k <> 3", dt) == {}
