@@ -83,17 +83,27 @@ class AggJoinView:
         view: JoinViewTable,
         group_keys: list[str],
         measures: list[str],
+        distinct_cols: list[str] | None = None,
     ):
         overlap = set(group_keys) & set(measures)
         if overlap:
             raise ValueError(f"columns {sorted(overlap)} are both group key and measure")
-        if _BUCKET in group_keys or _BUCKET in measures:
+        if _BUCKET in group_keys or _BUCKET in measures or _BUCKET in (distinct_cols or []):
             raise ValueError(f"{_BUCKET} is the layout column, not a query column")
+        if set(distinct_cols or []) & set(group_keys):
+            raise ValueError("a distinct column cannot also be a group key")
         self.spark = spark
         self.path = path.rstrip("/")
         self.view = view
         self.group_keys = list(group_keys)
         self.measures = list(measures)
+        # approximate-distinct measures: one mergeable HLL sketch per
+        # column rides in the bucket partials (hll_<col>) and folds at
+        # read time — a distinct-count rollup maintained at the same
+        # O(touched buckets) bound (bucket recompute rebuilds the
+        # bucket's sketches from the view, so deletes/migrations are
+        # handled without retraction, exactly like min/max)
+        self.distinct_cols = list(distinct_cols) if distinct_cols else []
         self._table = ParquetTable(spark, self.path)
         self._meta_checked = False
 
@@ -105,12 +115,17 @@ class AggJoinView:
         return self.path + "._agg_intent"
 
     def _meta_dict(self) -> dict:
-        return {
+        d = {
             "view_path": self.view.path,
             "group_keys": self.group_keys,
             "measures": self.measures,
             "n_buckets": self.view.n_buckets,
         }
+        # only present when used: pre-r13 sidecars lack the key, and a
+        # sketch-free instance must keep validating against them
+        if self.distinct_cols:
+            d["distinct"] = self.distinct_cols
+        return d
 
     def _write_meta(self) -> None:
         ParquetTable(self.spark, self._meta_path()).overwrite(
@@ -149,6 +164,7 @@ class AggJoinView:
             spark, path,
             view=JoinViewTable.open(spark, meta["view_path"]),
             group_keys=meta["group_keys"], measures=meta["measures"],
+            distinct_cols=meta.get("distinct"),
         )
 
     # -- intent (crash healing) ------------------------------------------
@@ -188,6 +204,7 @@ class AggJoinView:
             self.view._table.read(),
             [_BUCKET, *self.group_keys],
             self.measures,
+            distinct=self.distinct_cols,
         )
         self._table.overwrite(state, partition_by=[_BUCKET])
         self._write_meta()
@@ -204,7 +221,8 @@ class AggJoinView:
             return
         ids = sorted({int(b) for b in buckets})
         rows = self.view._table.read().filter(F.col(_BUCKET).isin(ids))
-        state = agg_state(rows, [_BUCKET, *self.group_keys], self.measures)
+        state = agg_state(rows, [_BUCKET, *self.group_keys], self.measures,
+                          distinct=self.distinct_cols)
         self._table._stage_and_swap_partitions(
             state, [_BUCKET], [{_BUCKET: b} for b in ids]
         )
@@ -293,6 +311,70 @@ class AggJoinView:
         ]
         self._write_intent(buckets)
         touched = self.view.apply_fact_delta(fact_delta, dim)
+        self._refresh(buckets)
+        self._clear_intent()
+        return touched
+
+    def _holder_buckets(self, keys: DataFrame) -> DataFrame:
+        """Buckets currently holding the given fact keys — the same
+        column-pruned null-safe key-location pass apply_fact_delta
+        uses for its old-holder set."""
+        return _semi_anti_null_safe(
+            self.view._table.read(),
+            keys.select(*self.view.fact_key),
+            self.view.fact_key,
+            "left_semi",
+        ).select(_BUCKET)
+
+    def delete_fact_keys(self, keys: DataFrame) -> list[int]:
+        """Fact-row delete with the intent protocol: the holder buckets
+        are derivable AFTER the delete too (the keys are simply gone),
+        but pre-computing them keeps the one-shape crash contract —
+        intent first, view mutation, partial refresh, clear."""
+        self._pre()
+        buckets = [
+            int(r[_BUCKET])
+            for r in self._holder_buckets(keys).distinct().collect()
+        ]
+        if not buckets:
+            return []
+        self._write_intent(buckets)
+        self.view.delete_fact_keys(keys)
+        self._refresh(buckets)
+        self._clear_intent()
+        return sorted(buckets)
+
+    def apply_fact_cdf(self, cdf: DataFrame, dim: DataFrame) -> list[int]:
+        """Maintain BOTH layers from a fact change-data-feed (the
+        diff_versions shape: change_type + full fact rows). Touched =
+        the buckets the upsert rows' dim keys hash into (new holders)
+        UNION the buckets currently holding ANY feed key (old holders —
+        covers dim-key migration on updates and the delete rows'
+        homes). The union is persisted as the intent BEFORE the view
+        mutates: after the merge/delete the old holders are no longer
+        discoverable, which is exactly why a post-hoc recovery couldn't
+        find them."""
+        self._pre()
+        if "change_type" not in cdf.columns:
+            raise ValueError(
+                "fact CDF must carry a change_type column "
+                "(insert | update | delete)"
+            )
+        new_b = _with_bucket(
+            cdf.filter(F.col("change_type").isin("insert", "update"))
+            .select(*self.view._keys).distinct(),
+            self.view.dim_key,
+            self.view.n_buckets,
+        ).select(_BUCKET)
+        old_b = self._holder_buckets(cdf)
+        buckets = [
+            int(r[_BUCKET])
+            for r in new_b.unionByName(old_b).distinct().collect()
+        ]
+        if not buckets:
+            return []
+        self._write_intent(buckets)
+        touched = self.view.apply_fact_cdf(cdf, dim)
         self._refresh(buckets)
         self._clear_intent()
         return touched

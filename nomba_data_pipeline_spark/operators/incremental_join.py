@@ -72,7 +72,10 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nomba_data_pipeline_spark.operators.merge import ParquetTable
+from nomba_data_pipeline_spark.operators.merge import (
+    ParquetTable,
+    _semi_anti_null_safe,
+)
 
 _BUCKET = "__dim_bucket"
 
@@ -371,6 +374,76 @@ class JoinViewTable:
             ).drop(_BUCKET)
         finally:
             k.unpersist()
+
+    # -- fact delete / change-data-feed ----------------------------------
+    def delete_fact_keys(self, keys: DataFrame) -> list[int]:
+        """FACT-row delete by fact key, partition-scoped: one
+        column-pruned semi-join locates the buckets currently holding
+        the keys (the same scan shape apply_fact_delta's merge uses);
+        only those bucket directories are rewritten with the surviving
+        rows — a bucket emptied entirely is deleted by the swap. This
+        is the tombstone half a versioned fact's change feed needs:
+        diff_versions emits `delete` rows when retention / GDPR /
+        correction batches remove fact rows, and without this verb a
+        maintained view would retain them forever. Returns the touched
+        bucket ids."""
+        if not self._table.exists():
+            raise ValueError(f"join view {self.path} not built yet")
+        self._validate_meta()
+        k = keys.select(*self.fact_key).distinct()
+        cur = self._table.read()
+        buckets = sorted(
+            int(r[_BUCKET])
+            for r in _semi_anti_null_safe(cur, k, self.fact_key, "left_semi")
+            .select(_BUCKET).distinct().collect()
+        )
+        if not buckets:
+            return []
+        survivors = _semi_anti_null_safe(
+            cur.filter(F.col(_BUCKET).isin(buckets)), k,
+            self.fact_key, "left_anti",
+        )
+        self._table._stage_and_swap_partitions(
+            survivors, [_BUCKET], [{_BUCKET: b} for b in buckets]
+        )
+        # every bucket emptied: a table with zero data files is
+        # unreadable — keep the schema readable as one empty flat file
+        # (the same fallback AggJoinView._refresh and erase_plain use)
+        if self._table.file_count() == 0:
+            self._table.overwrite(survivors.limit(0).repartition(1))
+        return buckets
+
+    def apply_fact_cdf(self, cdf: DataFrame, dim: DataFrame) -> list[int]:
+        """Maintain the view from a fact CHANGE-DATA-FEED frame — one
+        `change_type` column ('insert' | 'update' | 'delete') plus full
+        fact rows, exactly the shape VersionedTable.diff_versions
+        emits. insert/update rows re-enrich against the CURRENT dim and
+        upsert (apply_fact_delta); delete rows remove their fact keys
+        (delete_fact_keys). The diff contract guarantees a key appears
+        at most once per feed, so the two legs touch disjoint keys and
+        application order cannot change the result. Returns the union
+        of touched bucket ids."""
+        if "change_type" not in cdf.columns:
+            raise ValueError(
+                "fact CDF must carry a change_type column "
+                "(insert | update | delete)"
+            )
+        cdf = cdf.cache()
+        try:
+            upserts = cdf.filter(
+                F.col("change_type").isin("insert", "update")
+            ).drop("change_type")
+            deletes = cdf.filter(F.col("change_type") == "delete").select(
+                *self.fact_key
+            )
+            touched: set[int] = set()
+            if upserts.limit(1).count() > 0:
+                touched.update(self.apply_fact_delta(upserts, dim))
+            if deletes.limit(1).count() > 0:
+                touched.update(self.delete_fact_keys(deletes))
+            return sorted(touched)
+        finally:
+            cdf.unpersist()
 
     # -- dim delete: tombstone the enrichment columns -------------------
     def retire_dim_keys(self, keys: DataFrame) -> list[int]:

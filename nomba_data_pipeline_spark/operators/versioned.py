@@ -126,6 +126,19 @@ _CMP_RE = re.compile(
 )
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this write's snapshot and its
+    commit. The table is NOT corrupted — this write simply refused to
+    publish a manifest derived from a stale parent (its orphan
+    generation is reclaimed by vacuum). The repo-wide contract is one
+    writer per table; this check turns a second writer from silent
+    history corruption (lost update: the later pointer swap wins and
+    the other commit's rows vanish) into a loud, retryable error —
+    the detection half of Delta-style optimistic concurrency. (The
+    pointer swap is a rename, not a CAS, so an interleave INSIDE the
+    swap window itself is still undetectable — run one writer.)"""
+
+
 class VersionedTable:
     """A versioned parquet table: every write is a new manifest over
     mostly-shared immutable files; any retained version stays readable."""
@@ -287,10 +300,46 @@ class VersionedTable:
             if st.getPath().getName().endswith(".parquet")
         )
         want = self._stats_targets(df.schema)
-        return [
-            {"path": r, "stats": self._file_stats(f"{self.path}/{r}", want)}
-            for r in rels
-        ]
+        stats = {r: self._file_stats(f"{self.path}/{r}", want) for r in rels}
+        if want and any(v is None for v in stats.values()):
+            # footer fast path unavailable (object store / non-local
+            # scheme): ONE read-back aggregation over the generation
+            # just written (page-cache warm, O(generation) — never
+            # O(table)) so pruning and the stats HWM keep working where
+            # they matter most instead of silently degrading
+            stats = self._stats_readback(gen, want, df.schema) or stats
+        return [{"path": r, "stats": stats.get(r)} for r in rels]
+
+    def _stats_readback(self, gen: str, cols: list[str],
+                        schema: StructType) -> dict | None:
+        """Per-file min/max computed FROM THE DATA of one generation —
+        the scheme-agnostic fallback when pyarrow cannot reach the
+        footers locally. Exact (tighter than footer stats, which may
+        be row-group unions); one grouped aggregate per generation
+        write, grouped by input_file_name so every file gets its own
+        bounds. All-NULL columns contribute no stat (same as footers
+        without min/max)."""
+        try:
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+            rows = (
+                self.spark.read.schema(schema).parquet(gen)
+                .groupBy(F.input_file_name().alias("__f"))
+                .agg(*aggs)
+                .collect()
+            )
+            out: dict[str, dict | None] = {}
+            for r in rows:
+                st = {}
+                for c in cols:
+                    lo, hi = r[f"__lo_{c}"], r[f"__hi_{c}"]
+                    if lo is not None:
+                        st[c] = [_stat_str(lo), _stat_str(hi)]
+                out[self._rel(r["__f"])] = st or None
+            return out
+        except Exception:
+            return None  # stats stay an optimization, never a dependency
 
     def _stats_targets(self, schema: StructType) -> list[str]:
         cols = [f.name for f in schema.fields
@@ -338,11 +387,24 @@ class VersionedTable:
         except Exception:
             return None
 
+    # sentinel: "caller took no snapshot" (first-write overwrite) vs a
+    # genuine expected parent of None
+    _NO_SNAPSHOT = object()
+
     def _commit(self, files: list[dict], op: str, schema_ddl: str,
                 extra: dict | None = None,
-                txn: tuple[str, int] | None = None) -> int:
+                txn: tuple[str, int] | None = None,
+                expected_parent=_NO_SNAPSHOT) -> int:
         v = self._next_version()
         parent = self.latest_version()
+        if expected_parent is not self._NO_SNAPSHOT and parent != expected_parent:
+            raise ConcurrentWriteError(
+                f"{self.path}: another writer advanced the table to "
+                f"version {parent} after this {op} snapshotted version "
+                f"{expected_parent} — refusing to commit a manifest "
+                "derived from a stale parent (lost-update protection; "
+                "re-read and retry the write)"
+            )
         # writer-transaction map (Delta's txn appId/version design):
         # carried forward whole on every commit — one entry per writer
         # app, so it stays O(writers), never O(history) — and read from
@@ -393,9 +455,11 @@ class VersionedTable:
         are untouched and stay readable until vacuumed."""
         if self._txn_applied(txn):
             return self.latest_version()
+        snap = self.latest_version()
         files = self._write_gen(df, cluster_by=cluster_by,
                                 target_files=target_files)
-        return self._commit(files, "overwrite", df.schema.json(), txn=txn)
+        return self._commit(files, "overwrite", df.schema.json(), txn=txn,
+                            expected_parent=snap)
 
     def _resolve(self, version: int | None) -> dict:
         if version is None:
@@ -418,9 +482,34 @@ class VersionedTable:
         )
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Time travel: the table AS OF `version` (default: latest)."""
+        """Time travel: the table AS OF `version` (default: latest).
+
+        Explicit-version reads verify the manifest's files still exist
+        FIRST and refuse loudly when vacuum reclaimed them — a handle
+        that raced a vacuum would otherwise die with an opaque
+        FileNotFoundException halfway through the scan. (Latest-version
+        reads skip the check: vacuum always retains the current
+        version, so the hot path pays zero extra metadata calls.)"""
         man = self._resolve(version)
+        if version is not None:
+            self._assert_files_present(man, f"read(version={version})")
         return self._read_files(man, [f["path"] for f in man["files"]])
+
+    def _assert_files_present(self, man: dict, op: str) -> None:
+        missing = []
+        for f in man["files"]:
+            fs, jp = self._fs(f"{self.path}/{f['path']}")
+            if not fs.exists(jp):
+                missing.append(f["path"])
+                if len(missing) >= 3:
+                    break
+        if missing:
+            raise ValueError(
+                f"cannot {op} on {self.path}: version "
+                f"{man['version']}'s data files were reclaimed by "
+                f"vacuum (missing e.g. {missing}); only versions within "
+                "the vacuum retention window stay readable"
+            )
 
     def read_range(self, col: str, lo=None, hi=None,
                    version: int | None = None) -> DataFrame:
@@ -432,6 +521,8 @@ class VersionedTable:
         kept. The same bounds are then applied as a real predicate, so
         the result is byte-identical to an unpruned filter."""
         man = self._resolve(version)
+        if version is not None:
+            self._assert_files_present(man, f"read_range(version={version})")
         lo_s = None if lo is None else str(lo)
         hi_s = None if hi is None else str(hi)
         keep = []
@@ -650,6 +741,7 @@ class VersionedTable:
             self._commit(
                 files, "promote_types", casted.schema.json(),
                 {"promoted_columns": sorted(promoted)},
+                expected_parent=man["version"],
             )
             man = self._resolve(None)
             base = StructType.fromJson(json.loads(man["schema"]))
@@ -660,7 +752,8 @@ class VersionedTable:
         if not added:
             return []  # promotions are recorded in history(), not returned
         self._commit(list(man["files"]), "evolve_schema", schema.json(),
-                     {"added_columns": added})
+                     {"added_columns": added},
+                     expected_parent=man["version"])
         return added
 
     def merge_upsert(self, delta: DataFrame, keys: list[str],
@@ -729,7 +822,7 @@ class VersionedTable:
         return self._commit(
             kept + new_files, "merge_upsert", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
-            txn=txn,
+            txn=txn, expected_parent=man["version"],
         )
 
     def delete_where(self, condition,
@@ -770,7 +863,7 @@ class VersionedTable:
         return self._commit(
             kept + new_files, "delete_where", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
-            txn=txn,
+            txn=txn, expected_parent=man["version"],
         )
 
     def high_water_mark_str(self, tracking_col: str) -> str | None:
@@ -852,7 +945,7 @@ class VersionedTable:
         return self._commit(
             kept + new_files, "delete_keys", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
-            txn=txn,
+            txn=txn, expected_parent=man["version"],
         )
 
     def purge_keys(self, keys: DataFrame, cols: list[str]) -> dict:
@@ -911,6 +1004,7 @@ class VersionedTable:
         return self._commit(
             list(man["files"]), "rollback", man["schema"],
             {"rolled_back_to": version},
+            expected_parent=self.latest_version(),
         )
 
     def checkpoint(self, cluster_by: list[str] | None = None,
@@ -925,6 +1019,7 @@ class VersionedTable:
         return self._commit(
             files, "checkpoint", man["schema"],
             {"compacted_files": len(man["files"])},
+            expected_parent=man["version"],
         )
 
     def diff_versions(self, v_old: int, v_new: int | None,

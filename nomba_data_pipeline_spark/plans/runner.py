@@ -97,6 +97,9 @@ class ModelSpec:
     # partials, <= buckets x groups rows).
     agg_group_keys: list[str] = field(default_factory=list)
     agg_measures: list[str] = field(default_factory=list)
+    # approx-distinct rollup columns (HLL sketch partials; see
+    # operators/incremental_agg.agg_state `distinct=`)
+    agg_distinct_cols: list[str] = field(default_factory=list)
 
 
 class PipelineRunner:
@@ -301,17 +304,21 @@ class PipelineRunner:
         def _hwm(df: DataFrame, col: str) -> str | None:
             return self._hwm_str(df, col)
 
-        def _save(fact_hwm: str | None, dim_hwm: str | None) -> None:
-            self._save_view_state(state_path, fact_hwm, dim_hwm)
+        def _save(fact_hwm: str | None, dim_hwm: str | None,
+                  fact_version: int | None = None) -> None:
+            self._save_view_state(state_path, fact_hwm, dim_hwm,
+                                  fact_version=fact_version)
 
         def _load_state() -> dict:
             return self._load_view_state(state_path)
 
+        vt = self._fact_versioned_table(spec)
         if not view._table.exists():
             view.build(fact, dim)
             _save(
                 _hwm(fact, spec.tracking_column),
                 _hwm(dim, spec.view_dim_tracking),
+                fact_version=vt.latest_version() if vt is not None else None,
             )
         else:
             state = _load_state()
@@ -321,14 +328,6 @@ class PipelineRunner:
                     F.col(spec.view_dim_tracking)
                     > F.lit(state["dim_hwm"]).cast(
                         dict(dim.dtypes)[spec.view_dim_tracking]
-                    )
-                )
-            fact_delta = fact
-            if state["fact_hwm"] is not None:
-                fact_delta = fact.filter(
-                    F.col(spec.tracking_column)
-                    > F.lit(state["fact_hwm"]).cast(
-                        dict(fact.dtypes)[spec.tracking_column]
                     )
                 )
             if dim_delta.limit(1).count() > 0:
@@ -341,12 +340,43 @@ class PipelineRunner:
                         *_key_cols(spec.view_dim_key), *spec.view_dim_cols
                     )
                 )
-            if fact_delta.limit(1).count() > 0:
-                view.apply_fact_delta(fact_delta, dim)
-            _save(
-                _hwm(fact_delta, spec.tracking_column) or state["fact_hwm"],
-                _hwm(dim_delta, spec.view_dim_tracking) or state["dim_hwm"],
+            new_dim_hwm = (
+                _hwm(dim_delta, spec.view_dim_tracking) or state["dim_hwm"]
             )
+            if vt is not None:
+                # versioned fact: consume its change feed between the
+                # last-applied and current version — inserts/updates
+                # upsert, DELETES tombstone (the HWM path below can
+                # never see a delete). O(changed files) per refresh.
+                latest_v = vt.latest_version()
+                applied_v = state.get("fact_version")
+                if applied_v is None:
+                    # pre-CDF sidecar or state loss: an HWM replay
+                    # cannot propagate deletes that happened meanwhile,
+                    # so pay one rebuild — expensive but correct.
+                    view.build(fact, dim)
+                elif latest_v is not None and latest_v > applied_v:
+                    cdf = vt.diff_versions(
+                        applied_v, latest_v, spec.upsert_key
+                    )
+                    view.apply_fact_cdf(cdf, dim)
+                _save(state["fact_hwm"], new_dim_hwm, fact_version=latest_v)
+            else:
+                fact_delta = fact
+                if state["fact_hwm"] is not None:
+                    fact_delta = fact.filter(
+                        F.col(spec.tracking_column)
+                        > F.lit(state["fact_hwm"]).cast(
+                            dict(fact.dtypes)[spec.tracking_column]
+                        )
+                    )
+                if fact_delta.limit(1).count() > 0:
+                    view.apply_fact_delta(fact_delta, dim)
+                _save(
+                    _hwm(fact_delta, spec.tracking_column)
+                    or state["fact_hwm"],
+                    new_dim_hwm,
+                )
         out = self.read_model(spec.name)
         return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
 
@@ -467,9 +497,11 @@ class PipelineRunner:
             self.spark, agg_path,
             view=view, group_keys=spec.agg_group_keys,
             measures=spec.agg_measures,
+            distinct_cols=spec.agg_distinct_cols or None,
         )
         state_path = agg_path + "._view_state"
 
+        vt = self._fact_versioned_table(spec)
         if not view._table.exists():
             view.build(fact, dim)
             agg.build()
@@ -477,6 +509,7 @@ class PipelineRunner:
                 state_path,
                 self._hwm_str(fact, spec.tracking_column),
                 self._hwm_str(dim, spec.view_dim_tracking),
+                fact_version=vt.latest_version() if vt is not None else None,
             )
         else:
             if not agg._exists():
@@ -494,33 +527,76 @@ class PipelineRunner:
                         dict(dim.dtypes)[spec.view_dim_tracking]
                     )
                 )
-            fact_delta = fact
-            if state["fact_hwm"] is not None:
-                fact_delta = fact.filter(
-                    F.col(spec.tracking_column)
-                    > F.lit(state["fact_hwm"]).cast(
-                        dict(fact.dtypes)[spec.tracking_column]
-                    )
-                )
             if dim_delta.limit(1).count() > 0:
                 agg.apply_dim_delta(
                     dim_delta.select(
                         *_key_cols(spec.view_dim_key), *spec.view_dim_cols
                     )
                 )
-            if fact_delta.limit(1).count() > 0:
-                agg.apply_fact_delta(fact_delta, dim)
-            # even a no-delta run heals a leftover bucket intent
-            agg.heal()
-            self._save_view_state(
-                state_path,
-                self._hwm_str(fact_delta, spec.tracking_column)
-                or state["fact_hwm"],
+            new_dim_hwm = (
                 self._hwm_str(dim_delta, spec.view_dim_tracking)
-                or state["dim_hwm"],
+                or state["dim_hwm"]
             )
+            if vt is not None:
+                # versioned fact: fold its change feed (incl. DELETES)
+                # into both layers at O(touched buckets); see
+                # _run_join_view for the recovery rationale
+                latest_v = vt.latest_version()
+                applied_v = state.get("fact_version")
+                if applied_v is None:
+                    view.build(fact, dim)
+                    agg.build()
+                elif latest_v is not None and latest_v > applied_v:
+                    cdf = vt.diff_versions(
+                        applied_v, latest_v, spec.upsert_key
+                    )
+                    agg.apply_fact_cdf(cdf, dim)
+                agg.heal()
+                self._save_view_state(
+                    state_path, state["fact_hwm"], new_dim_hwm,
+                    fact_version=latest_v,
+                )
+            else:
+                fact_delta = fact
+                if state["fact_hwm"] is not None:
+                    fact_delta = fact.filter(
+                        F.col(spec.tracking_column)
+                        > F.lit(state["fact_hwm"]).cast(
+                            dict(fact.dtypes)[spec.tracking_column]
+                        )
+                    )
+                if fact_delta.limit(1).count() > 0:
+                    agg.apply_fact_delta(fact_delta, dim)
+                # even a no-delta run heals a leftover bucket intent
+                agg.heal()
+                self._save_view_state(
+                    state_path,
+                    self._hwm_str(fact_delta, spec.tracking_column)
+                    or state["fact_hwm"],
+                    new_dim_hwm,
+                )
         out = self.read_model(spec.name)
         return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
+
+    def _fact_versioned_table(self, spec: ModelSpec):
+        """The VersionedTable behind the mart's fact side, or None when
+        the fact model is a plain (HWM-tracked) materialization. A
+        versioned fact gives the view a better delta source than an HWM
+        filter: diff_versions derives inserts/updates AND DELETES from
+        the manifests at O(changed files) — retention or erasure
+        batches on the fact propagate to the maintained view instead of
+        lingering forever (the HWM path can only ever see new rows)."""
+        fact_spec = self.models.get(spec.view_fact)
+        if (fact_spec is None
+                or fact_spec.materialization != "versioned_incremental"):
+            return None
+        from nomba_data_pipeline_spark.operators.versioned import (
+            VersionedTable,
+        )
+
+        return VersionedTable(
+            self.spark, os.path.join(self.warehouse_dir, spec.view_fact)
+        )
 
     # -- view-state sidecar helpers (shared by join_view / agg_view) -----
     def _hwm_str(self, df: DataFrame, col: str) -> str | None:
@@ -530,15 +606,23 @@ class PipelineRunner:
         return None if row is None or row["m"] is None else str(row["m"])
 
     def _save_view_state(self, state_path: str,
-                         fact_hwm: str | None, dim_hwm: str | None) -> None:
+                         fact_hwm: str | None, dim_hwm: str | None,
+                         fact_version: int | None = None) -> None:
         # temp+atomic-rename (ParquetTable.overwrite's swap), not a
         # plain parquet overwrite: a crash mid-save must leave the
-        # PREVIOUS state readable, never a half-written sidecar
+        # PREVIOUS state readable, never a half-written sidecar.
+        # fact_version: the versioned-fact CDF cursor (the fact table
+        # VERSION whose changes are already folded into the view) —
+        # None for plain HWM-tracked facts.
         import json as _json
 
         ParquetTable(self.spark, state_path).overwrite(
             self.spark.createDataFrame(
-                [(_json.dumps({"fact_hwm": fact_hwm, "dim_hwm": dim_hwm}),)],
+                [(_json.dumps({
+                    "fact_hwm": fact_hwm,
+                    "dim_hwm": dim_hwm,
+                    "fact_version": fact_version,
+                }),)],
                 "state string",
             ).coalesce(1)
         )
@@ -557,12 +641,14 @@ class PipelineRunner:
         st_fs, st_jp = fs_and_path(self.spark, state_path)
         if st_fs.exists(st_jp):
             try:
-                return _json.loads(
+                st = _json.loads(
                     self.spark.read.parquet(state_path).first()["state"]
                 )
+                st.setdefault("fact_version", None)  # pre-CDF sidecars
+                return st
             except Exception:
                 pass
-        return {"fact_hwm": None, "dim_hwm": None}
+        return {"fact_hwm": None, "dim_hwm": None, "fact_version": None}
 
     def _apply_schema_policy(self, spec: ModelSpec, target, df: DataFrame) -> None:
         """dbt `on_schema_change` for incremental models: validate the
@@ -1197,6 +1283,7 @@ class PipelineRunner:
                             t.read(),
                             ["__dim_bucket", *agg.group_keys],
                             agg.measures,
+                            distinct=agg.distinct_cols,
                         ).repartition(1)
                     )
                 else:

@@ -235,3 +235,117 @@ def test_key_name_collision_fails_fast(spark):
         agg_state(df, ["min_tier"], "price")
     with pytest.raises(ValueError, match="state-column namespace"):
         IncrementalAggTable(spark, "/tmp/never", ["cnt"], "price")
+
+
+# -- r13: approximate-distinct (HLL) state columns ---------------------------
+def test_hll_distinct_folds_deterministically_and_exactly_at_small_scale(spark):
+    """distinct=["user"] adds an hll_<col> sketch to the state; folding
+    3 batch states must equal the one-shot sketch EXACTLY (HLL union is
+    deterministic per input, and exact below ~thousands of uniques)."""
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_type", "user_id", "value"
+    )
+    states = [
+        agg_state(ev.filter(F.col("user_id") % 3 == i), ["event_type"],
+                  "value", distinct=["user_id"])
+        for i in range(3)
+    ]
+    folded = finalize_agg_state(merge_agg_states(*states))
+    oneshot = finalize_agg_state(
+        agg_state(ev, ["event_type"], "value", distinct=["user_id"])
+    )
+    assert "approx_distinct_user_id" in folded.columns
+    got = {r["event_type"]: r["approx_distinct_user_id"] for r in folded.collect()}
+    want = {r["event_type"]: r["approx_distinct_user_id"] for r in oneshot.collect()}
+    assert got == want
+    exact = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("x")).collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(1, exact[k] * 0.05), (k, est, exact[k])
+
+
+def test_incremental_agg_table_maintains_distinct(spark, tmp_path):
+    import os
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_type", "user_id", "value"
+    )
+    t = IncrementalAggTable(
+        spark, os.path.join(str(tmp_path), "agg"), ["event_type"], "value",
+        distinct=["user_id"],
+    )
+    for i in range(3):
+        t.apply_batch(ev.filter(F.col("user_id") % 3 == i), i)
+    assert not t.apply_batch(ev.limit(5), 1)  # replay no-op
+    res = t.result()
+    exact = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("x")).collect()
+    }
+    for r in res.collect():
+        est = r["approx_distinct_user_id"]
+        x = exact[r["event_type"]]
+        assert abs(est - x) <= max(1, x * 0.05)
+
+
+def test_hll_key_name_collision_fails_fast(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2.0)], "hll_x int, price double")
+    with pytest.raises(ValueError, match="state-column namespace"):
+        agg_state(df, ["hll_x"], "price")
+
+
+def test_agg_join_view_distinct_survives_recompute(spark, tmp_path):
+    """Bucket recomputes (dim patch, fact delete) REBUILD the bucket's
+    sketches from the view — deletes/migrations need no retraction."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+    from nomba_data_pipeline_spark.operators.incremental_join import JoinViewTable
+
+    fact = spark.range(300).select(
+        F.col("id").alias("fk"), (F.col("id") % 20).alias("dk"),
+        (F.col("id") % 37).alias("uid"), (F.col("id") * 1.0).alias("amt"),
+    )
+    dim = spark.range(20).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["grp"], n_buckets=8,
+    )
+    v.build(fact, dim)
+    a = AggJoinView(
+        spark, os.path.join(str(tmp_path), "agg"),
+        view=v, group_keys=["grp"], measures=["amt"],
+        distinct_cols=["uid"],
+    )
+    a.build()
+    # reopen from sidecar: distinct config round-trips
+    a2 = AggJoinView.open(spark, os.path.join(str(tmp_path), "agg"))
+    assert a2.distinct_cols == ["uid"]
+    # delete every fact row of dk=3 (one bucket recompute) and patch a
+    # dim group; estimates must track the declarative answer
+    a2.delete_fact_keys(fact.filter("dk = 3").select("fk"))
+    a2.apply_dim_delta(spark.createDataFrame([(5, "gX")], "dk long, grp string"))
+    final_fact = fact.filter("dk <> 3")
+    final_dim = dim.withColumn(
+        "grp", F.when(F.col("dk") == 5, "gX").otherwise(F.col("grp"))
+    )
+    exact = {
+        r["grp"]: r["x"]
+        for r in final_fact.join(final_dim, "dk", "left").groupBy("grp")
+        .agg(F.count_distinct("uid").alias("x")).collect()
+    }
+    got = {
+        r["grp"]: r["approx_distinct_uid"] for r in a2.result().collect()
+    }
+    assert set(got) == set(exact)
+    for g, est in got.items():
+        assert abs(est - exact[g]) <= max(1, exact[g] * 0.05), (g, est, exact[g])

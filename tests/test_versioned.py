@@ -1036,3 +1036,111 @@ def test_predicate_bounds_extraction():
     assert VT._predicate_bounds("abs(k) = 1", dt) == {}
     assert VT._predicate_bounds("k % 9 = 0", dt) == {}
     assert VT._predicate_bounds("k <> 3", dt) == {}
+
+
+# -- r13: object-store stats, vacuum reader contract, conflict detection ----
+def test_stats_readback_fallback_when_footers_unreachable(spark, tmp_path, monkeypatch):
+    """When the pyarrow footer path is unavailable (object store), the
+    write job computes per-file min/max itself — pruning and the stats
+    HWM keep working instead of silently degrading to full scans."""
+    monkeypatch.setattr(VersionedTable, "_file_stats",
+                        lambda self, p, cols: None)
+    t = _mk(spark, tmp_path, n=50_000, files=8)
+    man = t._manifest(1)
+    assert all(f.get("stats") and "k" in f["stats"] for f in man["files"])
+    planned = t.read_range("k", lo=0, hi=10).inputFiles()
+    assert 0 < len(planned) < len(man["files"])
+    assert t.high_water_mark_str("k") == "49999"
+
+
+def test_file_scheme_path_still_prunes(spark, tmp_path):
+    """A `file:`-scheme table URI must record stats and prune."""
+    t = VersionedTable(spark, "file://" + os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(_base(spark, 50_000), cluster_by=["k"], target_files=8)
+    man = t._manifest(1)
+    assert all(f.get("stats") and "k" in f["stats"] for f in man["files"])
+    planned = t.read_range("k", lo=0, hi=10).inputFiles()
+    assert 0 < len(planned) < 8
+
+
+def test_read_of_vacuumed_version_refuses_loudly(spark, tmp_path):
+    """VERDICT r12 #7: a reader holding a vacuumed version must get a
+    loud, early refusal naming vacuum as the cause — not a mid-scan
+    FileNotFoundException."""
+    t = _mk(spark, tmp_path, n=500, files=4)
+    t.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+    t.overwrite(_base(spark, 10))  # v3: drops every v1/v2 file reference
+    t.vacuum(retain_last=1)
+    # manifest itself reclaimed -> the resolve refuses
+    with pytest.raises(ValueError, match="reclaimed by vacuum"):
+        t.read(version=1)
+    # manifest present but a data file hand-deleted (simulates a vacuum
+    # racing an already-resolved manifest): the read-time existence
+    # check refuses before any scan
+    import glob as _glob
+    import os as _os
+
+    v3 = t._manifest(3)
+    victim = _os.path.join(t.path, v3["files"][0]["path"])
+    _os.remove(victim)
+    with pytest.raises(ValueError, match="reclaimed by vacuum"):
+        t.read(version=3)
+    with pytest.raises(ValueError, match="reclaimed by vacuum"):
+        t.read_range("k", lo=0, version=3)
+
+
+def test_concurrent_writer_conflict_is_detected(spark, tmp_path):
+    """VERDICT r12 #8 (stretch): two handles both snapshot, A commits,
+    B must refuse with ConcurrentWriteError instead of silently
+    publishing a manifest derived from the stale parent (lost update)."""
+    from nomba_data_pipeline_spark.operators.versioned import (
+        ConcurrentWriteError,
+    )
+
+    t_a = _mk(spark, tmp_path, n=200, files=4)
+    t_b = VersionedTable(spark, t_a.path)
+
+    # interleave: B's merge starts (snapshots v1) ... A commits v2 ...
+    # B tries to commit. Injected via a _write_gen wrapper that lets A
+    # slip in a commit while B is mid-write.
+    real_write_gen = VersionedTable._write_gen
+    state = {"fired": False}
+
+    def interleave(self, df, cluster_by=None, target_files=None):
+        files = real_write_gen(self, df, cluster_by=cluster_by,
+                               target_files=target_files)
+        if self is t_b and not state["fired"]:
+            state["fired"] = True
+            t_a.merge_upsert(
+                spark.createDataFrame(
+                    [(5, -50, 0)], "k long, v long, grp int"
+                ),
+                ["k"],
+            )
+        return files
+
+    VersionedTable._write_gen = interleave
+    try:
+        with pytest.raises(ConcurrentWriteError, match="stale parent"):
+            t_b.merge_upsert(
+                spark.createDataFrame(
+                    [(6, -60, 0)], "k long, v long, grp int"
+                ),
+                ["k"],
+            )
+    finally:
+        VersionedTable._write_gen = real_write_gen
+    # A's commit is intact; B's orphan generation is vacuumable
+    assert t_b.latest_version() == 2
+    assert t_b.read().filter("v = -50").count() == 1
+    assert t_b.read().filter("v = -60").count() == 0
+    res = VersionedTable(spark, t_a.path).vacuum(retain_last=2)
+    assert res["dropped_files"] > 0  # B's orphan generation reclaimed
+    # and a clean retry of B's write now succeeds
+    v3 = t_b.merge_upsert(
+        spark.createDataFrame([(6, -60, 0)], "k long, v long, grp int"),
+        ["k"],
+    )
+    assert v3 == 3 and t_b.read().filter("v = -60").count() == 1
