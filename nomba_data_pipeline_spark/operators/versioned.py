@@ -144,12 +144,21 @@ class VersionedTable:
     mostly-shared immutable files; any retained version stays readable."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 stats_cols: list[str] | None = None):
+                 stats_cols: list[str] | None = None,
+                 write_cdf: bool = False):
         self.spark = spark
         self.path = path.rstrip("/")
         # columns to record per-file min/max for in the manifest
         # (None = every stats-safe top-level column)
         self.stats_cols = list(stats_cols) if stats_cols is not None else None
+        # write_cdf=True persists a ROW-LEVEL change feed at commit time
+        # (`_cdf/v<N>` per version — Delta Lake's _change_data design):
+        # merge/delete verbs already have the changed rows in hand, so
+        # the feed costs O(changed rows) extra write, and downstream
+        # consumers (the `versioned_cdf` streaming source, replicas)
+        # read plain parquet instead of re-deriving the diff with joins
+        # (diff_versions remains the feed-less fallback).
+        self.write_cdf = bool(write_cdf)
         self._pt = ParquetTable(spark, self.path)  # reuse FS plumbing
 
     # -- layout --------------------------------------------------------
@@ -158,6 +167,9 @@ class VersionedTable:
 
     def _manifest_dir(self, version: int) -> str:
         return f"{self.path}/_manifests/v{version:08d}"
+
+    def _cdf_dir(self, version: int) -> str:
+        return f"{self.path}/_cdf/v{version:08d}"
 
     def _latest_path(self) -> str:
         return f"{self.path}/_latest"
@@ -394,7 +406,8 @@ class VersionedTable:
     def _commit(self, files: list[dict], op: str, schema_ddl: str,
                 extra: dict | None = None,
                 txn: tuple[str, int] | None = None,
-                expected_parent=_NO_SNAPSHOT) -> int:
+                expected_parent=_NO_SNAPSHOT,
+                cdf=None) -> int:
         v = self._next_version()
         parent = self.latest_version()
         if expected_parent is not self._NO_SNAPSHOT and parent != expected_parent:
@@ -405,6 +418,12 @@ class VersionedTable:
                 "derived from a stale parent (lost-update protection; "
                 "re-read and retry the write)"
             )
+        # change feed FIRST, manifest second, pointer last: a crash
+        # after the feed write leaves an orphan `_cdf/v<N>` no reader
+        # can reach (offsets walk committed versions) — vacuum reclaims
+        # it. A committed manifest therefore always has its feed.
+        if self.write_cdf:
+            self._write_cdf(v, op, cdf)
         # writer-transaction map (Delta's txn appId/version design):
         # carried forward whole on every commit — one entry per writer
         # app, so it stays O(writers), never O(history) — and read from
@@ -428,6 +447,31 @@ class VersionedTable:
         self._write_json(self._latest_path(), {"version": v})
         self._sweep_pointer_backups()
         return v
+
+    def _write_cdf(self, version: int, op: str, cdf) -> None:
+        """Persist the per-commit change feed (`_cdf/v<N>`):
+
+          * a DataFrame → real row-level changes (`change_type` +
+            post-images for insert/update, old images for delete) as
+            plain parquet — O(changed rows);
+          * "empty" → a `_CDF_EMPTY` marker: the commit moved no row
+            values (checkpoint compaction, pure-metadata column add);
+          * "full" → a `_CDF_FULL` marker: the commit replaced content
+            wholesale (overwrite / rollback / promote_types) and a
+            row-level feed would be O(2 x table) — consumers crossing
+            one must re-sync from a snapshot (the same refusal Delta's
+            streaming source gives non-append commits).
+        """
+        fs, jp = self._fs(self._cdf_dir(version))
+        if fs.exists(jp):
+            fs.delete(jp, True)  # residue from a crashed writer's orphan
+        if cdf is None or isinstance(cdf, str):
+            marker = "_CDF_FULL" if cdf == "full" else "_CDF_EMPTY"
+            fs.mkdirs(jp)
+            mfs, mp = self._fs(f"{self._cdf_dir(version)}/{marker}")
+            mfs.create(mp, True).close()
+            return
+        cdf.write.mode("overwrite").parquet(self._cdf_dir(version))
 
     def txn_version(self, app: str) -> int | None:
         """Last committed transaction version for a writer app, or None
@@ -459,7 +503,7 @@ class VersionedTable:
         files = self._write_gen(df, cluster_by=cluster_by,
                                 target_files=target_files)
         return self._commit(files, "overwrite", df.schema.json(), txn=txn,
-                            expected_parent=snap)
+                            expected_parent=snap, cdf="full")
 
     def _resolve(self, version: int | None) -> dict:
         if version is None:
@@ -741,7 +785,7 @@ class VersionedTable:
             self._commit(
                 files, "promote_types", casted.schema.json(),
                 {"promoted_columns": sorted(promoted)},
-                expected_parent=man["version"],
+                expected_parent=man["version"], cdf="full",
             )
             man = self._resolve(None)
             base = StructType.fromJson(json.loads(man["schema"]))
@@ -753,7 +797,7 @@ class VersionedTable:
             return []  # promotions are recorded in history(), not returned
         self._commit(list(man["files"]), "evolve_schema", schema.json(),
                      {"added_columns": added},
-                     expected_parent=man["version"])
+                     expected_parent=man["version"], cdf="empty")
         return added
 
     def merge_upsert(self, delta: DataFrame, keys: list[str],
@@ -818,11 +862,30 @@ class VersionedTable:
             ).unionByName(delta)
         else:
             rewritten = delta
+        cdf = None
+        if self.write_cdf:
+            # a key existing ANYWHERE in the table is by construction in
+            # a touched file, so update-vs-insert splits against the
+            # touched rows only — O(changed rows), no table read. A
+            # same-values upsert still emits an update (post-image
+            # semantics; replay converges) — diff_versions is the
+            # variant that drops no-op rows.
+            if touched:
+                old_keys = old_rows.select(*keys)
+                cdf = _semi_anti_null_safe(
+                    delta, old_keys, keys, "left_semi"
+                ).select(F.lit("update").alias("change_type"), "*").unionByName(
+                    _semi_anti_null_safe(
+                        delta, old_keys, keys, "left_anti"
+                    ).select(F.lit("insert").alias("change_type"), "*")
+                )
+            else:
+                cdf = delta.select(F.lit("insert").alias("change_type"), "*")
         new_files = self._write_gen(rewritten)
         return self._commit(
             kept + new_files, "merge_upsert", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
-            txn=txn, expected_parent=man["version"],
+            txn=txn, expected_parent=man["version"], cdf=cdf,
         )
 
     def delete_where(self, condition,
@@ -855,15 +918,21 @@ class VersionedTable:
         touched = {self._rel(p) for p in touched_abs}
         kept = [f for f in man["files"] if f["path"] not in touched]
         new_files = []
+        cdf = None
         if touched:
-            survivors = self._read_files(man, sorted(touched)).filter(
-                ~F.coalesce(cond, F.lit(False))
-            )
+            touched_rows = self._read_files(man, sorted(touched))
+            survivors = touched_rows.filter(~F.coalesce(cond, F.lit(False)))
             new_files = self._write_gen(survivors)
+            if self.write_cdf:
+                cdf = touched_rows.filter(
+                    F.coalesce(cond, F.lit(False))
+                ).select(F.lit("delete").alias("change_type"), "*")
+        elif self.write_cdf:
+            cdf = "empty"  # no matching rows anywhere: a no-op commit
         return self._commit(
             kept + new_files, "delete_where", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
-            txn=txn, expected_parent=man["version"],
+            txn=txn, expected_parent=man["version"], cdf=cdf,
         )
 
     def high_water_mark_str(self, tracking_col: str) -> str | None:
@@ -937,15 +1006,23 @@ class VersionedTable:
         touched = {self._rel(p) for p in touched_abs}
         kept = [f for f in man["files"] if f["path"] not in touched]
         new_files = []
+        cdf = None
         if touched:
+            touched_rows = self._read_files(man, sorted(touched))
             survivors = _semi_anti_null_safe(
-                self._read_files(man, sorted(touched)), keys, cols, "left_anti"
+                touched_rows, keys, cols, "left_anti"
             )
             new_files = self._write_gen(survivors)
+            if self.write_cdf:
+                cdf = _semi_anti_null_safe(
+                    touched_rows, keys, cols, "left_semi"
+                ).select(F.lit("delete").alias("change_type"), "*")
+        elif self.write_cdf:
+            cdf = "empty"
         return self._commit(
             kept + new_files, "delete_keys", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
-            txn=txn, expected_parent=man["version"],
+            txn=txn, expected_parent=man["version"], cdf=cdf,
         )
 
     def purge_keys(self, keys: DataFrame, cols: list[str]) -> dict:
@@ -955,7 +1032,20 @@ class VersionedTable:
         deliberately gone)."""
         v = self.delete_keys(keys, cols)
         res = self.vacuum(retain_last=1)
+        self._redact_cdf(v)
         return {"purged_version": v, **res}
+
+    def _redact_cdf(self, version: int) -> None:
+        """Under write_cdf, a DELETE's feed carries the deleted rows'
+        OLD IMAGES — for an ordinary delete that is the point (replicas
+        must retract them), but for a PURGE it would retain the erased
+        subject's bytes on disk. Replace the purge version's feed with
+        a _CDF_FULL marker: consumers crossing it re-sync from a
+        snapshot, which is the only honest contract for an erasure (a
+        replayable erasure is not an erasure)."""
+        if not self.write_cdf:
+            return
+        self._write_cdf(version, "purge", "full")
 
     def purge_where(self, condition, txn: tuple[str, int] | None = None) -> dict:
         """GDPR-grade deletion under time travel: a plain delete_where
@@ -974,6 +1064,7 @@ class VersionedTable:
         everyday delete."""
         v = self.delete_where(condition, txn=txn)
         res = self.vacuum(retain_last=1)
+        self._redact_cdf(v)
         return {"purged_version": v, **res}
 
     def _rel(self, abs_uri: str) -> str:
@@ -1005,6 +1096,7 @@ class VersionedTable:
             list(man["files"]), "rollback", man["schema"],
             {"rolled_back_to": version},
             expected_parent=self.latest_version(),
+            cdf="full",
         )
 
     def checkpoint(self, cluster_by: list[str] | None = None,
@@ -1019,7 +1111,7 @@ class VersionedTable:
         return self._commit(
             files, "checkpoint", man["schema"],
             {"compacted_files": len(man["files"])},
-            expected_parent=man["version"],
+            expected_parent=man["version"], cdf="empty",
         )
 
     def diff_versions(self, v_old: int, v_new: int | None,
@@ -1085,6 +1177,66 @@ class VersionedTable:
         )
         return inserts.unionByName(updates).unionByName(deletes)
 
+    def changes_between(self, v_after: int,
+                        v_to: int | None = None) -> DataFrame:
+        """The PERSISTED change feed for versions in (v_after, v_to]
+        (default: latest) — one row per changed row per commit, with
+        `change_type` and `_commit_version`. Requires the table to have
+        been written with write_cdf=True: the feed is plain parquet
+        written at commit time, so reading it costs file I/O only — no
+        joins, unlike diff_versions (which remains the feed-less
+        fallback and also collapses a key's intermediate states).
+        Differences from diff_versions, stated: per-commit granularity
+        (a key updated at v2 and deleted at v3 appears TWICE), and
+        same-values upserts appear as updates (post-image semantics).
+        Refuses loudly on a _CDF_FULL marker (overwrite / rollback /
+        promote_types replaced content wholesale — re-sync from a
+        snapshot) and on a missing feed (not written with write_cdf,
+        or reclaimed by vacuum)."""
+        latest = self.latest_version()
+        if v_to is None:
+            v_to = latest
+        frames: list[DataFrame] = []
+        for v in range(v_after + 1, (v_to or 0) + 1):
+            fs, jp = self._fs(self._cdf_dir(v))
+            if not fs.exists(jp):
+                raise ValueError(
+                    f"{self.path} has no change feed for version {v} — "
+                    "the table was not written with write_cdf=True, or "
+                    "vacuum reclaimed it; use diff_versions() to derive "
+                    "the changes from the manifests instead"
+                )
+            names = {st.getPath().getName() for st in fs.listStatus(jp)}
+            if "_CDF_FULL" in names:
+                raise ValueError(
+                    f"version {v} of {self.path} replaced table content "
+                    "wholesale (overwrite/rollback/promote_types) — the "
+                    "change feed does not span it; re-sync consumers "
+                    "from a snapshot read at that version"
+                )
+            if "_CDF_EMPTY" in names or not any(
+                n.endswith(".parquet") for n in names
+            ):
+                continue
+            frames.append(
+                self.spark.read.parquet(self._cdf_dir(v)).withColumn(
+                    "_commit_version", F.lit(v).cast("bigint")
+                )
+            )
+        if not frames:
+            schema = StructType.fromJson(
+                json.loads(self._resolve(v_to or latest)["schema"])
+            )
+            empty = self.spark.createDataFrame([], schema)
+            return empty.select(
+                F.lit("insert").alias("change_type"), "*",
+                F.lit(0).cast("bigint").alias("_commit_version"),
+            ).limit(0)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     # -- history / retention --------------------------------------------
     def history(self) -> list[dict]:
         """Committed versions only (newest first): walks the parent
@@ -1131,6 +1283,17 @@ class VersionedTable:
             fs, jp = self._fs(self._manifest_dir(mv))
             fs.delete(jp, True)
             dropped_manifests += 1
+        # change-feed retention follows manifest retention: a feed for
+        # a reclaimed version can no longer be reached by any committed
+        # offset walk (and purge semantics require the erased rows'
+        # old images to leave disk with the version that held them)
+        fs, cdf_root = self._fs(f"{self.path}/_cdf")
+        if fs.exists(cdf_root):
+            for st in fs.listStatus(cdf_root):
+                name = st.getPath().getName()
+                if (name.startswith("v") and name[1:].isdigit()
+                        and int(name[1:]) not in chain):
+                    fs.delete(st.getPath(), True)
         # delete unreferenced data files, then empty generations
         dropped_files = 0
         fs, groot = self._fs(self._gen_root())

@@ -9565,6 +9565,102 @@ FROM rec
 """
 
 
+def q_versioned_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMIT-TIME change feeds streamed with Structured Streaming —
+    `VersionedTable(write_cdf=True)` persists a row-level feed per
+    commit (`_cdf/v<N>`, Delta's _change_data design; O(changed rows),
+    the rows are already in hand during the CoW write), and the
+    `versioned_cdf` source (sources/versioned_stream.py) streams it
+    with OFFSETS = TABLE VERSIONS: each micro-batch plans exactly the
+    feed directories in (start, end], one task per feed file, no joins,
+    no table read — a 100-row commit into a 100 TB table streams 100
+    rows. Scenario: v1 full load of orders (FULL marker — the stream
+    starts past it), v2 merge (corrections % 7 repriced +1000 status
+    'U' + new % 11 keys status 'I' price 42), v3 retention delete
+    (% 9 = 0 — delete rows carry OLD images, including v2-corrected
+    values and v2-inserted keys, the per-commit granularity
+    diff_versions collapses). An availableNow pass drains versions 2-3
+    into a parquet sink; grading the per-(change_type, status) rollup
+    with max_version catches a feed that dropped deletes, emitted
+    pre-images, missed a commit, or mis-stamped versions. Oracle
+    replays the three commits declaratively."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+    from nomba_data_pipeline_spark.sources.versioned_stream import register
+
+    def _write(root: str) -> None:
+        t = VersionedTable(spark, root + "/tbl", write_cdf=True)
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        t.overwrite(base, cluster_by=["o_orderkey"], target_files=8)
+        t.merge_upsert(
+            base.filter(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey", F.lit("U").alias("status"),
+                (F.col("price") + 1000).alias("price"),
+            ).unionByName(
+                base.filter(F.col("o_orderkey") % 11 == 0).select(
+                    (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                    F.lit("I").alias("status"),
+                    F.lit(42.0).alias("price"),
+                )
+            ),
+            ["o_orderkey"],
+        )
+        t.delete_where("o_orderkey % 9 = 0")
+        register(spark)
+        (
+            spark.readStream.format("versioned_cdf")
+            .option("path", t.path).option("starting_version", "1").load()
+            .writeStream.format("parquet")
+            .option("path", root + "/sink")
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True).start().awaitTermination(300)
+        )
+
+    root = _stage_dir("versioned_cdf_stream", sf_dir, _write)
+    return (
+        spark.read.parquet(root + "/sink")
+        .groupBy("change_type", "status")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(_dec("price")), 2).cast("double").alias("sum_price"),
+            F.max("_commit_version").alias("max_version"),
+        )
+    )
+
+
+SQL_VERSIONED_CDF_STREAM = """
+WITH feed AS (
+    SELECT 'update' AS change_type, 'U' AS status,
+           o_totalprice + 1000 AS price, 2 AS v
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT 'insert', 'I', CAST(42 AS DOUBLE), 2
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT 'delete',
+           CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+                ELSE o_totalprice END,
+           3
+    FROM orders WHERE o_orderkey % 9 = 0
+    UNION ALL
+    SELECT 'delete', 'I', CAST(42 AS DOUBLE), 3
+    FROM orders
+    WHERE o_orderkey % 11 = 0 AND (o_orderkey + 10000000) % 9 = 0
+)
+SELECT change_type, status, count(*) AS cnt,
+       CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE)
+           AS sum_price,
+       CAST(max(v) AS BIGINT) AS max_version
+FROM feed GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -10044,6 +10140,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_APPROX_DISTINCT_ROLLUP_IVM,
         "ext:ivm-distinct-sketch",
     ),
+    "versioned_cdf_stream": QuerySpec(
+        q_versioned_cdf_stream,
+        SQL_VERSIONED_CDF_STREAM,
+        "ext:versioned-cdf-streaming-source",
+    ),
 }
 
 
@@ -10260,68 +10361,101 @@ REGISTRY: dict[str, QuerySpec] = {
 # tools/rotate_window.py — it re-derives per-row latest-green from the
 # union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
 # window; don't hand-pick.
+#
+# ROUND-13 WINDOW (rotated at the start of round 13; the delivered
+# CORRECTNESS_r12.json was verified on disk first — all 50 rows of the
+# round-12 window graded green: 49 full oracle matches + the by-design
+# no-oracle semantic_dedup_kmeans rows-only check). rotate_window.py's
+# proposal was pasted VERBATIM; re-derived histogram r9:43 / r10:50 /
+# r11:50 / r12:50, so this window is:
+# (a) the 3 never-graded rows added in round 13:
+#     versioned_cdf_view_roundtrip (a versioned FACT feeding an
+#     agg_view mart through diff_versions — runner-persisted version
+#     cursor, deletes tombstoning through
+#     JoinViewTable/AggJoinView.apply_fact_cdf),
+#     approx_distinct_rollup_ivm (HLL sketch columns in the IVM
+#     partial-state algebra: 3-batch fold + bucket recomputes under a
+#     fact delete and a dim regroup, witness-graded), and
+#     versioned_cdf_stream (commit-time row-level change feeds,
+#     write_cdf=True, streamed by the `versioned_cdf` Structured
+#     Streaming source whose offsets are table versions);
+# (b) the ENTIRE remaining round-9 cohort — all 43 rows whose newest
+#     driver-green evidence is round 9, in cohort order (led by the 8
+#     rows the round-12 additions displaced);
+# (c) leftover 4 slots on the OLDEST round-10 evidence — the first 4
+#     of that cohort in REGISTRY order: doc_stats, simhash_docs,
+#     winnow_fingerprints, media_features.
+# After this round grades green, no row's newest driver evidence is
+# older than round 10.
+# ROUND-14 ROTATION GUIDANCE: (a) any rows added in round 14; (b) the
+# 46 remaining r10 rows (the r10 cohort in REGISTRY order minus the 4
+# refreshed above, starting at media_frame_sample); (c) leftover slots
+# on the oldest r11 evidence.  Run
+# tools/rotate_window.py — it re-derives per-row latest-green from the
+# union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
+# window; paste it verbatim, don't hand-pick.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # -- (a) never graded by construction: the 3 rows added at the
-    #    r11->r12 boundary plus the 3 table-versioning rows added in
-    #    round 12 (VersionedTable: time travel / rollback+vacuum /
-    #    manifest-stat pruning).  Their 3 slots come out of the (c)
-    #    r9-refresh tail, whose displaced rows lead the r13 cohort.
-    "join_view_evolve_roundtrip",
-    "join_view_rebucket_roundtrip",
-    "join_view_chain_depth3",
-    "time_travel_roundtrip",
-    "version_rollback_roundtrip",
-    "versioned_prune_scan",
-    "agg_join_view_roundtrip",
-    "agg_view_pipeline_roundtrip",
-    "versioned_pipeline_roundtrip",
-    "versioned_evolution_roundtrip",
-    "version_diff_roundtrip",
-    # -- (b) all 32 rows whose newest driver-green evidence is round 8
-    #    (incl. cosine_topk_lsh_indexed's first run of its upgraded
-    #    value-hash oracle)
-    "mongo_extract_events",
-    "scd2_asof_lookup",
-    "sessionize",
-    "embedding_near_dup",
-    "asof_join",
-    "range_join_count",
-    "set_ops",
-    "semi_anti_cohorts",
-    "cosine_topk_lsh_indexed",
-    "quality_profile",
-    "revenue_quartiles",
-    "price_histogram",
-    "segment_percent_rank",
-    "schema_drift_union",
-    "corpus_datacard",
-    "dsir_importance",
-    "vocab_coverage",
-    "shipping_priority",
-    "quality_filter_cascade",
-    "customer_order_distribution",
-    "promo_revenue_share",
-    "min_price_supplier",
-    "nation_market_share",
-    "product_type_profit",
-    "returned_item_customers",
-    "linestatus_priority_counts",
-    "top_revenue_supplier",
-    "supplier_cnt_by_part",
-    "large_volume_orders",
-    "dominant_part_suppliers",
-    "waiting_suppliers",
-    "idle_high_balance_customers",
-    # -- (c) first 7 of the 50 rows whose newest driver-green is
-    #    round 9 (cohort order; the other 43 rotate in round 13)
-    "dim_users_enriched",
-    "streaming_paged_feed",
-    "dedup_incremental_batch",
-    "winsorized_stats_approx",
-    "incremental_agg_multi",
-    "unigram_logppl",
-    "semantic_dedup_kmeans",
+    # -- (a) never graded by construction: the 3 rows added in
+    #    round 13 (versioned-CDF -> IVM wiring; HLL approx-distinct
+    #    in the partial-state algebra; commit-time change feeds as
+    #    a Structured Streaming source)
+    "versioned_cdf_view_roundtrip",
+    "approx_distinct_rollup_ivm",
+    "versioned_cdf_stream",
+    # -- (b) the ENTIRE remaining round-9 cohort — all 43 rows
+    #    whose newest driver-green evidence is round 9, in
+    #    cohort order (led by the 8 rows the round-12 additions
+    #    displaced)
+    "streaming_corpus_dedup",
+    "domain_temperature_sample",
+    "corpus_shuffle_shards",
+    "snapshot_drift_psi",
+    "boilerplate_removal",
+    "source_precedence_dedup",
+    "snapshot_table_diff",
+    "graph_pagerank",
+    "token_budget_select",
+    "curriculum_sample",
+    "bigram_pmi",
+    "containment_pairs",
+    "weighted_sample",
+    "quantile_normalize",
+    "neardup_resolve_best",
+    "basket_part_pairs",
+    "mom_revenue_growth",
+    "supplier_market_share",
+    "inverted_index",
+    "bm25_search",
+    "rolling_wau",
+    "monthly_customer_churn",
+    "decile_lift",
+    "source_entropy",
+    "ab_test_ztest",
+    "activation_latency",
+    "revenue_gini",
+    "benford_audit",
+    "rfm_segments",
+    "revenue_autocorr",
+    "event_transitions",
+    "cohort_ltv",
+    "revenue_bridge",
+    "peak_concurrency",
+    "revenue_quartiles_scalable",
+    "token_budget_select_scalable",
+    "cosine_topk_lsh_roundtrip",
+    "volume_shipping",
+    "cluster_shipdate_roundtrip",
+    "upsert_roundtrip",
+    "snapshot_append_roundtrip",
+    "variant_json_extract",
+    "cross_doc_repeated_spans",
+    # -- (c) leftover 4 slots on the OLDEST round-10 evidence
+    #    (the first 4 of that cohort in REGISTRY order)
+    "doc_stats",
+    "simhash_docs",
+    "winnow_fingerprints",
+    "media_features",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

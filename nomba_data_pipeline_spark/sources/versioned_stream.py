@@ -1,0 +1,214 @@
+"""A VersionedTable's change feed as a Structured Streaming SOURCE.
+
+The reference's replication story is batch-only: cron re-polls the
+source for rows past a high-water mark (all_schedules.py + the
+fetchmany loop in base_loader.py), which can never see a DELETE and
+re-reads the tracking column every tick. With commit-time change feeds
+(`VersionedTable(write_cdf=True)` — the Delta Lake `_change_data`
+design, VLDB 2020), the always-on form needs no polling logic at all:
+
+    spark.readStream.format("versioned_cdf")
+         .option("path", table_root)
+         [.option("starting_version", "3")]
+         .load()
+
+Offsets ARE table versions (`{"version": N}`), exactly Delta's
+streaming-source design: each micro-batch plans the persisted
+`_cdf/v<K>` feed directories for the versions in (start, end] — one
+Spark task per feed file, row data moves executor-side, the driver
+touches only the latest-pointer and feed listings (metadata). Because
+the feed is plain parquet written AT COMMIT TIME, the stream does no
+joins and never reads the table itself; a 100-row CDC commit into a
+100 TB table streams 100 rows.
+
+Semantics, stated:
+  * Rows carry `change_type` ('insert' | 'update' | 'delete'),
+    the table columns (delete rows hold the OLD images), and
+    `_commit_version`.
+  * `starting_version=N` streams changes AFTER version N (exclusive —
+    the same cursor convention as VersionedTable.changes_between).
+    Default: the table's latest version at stream start (only new
+    commits stream).
+  * A `_CDF_FULL` marker (overwrite / rollback / promote_types /
+    purge redaction — content replaced wholesale, a row feed would be
+    O(2 x table) or would retain erased bytes) FAILS the stream
+    loudly: re-sync consumers from a snapshot read at that version,
+    then restart past it. This is Delta's non-append refusal.
+  * Replay safety: feed directories are immutable once committed, so
+    a failed micro-batch re-plans byte-identically from checkpointed
+    offsets — PROVIDED vacuum retention outlives checkpoint commit
+    (vacuum reclaims feeds with their versions; a reclaimed feed
+    inside an uncommitted range raises, never silently skips).
+
+Local filesystems only (the reader opens feed files with pyarrow in
+the Python worker, no JVM); object-store paths need a mounted FS.
+
+Reference parity anchor: the reference has no streaming replication at
+all — this is the engine-native upgrade of its cron incremental
+extract (README.md scheduling section), same role, plus deletes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def _local(path: str) -> str:
+    p = path
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    if "://" in p:
+        raise ValueError(
+            f"versioned_cdf reads feed files with pyarrow and supports "
+            f"local paths only; got {path!r}"
+        )
+    return p
+
+
+def _read_json_parquet(path: str) -> dict:
+    """A VersionedTable pointer/manifest: 1-row parquet, column `j`."""
+    import pyarrow.parquet as pq
+
+    return json.loads(pq.read_table(path).column("j")[0].as_py())
+
+
+def _latest_version(root: str) -> int | None:
+    p = os.path.join(root, "_latest")
+    if not os.path.isdir(p):
+        return None
+    return int(_read_json_parquet(p)["version"])
+
+
+class VersionedCdfDataSource(DataSource):
+    """`spark.readStream.format("versioned_cdf").option("path", root)`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_cdf"
+
+    def schema(self):
+        root = _local(self.options.get("path") or "")
+        if not root:
+            raise ValueError("versioned_cdf requires the path option")
+        latest = _latest_version(root)
+        if latest is None:
+            raise ValueError(f"{root} is not a versioned table (no _latest)")
+        man = _read_json_parquet(
+            os.path.join(root, "_manifests", f"v{latest:08d}")
+        )
+        base = StructType.fromJson(json.loads(man["schema"]))
+        return StructType(
+            [StructField("change_type", StringType(), False)]
+            + list(base.fields)
+            + [StructField("_commit_version", LongType(), False)]
+        )
+
+    def streamReader(self, schema):
+        return VersionedCdfStreamReader(schema, self.options)
+
+
+class VersionedCdfStreamReader(DataSourceStreamReader):
+    # monotonic floor: offsets must never regress even if the pointer
+    # read races a writer's swap window (exists-check returns None)
+    _offset_floor: int = -1
+
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.root = _local(options.get("path") or "")
+        if not self.root:
+            raise ValueError("versioned_cdf requires the path option")
+        sv = options.get("starting_version")
+        self._starting = None if sv is None else int(sv)
+
+    def _cdf_dir(self, v: int) -> str:
+        return os.path.join(self.root, "_cdf", f"v{v:08d}")
+
+    def initialOffset(self) -> dict:
+        if self._starting is not None:
+            return {"version": self._starting}
+        latest = _latest_version(self.root)
+        return {"version": latest if latest is not None else 0}
+
+    def latestOffset(self) -> dict:
+        latest = _latest_version(self.root)
+        v = latest if latest is not None else 0
+        if v > self._offset_floor:
+            self._offset_floor = v
+        return {"version": self._offset_floor}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[InputPartition] = []
+        for v in range(lo + 1, hi + 1):
+            d = self._cdf_dir(v)
+            if not os.path.isdir(d):
+                raise RuntimeError(
+                    f"versioned_cdf: no change feed for version {v} of "
+                    f"{self.root} — the table is not written with "
+                    "write_cdf=True, or vacuum retention expired the feed "
+                    "before this micro-batch committed (retention must "
+                    "outlive checkpoint commit)"
+                )
+            names = sorted(os.listdir(d))
+            if "_CDF_FULL" in names:
+                raise RuntimeError(
+                    f"versioned_cdf: version {v} of {self.root} replaced "
+                    "table content wholesale (overwrite/rollback/"
+                    "promote_types/purge) — the row feed does not span "
+                    "it; re-sync from a snapshot read at that version and "
+                    "restart the stream with starting_version >= "
+                    f"{v}"
+                )
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith((".", "_")):
+                    parts.append(InputPartition((v, os.path.join(d, n))))
+        return parts
+
+    def read(self, partition):
+        import datetime as _dt
+
+        import pyarrow.parquet as pq
+
+        version, fpath = partition.value
+        tbl = pq.read_table(fpath)
+        have = set(tbl.column_names)
+        names = [f.name for f in self.schema.fields]
+
+        def _norm(v):
+            # Spark-written timestamps decode tz-aware; the Spark-side
+            # converter expects naive-UTC python datetimes
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+
+        for rec in tbl.to_pylist():
+            yield tuple(
+                version if name == "_commit_version"
+                else _norm(rec.get(name)) if name in have
+                else None  # schema evolved after this feed: NULL-fill
+                for name in names
+            )
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the stream's checkpoint; feed retention is
+        # vacuum's policy (see class docstring)
+        pass
+
+
+def register(spark) -> None:
+    """Idempotent registration (ships the package to executor workers
+    first — same rationale as sources/pyds.register)."""
+    from nomba_data_pipeline_spark.shipping import ship_package
+
+    ship_package(spark)
+    spark.dataSource.register(VersionedCdfDataSource)

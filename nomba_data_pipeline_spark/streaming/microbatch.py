@@ -154,6 +154,63 @@ def run_agg_view_fact_stream(
     )
 
 
+def run_agg_view_versioned_cdf_stream(
+    spark: SparkSession,
+    table_path: str,
+    agg_path: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    starting_version: int | None = None,
+) -> None:
+    """ALWAYS-ON maintenance of an aggregate-over-join view from a
+    versioned fact's persisted change feed: `readStream.format(
+    "versioned_cdf")` (offsets = table versions, one task per feed
+    file) -> foreachBatch -> AggJoinView.apply_fact_cdf — inserts,
+    updates AND deletes reach the rollup at O(touched buckets) per
+    commit, with zero polling logic (the HWM-filter form of streaming
+    CDC cannot see deletes at any cost).
+
+    Ordering inside a micro-batch: one batch may span SEVERAL commits,
+    and apply_fact_cdf's disjoint-keys contract holds per commit, not
+    per batch (a key updated at v5 and deleted at v6 appears twice) —
+    so the batch is applied one `_commit_version` at a time, ascending.
+    Replay convergence: each per-version apply is an idempotent keyed
+    rewrite + bucket recompute (never a fold), so the redelivered
+    in-flight batch after a crash lands on the same state, and a crash
+    between the view apply and the partial refresh heals from the
+    bucket-intent sidecar. Blocks until the backlog is consumed
+    (availableNow)."""
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+    from nomba_data_pipeline_spark.sources.versioned_stream import register
+
+    register(spark)
+    agg = AggJoinView.open(spark, agg_path)
+
+    def _apply(batch: DataFrame, _bid: int) -> None:
+        versions = sorted(
+            r["_commit_version"]
+            for r in batch.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            agg.apply_fact_cdf(
+                batch.filter(F.col("_commit_version") == v)
+                .drop("_commit_version"),
+                dim,
+            )
+
+    reader = spark.readStream.format("versioned_cdf").option("path", table_path)
+    if starting_version is not None:
+        reader = reader.option("starting_version", str(starting_version))
+    (
+        reader.load()
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str],

@@ -1,0 +1,278 @@
+"""Commit-time change feeds (VersionedTable write_cdf=True) and the
+`versioned_cdf` Structured Streaming source over them: feed contents
+per verb, FULL/EMPTY markers, vacuum + purge retention, streaming
+offsets/ordering, and the end-to-end stream-maintained rollup."""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+
+def _mk(spark, tmp_path, n=100):
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    t.overwrite(spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ), cluster_by=["k"], target_files=4)
+    return t
+
+
+def _feed(df):
+    return {
+        (r["change_type"], r["k"], r["v"], r["_commit_version"])
+        for r in df.collect()
+    }
+
+
+# -- write side ---------------------------------------------------------------
+def test_merge_and_delete_write_row_feeds(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(
+        spark.createDataFrame([(5, -5), (200, -200)], "k long, v long"), ["k"]
+    )
+    t.delete_where("k >= 90 and k < 93")
+    got = _feed(t.changes_between(1))
+    want = {("update", 5, -5, 2), ("insert", 200, -200, 2)} | {
+        ("delete", k, 2 * k, 3) for k in (90, 91, 92)
+    }
+    assert got == want
+
+
+def test_delete_keys_feed_and_empty_marker(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_keys(spark.createDataFrame([(7,), (9999,)], "k long"), ["k"])
+    assert _feed(t.changes_between(1)) == {("delete", 7, 14, 2)}
+    # a no-match delete is an EMPTY feed, not a missing one
+    t.delete_where("k = 123456")
+    assert _feed(t.changes_between(2)) == set()
+    # checkpoint moves rows between files, values identical: empty feed
+    t.checkpoint()
+    assert _feed(t.changes_between(3)) == set()
+
+
+def test_full_markers_refuse_and_ranges_before_them_still_read(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame([(5, -5)], "k long, v long"), ["k"])
+    t.overwrite(spark.range(3).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    ))  # v3: _CDF_FULL
+    assert _feed(t.changes_between(1, 2)) == {("update", 5, -5, 2)}
+    with pytest.raises(ValueError, match="wholesale"):
+        t.changes_between(1)  # range crosses the overwrite
+    t2 = VersionedTable(spark, t.path, write_cdf=True)
+    t2.rollback(2)
+    with pytest.raises(ValueError, match="wholesale"):
+        t2.changes_between(3)
+
+
+def test_changes_between_missing_feed_refuses(spark, tmp_path):
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "nocdf"))
+    t.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    t.merge_upsert(spark.createDataFrame([(9,)], "k long"), ["k"])
+    with pytest.raises(ValueError, match="no change feed"):
+        VersionedTable(spark, t.path, write_cdf=True).changes_between(1)
+
+
+def test_vacuum_reclaims_feeds_with_versions(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame([(5, -5)], "k long, v long"), ["k"])
+    t.merge_upsert(spark.createDataFrame([(6, -6)], "k long, v long"), ["k"])
+    t.vacuum(retain_last=1)
+    assert not os.path.isdir(t._cdf_dir(2))
+    assert os.path.isdir(t._cdf_dir(3))  # retained version keeps its feed
+    with pytest.raises(ValueError, match="no change feed"):
+        t.changes_between(1)
+
+
+def test_purge_redacts_the_delete_feed(spark, tmp_path):
+    """GDPR: the purge version's feed would otherwise retain the erased
+    subject's OLD IMAGES on disk — it must become a _CDF_FULL marker."""
+    import glob
+
+    t = _mk(spark, tmp_path)
+    t.purge_where("k < 10")
+    v = t.latest_version()
+    names = os.listdir(t._cdf_dir(v))
+    assert "_CDF_FULL" in names
+    assert not any(n.endswith(".parquet") for n in names)
+    # and no parquet file anywhere under the table still holds k<10
+    for f in glob.glob(os.path.join(t.path, "**", "*.parquet"),
+                       recursive=True):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f)
+        if "k" in tbl.column_names:
+            assert all(x is None or x >= 10 for x in tbl.column("k").to_pylist()), f
+    with pytest.raises(ValueError, match="wholesale"):
+        t.changes_between(v - 1)
+
+
+def test_crash_orphan_feed_is_invisible_and_vacuumed(spark, tmp_path):
+    """FAULT INJECTION: a crash between the feed write and the manifest
+    write leaves an orphan `_cdf/v<N>` no committed offset can reach;
+    the next write allocates PAST it (manifest collision rule does not
+    apply to feeds — verify overwrite-residue handling) and vacuum
+    reclaims it."""
+    t = _mk(spark, tmp_path)
+    real_write_json = VersionedTable._write_json
+
+    def die_on_manifest(self, p, d):
+        if "_manifests" in p:
+            raise RuntimeError("crash after feed, before manifest")
+        return real_write_json(self, p, d)
+
+    VersionedTable._write_json = die_on_manifest
+    try:
+        with pytest.raises(RuntimeError, match="before manifest"):
+            t.merge_upsert(
+                spark.createDataFrame([(5, -5)], "k long, v long"), ["k"]
+            )
+    finally:
+        VersionedTable._write_json = real_write_json
+    assert os.path.isdir(t._cdf_dir(2))  # orphan feed on disk
+    assert t.latest_version() == 1       # invisible: commit never landed
+    # the retry overwrites the orphan feed residue and commits cleanly
+    t.merge_upsert(spark.createDataFrame([(5, -5)], "k long, v long"), ["k"])
+    assert _feed(t.changes_between(1)) == {("update", 5, -5, 2)}
+    res = t.vacuum(retain_last=2)
+    assert res["dropped_files"] > 0  # the crashed writer's generation
+
+
+# -- streaming source ---------------------------------------------------------
+def _start_stream(spark, t, name, starting_version=1):
+    from nomba_data_pipeline_spark.sources.versioned_stream import register
+
+    register(spark)
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", t.path)
+        .option("starting_version", str(starting_version))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"select * from {name}")
+
+
+def test_stream_emits_feed_rows_with_versions(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(
+        spark.createDataFrame([(5, -5), (200, -200)], "k long, v long"), ["k"]
+    )
+    t.delete_where("k = 7")
+    got = _feed(_start_stream(spark, t, "vcdf_a"))
+    assert got == {
+        ("update", 5, -5, 2), ("insert", 200, -200, 2), ("delete", 7, 14, 3),
+    }
+
+
+def test_stream_checkpoint_resumes_from_committed_offset(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: the second run must
+    emit ONLY the commits that landed in between — offsets are table
+    versions carried in the stream checkpoint."""
+    from nomba_data_pipeline_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame([(1, -1)], "k long, v long"), ["k"])
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    sink = os.path.join(str(tmp_path), "sink")
+
+    def run_once():
+        (
+            spark.readStream.format("versioned_cdf")
+            .option("path", t.path).option("starting_version", "1").load()
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start().awaitTermination(180)
+        )
+
+    run_once()
+    first = _feed(spark.read.parquet(sink))
+    assert first == {("update", 1, -1, 2)}
+    t.merge_upsert(spark.createDataFrame([(2, -2)], "k long, v long"), ["k"])
+    run_once()
+    both = _feed(spark.read.parquet(sink))
+    assert both == {("update", 1, -1, 2), ("update", 2, -2, 3)}
+
+
+def test_stream_fails_loudly_on_full_marker(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = _mk(spark, tmp_path)
+    t.overwrite(spark.range(2).select(F.col("id").alias("k"),
+                                      F.lit(0).cast("long").alias("v")))
+    with pytest.raises(StreamingQueryException, match="wholesale"):
+        _start_stream(spark, t, "vcdf_full", starting_version=1)
+
+
+def test_stream_maintains_agg_view_end_to_end(spark, tmp_path):
+    """versioned writes -> persisted feed -> stream -> foreachBatch ->
+    AggJoinView equals the declarative aggregate, including the delete
+    retraction and the multi-commit per-version ordering (a key updated
+    at one version and deleted at the next inside ONE micro-batch)."""
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+    )
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        run_agg_view_versioned_cdf_stream,
+    )
+
+    fact = spark.range(120).select(
+        F.col("id").alias("fk"), (F.col("id") % 10).alias("dk"),
+        (F.col("id") * 1.0).alias("amt"),
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "fact_v"),
+                       write_cdf=True)
+    t.overwrite(fact)  # v1 (FULL — stream starts after it)
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["grp"], n_buckets=4,
+    )
+    v.build(t.read(), dim)
+    a = AggJoinView(
+        spark, os.path.join(str(tmp_path), "agg"),
+        view=v, group_keys=["grp"], measures=["amt"],
+    )
+    a.build()
+    # v2: update fk=8 (dk 8 -> 1: bucket migration) + insert fk=500
+    t.merge_upsert(spark.createDataFrame(
+        [(8, 1, -8.0), (500, 2, 9.0)], "fk long, dk long, amt double"
+    ), ["fk"])
+    # v3: delete the row just updated at v2 PLUS an original row —
+    # the same key appears twice across the batch's commits
+    t.delete_keys(spark.createDataFrame([(8,), (11,)], "fk long"), ["fk"])
+
+    run_agg_view_versioned_cdf_stream(
+        spark, t.path, a.path, dim,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        starting_version=1,
+    )
+    final_fact = fact.filter("fk not in (8, 11)").unionByName(
+        spark.createDataFrame([(500, 2, 9.0)], "fk long, dk long, amt double")
+    )
+    want = {
+        (r["grp"], r["cnt"], r["s"])
+        for r in final_fact.join(dim, "dk", "left").groupBy("grp").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("amt").cast("decimal(38,4)")), 2)
+            .cast("double").alias("s"),
+        ).collect()
+    }
+    got = {
+        (r["grp"], r["cnt"], r["sum_amt"])
+        for r in a.result().collect()
+    }
+    assert got == want
