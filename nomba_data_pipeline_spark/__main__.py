@@ -256,6 +256,21 @@ def cmd_versioned(args) -> int:
             "checkpointed": v,
             "files": len(t._manifest(v)["files"]),
         }))
+    elif args.action == "changes":
+        # the persisted per-commit change feed (write_cdf tables); the
+        # on-call "what did that batch do" question without a diff join
+        if args.after is None:
+            print(json.dumps({"error": "changes requires --after"}))
+            return 1
+        df = t.changes_between(args.after, args.version)
+        df.orderBy("_commit_version", "change_type").show(
+            args.limit, truncate=False
+        )
+        print(json.dumps({
+            "after": args.after,
+            "to": args.version or t.latest_version(),
+            "changes": df.count(),
+        }))
     elif args.action == "purge":
         # the erasure verb: CoW-delete + vacuum-to-one so NO retained
         # version (or on-disk file) still holds the subject — history
@@ -617,7 +632,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     vt.add_argument(
         "action",
-        choices=["history", "show", "rollback", "checkpoint", "vacuum", "purge"],
+        choices=["history", "show", "rollback", "checkpoint", "vacuum",
+                 "purge", "changes"],
     )
     vt.add_argument("--path", required=True, help="versioned table root")
     vt.add_argument("--version", type=int, help="version (show / rollback)")
@@ -626,6 +642,12 @@ def main(argv: list[str] | None = None) -> int:
         "--cluster-by", nargs="+", help="range-cluster columns (checkpoint)"
     )
     vt.add_argument("--retain-last", type=int, default=2, help="vacuum retention")
+    vt.add_argument(
+        "--after", type=int,
+        help="changes: stream the persisted feed AFTER this version "
+             "(exclusive), up to --version or latest",
+    )
+    vt.add_argument("--limit", type=int, default=20, help="changes: rows shown")
     vt.set_defaults(fn=cmd_versioned)
 
     av = sub.add_parser(

@@ -100,6 +100,11 @@ class ModelSpec:
     # approx-distinct rollup columns (HLL sketch partials; see
     # operators/incremental_agg.agg_state `distinct=`)
     agg_distinct_cols: list[str] = field(default_factory=list)
+    # versioned_incremental only: persist commit-time row-level change
+    # feeds (VersionedTable write_cdf) so downstream view syncs and the
+    # `versioned_cdf` streaming source read plain parquet instead of
+    # re-deriving diffs with joins
+    versioned_write_cdf: bool = False
 
 
 class PipelineRunner:
@@ -356,10 +361,9 @@ class PipelineRunner:
                     # so pay one rebuild — expensive but correct.
                     view.build(fact, dim)
                 elif latest_v is not None and latest_v > applied_v:
-                    cdf = vt.diff_versions(
-                        applied_v, latest_v, spec.upsert_key
+                    self._apply_fact_changes(
+                        vt, view, applied_v, latest_v, spec.upsert_key, dim
                     )
-                    view.apply_fact_cdf(cdf, dim)
                 _save(state["fact_hwm"], new_dim_hwm, fact_version=latest_v)
             else:
                 fact_delta = fact
@@ -401,7 +405,8 @@ class PipelineRunner:
                 "upsert_key and tracking_column"
             )
         vt = VersionedTable(
-            self.spark, os.path.join(self.warehouse_dir, spec.name)
+            self.spark, os.path.join(self.warehouse_dir, spec.name),
+            write_cdf=spec.versioned_write_cdf,
         )
         df = spec.fn(self.spark, self.sf_dir)
         if spec.on_schema_change not in ("ignore", "append_new_columns", "fail"):
@@ -547,10 +552,9 @@ class PipelineRunner:
                     view.build(fact, dim)
                     agg.build()
                 elif latest_v is not None and latest_v > applied_v:
-                    cdf = vt.diff_versions(
-                        applied_v, latest_v, spec.upsert_key
+                    self._apply_fact_changes(
+                        vt, agg, applied_v, latest_v, spec.upsert_key, dim
                     )
-                    agg.apply_fact_cdf(cdf, dim)
                 agg.heal()
                 self._save_view_state(
                     state_path, state["fact_hwm"], new_dim_hwm,
@@ -595,8 +599,38 @@ class PipelineRunner:
         )
 
         return VersionedTable(
-            self.spark, os.path.join(self.warehouse_dir, spec.view_fact)
+            self.spark, os.path.join(self.warehouse_dir, spec.view_fact),
+            write_cdf=fact_spec.versioned_write_cdf,
         )
+
+    def _apply_fact_changes(self, vt, target, v_from: int, v_to: int,
+                            keys: list[str], dim: DataFrame) -> None:
+        """Fold a versioned fact's changes in (v_from, v_to] into a
+        maintained view/agg. Prefers the PERSISTED per-commit feeds
+        (plain file reads; applied one commit at a time ascending —
+        apply_fact_cdf's disjoint-keys contract holds per commit, a key
+        updated then deleted appears twice across commits); falls back
+        to the manifest-derived diff_versions (joins, but collapsed to
+        one key-unique frame) when feeds are absent or a FULL marker
+        spans the range. Either path is an idempotent keyed rewrite, so
+        a crash before the state save replays safely."""
+        try:
+            feed = vt.changes_between(v_from, v_to)
+        except ValueError:
+            target.apply_fact_cdf(
+                vt.diff_versions(v_from, v_to, keys), dim
+            )
+            return
+        versions = sorted(
+            r["_commit_version"]
+            for r in feed.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            target.apply_fact_cdf(
+                feed.filter(F.col("_commit_version") == v)
+                .drop("_commit_version"),
+                dim,
+            )
 
     # -- view-state sidecar helpers (shared by join_view / agg_view) -----
     def _hwm_str(self, df: DataFrame, col: str) -> str | None:
