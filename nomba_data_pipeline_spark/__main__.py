@@ -262,15 +262,18 @@ def cmd_versioned(args) -> int:
         if args.after is None:
             print(json.dumps({"error": "changes requires --after"}))
             return 1
-        df = t.changes_between(args.after, args.version)
-        df.orderBy("_commit_version", "change_type").show(
-            args.limit, truncate=False
-        )
-        print(json.dumps({
-            "after": args.after,
-            "to": args.version or t.latest_version(),
-            "changes": df.count(),
-        }))
+        df = t.changes_between(args.after, args.version).cache()
+        try:
+            df.orderBy("_commit_version", "change_type").show(
+                args.limit, truncate=False
+            )
+            print(json.dumps({
+                "after": args.after,
+                "to": args.version or t.latest_version(),
+                "changes": df.count(),
+            }))
+        finally:
+            df.unpersist()
     elif args.action == "purge":
         # the erasure verb: CoW-delete + vacuum-to-one so NO retained
         # version (or on-disk file) still holds the subject — history

@@ -430,17 +430,39 @@ class JoinViewTable:
             )
         cdf = cdf.cache()
         try:
-            upserts = cdf.filter(
-                F.col("change_type").isin("insert", "update")
-            ).drop("change_type")
-            deletes = cdf.filter(F.col("change_type") == "delete").select(
-                *self.fact_key
+            # one pass sizes both legs AND refuses unknown change_type
+            # values — silently dropping a 'DELETE'/'upsert' row from an
+            # external producer would lose the change forever
+            stats = cdf.groupBy().agg(
+                F.sum(F.col("change_type").isin("insert", "update")
+                      .cast("long")).alias("ups"),
+                F.sum((F.col("change_type") == "delete").cast("long"))
+                .alias("dels"),
+                F.sum((~F.col("change_type")
+                       .isin("insert", "update", "delete")).cast("long"))
+                .alias("bad"),
+            ).first()
+            ups, dels, bad = (
+                (stats["ups"] or 0, stats["dels"] or 0, stats["bad"] or 0)
+                if stats else (0, 0, 0)
             )
+            if bad:
+                raise ValueError(
+                    f"fact CDF has {bad} rows with unrecognized "
+                    "change_type (expected insert | update | delete)"
+                )
             touched: set[int] = set()
-            if upserts.limit(1).count() > 0:
-                touched.update(self.apply_fact_delta(upserts, dim))
-            if deletes.limit(1).count() > 0:
-                touched.update(self.delete_fact_keys(deletes))
+            if ups:
+                touched.update(self.apply_fact_delta(
+                    cdf.filter(F.col("change_type").isin("insert", "update"))
+                    .drop("change_type"),
+                    dim,
+                ))
+            if dels:
+                touched.update(self.delete_fact_keys(
+                    cdf.filter(F.col("change_type") == "delete")
+                    .select(*self.fact_key)
+                ))
             return sorted(touched)
         finally:
             cdf.unpersist()

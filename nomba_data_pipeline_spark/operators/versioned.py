@@ -655,8 +655,11 @@ class VersionedTable:
                 continue  # empty delta or all-NULL key: no bound
             if (row[f"__null_{k}"] or 0) > 0:
                 continue  # NULL keys match null-safely; stats can't see them
-            bounds[k] = (_stat_str(row[f"__lo_{k}"]),
-                         _stat_str(row[f"__hi_{k}"]))
+            lo = self._delta_stat_str(row[f"__lo_{k}"], dtypes.get(k, ""))
+            hi = self._delta_stat_str(row[f"__hi_{k}"], dtypes.get(k, ""))
+            if lo is None or hi is None:
+                continue  # un-normalizable rendering: no bound, never wrong
+            bounds[k] = (lo, hi)
         if not bounds:
             return [f["path"] for f in man["files"]]
         keep = []
@@ -686,16 +689,41 @@ class VersionedTable:
         since fewer bounds only means fewer files pruned (the
         candidate set must stay a superset of the files holding
         matching rows)."""
-        if re.search(r"\bor\b|\bnot\b|[()]", condition, re.IGNORECASE):
+        # mask quoted literals FIRST: an 'and'/'or' INSIDE a string
+        # literal must neither split a conjunct (phantom bounds from
+        # fragments of the literal would prune files that hold matching
+        # rows) nor disable extraction
+        literals: list[str] = []
+
+        def _mask(m):
+            literals.append(m.group(0))
+            return f"\x00{len(literals) - 1}\x00"
+
+        masked = re.sub(r"'[^']*'", _mask, condition)
+        if masked.count("'"):
+            return {}  # unbalanced quotes: refuse to guess
+        if re.search(r"\bor\b|\bnot\b|[()]", masked, re.IGNORECASE):
             return {}
         out: dict[str, list] = {}
-        for part in re.split(r"\band\b", condition, flags=re.IGNORECASE):
+        for part in re.split(r"\band\b", masked, flags=re.IGNORECASE):
+            for i, q in enumerate(literals):  # restore literals
+                part = part.replace(f"\x00{i}\x00", q)
             m = _CMP_RE.match(part)
             if not m:
                 continue  # unparsed conjunct: narrows rows, no bound
             col, op, lit = m.group(1), m.group(2), m.group(3).strip()
-            if not _stats_safe(dtypes.get(col, "")):
+            dtype = dtypes.get(col, "")
+            if not _stats_safe(dtype):
                 continue
+            if dtype.startswith("timestamp") and re.fullmatch(
+                r"\d{4}-\d{2}-\d{2}", lit
+            ):
+                # a date-grained literal against a timestamp column
+                # promotes to MIDNIGHT (Spark date->timestamp cast);
+                # comparing '2020-01-01' lexically against
+                # '2020-01-01 00:00:00' stats would wrongly prune the
+                # midnight-boundary file
+                lit = lit + " 00:00:00"
             lo, hi = out.get(col, [None, None])
             if op in (">", ">="):
                 lo = lit if lo is None else max(lo, lit)
@@ -705,6 +733,27 @@ class VersionedTable:
                 lo, hi = lit, lit
             out[col] = [lo, hi]
         return {k: tuple(v) for k, v in out.items()}
+
+    def _delta_stat_str(self, v, dtype: str) -> str | None:
+        """Render a DRIVER-COLLECTED delta bound comparably to the
+        manifest's UTC-naive stat strings. collect() returns TIMESTAMP
+        values as naive datetimes in the SESSION time zone — under a
+        non-UTC session they would be offset from the UTC-normalized
+        file stats and could prune files that genuinely hold the
+        delta's keys (a silent duplicate-key merge). timestamp_ntz is
+        wall time on both sides and needs no shift. Returns None when
+        the session zone cannot be resolved — no bound beats a wrong
+        one."""
+        if isinstance(v, _dt.datetime) and v.tzinfo is None and dtype == "timestamp":
+            tz = self.spark.conf.get("spark.sql.session.timeZone")
+            try:
+                from zoneinfo import ZoneInfo
+
+                v = (v.replace(tzinfo=ZoneInfo(tz))
+                     .astimezone(_dt.timezone.utc).replace(tzinfo=None))
+            except Exception:
+                return None
+        return _stat_str(v)
 
     def _bounded_candidate_files(self, man: dict,
                                  bounds: dict[str, tuple]) -> list[str]:
@@ -1084,6 +1133,10 @@ class VersionedTable:
         O(metadata), nothing rewritten, history preserved (Delta
         RESTORE semantics: the bad versions stay inspectable until
         vacuum). Refuses if the target's files were already vacuumed."""
+        # snapshot BEFORE the manifest read + per-file existence loop:
+        # evaluating expected_parent at the _commit call would make the
+        # concurrent-writer check a zero-width no-op
+        snap = self.latest_version()
         man = self._manifest(version)
         for f in man["files"]:
             fs, jp = self._fs(f"{self.path}/{f['path']}")
@@ -1095,7 +1148,7 @@ class VersionedTable:
         return self._commit(
             list(man["files"]), "rollback", man["schema"],
             {"rolled_back_to": version},
-            expected_parent=self.latest_version(),
+            expected_parent=snap,
             cdf="full",
         )
 
@@ -1197,7 +1250,7 @@ class VersionedTable:
         if v_to is None:
             v_to = latest
         frames: list[DataFrame] = []
-        for v in range(v_after + 1, (v_to or 0) + 1):
+        for v in self._committed_versions(v_after, v_to):
             fs, jp = self._fs(self._cdf_dir(v))
             if not fs.exists(jp):
                 raise ValueError(
@@ -1236,6 +1289,27 @@ class VersionedTable:
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
+
+    def _committed_versions(self, v_after: int, v_to: int | None) -> list[int]:
+        """Versions in (v_after, v_to] ON THE COMMITTED CHAIN, ascending
+        — walked via manifest parent pointers from the latest, NOT the
+        integer range: a crashed commit leaves an orphan manifest/feed
+        at a version number the next successful commit skips past, and
+        replaying its feed would apply changes that never happened
+        (e.g. an abandoned delete's old-image rows)."""
+        out: list[int] = []
+        v = self.latest_version()
+        while v is not None and v > v_after:
+            if v_to is None or v <= v_to:
+                out.append(v)
+            fs, jp = self._fs(self._manifest_dir(v))
+            if not fs.exists(jp):
+                raise ValueError(
+                    f"version {v}'s manifest on {self.path} was reclaimed "
+                    f"by vacuum — cannot enumerate commits after {v_after}"
+                )
+            v = self._manifest(v)["parent"]
+        return sorted(out)
 
     # -- history / retention --------------------------------------------
     def history(self) -> list[dict]:

@@ -361,9 +361,18 @@ class PipelineRunner:
                     # so pay one rebuild — expensive but correct.
                     view.build(fact, dim)
                 elif latest_v is not None and latest_v > applied_v:
-                    self._apply_fact_changes(
-                        vt, view, applied_v, latest_v, spec.upsert_key, dim
-                    )
+                    try:
+                        self._apply_fact_changes(
+                            vt, view, applied_v, latest_v,
+                            spec.upsert_key, dim,
+                        )
+                    except ValueError:
+                        # the cursor version is unreplayable (vacuum
+                        # reclaimed its manifest, or a FULL-marker
+                        # commit spans the range): same recovery as a
+                        # lost sidecar — one rebuild, never a
+                        # permanently failing run
+                        view.build(fact, dim)
                 _save(state["fact_hwm"], new_dim_hwm, fact_version=latest_v)
             else:
                 fact_delta = fact
@@ -552,9 +561,15 @@ class PipelineRunner:
                     view.build(fact, dim)
                     agg.build()
                 elif latest_v is not None and latest_v > applied_v:
-                    self._apply_fact_changes(
-                        vt, agg, applied_v, latest_v, spec.upsert_key, dim
-                    )
+                    try:
+                        self._apply_fact_changes(
+                            vt, agg, applied_v, latest_v,
+                            spec.upsert_key, dim,
+                        )
+                    except ValueError:
+                        # unreplayable cursor: rebuild (see join_view)
+                        view.build(fact, dim)
+                        agg.build()
                 agg.heal()
                 self._save_view_state(
                     state_path, state["fact_hwm"], new_dim_hwm,
@@ -1341,21 +1356,24 @@ class PipelineRunner:
                 VersionedTable,
             )
 
+            # write_cdf-aware handle: purge_keys both vacuums AND
+            # redacts its own delete feed (a plain delete_keys on a
+            # write_cdf table would leave the erased subject's OLD
+            # IMAGES in _cdf/v<N> and later feed reads would hit a
+            # misleading missing-feed error instead of the designed
+            # _CDF_FULL re-sync refusal)
             vt = VersionedTable(
-                self.spark, os.path.join(self.warehouse_dir, name)
+                self.spark, os.path.join(self.warehouse_dir, name),
+                write_cdf=spec.versioned_write_cdf,
             )
             if not vt.exists():
                 continue
             cur = vt.read()
             n_before = cur.count()
-            deleted_any = False
             for match_df, col in ((ids_b, "user_id"), (plan_ids, "plan_id")):
                 if match_df is None or col not in cur.columns:
                     continue
-                vt.delete_keys(match_df.select(col), [col])
-                deleted_any = True
-            if deleted_any:
-                vt.vacuum(retain_last=1)
+                vt.purge_keys(match_df.select(col), [col])
             removed[name] = n_before - vt.read().count()
 
         # closed SCD2 history: partition-scoped rewrite

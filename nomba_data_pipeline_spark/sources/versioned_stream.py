@@ -146,10 +146,33 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
             self._offset_floor = v
         return {"version": self._offset_floor}
 
+    def _committed_versions(self, lo: int, hi: int) -> list[int]:
+        """Versions in (lo, hi] ON THE COMMITTED CHAIN, ascending —
+        walked via manifest parent pointers, never the integer range: a
+        crashed writer leaves an orphan manifest+feed at a version the
+        next successful commit skips past, and replaying its feed would
+        apply changes that never happened (the same chain-walk contract
+        as VersionedTable.changes_between / history)."""
+        out: list[int] = []
+        v: int | None = hi
+        while v is not None and v > lo:
+            mp = os.path.join(self.root, "_manifests", f"v{v:08d}")
+            if not os.path.isdir(mp):
+                raise RuntimeError(
+                    f"versioned_cdf: manifest v{v} of {self.root} is "
+                    "missing — vacuum retention expired inside the "
+                    "uncommitted offset range (retention must outlive "
+                    "checkpoint commit), or the end offset was never a "
+                    "committed version"
+                )
+            out.append(v)
+            v = _read_json_parquet(mp)["parent"]
+        return sorted(out)
+
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
         parts: list[InputPartition] = []
-        for v in range(lo + 1, hi + 1):
+        for v in self._committed_versions(lo, hi):
             d = self._cdf_dir(v)
             if not os.path.isdir(d):
                 raise RuntimeError(

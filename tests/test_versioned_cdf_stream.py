@@ -84,7 +84,9 @@ def test_vacuum_reclaims_feeds_with_versions(spark, tmp_path):
     t.vacuum(retain_last=1)
     assert not os.path.isdir(t._cdf_dir(2))
     assert os.path.isdir(t._cdf_dir(3))  # retained version keeps its feed
-    with pytest.raises(ValueError, match="no change feed"):
+    # the committed-chain walk refuses as soon as a reclaimed manifest
+    # makes the range unenumerable (loud, never a silent skip)
+    with pytest.raises(ValueError, match="reclaimed by vacuum"):
         t.changes_between(1)
 
 
@@ -276,3 +278,195 @@ def test_stream_maintains_agg_view_end_to_end(spark, tmp_path):
         for r in a.result().collect()
     }
     assert got == want
+
+
+# -- r13 code-review regressions ----------------------------------------------
+def test_orphan_feed_from_crashed_commit_is_never_replayed(spark, tmp_path):
+    """FAULT INJECTION (review): a crash AFTER the feed+manifest writes
+    but BEFORE the pointer swap leaves an orphan _cdf/vN AND an orphan
+    manifest vN; the next successful commit allocates PAST it (v+1,
+    parent = old head). changes_between and the stream must walk the
+    COMMITTED chain and never emit the abandoned commit's rows."""
+    t = _mk(spark, tmp_path)
+    real_write_json = VersionedTable._write_json
+
+    def die_on_pointer(self, p, d):
+        if p.endswith("_latest"):
+            raise RuntimeError("crash before pointer swap")
+        return real_write_json(self, p, d)
+
+    VersionedTable._write_json = die_on_pointer
+    try:
+        with pytest.raises(RuntimeError, match="before pointer swap"):
+            t.delete_where("k < 50")  # abandoned delete: orphan feed v2
+    finally:
+        VersionedTable._write_json = real_write_json
+    assert os.path.isdir(t._cdf_dir(2)) and t.latest_version() == 1
+    # next successful commit lands at v3 with parent 1
+    t.merge_upsert(spark.createDataFrame([(5, -5)], "k long, v long"), ["k"])
+    assert t.latest_version() == 3 and t._manifest(3)["parent"] == 1
+    # the orphan delete's old-image rows must NOT appear
+    assert _feed(t.changes_between(1)) == {("update", 5, -5, 3)}
+    # nor through the stream
+    got = _feed(_start_stream(spark, t, "vcdf_orphan"))
+    assert got == {("update", 5, -5, 3)}
+
+
+def test_erase_subject_redacts_versioned_feed(spark, tmp_path):
+    """REVIEW: erase_subject on a versioned_write_cdf fact must purge
+    (vacuum + feed redaction), not leave the erased subject's old
+    images in _cdf or a misleading missing-feed hole."""
+    import glob
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    src = os.path.join(str(tmp_path), "src")
+    wh = os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    spark.range(40).select(
+        F.col("id").alias("txn_id"), (F.col("id") % 5).alias("user_id"),
+        (F.col("id") * 1.0).alias("amt"), F.lit(1).alias("ver"),
+    ).write.parquet(src + "/fact")
+
+    def mk():
+        r = PipelineRunner(spark, wh, src)
+        r.register(ModelSpec(
+            name="txns_v", fn=lambda s, d: s.read.parquet(src + "/fact"),
+            materialization="versioned_incremental",
+            upsert_key=["txn_id"], tracking_column="ver",
+            versioned_write_cdf=True,
+        ))
+        return r
+
+    mk().run()
+    removed = mk().erase_subject([2], "er-vcdf")
+    assert removed.get("txns_v", 0) == 8
+    vt = VersionedTable(spark, os.path.join(wh, "txns_v"), write_cdf=True)
+    assert vt.read().filter("user_id = 2").count() == 0
+    # no parquet anywhere under the table (incl. _cdf) holds the subject
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(vt.path, "**", "*.parquet"),
+                       recursive=True):
+        tbl = pq.read_table(f)
+        if "user_id" in tbl.column_names:
+            assert 2 not in set(tbl.column("user_id").to_pylist()), f
+    # the purge version's feed is a FULL marker, not a row feed
+    names = os.listdir(vt._cdf_dir(vt.latest_version()))
+    assert "_CDF_FULL" in names
+
+
+def test_unreplayable_cursor_rebuilds_instead_of_failing_forever(spark, tmp_path):
+    """REVIEW: when vacuum reclaimed the sidecar's cursor version, the
+    mart run must pay one rebuild, not raise on every invocation."""
+    from tests.test_versioned_cdf_view import _mk_runner, _seed_sources
+
+    src = os.path.join(str(tmp_path), "src")
+    wh = os.path.join(str(tmp_path), "wh")
+    fact, dim = _seed_sources(spark, src)
+    _mk_runner(spark, src, wh, "join_view").run()
+    vt = VersionedTable(spark, os.path.join(wh, "f_v"))
+    vt.delete_where("fk < 5")       # v2
+    vt.checkpoint()                 # v3
+    vt.vacuum(retain_last=1)        # reclaims v1 (the mart's cursor)
+    r2 = _mk_runner(spark, src, wh, "join_view")
+    r2.run()                        # must not raise
+    got = {(r["fk"], r["grp"]) for r in r2.read_model("mart").collect()}
+    want = {
+        (r["fk"], r["grp"])
+        for r in fact.filter("fk >= 5").join(dim, "dk", "left").collect()
+    }
+    assert got == want
+
+
+def test_apply_fact_cdf_refuses_unknown_change_type(spark, tmp_path):
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+    )
+
+    fact = spark.range(20).select(
+        F.col("id").alias("fk"), (F.col("id") % 4).alias("dk"),
+        (F.col("id") * 1.0).alias("amt"),
+    )
+    dim = spark.range(4).select(
+        F.col("id").alias("dk"), F.lit("g").alias("grp")
+    )
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["grp"], n_buckets=2,
+    )
+    v.build(fact, dim)
+    bad = spark.createDataFrame(
+        [("DELETE", 3, 3, 0.0)], "change_type string, fk long, dk long, amt double"
+    )
+    with pytest.raises(ValueError, match="unrecognized"):
+        v.apply_fact_cdf(bad, dim)
+    assert v.read().count() == 20  # nothing was half-applied
+
+
+def test_delta_stat_str_normalizes_session_timezone(spark):
+    """REVIEW: delta key bounds collected under a non-UTC session must
+    render UTC-naive like the manifest stats, or pruning could skip
+    files that hold the delta's keys."""
+    import datetime
+
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    t = VersionedTable(spark, "/tmp/never-written-tz-probe")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = t._delta_stat_str(
+            datetime.datetime(2020, 6, 1, 12, 0, 0), "timestamp"
+        )
+        assert got == "2020-06-01 16:00:00"  # EDT is UTC-4
+        # timestamp_ntz is wall time on both sides: unchanged
+        got2 = t._delta_stat_str(
+            datetime.datetime(2020, 6, 1, 12, 0, 0), "timestamp_ntz"
+        )
+        assert got2 == "2020-06-01 12:00:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_predicate_bounds_review_hardening():
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable as VT
+
+    dt = {"k": "bigint", "ts": "timestamp", "note": "string"}
+    # 'and' INSIDE a string literal must not yield phantom bounds
+    assert VT._predicate_bounds(
+        "note = 'x and k > 100 and y' and k < 5", dt
+    ) == {"k": (None, "5")}
+    # date-grained literal against a timestamp column pads to midnight
+    assert VT._predicate_bounds("ts <= date'2020-01-01'", dt) == {
+        "ts": (None, "2020-01-01 00:00:00")
+    }
+    assert VT._predicate_bounds("ts >= '2020-01-01'", dt) == {
+        "ts": ("2020-01-01 00:00:00", None)
+    }
+    # 'or' inside a literal does not disable extraction of real bounds
+    assert VT._predicate_bounds("note = 'a or b' and k >= 3", dt) == {
+        "k": ("3", None)
+    }
+    # unbalanced quote: refuse
+    assert VT._predicate_bounds("note = 'oops and k > 1", dt) == {}
+
+
+def test_delete_where_date_boundary_rows_are_deleted(spark, tmp_path):
+    """REVIEW: midnight-boundary rows must not survive a pruned delete."""
+    import datetime
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tsb"),
+                       write_cdf=False)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, datetime.datetime(2020, 1, 1 + i // 4, 6 * (i % 4)))
+             for i in range(24)],
+            "k long, ts timestamp",
+        ),
+        cluster_by=["ts"], target_files=6,
+    )
+    t.delete_where("ts <= date'2020-01-02'")
+    # rows at exactly 2020-01-02 00:00:00 are gone too
+    assert t.read().filter("ts <= timestamp'2020-01-02 00:00:00'").count() == 0
+    assert t.read().count() == 24 - 5  # 4 on day 1 + the day-2 midnight row
