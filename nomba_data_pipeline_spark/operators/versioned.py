@@ -1167,6 +1167,27 @@ class VersionedTable:
             expected_parent=man["version"], cdf="empty",
         )
 
+    def maybe_checkpoint(self, max_files: int,
+                         cluster_by: list[str] | None = None,
+                         target_files: int | None = None) -> int | None:
+        """Bounded auto-compaction: checkpoint ONLY when the current
+        file list exceeds `max_files`. Every small CoW delta adds a
+        generation; unbounded, a year of hourly CDC is ~9k file-list
+        entries per scan plan and a widening manifest — this is the
+        policy knob a pipeline sets once (ModelSpec.versioned_max_files)
+        instead of scheduling compaction out-of-band. Cost when it
+        fires: one O(table) rewrite; when it doesn't: one manifest read
+        (no scan). Returns the checkpoint version, or None if under the
+        bound. The checkpoint commit carries an EMPTY change feed, so
+        feed consumers and the versioned_cdf stream pass over it."""
+        if max_files < 1:
+            raise ValueError("max_files must be >= 1")
+        man = self._resolve(None)
+        if len(man["files"]) <= max_files:
+            return None
+        return self.checkpoint(cluster_by=cluster_by,
+                               target_files=target_files)
+
     def diff_versions(self, v_old: int, v_new: int | None,
                       keys: list[str]) -> DataFrame:
         """Change-data-feed BETWEEN two versions, derived from the

@@ -105,6 +105,10 @@ class ModelSpec:
     # `versioned_cdf` streaming source read plain parquet instead of
     # re-deriving diffs with joins
     versioned_write_cdf: bool = False
+    # versioned_incremental only: auto-compact (checkpoint) when the
+    # manifest's file list exceeds this bound — unbounded CoW deltas
+    # grow scan fan-out and manifest size; None = never
+    versioned_max_files: int | None = None
 
 
 class PipelineRunner:
@@ -456,6 +460,15 @@ class PipelineRunner:
                 )
             if delta.limit(1).count() > 0:
                 vt.merge_upsert(delta, spec.upsert_key)
+            if spec.versioned_max_files is not None:
+                # bounded compaction AFTER the merge: fires only when
+                # the file list outgrew the bound (one manifest read
+                # otherwise); the checkpoint's feed is EMPTY so view
+                # syncs and streams pass over it
+                vt.maybe_checkpoint(
+                    spec.versioned_max_files,
+                    cluster_by=(spec.partition_by or None),
+                )
         out = self.read_model(spec.name)
         return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
 

@@ -104,17 +104,22 @@ def run_versioned_merge_stream(
     keys: list[str],
     checkpoint_dir: str,
     app: str = "stream",
+    write_cdf: bool = False,
 ) -> None:
     """Streaming CDC into a VERSIONED table: each micro-batch commits
     as a file-level CoW upsert tagged txn=(app, batch_id), so the
     redelivered in-flight batch after a crash-between-commit-and-
     checkpoint is skipped by the manifest's writer-transaction map —
     exactly-once WITH full version history (every batch is a
-    time-travelable, rollback-able commit). Blocks until the backlog
-    is consumed."""
+    time-travelable, rollback-able commit). write_cdf=True additionally
+    persists each commit's row-level feed, making the table itself a
+    STREAM SOURCE for downstream consumers (the `versioned_cdf`
+    format) — stream-to-stream composition with the table as the
+    durable, replayable boundary. Blocks until the backlog is
+    consumed."""
     from nomba_data_pipeline_spark.operators.versioned import VersionedTable
 
-    target = VersionedTable(spark, target_path)
+    target = VersionedTable(spark, target_path, write_cdf=write_cdf)
     _run_merge_stream(
         spark,
         source_dir,

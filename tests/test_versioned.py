@@ -1144,3 +1144,68 @@ def test_concurrent_writer_conflict_is_detected(spark, tmp_path):
         ["k"],
     )
     assert v3 == 3 and t_b.read().filter("v = -60").count() == 1
+
+
+def test_maybe_checkpoint_bounds_file_list(spark, tmp_path):
+    """r13: bounded auto-compaction — many small CoW deltas grow the
+    file list; maybe_checkpoint fires only past the bound and is a
+    no-op (one manifest read) under it."""
+    t = _mk(spark, tmp_path, n=2_000, files=4)
+    for i in range(5):
+        t.merge_upsert(
+            spark.createDataFrame([(i, -i, 0)], "k long, v long, grp int"),
+            ["k"],
+        )
+    n_files = len(t._manifest(t.latest_version())["files"])
+    assert n_files > 6
+    assert t.maybe_checkpoint(max_files=100) is None  # under bound: no-op
+    v = t.maybe_checkpoint(max_files=6, cluster_by=["k"])
+    assert v is not None
+    assert len(t._manifest(v)["files"]) <= 6
+    before = _rows(t.read(v - 1))
+    assert _rows(t.read()) == before  # content identical
+    with pytest.raises(ValueError, match="max_files"):
+        t.maybe_checkpoint(0)
+
+
+def test_runner_versioned_max_files_autocompacts(spark, tmp_path):
+    """ModelSpec.versioned_max_files keeps the pipeline model's scan
+    fan-out bounded across many CDC runs, without changing results."""
+    import os
+
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    src = os.path.join(str(tmp_path), "src")
+    wh = os.path.join(str(tmp_path), "wh")
+    os.makedirs(src)
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit(0).alias("ver"),
+    )
+    base.write.parquet(src + "/t")
+
+    def mk():
+        r = PipelineRunner(spark, wh, src)
+        r.register(ModelSpec(
+            name="tv", fn=lambda s, d: s.read.parquet(src + "/t"),
+            materialization="versioned_incremental",
+            upsert_key=["k"], tracking_column="ver",
+            versioned_max_files=8,
+        ))
+        return r
+
+    mk().run()
+    for i in range(1, 7):  # six delta runs
+        spark.createDataFrame(
+            [(i * 3, -i, i)], "k long, v long, ver int"
+        ).write.mode("append").parquet(src + "/t")
+        mk().run()
+    vt = VersionedTable(spark, os.path.join(wh, "tv"))
+    assert len(vt._manifest(vt.latest_version())["files"]) <= 8
+    got = {(r["k"], r["v"]) for r in vt.read().collect()}
+    want = {(k, 2 * k) for k in range(1000) if k % 3 != 0 or k // 3 > 6 or k == 0}
+    want |= {(i * 3, -i) for i in range(1, 7)}
+    # build expected precisely: keys 3,6,...,18 replaced
+    want = {(k, 2 * k) for k in range(1000)} - {(i * 3, 2 * i * 3) for i in range(1, 7)}
+    want |= {(i * 3, -i) for i in range(1, 7)}
+    assert got == want

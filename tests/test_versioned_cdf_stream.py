@@ -470,3 +470,101 @@ def test_delete_where_date_boundary_rows_are_deleted(spark, tmp_path):
     # rows at exactly 2020-01-02 00:00:00 are gone too
     assert t.read().filter("ts <= timestamp'2020-01-02 00:00:00'").count() == 0
     assert t.read().count() == 24 - 5  # 4 on day 1 + the day-2 midnight row
+
+
+def test_stream_to_stream_chain_through_versioned_table(spark, tmp_path):
+    """STREAM-TO-STREAM composition with the versioned table as the
+    durable boundary: file-source stream -> run_versioned_merge_stream
+    (txn-idempotent commits, write_cdf=True) -> versioned_cdf stream ->
+    AggJoinView. The rollup equals the declarative aggregate of
+    everything ingested, across TWO drain cycles."""
+    from pyspark.sql import types as T
+
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+    )
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        run_agg_view_versioned_cdf_stream,
+        run_versioned_merge_stream,
+    )
+
+    root = str(tmp_path)
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    schema = T.StructType([
+        T.StructField("fk", T.LongType()),
+        T.StructField("dk", T.LongType()),
+        T.StructField("amt", T.DoubleType()),
+    ])
+    dim = spark.range(8).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias("grp"),
+    )
+    b1 = spark.range(40).select(
+        F.col("id").alias("fk"), (F.col("id") % 8).alias("dk"),
+        (F.col("id") * 1.0).alias("amt"),
+    )
+    b1.write.mode("append").parquet(src)
+
+    t = VersionedTable(spark, os.path.join(root, "fact_v"), write_cdf=True)
+    t.overwrite(b1.limit(0))  # empty v1 (FULL marker — stream starts past it)
+
+    def drain():
+        run_versioned_merge_stream(
+            spark, src, schema, t.path, ["fk"],
+            checkpoint_dir=os.path.join(root, "ckpt_in"),
+            app="ingest", write_cdf=True,
+        )
+        run_agg_view_versioned_cdf_stream(
+            spark, t.path, a.path, dim,
+            checkpoint_dir=os.path.join(root, "ckpt_out"),
+            starting_version=1,
+        )
+
+    run_versioned_merge_stream(
+        spark, src, schema, t.path, ["fk"],
+        checkpoint_dir=os.path.join(root, "ckpt_in"),
+        app="ingest", write_cdf=True,
+    )  # v2: batch1 ingested
+    v = JoinViewTable(
+        spark, os.path.join(root, "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["grp"], n_buckets=4,
+    )
+    v.build(t.read(), dim)
+    a = AggJoinView(
+        spark, os.path.join(root, "agg"),
+        view=v, group_keys=["grp"], measures=["amt"],
+    )
+    a.build()
+    # downstream starts at v1: re-applying the already-built v2 feed is
+    # an idempotent keyed upsert — the replay-convergence contract
+    drain()
+    expect1 = {
+        (r["grp"], r["cnt"], r["s"])
+        for r in b1.join(dim, "dk", "left").groupBy("grp").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("amt").cast("decimal(38,4)")), 2)
+            .cast("double").alias("s"),
+        ).collect()
+    }
+    got1 = {(r["grp"], r["cnt"], r["sum_amt"]) for r in a.result().collect()}
+    assert got1 == expect1
+    # second cycle: late corrections land, both streams resume off
+    # their checkpoints and the rollup tracks
+    b2 = spark.createDataFrame(
+        [(5, 1, -50.0), (100, 2, 7.0)], "fk long, dk long, amt double"
+    )
+    b2.write.mode("append").parquet(src)
+    drain()
+    final = b1.filter("fk <> 5").unionByName(b2)
+    expect2 = {
+        (r["grp"], r["cnt"], r["s"])
+        for r in final.join(dim, "dk", "left").groupBy("grp").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("amt").cast("decimal(38,4)")), 2)
+            .cast("double").alias("s"),
+        ).collect()
+    }
+    got2 = {(r["grp"], r["cnt"], r["sum_amt"]) for r in a.result().collect()}
+    assert got2 == expect2
