@@ -198,6 +198,9 @@ HEADLINE = [
     "approx_distinct_rollup_ivm",
     # r13: commit-time change feeds streamed with offsets = versions
     "versioned_cdf_stream",
+    # r13: rollup serving — a coarser GROUP BY answered from stored
+    # partials alone (result_at), after maintenance incl. a delete
+    "rollup_serving_navigator",
 ]
 
 

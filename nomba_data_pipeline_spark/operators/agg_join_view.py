@@ -60,6 +60,7 @@ from nomba_data_pipeline_spark.operators.incremental_agg import (
     agg_state,
     finalize_agg_state,
     merge_agg_states,
+    rollup_state,
 )
 from nomba_data_pipeline_spark.operators.incremental_join import (
     _BUCKET,
@@ -390,3 +391,16 @@ class AggJoinView:
         ≤ n_buckets x |groups| state rows — never a view scan."""
         merged = merge_agg_states(self.state().drop(_BUCKET))
         return finalize_agg_state(merged, dp=dp)
+
+    def result_at(self, group_keys: list[str], dp: int = 2) -> DataFrame:
+        """MV NAVIGATION: answer a COARSER GROUP BY from the bucket
+        partials alone — `group_keys` ⊆ this view's group_keys; the
+        dropped keys (and the bucket) merge via the fold algebra
+        (sum/cnt add, min/max keep, hll sketches UNION — the reason
+        distinct rollups are maintainable at all: stored exact distinct
+        counts cannot collapse across keys, sketches can). A mart keyed
+        by (segment, status) answers GROUP BY segment at
+        state-cardinality cost, never a view or fact scan."""
+        return finalize_agg_state(
+            rollup_state(self.state().drop(_BUCKET), group_keys), dp=dp
+        )

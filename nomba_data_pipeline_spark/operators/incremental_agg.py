@@ -186,6 +186,31 @@ def finalize_agg_state(state: DataFrame, dp: int = 2) -> DataFrame:
     return state.select(*out)
 
 
+def rollup_state(state: DataFrame, group_keys: list[str]) -> DataFrame:
+    """ROLLUP SERVING (materialized-view navigation): collapse a
+    partial-state frame to a COARSER grouping using the fold algebra
+    alone — the aggregate-navigator move every OLAP engine wants: a
+    mart keyed by (day, country, device) answers GROUP BY country
+    without touching the fact table. `group_keys` must be a subset of
+    the state's key columns; the dropped keys' partials merge exactly
+    (cnt/sum add, min/min, max/max, hll union — which is the whole
+    reason distinct counts are carried as SKETCHES: stored exact
+    distinct counts are NOT summable across the collapsed keys, sketch
+    unions are lossless w.r.t. their bound). Cost: one hash
+    aggregation over state-cardinality rows, never a fact scan."""
+    scols = set(_state_cols(state))
+    have_keys = [c for c in state.columns if c not in scols]
+    missing = set(group_keys) - set(have_keys)
+    if missing:
+        raise ValueError(
+            f"cannot serve GROUP BY {sorted(group_keys)} from a state "
+            f"keyed by {have_keys}: {sorted(missing)} not in the state "
+            "(a coarser rollup can only DROP keys, never add them)"
+        )
+    dropped = [c for c in have_keys if c not in group_keys]
+    return merge_agg_states(state.drop(*dropped)) if dropped else state
+
+
 class IncrementalAggTable:
     """A maintained aggregate state table at `path`.
 
@@ -289,3 +314,10 @@ class IncrementalAggTable:
 
     def result(self, dp: int = 2) -> DataFrame:
         return finalize_agg_state(self.state(), dp=dp)
+
+    def result_at(self, group_keys: list[str], dp: int = 2) -> DataFrame:
+        """Serve a COARSER grouping from the stored partials alone
+        (rollup_state): one state-cardinality aggregation, no fact
+        rescan, distinct estimates fold via sketch union."""
+        return finalize_agg_state(rollup_state(self.state(), group_keys),
+                                  dp=dp)

@@ -9661,6 +9661,130 @@ FROM feed GROUP BY 1, 2
 """
 
 
+def q_rollup_serving_navigator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP SERVING / MV navigation (`result_at`): a maintained
+    aggregate keyed FINE — (o_orderstatus, l_returnflag) over
+    lineitem ⋈ orders with an l_suppkey HLL sketch — answers the
+    COARSER `GROUP BY o_orderstatus` from its stored partials alone:
+    the dropped key's partials merge via the fold algebra (cnt/sum
+    add, min/min, max/max, hll UNION — the reason distinct counts ride
+    as sketches: a stored exact distinct per (status, flag) cannot be
+    summed into per-status uniques, sketch unions can). The mart is
+    MAINTAINED first — a fact delta (l_orderkey % 23 shifted copies,
+    price +0.5) and a fact DELETE (txn_id % 31) land through the
+    bucket-recompute verbs — so the served answer reflects
+    maintenance, not just the build. Grading per-status
+    cnt/sum/avg/min/max against the declarative fact-level aggregate
+    catches a partial that failed to merge across the collapsed key, a
+    stale bucket, or a missed retraction; exact_supps + the 10%%
+    witness pin the served sketch union (exact at graded scale: 100
+    suppliers). 100 TB bound: the served query costs ONE aggregation
+    over ≤ buckets x fine-groups state rows — never a view or fact
+    scan (the aggregate-navigator move: one fine mart serves every
+    coarser grain)."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+    from nomba_data_pipeline_spark.operators.incremental_join import (
+        JoinViewTable,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("txn_id"),
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        "l_suppkey",
+    )
+    shifted = li.filter(F.col("l_orderkey") % 23 == 0).select(
+        (F.col("txn_id") + F.lit(50)).alias("txn_id"),
+        "l_orderkey", "l_returnflag",
+        (F.col("price") + F.lit(0.5)).alias("price"),
+        "l_suppkey",
+    )
+    final = (
+        li.unionByName(shifted).filter(F.col("txn_id") % 31 != 0)
+    )
+
+    def _write(root: str) -> None:
+        ords = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        v = JoinViewTable(
+            spark, os.path.join(root, "view"),
+            fact_key=["txn_id"], dim_key="l_orderkey",
+            dim_cols=["o_orderstatus"], n_buckets=16,
+        )
+        v.build(li, ords.withColumnRenamed("o_orderkey", "l_orderkey"))
+        a = AggJoinView(
+            spark, os.path.join(root, "agg"),
+            view=v, group_keys=["o_orderstatus", "l_returnflag"],
+            measures=["price"], distinct_cols=["l_suppkey"],
+        )
+        a.build()
+        dimf = ords.withColumnRenamed("o_orderkey", "l_orderkey")
+        a.apply_fact_delta(shifted, dimf)
+        a.delete_fact_keys(
+            li.unionByName(shifted).filter(F.col("txn_id") % 31 == 0)
+            .select("txn_id")
+        )
+
+    root = _stage_dir("rollup_serving", sf_dir, _write)
+    served = AggJoinView.open(spark, os.path.join(root, "agg")).result_at(
+        ["o_orderstatus"]
+    )
+    exact = (
+        final.join(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+            ),
+            "l_orderkey", "left",
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count_distinct("l_suppkey").alias("exact_supps"))
+    )
+    return served.join(exact, "o_orderstatus").select(
+        F.col("o_orderstatus").alias("status"),
+        "cnt",
+        "sum_price",
+        "avg_price",
+        "min_price",
+        "max_price",
+        "exact_supps",
+        (
+            F.abs(F.col("approx_distinct_l_suppkey") - F.col("exact_supps"))
+            <= F.greatest(F.lit(1), F.col("exact_supps") * F.lit(0.1))
+        ).alias("distinct_ok"),
+    )
+
+
+SQL_ROLLUP_SERVING_NAVIGATOR = """
+WITH f AS (
+    SELECT l_orderkey * 100 + l_linenumber AS txn_id, l_orderkey,
+           l_extendedprice AS price, l_suppkey
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey * 100 + l_linenumber + 50, l_orderkey,
+           l_extendedprice + 0.5, l_suppkey
+    FROM lineitem WHERE l_orderkey % 23 = 0
+), final AS (
+    SELECT * FROM f WHERE txn_id % 31 <> 0
+)
+SELECT o.o_orderstatus AS status,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE)
+           AS sum_price,
+       CAST(round(sum(CAST(price AS DECIMAL(38,4))) / count(*), 6) AS DOUBLE)
+           AS avg_price,
+       CAST(min(price) AS DOUBLE) AS min_price,
+       CAST(max(price) AS DOUBLE) AS max_price,
+       count(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS distinct_ok
+FROM final LEFT JOIN orders o ON final.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -10145,6 +10269,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_VERSIONED_CDF_STREAM,
         "ext:versioned-cdf-streaming-source",
     ),
+    "rollup_serving_navigator": QuerySpec(
+        q_rollup_serving_navigator,
+        SQL_ROLLUP_SERVING_NAVIGATOR,
+        "ext:rollup-serving-mv-navigation",
+    ),
 }
 
 
@@ -10368,7 +10497,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # no-oracle semantic_dedup_kmeans rows-only check). rotate_window.py's
 # proposal was pasted VERBATIM; re-derived histogram r9:43 / r10:50 /
 # r11:50 / r12:50, so this window is:
-# (a) the 3 never-graded rows added in round 13:
+# (a) the 4 never-graded rows added in round 13:
 #     versioned_cdf_view_roundtrip (a versioned FACT feeding an
 #     agg_view mart through diff_versions — runner-persisted version
 #     cursor, deletes tombstoning through
@@ -10378,31 +10507,36 @@ REGISTRY: dict[str, QuerySpec] = {
 #     fact delete and a dim regroup, witness-graded), and
 #     versioned_cdf_stream (commit-time row-level change feeds,
 #     write_cdf=True, streamed by the `versioned_cdf` Structured
-#     Streaming source whose offsets are table versions);
+#     Streaming source whose offsets are table versions), and
+#     rollup_serving_navigator (MV navigation: result_at answers a
+#     coarser GROUP BY from stored partials alone — HLL unions across
+#     the collapsed key, after maintenance incl. a delete);
 # (b) the ENTIRE remaining round-9 cohort — all 43 rows whose newest
 #     driver-green evidence is round 9, in cohort order (led by the 8
 #     rows the round-12 additions displaced);
-# (c) leftover 4 slots on the OLDEST round-10 evidence — the first 4
+# (c) leftover 3 slots on the OLDEST round-10 evidence — the first 3
 #     of that cohort in REGISTRY order: doc_stats, simhash_docs,
-#     winnow_fingerprints, media_features.
+#     winnow_fingerprints.
 # After this round grades green, no row's newest driver evidence is
 # older than round 10.
 # ROUND-14 ROTATION GUIDANCE: (a) any rows added in round 14; (b) the
-# 46 remaining r10 rows (the r10 cohort in REGISTRY order minus the 4
-# refreshed above, starting at media_frame_sample); (c) leftover slots
+# 47 remaining r10 rows (the r10 cohort in REGISTRY order minus the 3
+# refreshed above, starting at media_features); (c) leftover slots
 # on the oldest r11 evidence.  Run
 # tools/rotate_window.py — it re-derives per-row latest-green from the
 # union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
 # window; paste it verbatim, don't hand-pick.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # -- (a) never graded by construction: the 3 rows added in
+    # -- (a) never graded by construction: the 4 rows added in
     #    round 13 (versioned-CDF -> IVM wiring; HLL approx-distinct
     #    in the partial-state algebra; commit-time change feeds as
-    #    a Structured Streaming source)
+    #    a Structured Streaming source; rollup serving / MV
+    #    navigation via result_at)
     "versioned_cdf_view_roundtrip",
     "approx_distinct_rollup_ivm",
     "versioned_cdf_stream",
+    "rollup_serving_navigator",
     # -- (b) the ENTIRE remaining round-9 cohort — all 43 rows
     #    whose newest driver-green evidence is round 9, in
     #    cohort order (led by the 8 rows the round-12 additions
@@ -10450,12 +10584,11 @@ _DRIVER_WINDOW: list[str] = [
     "snapshot_append_roundtrip",
     "variant_json_extract",
     "cross_doc_repeated_spans",
-    # -- (c) leftover 4 slots on the OLDEST round-10 evidence
-    #    (the first 4 of that cohort in REGISTRY order)
+    # -- (c) leftover 3 slots on the OLDEST round-10 evidence
+    #    (the first 3 of that cohort in REGISTRY order)
     "doc_stats",
     "simhash_docs",
     "winnow_fingerprints",
-    "media_features",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -416,3 +416,83 @@ def test_agg_view_pipeline_distinct_cols(spark, tmp_path):
     for r in out.collect():
         x = exact[r["grp"]]
         assert abs(r["approx_distinct_uid"] - x) <= max(1, x * 0.05)
+
+
+# -- r13: rollup serving (MV navigation) --------------------------------------
+def test_rollup_state_serves_coarser_grouping_exactly(spark):
+    """result over rollup_state(keys⊂state) must equal the one-shot
+    aggregate at the coarse grain — for every measure AND the sketch
+    estimate (HLL union across collapsed keys is deterministic)."""
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_suppkey"
+    )
+    from nomba_data_pipeline_spark.operators.incremental_agg import rollup_state
+
+    fine = agg_state(li, ["l_returnflag", "l_linestatus"], ["l_quantity"],
+                     distinct=["l_suppkey"])
+    served = finalize_agg_state(rollup_state(fine, ["l_returnflag"]))
+    oneshot = finalize_agg_state(
+        agg_state(li, ["l_returnflag"], ["l_quantity"], distinct=["l_suppkey"])
+    )
+    key = lambda df: {
+        r["l_returnflag"]: tuple(r[c] for c in sorted(df.columns) if c != "l_returnflag")
+        for r in df.collect()
+    }
+    assert sorted(served.columns) == sorted(oneshot.columns)
+    assert key(served) == key(oneshot)
+
+
+def test_rollup_state_refuses_unknown_key(spark):
+    import pytest
+
+    from nomba_data_pipeline_spark.operators.incremental_agg import rollup_state
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    fine = agg_state(li, ["l_returnflag"], ["l_quantity"])
+    with pytest.raises(ValueError, match="never add them"):
+        rollup_state(fine, ["l_shipmode"])
+
+
+def test_agg_join_view_result_at(spark, tmp_path):
+    """AggJoinView.result_at collapses bucket+key partials in one pass
+    and tracks maintenance (delta + delete) exactly."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+    from nomba_data_pipeline_spark.operators.incremental_join import JoinViewTable
+
+    fact = spark.range(200).select(
+        F.col("id").alias("fk"), (F.col("id") % 10).alias("dk"),
+        (F.col("id") % 4).cast("string").alias("band"),
+        (F.col("id") * 1.0).alias("amt"), (F.col("id") % 13).alias("uid"),
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["grp"], n_buckets=4,
+    )
+    v.build(fact, dim)
+    a = AggJoinView(
+        spark, os.path.join(str(tmp_path), "agg"),
+        view=v, group_keys=["grp", "band"], measures=["amt"],
+        distinct_cols=["uid"],
+    )
+    a.build()
+    a.delete_fact_keys(spark.createDataFrame([(7,), (8,)], "fk long"))
+    final = fact.filter("fk not in (7, 8)")
+    served = a.result_at(["grp"])
+    want = final.join(dim, "dk", "left").groupBy("grp").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.col("amt").cast("decimal(38,4)")), 2)
+        .cast("double").alias("sum_amt"),
+        F.count_distinct("uid").alias("x"),
+    ).collect()
+    got = {r["grp"]: (r["cnt"], r["sum_amt"], r["approx_distinct_uid"])
+           for r in served.collect()}
+    for r in want:
+        cnt, s, x = got[r["grp"]]
+        assert (cnt, s) == (r["cnt"], r["sum_amt"])
+        assert abs(x - r["x"]) <= max(1, r["x"] * 0.05)
