@@ -300,7 +300,12 @@ def cmd_aggview(args) -> int:
     spark = _spark(args)
     a = AggJoinView.open(spark, args.path)
     if args.action == "result":
-        a.result().show(args.limit, truncate=False)
+        if args.at:
+            # MV navigation: serve a coarser GROUP BY from the stored
+            # partials alone (result_at; keys must be ⊆ the mart's)
+            a.result_at(args.at).show(args.limit, truncate=False)
+        else:
+            a.result().show(args.limit, truncate=False)
     elif args.action == "patch-dim":
         if not args.dim:
             print(json.dumps({"error": "patch-dim requires --dim"}))
@@ -669,6 +674,11 @@ def main(argv: list[str] | None = None) -> int:
     av.add_argument("--fact", help="fact delta parquet (apply-fact)")
     av.add_argument("--dim", help="dim parquet (patch-dim / apply-fact / retire-dim)")
     av.add_argument("--limit", type=int, default=20, help="rows to show (result)")
+    av.add_argument(
+        "--at", nargs="+",
+        help="result: serve this COARSER grouping (subset of the "
+             "mart's group keys) from the stored partials",
+    )
     av.set_defaults(fn=cmd_aggview)
 
     ix = sub.add_parser(
