@@ -201,6 +201,9 @@ HEADLINE = [
     # r13: rollup serving — a coarser GROUP BY answered from stored
     # partials alone (result_at), after maintenance incl. a delete
     "rollup_serving_navigator",
+    # r13: CHECK constraints — write-time enforcement, refusal leaves
+    # no version
+    "versioned_constraints_roundtrip",
 ]
 
 

@@ -126,6 +126,16 @@ _CMP_RE = re.compile(
 )
 
 
+class ConstraintViolation(ValueError):
+    """An incoming batch (or, for add_constraint, the existing data)
+    violates a table CHECK constraint. Nothing was committed — the
+    refusal happens BEFORE any generation is written, so the table and
+    its history are untouched and the caller can fix the batch and
+    retry. Write-time enforcement is the Delta Lake CHECK-constraint
+    contract: at 100 TB a bad batch that LANDS costs a rollback and an
+    incident; one O(batch) validation aggregate per write is noise."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed between this write's snapshot and its
     commit. The table is NOT corrupted — this write simply refused to
@@ -428,7 +438,8 @@ class VersionedTable:
         # carried forward whole on every commit — one entry per writer
         # app, so it stays O(writers), never O(history) — and read from
         # the LATEST manifest only, so the idempotency check is O(1)
-        txns = dict(self._manifest(parent).get("txns") or {}) if parent else {}
+        parent_man = self._manifest(parent) if parent else {}
+        txns = dict(parent_man.get("txns") or {})
         if txn is not None:
             txns[txn[0]] = int(txn[1])
         man = {
@@ -438,6 +449,10 @@ class VersionedTable:
             "schema": schema_ddl,
             "files": files,
             "txns": txns,
+            # CHECK constraints carried whole on every commit —
+            # O(constraints), never O(history); read from the LATEST
+            # manifest only (same design as the txn map)
+            "constraints": dict(parent_man.get("constraints") or {}),
         }
         if extra:
             man.update(extra)
@@ -500,6 +515,7 @@ class VersionedTable:
         if self._txn_applied(txn):
             return self.latest_version()
         snap = self.latest_version()
+        self._enforce_constraints(df, self.constraints(), "overwrite")
         files = self._write_gen(df, cluster_by=cluster_by,
                                 target_files=target_files)
         return self._commit(files, "overwrite", df.schema.json(), txn=txn,
@@ -885,6 +901,13 @@ class VersionedTable:
         # alignment needs only the manifest's pinned schema — never
         # plan a full-table read for it
         delta = _align_to_target(delta, self._read_files(man, []))
+        # CHECK enforcement on the DELTA only: carried files and the
+        # anti-join survivors already satisfied every constraint when
+        # they landed (constraints only ever tighten via add_constraint,
+        # which validates the whole table)
+        self._enforce_constraints(
+            delta, man.get("constraints") or {}, "merge_upsert"
+        )
         # which files hold a delta key? Manifest stats first shrink the
         # scan to the files whose key range can intersect the delta's
         # (O(candidate files) on a key-clustered table, never O(table));
@@ -1166,6 +1189,89 @@ class VersionedTable:
             {"compacted_files": len(man["files"])},
             expected_parent=man["version"], cdf="empty",
         )
+
+    # -- CHECK constraints (write-time enforcement, Delta parity) --------
+    def constraints(self) -> dict[str, str]:
+        """The table's CHECK constraints ({name: sql_expr}) from the
+        latest manifest — one metadata read."""
+        latest = self.latest_version()
+        if latest is None:
+            return {}
+        return dict(self._manifest(latest).get("constraints") or {})
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Add `CHECK (expr)`: validates the EXISTING data once (one
+        scan counting violations — a constraint the table already
+        breaks must refuse, not lie), then commits METADATA ONLY (the
+        unchanged file list with the constraint recorded). Every later
+        overwrite/merge validates its incoming rows against all
+        constraints BEFORE writing anything. SQL CHECK semantics: NULL
+        passes; only rows where the expression is FALSE violate."""
+        man = self._resolve(None)
+        cons = dict(man.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists on {self.path} "
+                f"(CHECK ({cons[name]})); drop it first to redefine"
+            )
+        n_bad = self.read().filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).count()
+        if n_bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r} to {self.path}: "
+                f"{n_bad} existing rows violate CHECK ({expr})"
+            )
+        cons[name] = expr
+        return self._commit(
+            list(man["files"]), "add_constraint", man["schema"],
+            {"constraints": cons, "added_constraint": name},
+            expected_parent=man["version"], cdf="empty",
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint — one metadata commit."""
+        man = self._resolve(None)
+        cons = dict(man.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} on {self.path}")
+        del cons[name]
+        return self._commit(
+            list(man["files"]), "drop_constraint", man["schema"],
+            {"constraints": cons, "dropped_constraint": name},
+            expected_parent=man["version"], cdf="empty",
+        )
+
+    def _enforce_constraints(self, incoming: DataFrame,
+                             cons: dict[str, str], op: str) -> None:
+        """Refuse the write if any incoming row violates a CHECK — ONE
+        aggregate over the batch counting violations per constraint
+        (O(batch), before any generation is written, so a refusal
+        leaves no orphan bytes). Deletes never run this: removing rows
+        cannot break a CHECK."""
+        if not cons:
+            return
+        names = sorted(cons)
+        row = incoming.agg(*[
+            F.sum(
+                (~F.coalesce(F.expr(cons[n]), F.lit(True))).cast("long")
+            ).alias(f"__viol_{i}")
+            for i, n in enumerate(names)
+        ]).first()
+        bad = {
+            n: int(row[f"__viol_{i}"] or 0)
+            for i, n in enumerate(names)
+            if row is not None and (row[f"__viol_{i}"] or 0) > 0
+        }
+        if bad:
+            detail = "; ".join(
+                f"{n}: {c} rows violate CHECK ({cons[n]})"
+                for n, c in bad.items()
+            )
+            raise ConstraintViolation(
+                f"{op} into {self.path} refused — {detail}. Nothing was "
+                "committed; fix the batch and retry."
+            )
 
     def maybe_checkpoint(self, max_files: int,
                          cluster_by: list[str] | None = None,

@@ -9785,6 +9785,106 @@ GROUP BY 1
 """
 
 
+def q_versioned_constraints_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CHECK CONSTRAINTS with write-time enforcement
+    (VersionedTable.add_constraint / _enforce_constraints — the Delta
+    Lake CHECK contract): add_constraint validates the EXISTING table
+    once and commits metadata-only; every later write validates its
+    incoming rows in ONE O(batch) aggregate BEFORE any generation is
+    written, so a refused batch leaves no bytes and no version.
+    Scenario: orders loaded, CHECK (price >= 0) added, then (1) a valid
+    correction batch lands (% 7 repriced +1000, status 'U'), (2) a BAD
+    batch (% 13 cohort with price -1) is REFUSED — the engine raises
+    ConstraintViolation, the version number does not advance, and even
+    the batch's valid rows do not land (all-or-nothing), then (3) a
+    valid insert batch lands (% 11 + 10M, status 'I', price 42).
+    Grading the per-status rollup catches a refusal that half-applied,
+    an enforcement pass that missed the violating rows, or a
+    constraint lost across commits/handles (it is carried in every
+    manifest like the txn map). Oracle replays the two VALID commits
+    declaratively — the refused batch must be invisible."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.versioned import (
+        ConstraintViolation,
+        VersionedTable,
+    )
+
+    def _write(root: str) -> None:
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        t = VersionedTable(spark, root + "/tbl")
+        t.overwrite(base, cluster_by=["o_orderkey"], target_files=8)
+        t.add_constraint("price_nonneg", "price >= 0")
+        t.merge_upsert(
+            base.filter(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey", F.lit("U").alias("status"),
+                (F.col("price") + 1000).alias("price"),
+            ),
+            ["o_orderkey"],
+        )
+        v_before = t.latest_version()
+        try:
+            # a drifted upstream emits negative prices: REFUSED whole
+            t.merge_upsert(
+                base.filter(F.col("o_orderkey") % 13 == 0).select(
+                    "o_orderkey", F.lit("X").alias("status"),
+                    F.lit(-1.0).alias("price"),
+                ),
+                ["o_orderkey"],
+            )
+            raise AssertionError("constraint must refuse the bad batch")
+        except ConstraintViolation:
+            pass
+        assert t.latest_version() == v_before  # no version advanced
+        t2 = VersionedTable(spark, t.path)  # fresh handle: carried
+        t2.merge_upsert(
+            base.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("I").alias("status"),
+                F.lit(42.0).alias("price"),
+            ),
+            ["o_orderkey"],
+        )
+
+    root = _stage_dir("versioned_constraints", sf_dir, _write)
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    return (
+        VersionedTable(spark, root + "/tbl")
+        .read()
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(_dec("price")), 2).cast("double").alias("sum_price"),
+            F.min("price").cast("double").alias("min_price"),
+        )
+    )
+
+
+SQL_VERSIONED_CONSTRAINTS_ROUNDTRIP = """
+WITH final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+               AS status,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS price
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'I', CAST(42 AS DOUBLE)
+    FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT status, count(*) AS cnt,
+       CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE)
+           AS sum_price,
+       CAST(min(price) AS DOUBLE) AS min_price
+FROM final GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -10274,6 +10374,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_ROLLUP_SERVING_NAVIGATOR,
         "ext:rollup-serving-mv-navigation",
     ),
+    "versioned_constraints_roundtrip": QuerySpec(
+        q_versioned_constraints_roundtrip,
+        SQL_VERSIONED_CONSTRAINTS_ROUNDTRIP,
+        "ext:check-constraints",
+    ),
 }
 
 
@@ -10497,7 +10602,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # no-oracle semantic_dedup_kmeans rows-only check). rotate_window.py's
 # proposal was pasted VERBATIM; re-derived histogram r9:43 / r10:50 /
 # r11:50 / r12:50, so this window is:
-# (a) the 4 never-graded rows added in round 13:
+# (a) the 5 never-graded rows added in round 13:
 #     versioned_cdf_view_roundtrip (a versioned FACT feeding an
 #     agg_view mart through diff_versions — runner-persisted version
 #     cursor, deletes tombstoning through
@@ -10510,33 +10615,37 @@ REGISTRY: dict[str, QuerySpec] = {
 #     Streaming source whose offsets are table versions), and
 #     rollup_serving_navigator (MV navigation: result_at answers a
 #     coarser GROUP BY from stored partials alone — HLL unions across
-#     the collapsed key, after maintenance incl. a delete);
+#     the collapsed key, after maintenance incl. a delete), and
+#     versioned_constraints_roundtrip (CHECK constraints: metadata-
+#     committed, manifest-carried, write-time enforced — a violating
+#     batch is refused whole with no version advanced);
 # (b) the ENTIRE remaining round-9 cohort — all 43 rows whose newest
 #     driver-green evidence is round 9, in cohort order (led by the 8
 #     rows the round-12 additions displaced);
-# (c) leftover 3 slots on the OLDEST round-10 evidence — the first 3
-#     of that cohort in REGISTRY order: doc_stats, simhash_docs,
-#     winnow_fingerprints.
+# (c) leftover 2 slots on the OLDEST round-10 evidence — the first 2
+#     of that cohort in REGISTRY order: doc_stats, simhash_docs.
 # After this round grades green, no row's newest driver evidence is
 # older than round 10.
 # ROUND-14 ROTATION GUIDANCE: (a) any rows added in round 14; (b) the
-# 47 remaining r10 rows (the r10 cohort in REGISTRY order minus the 3
-# refreshed above, starting at media_features); (c) leftover slots
-# on the oldest r11 evidence.  Run
+# 48 remaining r10 rows (the r10 cohort in REGISTRY order minus the 2
+# refreshed above, starting at winnow_fingerprints); (c) leftover
+# slots on the oldest r11 evidence.  Run
 # tools/rotate_window.py — it re-derives per-row latest-green from the
 # union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
 # window; paste it verbatim, don't hand-pick.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # -- (a) never graded by construction: the 4 rows added in
+    # -- (a) never graded by construction: the 5 rows added in
     #    round 13 (versioned-CDF -> IVM wiring; HLL approx-distinct
     #    in the partial-state algebra; commit-time change feeds as
     #    a Structured Streaming source; rollup serving / MV
-    #    navigation via result_at)
+    #    navigation via result_at; CHECK constraints with
+    #    write-time enforcement)
     "versioned_cdf_view_roundtrip",
     "approx_distinct_rollup_ivm",
     "versioned_cdf_stream",
     "rollup_serving_navigator",
+    "versioned_constraints_roundtrip",
     # -- (b) the ENTIRE remaining round-9 cohort — all 43 rows
     #    whose newest driver-green evidence is round 9, in
     #    cohort order (led by the 8 rows the round-12 additions
@@ -10584,11 +10693,10 @@ _DRIVER_WINDOW: list[str] = [
     "snapshot_append_roundtrip",
     "variant_json_extract",
     "cross_doc_repeated_spans",
-    # -- (c) leftover 3 slots on the OLDEST round-10 evidence
-    #    (the first 3 of that cohort in REGISTRY order)
+    # -- (c) leftover 2 slots on the OLDEST round-10 evidence
+    #    (the first 2 of that cohort in REGISTRY order)
     "doc_stats",
     "simhash_docs",
-    "winnow_fingerprints",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -1209,3 +1209,70 @@ def test_runner_versioned_max_files_autocompacts(spark, tmp_path):
     want = {(k, 2 * k) for k in range(1000)} - {(i * 3, 2 * i * 3) for i in range(1, 7)}
     want |= {(i * 3, -i) for i in range(1, 7)}
     assert got == want
+
+
+# -- r13: CHECK constraints ----------------------------------------------------
+def test_check_constraints_enforced_on_writes(spark, tmp_path):
+    from nomba_data_pipeline_spark.operators.versioned import (
+        ConstraintViolation,
+    )
+
+    t = _mk(spark, tmp_path, n=100, files=4)
+    t.add_constraint("v_nonneg", "v >= 0")
+    assert t.constraints() == {"v_nonneg": "v >= 0"}
+    assert t.history()[0]["op"] == "add_constraint"
+    # a valid delta lands; an invalid one refuses with NOTHING committed
+    t.merge_upsert(
+        spark.createDataFrame([(5, 500, 0)], "k long, v long, grp int"), ["k"]
+    )
+    v_before = t.latest_version()
+    import pytest as _pt
+
+    with _pt.raises(ConstraintViolation, match="v_nonneg"):
+        t.merge_upsert(
+            spark.createDataFrame(
+                [(6, -1, 0), (7, 7, 0)], "k long, v long, grp int"
+            ),
+            ["k"],
+        )
+    assert t.latest_version() == v_before        # nothing committed
+    assert t.read().filter("k = 7").count() == 1  # the valid row of the
+    # refused batch did NOT land either (all-or-nothing)... k=7 exists
+    # from the BASE load (v=14), not from the refused batch
+    assert t.read().filter("k = 7").first()["v"] == 14
+    with _pt.raises(ConstraintViolation, match="overwrite"):
+        t.overwrite(
+            spark.createDataFrame([(1, -9, 0)], "k long, v long, grp int")
+        )
+    # constraints survive commits and FRESH handles (manifest-carried)
+    t2 = VersionedTable(spark, t.path)
+    assert t2.constraints() == {"v_nonneg": "v >= 0"}
+    # NULL passes (SQL CHECK semantics)
+    t2.merge_upsert(
+        spark.createDataFrame([(8, None, 0)], "k long, v long, grp int"), ["k"]
+    )
+    # deletes never violate
+    t2.delete_where("k = 8")
+    # drop, then the formerly-invalid batch lands
+    t2.drop_constraint("v_nonneg")
+    assert t2.constraints() == {}
+    t2.merge_upsert(
+        spark.createDataFrame([(6, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+    assert t2.read().filter("v = -1").count() == 1
+
+
+def test_add_constraint_refuses_when_existing_data_violates(spark, tmp_path):
+    from nomba_data_pipeline_spark.operators.versioned import (
+        ConstraintViolation,
+    )
+
+    t = _mk(spark, tmp_path, n=50, files=4)
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint("small", "k < 10")
+    assert t.constraints() == {}
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("small")
+    t.add_constraint("k_nonneg", "k >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("k_nonneg", "k >= 1")
