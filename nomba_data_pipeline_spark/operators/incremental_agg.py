@@ -208,7 +208,13 @@ def rollup_state(state: DataFrame, group_keys: list[str]) -> DataFrame:
             "(a coarser rollup can only DROP keys, never add them)"
         )
     dropped = [c for c in have_keys if c not in group_keys]
-    return merge_agg_states(state.drop(*dropped)) if dropped else state
+    # merge UNCONDITIONALLY: the input may hold several partial rows
+    # per group even when no key is dropped (AggJoinView's state is
+    # per-bucket partials with _BUCKET already stripped) — skipping the
+    # merge there would emit duplicate groups with partial counts. For
+    # an already-merged state the extra aggregation is one
+    # group-cardinality pass, idempotent by the fold algebra.
+    return merge_agg_states(state.drop(*dropped) if dropped else state)
 
 
 class IncrementalAggTable:

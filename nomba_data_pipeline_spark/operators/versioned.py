@@ -428,17 +428,23 @@ class VersionedTable:
                 "derived from a stale parent (lost-update protection; "
                 "re-read and retry the write)"
             )
+        parent_man = self._manifest(parent) if parent else {}
+        # write_cdf is a TABLE PROPERTY once enabled (manifest-carried,
+        # like the txn map and constraints): a handle constructed
+        # without the flag must keep writing feeds, or its commits
+        # would punch permanent holes that kill every downstream
+        # versioned_cdf stream with 'no change feed for version N'
+        cdf_on = self.write_cdf or bool(parent_man.get("write_cdf"))
         # change feed FIRST, manifest second, pointer last: a crash
         # after the feed write leaves an orphan `_cdf/v<N>` no reader
         # can reach (offsets walk committed versions) — vacuum reclaims
         # it. A committed manifest therefore always has its feed.
-        if self.write_cdf:
+        if cdf_on:
             self._write_cdf(v, op, cdf)
         # writer-transaction map (Delta's txn appId/version design):
         # carried forward whole on every commit — one entry per writer
         # app, so it stays O(writers), never O(history) — and read from
         # the LATEST manifest only, so the idempotency check is O(1)
-        parent_man = self._manifest(parent) if parent else {}
         txns = dict(parent_man.get("txns") or {})
         if txn is not None:
             txns[txn[0]] = int(txn[1])
@@ -453,6 +459,7 @@ class VersionedTable:
             # O(constraints), never O(history); read from the LATEST
             # manifest only (same design as the txn map)
             "constraints": dict(parent_man.get("constraints") or {}),
+            "write_cdf": cdf_on,
         }
         if extra:
             man.update(extra)
@@ -498,6 +505,16 @@ class VersionedTable:
             return None
         t = self._manifest(latest).get("txns") or {}
         return int(t[app]) if app in t else None
+
+    def _cdf_enabled(self) -> bool:
+        """The table-level feed flag: this handle's write_cdf OR the
+        property carried in the latest manifest (one metadata read)."""
+        if self.write_cdf:
+            return True
+        latest = self.latest_version()
+        if latest is None:
+            return False
+        return bool(self._manifest(latest).get("write_cdf"))
 
     def _txn_applied(self, txn: tuple[str, int] | None) -> bool:
         if txn is None:
@@ -935,7 +952,8 @@ class VersionedTable:
         else:
             rewritten = delta
         cdf = None
-        if self.write_cdf:
+        cdf_on = self.write_cdf or bool(man.get("write_cdf"))
+        if cdf_on:
             # a key existing ANYWHERE in the table is by construction in
             # a touched file, so update-vs-insert splits against the
             # touched rows only — O(changed rows), no table read. A
@@ -991,15 +1009,16 @@ class VersionedTable:
         kept = [f for f in man["files"] if f["path"] not in touched]
         new_files = []
         cdf = None
+        cdf_on = self.write_cdf or bool(man.get("write_cdf"))
         if touched:
             touched_rows = self._read_files(man, sorted(touched))
             survivors = touched_rows.filter(~F.coalesce(cond, F.lit(False)))
             new_files = self._write_gen(survivors)
-            if self.write_cdf:
+            if cdf_on:
                 cdf = touched_rows.filter(
                     F.coalesce(cond, F.lit(False))
                 ).select(F.lit("delete").alias("change_type"), "*")
-        elif self.write_cdf:
+        elif cdf_on:
             cdf = "empty"  # no matching rows anywhere: a no-op commit
         return self._commit(
             kept + new_files, "delete_where", man["schema"],
@@ -1079,17 +1098,18 @@ class VersionedTable:
         kept = [f for f in man["files"] if f["path"] not in touched]
         new_files = []
         cdf = None
+        cdf_on = self.write_cdf or bool(man.get("write_cdf"))
         if touched:
             touched_rows = self._read_files(man, sorted(touched))
             survivors = _semi_anti_null_safe(
                 touched_rows, keys, cols, "left_anti"
             )
             new_files = self._write_gen(survivors)
-            if self.write_cdf:
+            if cdf_on:
                 cdf = _semi_anti_null_safe(
                     touched_rows, keys, cols, "left_semi"
                 ).select(F.lit("delete").alias("change_type"), "*")
-        elif self.write_cdf:
+        elif cdf_on:
             cdf = "empty"
         return self._commit(
             kept + new_files, "delete_keys", man["schema"],
@@ -1115,7 +1135,7 @@ class VersionedTable:
         a _CDF_FULL marker: consumers crossing it re-sync from a
         snapshot, which is the only honest contract for an erasure (a
         replayable erasure is not an erasure)."""
-        if not self.write_cdf:
+        if not self._cdf_enabled():
             return
         self._write_cdf(version, "purge", "full")
 
@@ -1161,6 +1181,17 @@ class VersionedTable:
         # concurrent-writer check a zero-width no-op
         snap = self.latest_version()
         man = self._manifest(version)
+        # a rollback target may PREDATE an active CHECK constraint (the
+        # constraint validated the then-current table, not history) —
+        # reinstating violating rows would silently break the invariant
+        # merge_upsert's delta-only enforcement rests on. One scan of
+        # the target's files; rollback is the rare verb.
+        cons = self.constraints()
+        if cons:
+            self._enforce_constraints(
+                self._read_files(man, [f["path"] for f in man["files"]]),
+                cons, f"rollback to version {version}",
+            )
         for f in man["files"]:
             fs, jp = self._fs(f"{self.path}/{f['path']}")
             if not fs.exists(jp):
@@ -1214,13 +1245,13 @@ class VersionedTable:
                 f"constraint {name!r} already exists on {self.path} "
                 f"(CHECK ({cons[name]})); drop it first to redefine"
             )
-        n_bad = self.read().filter(
-            ~F.coalesce(F.expr(expr), F.lit(True))
-        ).count()
-        if n_bad:
+        bad = self._violation_counts(
+            self.read(), {name: expr}, f"add_constraint {name!r}"
+        )
+        if bad:
             raise ConstraintViolation(
                 f"cannot add constraint {name!r} to {self.path}: "
-                f"{n_bad} existing rows violate CHECK ({expr})"
+                f"{bad[name]} existing rows violate CHECK ({expr})"
             )
         cons[name] = expr
         return self._commit(
@@ -1242,6 +1273,39 @@ class VersionedTable:
             expected_parent=man["version"], cdf="empty",
         )
 
+    def _violation_counts(self, df: DataFrame,
+                          cons: dict[str, str], op: str) -> dict[str, int]:
+        """Violations per constraint in ONE aggregate over `df` — the
+        single definition of SQL CHECK semantics (NULL passes; only
+        FALSE violates). A constraint expression the frame's schema
+        cannot resolve (e.g. an overwrite that drops a constrained
+        column) raises a governed ConstraintViolation naming the
+        constraint, never an opaque unresolved-column error from deep
+        inside the aggregate — Delta refuses dropping a constrained
+        column for the same reason."""
+        from pyspark.errors import AnalysisException
+
+        names = sorted(cons)
+        try:
+            row = df.agg(*[
+                F.sum(
+                    (~F.coalesce(F.expr(cons[n]), F.lit(True))).cast("long")
+                ).alias(f"__viol_{i}")
+                for i, n in enumerate(names)
+            ]).first()
+        except AnalysisException as e:
+            raise ConstraintViolation(
+                f"{op} into {self.path} refused — the incoming schema "
+                f"cannot evaluate the table's CHECK constraints "
+                f"{ {n: cons[n] for n in names} } ({e.getErrorClass() or e}); "
+                "drop the constraint first if the column is going away"
+            ) from e
+        return {
+            n: int(row[f"__viol_{i}"] or 0)
+            for i, n in enumerate(names)
+            if row is not None and (row[f"__viol_{i}"] or 0) > 0
+        }
+
     def _enforce_constraints(self, incoming: DataFrame,
                              cons: dict[str, str], op: str) -> None:
         """Refuse the write if any incoming row violates a CHECK — ONE
@@ -1251,18 +1315,7 @@ class VersionedTable:
         cannot break a CHECK."""
         if not cons:
             return
-        names = sorted(cons)
-        row = incoming.agg(*[
-            F.sum(
-                (~F.coalesce(F.expr(cons[n]), F.lit(True))).cast("long")
-            ).alias(f"__viol_{i}")
-            for i, n in enumerate(names)
-        ]).first()
-        bad = {
-            n: int(row[f"__viol_{i}"] or 0)
-            for i, n in enumerate(names)
-            if row is not None and (row[f"__viol_{i}"] or 0) > 0
-        }
+        bad = self._violation_counts(incoming, cons, op)
         if bad:
             detail = "; ".join(
                 f"{n}: {c} rows violate CHECK ({cons[n]})"

@@ -496,3 +496,41 @@ def test_agg_join_view_result_at(spark, tmp_path):
         cnt, s, x = got[r["grp"]]
         assert (cnt, s) == (r["cnt"], r["sum_amt"])
         assert abs(x - r["x"]) <= max(1, r["x"] * 0.05)
+
+
+def test_agg_join_view_result_at_full_keyset_equals_result(spark, tmp_path):
+    """REVIEW r13-2: result_at over the mart's FULL key set must merge
+    the bucket partials (the no-drop shortcut returned per-bucket
+    duplicates)."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.agg_join_view import AggJoinView
+    from nomba_data_pipeline_spark.operators.incremental_join import JoinViewTable
+
+    fact = spark.range(120).select(
+        F.col("id").alias("fk"), (F.col("id") % 8).alias("dk"),
+        (F.col("id") % 3).cast("string").alias("band"),
+        (F.col("id") * 1.0).alias("amt"),
+    )
+    dim = spark.range(8).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias("grp"),
+    )
+    v = JoinViewTable(
+        spark, os.path.join(str(tmp_path), "view"),
+        fact_key=["fk"], dim_key="dk", dim_cols=["grp"], n_buckets=4,
+    )
+    v.build(fact, dim)
+    a = AggJoinView(
+        spark, os.path.join(str(tmp_path), "agg"),
+        view=v, group_keys=["grp", "band"], measures=["amt"],
+    )
+    a.build()
+    full = a.result_at(["grp", "band"])
+    ref = a.result()
+    key = lambda df: sorted(
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+    assert key(full) == key(ref)
+    # and no duplicate (grp, band) rows
+    assert full.count() == full.select("grp", "band").distinct().count()

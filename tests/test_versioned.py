@@ -1203,9 +1203,7 @@ def test_runner_versioned_max_files_autocompacts(spark, tmp_path):
     vt = VersionedTable(spark, os.path.join(wh, "tv"))
     assert len(vt._manifest(vt.latest_version())["files"]) <= 8
     got = {(r["k"], r["v"]) for r in vt.read().collect()}
-    want = {(k, 2 * k) for k in range(1000) if k % 3 != 0 or k // 3 > 6 or k == 0}
-    want |= {(i * 3, -i) for i in range(1, 7)}
-    # build expected precisely: keys 3,6,...,18 replaced
+    # keys 3,6,...,18 replaced by the delta runs
     want = {(k, 2 * k) for k in range(1000)} - {(i * 3, 2 * i * 3) for i in range(1, 7)}
     want |= {(i * 3, -i) for i in range(1, 7)}
     assert got == want
@@ -1276,3 +1274,40 @@ def test_add_constraint_refuses_when_existing_data_violates(spark, tmp_path):
     t.add_constraint("k_nonneg", "k >= 0")
     with pytest.raises(ValueError, match="already exists"):
         t.add_constraint("k_nonneg", "k >= 1")
+
+
+def test_rollback_refuses_reinstating_constraint_violations(spark, tmp_path):
+    """REVIEW r13-2: a rollback target may PREDATE an active CHECK —
+    reinstating violating rows would silently break delta-only
+    enforcement. Must refuse; rollback to a clean version still works."""
+    from nomba_data_pipeline_spark.operators.versioned import (
+        ConstraintViolation,
+    )
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(spark.createDataFrame(
+        [(1, -5), (2, 7)], "k long, price long"
+    ))                                  # v1 holds a negative price
+    t.delete_where("price < 0")         # v2 clean
+    t.add_constraint("p_nonneg", "price >= 0")  # v3 validates v2 state
+    with pytest.raises(ConstraintViolation, match="rollback"):
+        t.rollback(1)
+    assert t.latest_version() == 3      # nothing committed
+    v4 = t.rollback(2)                  # clean target: fine
+    assert v4 == 4 and t.read().count() == 1
+
+
+def test_overwrite_dropping_constrained_column_is_governed(spark, tmp_path):
+    """REVIEW r13-2: an overwrite whose schema cannot evaluate an
+    active CHECK must raise ConstraintViolation naming the constraint,
+    not an opaque unresolved-column AnalysisException."""
+    from nomba_data_pipeline_spark.operators.versioned import (
+        ConstraintViolation,
+    )
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(spark.createDataFrame([(1, 5)], "k long, price long"))
+    t.add_constraint("p_nonneg", "price >= 0")
+    with pytest.raises(ConstraintViolation, match="cannot evaluate"):
+        t.overwrite(spark.createDataFrame([(1, "a")], "k long, name string"))
+    assert t.read().columns == ["k", "price"]  # nothing committed

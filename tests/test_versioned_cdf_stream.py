@@ -568,3 +568,25 @@ def test_stream_to_stream_chain_through_versioned_table(spark, tmp_path):
     }
     got2 = {(r["grp"], r["cnt"], r["sum_amt"]) for r in a.result().collect()}
     assert got2 == expect2
+
+
+def test_write_cdf_is_a_table_property_not_a_handle_flag(spark, tmp_path):
+    """REVIEW r13-2: once a table commits with write_cdf=True, EVERY
+    later writer keeps the feed going — a flagless ops handle must not
+    punch a permanent hole that kills downstream streams."""
+    t = _mk(spark, tmp_path)  # write_cdf=True
+    flagless = VersionedTable(spark, t.path)  # default write_cdf=False
+    flagless.merge_upsert(
+        spark.createDataFrame([(5, -5)], "k long, v long"), ["k"]
+    )
+    flagless.delete_where("k = 7")
+    # feeds exist for BOTH flagless commits
+    assert _feed(t.changes_between(1)) == {
+        ("update", 5, -5, 2), ("delete", 7, 14, 3),
+    }
+    got = _feed(_start_stream(spark, t, "vcdf_prop"))
+    assert got == {("update", 5, -5, 2), ("delete", 7, 14, 3)}
+    # purge through the flagless handle still redacts its feed
+    flagless.purge_where("k < 3")
+    names = os.listdir(t._cdf_dir(flagless.latest_version()))
+    assert "_CDF_FULL" in names
