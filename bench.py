@@ -333,7 +333,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # fixed-cost CALIBRATION probes (r12 verdict ask): a constant-size
+    timings: dict[str, float] = {}
+    recalls: dict[str, float] = {}  # recall fractions, NOT seconds
+    errors: dict[str, str] = {}
+    # raw sorted rep times for the median-of-3 synthetic demos, so a
+    # round-over-round reader can tell a real regression (all three
+    # reps slow) from box contention (one outlier rep)
+    synthetic_reps: dict[str, list[float]] = {}
+    # one warmup pass of the flagship to absorb JVM/codegen startup
+    try:
+        REGISTRY["flagship_revenue_by_region"].fn(spark, SF_DIR).count()
+    except Exception as e:  # noqa: BLE001 - warmup failure must not kill the run
+        errors["_warmup"] = f"{type(e).__name__}: {e}"[:500]
+
+    # fixed-cost CALIBRATION probes (r12 verdict ask), AFTER the
+    # warmup so they measure steady-state contention, not JVM/codegen
+    # cold-start: a constant-size
     # numpy GEMM and a constant parquet scan+agg, median-of-3 each.
     # Cross-round readers normalize query timings by these to separate
     # box contention (calibration moved too) from a real regression
@@ -369,18 +384,7 @@ def main() -> None:
         calibration["scan_lineitem_agg"] = round(sorted(reps)[1], 4)
     except Exception as e:  # noqa: BLE001
         calibration["scan_err"] = f"{type(e).__name__}: {e}"[:200]
-    timings: dict[str, float] = {}
-    recalls: dict[str, float] = {}  # recall fractions, NOT seconds
-    errors: dict[str, str] = {}
-    # raw sorted rep times for the median-of-3 synthetic demos, so a
-    # round-over-round reader can tell a real regression (all three
-    # reps slow) from box contention (one outlier rep)
-    synthetic_reps: dict[str, list[float]] = {}
-    # one warmup pass of the flagship to absorb JVM/codegen startup
-    try:
-        REGISTRY["flagship_revenue_by_region"].fn(spark, SF_DIR).count()
-    except Exception as e:  # noqa: BLE001 - warmup failure must not kill the run
-        errors["_warmup"] = f"{type(e).__name__}: {e}"[:500]
+
 
     # best-of-2 per query: local[32] timings vary ~30% run-to-run (GC,
     # first-listing effects); the minimum is the stable signal.
