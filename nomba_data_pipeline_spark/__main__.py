@@ -256,6 +256,15 @@ def cmd_versioned(args) -> int:
             "checkpointed": v,
             "files": len(t._manifest(v)["files"]),
         }))
+    elif args.action == "optimize":
+        # incremental compaction: merges sub-threshold files only,
+        # carries large files by reference (Delta OPTIMIZE semantics)
+        v = t.optimize_small_files(target_bytes=args.target_bytes,
+                                   cluster_by=args.cluster_by)
+        print(json.dumps({
+            "optimized": v,
+            "files": None if v is None else len(t._manifest(v)["files"]),
+        }))
     elif args.action == "changes":
         # the persisted per-commit change feed (write_cdf tables); the
         # on-call "what did that batch do" question without a diff join
@@ -635,19 +644,24 @@ def main(argv: list[str] | None = None) -> int:
         "versioned",
         help=(
             "versioned-table lifecycle: history / show (time travel) / "
-            "rollback / checkpoint / vacuum / purge (GDPR erasure)"
+            "rollback / checkpoint / optimize / vacuum / purge (GDPR erasure)"
         ),
     )
     vt.add_argument(
         "action",
-        choices=["history", "show", "rollback", "checkpoint", "vacuum",
-                 "purge", "changes"],
+        choices=["history", "show", "rollback", "checkpoint", "optimize",
+                 "vacuum", "purge", "changes"],
     )
     vt.add_argument("--path", required=True, help="versioned table root")
     vt.add_argument("--version", type=int, help="version (show / rollback)")
     vt.add_argument("--where", help="SQL predicate of rows to purge (purge)")
     vt.add_argument(
-        "--cluster-by", nargs="+", help="range-cluster columns (checkpoint)"
+        "--cluster-by", nargs="+",
+        help="range-cluster columns (checkpoint / optimize)"
+    )
+    vt.add_argument(
+        "--target-bytes", type=int, default=128 << 20,
+        help="optimize: files under this size are merged (default 128 MiB)",
     )
     vt.add_argument("--retain-last", type=int, default=2, help="vacuum retention")
     vt.add_argument(

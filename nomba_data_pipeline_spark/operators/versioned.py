@@ -126,6 +126,45 @@ _CMP_RE = re.compile(
 )
 
 
+def _norm_ts_literal(lit: str, dtype: str, session_tz: str) -> str | None:
+    """Re-render a SQL timestamp/date literal in the manifest's
+    CANONICAL stat form so the lexical range test compares like with
+    like. The raw literal text is NOT comparable against stats: an
+    explicit zero fraction ('...00:00:00.000000'), a TZ offset
+    ('...+00:00'), or a 'T' separator all sort lexically wrong against
+    the UTC-naive `str(datetime)` rendering stats use (e.g. file fmax
+    '... 00:00:00' < literal '... 00:00:00.000000' would prune a file
+    that HOLDS matching rows — rows silently surviving delete_where /
+    purge_where). Parse the literal (offset-aware), convert to UTC the
+    way Spark evaluates the predicate (a naive `timestamp` literal is
+    session wall time; `timestamp_ntz` and `date` shift nothing), and
+    render via _stat_str. Returns None when the literal does not parse
+    or the session zone cannot be resolved — contributing no bound is
+    always safe, a wrong bound never is."""
+    s = lit.strip().replace("T", " ")
+    if dtype == "date" or dtype.startswith("date"):
+        try:
+            return str(_dt.date.fromisoformat(s))
+        except ValueError:
+            return None
+    try:
+        v = _dt.datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    elif dtype == "timestamp":
+        # naive literal = session wall time; stats are UTC-naive
+        try:
+            from zoneinfo import ZoneInfo
+
+            v = (v.replace(tzinfo=ZoneInfo(session_tz))
+                 .astimezone(_dt.timezone.utc).replace(tzinfo=None))
+        except Exception:
+            return None
+    return _stat_str(v)
+
+
 class ConstraintViolation(ValueError):
     """An incoming batch (or, for add_constraint, the existing data)
     violates a table CHECK constraint. Nothing was committed — the
@@ -316,11 +355,16 @@ class VersionedTable:
             df = df.repartition(target_files)
         df.write.mode("error").parquet(gen)
         fs, jp = self._fs(gen)
-        rels = sorted(
-            f"{gen[len(self.path) + 1:]}/{st.getPath().getName()}"
+        # path + size captured from the ONE post-write listing: the
+        # byte size drives optimize_small_files' small/large split with
+        # zero extra metadata calls at optimize time
+        sized = sorted(
+            (f"{gen[len(self.path) + 1:]}/{st.getPath().getName()}",
+             int(st.getLen()))
             for st in fs.listStatus(jp)
             if st.getPath().getName().endswith(".parquet")
         )
+        rels = [r for r, _ in sized]
         want = self._stats_targets(df.schema)
         stats = {r: self._file_stats(f"{self.path}/{r}", want) for r in rels}
         if want and any(v is None for v in stats.values()):
@@ -330,7 +374,8 @@ class VersionedTable:
             # O(table)) so pruning and the stats HWM keep working where
             # they matter most instead of silently degrading
             stats = self._stats_readback(gen, want, df.schema) or stats
-        return [{"path": r, "stats": stats.get(r)} for r in rels]
+        return [{"path": r, "bytes": b, "stats": stats.get(r)}
+                for r, b in sized]
 
     def _stats_readback(self, gen: str, cols: list[str],
                         schema: StructType) -> dict | None:
@@ -340,7 +385,14 @@ class VersionedTable:
         be row-group unions); one grouped aggregate per generation
         write, grouped by input_file_name so every file gets its own
         bounds. All-NULL columns contribute no stat (same as footers
-        without min/max)."""
+        without min/max). Collected TIMESTAMP values arrive
+        SESSION-naive (the collect() contract) — they go through
+        _delta_stat_str so readback stats render UTC-naive exactly like
+        footer stats; a session-local rendering under a non-UTC session
+        would be offset from the UTC-normalized delta bounds and
+        _key_candidate_files could wrongly prune a file that holds a
+        delta key (silent duplicate keys)."""
+        dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
         try:
             aggs = []
             for c in cols:
@@ -357,7 +409,10 @@ class VersionedTable:
                 for c in cols:
                     lo, hi = r[f"__lo_{c}"], r[f"__hi_{c}"]
                     if lo is not None:
-                        st[c] = [_stat_str(lo), _stat_str(hi)]
+                        lo_s = self._delta_stat_str(lo, dtypes.get(c, ""))
+                        hi_s = self._delta_stat_str(hi, dtypes.get(c, ""))
+                        if lo_s is not None and hi_s is not None:
+                            st[c] = [lo_s, hi_s]
                 out[self._rel(r["__f"])] = st or None
             return out
         except Exception:
@@ -711,8 +766,8 @@ class VersionedTable:
         return keep
 
     @staticmethod
-    def _predicate_bounds(condition: str,
-                          dtypes: dict[str, str]) -> dict[str, tuple]:
+    def _predicate_bounds(condition: str, dtypes: dict[str, str],
+                          session_tz: str = "UTC") -> dict[str, tuple]:
         """Extract per-column [lo, hi] bounds implied by a SQL-string
         predicate, for manifest-stat file pruning in delete_where.
         Only an AND-conjunction of `col OP literal` comparisons on
@@ -748,15 +803,15 @@ class VersionedTable:
             dtype = dtypes.get(col, "")
             if not _stats_safe(dtype):
                 continue
-            if dtype.startswith("timestamp") and re.fullmatch(
-                r"\d{4}-\d{2}-\d{2}", lit
-            ):
-                # a date-grained literal against a timestamp column
-                # promotes to MIDNIGHT (Spark date->timestamp cast);
-                # comparing '2020-01-01' lexically against
-                # '2020-01-01 00:00:00' stats would wrongly prune the
-                # midnight-boundary file
-                lit = lit + " 00:00:00"
+            if dtype.startswith(("timestamp", "date")):
+                # re-render the literal in the stats' canonical UTC-naive
+                # form (date-grained literal promotes to midnight, an
+                # explicit offset / zero fraction / 'T' separator all
+                # normalize away); an unparseable literal contributes no
+                # bound — never a wrong one
+                lit = _norm_ts_literal(lit, dtype, session_tz)
+                if lit is None:
+                    continue
             lo, hi = out.get(col, [None, None])
             if op in (">", ">="):
                 lo = lit if lo is None else max(lo, lit)
@@ -979,11 +1034,17 @@ class VersionedTable:
         )
 
     def delete_where(self, condition,
-                     txn: tuple[str, int] | None = None) -> int:
+                     txn: tuple[str, int] | None = None,
+                     _purge: bool = False) -> int:
         """CoW delete: files with no matching row are carried by
         reference; matching files are rewritten with the kept rows
         (NULL-valued conditions keep the row — DELETE only removes rows
-        where the predicate is TRUE, per SQL). txn as in merge_upsert."""
+        where the predicate is TRUE, per SQL). txn as in merge_upsert.
+        _purge (set by purge_where/purge_keys only): write the commit's
+        change feed as a _CDF_FULL marker INSTEAD of the deleted rows'
+        old images — an erasure's subject bytes must never reach the
+        feed directory, even transiently (a crash between a plain
+        delete commit and a later redaction would retain them)."""
         if self._txn_applied(txn):
             return self.latest_version()
         cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -994,7 +1055,10 @@ class VersionedTable:
         # it (Column conditions and complex predicates scan all files
         # — pruning is an optimization, never a semantics change)
         bounds = (
-            self._predicate_bounds(condition, self._schema_dtypes(man))
+            self._predicate_bounds(
+                condition, self._schema_dtypes(man),
+                self.spark.conf.get("spark.sql.session.timeZone"),
+            )
             if isinstance(condition, str) else {}
         )
         candidates = self._bounded_candidate_files(man, bounds)
@@ -1015,7 +1079,7 @@ class VersionedTable:
             survivors = touched_rows.filter(~F.coalesce(cond, F.lit(False)))
             new_files = self._write_gen(survivors)
             if cdf_on:
-                cdf = touched_rows.filter(
+                cdf = "full" if _purge else touched_rows.filter(
                     F.coalesce(cond, F.lit(False))
                 ).select(F.lit("delete").alias("change_type"), "*")
         elif cdf_on:
@@ -1072,12 +1136,15 @@ class VersionedTable:
         return None if row is None or row["m"] is None else str(row["m"])
 
     def delete_keys(self, keys: DataFrame, cols: list[str],
-                    txn: tuple[str, int] | None = None) -> int:
+                    txn: tuple[str, int] | None = None,
+                    _purge: bool = False) -> int:
         """CoW delete BY KEY FRAME (null-safe) — the bulk form of
         delete_where: a predicate cannot express 'rows whose key is in
         this million-row frame', but an anti-join can. Same file-level
         bound: files holding no matching key are carried by
-        reference."""
+        reference. _purge as in delete_where: the erasure path writes
+        a _CDF_FULL marker at commit time so the erased rows' old
+        images never reach the feed directory, even transiently."""
         if self._txn_applied(txn):
             return self.latest_version()
         man = self._resolve(None)
@@ -1106,7 +1173,7 @@ class VersionedTable:
             )
             new_files = self._write_gen(survivors)
             if cdf_on:
-                cdf = _semi_anti_null_safe(
+                cdf = "full" if _purge else _semi_anti_null_safe(
                     touched_rows, keys, cols, "left_semi"
                 ).select(F.lit("delete").alias("change_type"), "*")
         elif cdf_on:
@@ -1121,23 +1188,15 @@ class VersionedTable:
         """GDPR erasure by key frame: delete_keys + vacuum-to-one, the
         same contract as purge_where (no retained version or on-disk
         file still holds the subject; history across the purge is
-        deliberately gone)."""
-        v = self.delete_keys(keys, cols)
+        deliberately gone). Under write_cdf the delete commit writes
+        its feed AS a _CDF_FULL marker directly (_purge flag) — the
+        erased rows' old images never reach the feed directory even
+        transiently, so no crash window between commit and vacuum can
+        retain subject bytes (a replayable erasure is not an erasure;
+        consumers crossing the marker re-sync from a snapshot)."""
+        v = self.delete_keys(keys, cols, _purge=True)
         res = self.vacuum(retain_last=1)
-        self._redact_cdf(v)
         return {"purged_version": v, **res}
-
-    def _redact_cdf(self, version: int) -> None:
-        """Under write_cdf, a DELETE's feed carries the deleted rows'
-        OLD IMAGES — for an ordinary delete that is the point (replicas
-        must retract them), but for a PURGE it would retain the erased
-        subject's bytes on disk. Replace the purge version's feed with
-        a _CDF_FULL marker: consumers crossing it re-sync from a
-        snapshot, which is the only honest contract for an erasure (a
-        replayable erasure is not an erasure)."""
-        if not self._cdf_enabled():
-            return
-        self._write_cdf(version, "purge", "full")
 
     def purge_where(self, condition, txn: tuple[str, int] | None = None) -> dict:
         """GDPR-grade deletion under time travel: a plain delete_where
@@ -1153,10 +1212,12 @@ class VersionedTable:
         row at O(touched files + metadata), never an O(table) rewrite.
         The deliberate cost is history: time travel across the purge is
         gone (that is the point), so this is the erasure verb, not the
-        everyday delete."""
-        v = self.delete_where(condition, txn=txn)
+        everyday delete. Under write_cdf the delete commit writes its
+        feed AS a _CDF_FULL marker directly (_purge flag) — old images
+        never reach the feed directory, closing the crash window a
+        commit-then-redact sequence would leave."""
+        v = self.delete_where(condition, txn=txn, _purge=True)
         res = self.vacuum(retain_last=1)
-        self._redact_cdf(v)
         return {"purged_version": v, **res}
 
     def _rel(self, abs_uri: str) -> str:
@@ -1326,26 +1387,90 @@ class VersionedTable:
                 "committed; fix the batch and retry."
             )
 
+    def _entry_bytes(self, f: dict) -> int:
+        """A manifest entry's file size. Recorded at write time since
+        r14 ("bytes"); entries from older manifests fall back to one
+        getFileStatus call each — metadata-only either way."""
+        b = f.get("bytes")
+        if b is not None:
+            return int(b)
+        fs, jp = self._fs(f"{self.path}/{f['path']}")
+        return int(fs.getFileStatus(jp).getLen())
+
+    def optimize_small_files(self, target_bytes: int = 128 << 20,
+                             cluster_by: list[str] | None = None) -> int | None:
+        """INCREMENTAL compaction (Delta OPTIMIZE / MergeTree
+        part-merge semantics — the reference's engine runs exactly this
+        in the background, init-clickhouse.sql MergeTree tables):
+        merge ONLY the files under `target_bytes` into one fresh
+        generation and carry every file at or above the threshold BY
+        REFERENCE — their bytes are never read or moved. This is what
+        keeps compaction affordable under steady CDC at 100 TB: a year
+        of hourly deltas is ~9k small files but the same few thousand
+        large ones; each optimize trip costs O(small-file bytes), while
+        `checkpoint` (the explicit re-clustering verb) rewrites the
+        whole table. The merged generation is sized to land near
+        `target_bytes` per file (one coalesce, no shuffle — row order
+        inside the small files is preserved; pass cluster_by to
+        range-cluster the merged rows instead, a shuffle of small-file
+        rows only, so manifest stats stay selective on the merge
+        output). Commits with an EMPTY change feed — no row values
+        moved, feed consumers and the versioned_cdf stream pass over
+        it. Returns the new version, or None when fewer than two files
+        are under the threshold (nothing worth merging — the call cost
+        is one manifest read, so a scheduler can fire it every tick)."""
+        man = self._resolve(None)
+        small = [f for f in man["files"]
+                 if self._entry_bytes(f) < target_bytes]
+        if len(small) < 2:
+            return None
+        small_paths = {f["path"] for f in small}
+        large = [f for f in man["files"] if f["path"] not in small_paths]
+        merged = self._read_files(man, sorted(small_paths))
+        total = sum(self._entry_bytes(f) for f in small)
+        # strictly fewer output files than inputs, near target size
+        n_out = max(1, min(len(small) - 1, -(-total // target_bytes)))
+        if cluster_by:
+            new_files = self._write_gen(merged, cluster_by=cluster_by,
+                                        target_files=n_out)
+        else:
+            new_files = self._write_gen(merged.coalesce(n_out))
+        return self._commit(
+            large + new_files, "optimize", man["schema"],
+            {"merged_files": len(small), "carried_files": len(large)},
+            expected_parent=man["version"], cdf="empty",
+        )
+
     def maybe_checkpoint(self, max_files: int,
                          cluster_by: list[str] | None = None,
-                         target_files: int | None = None) -> int | None:
-        """Bounded auto-compaction: checkpoint ONLY when the current
-        file list exceeds `max_files`. Every small CoW delta adds a
+                         target_files: int | None = None,
+                         target_bytes: int = 128 << 20,
+                         full: bool = False) -> int | None:
+        """Bounded auto-compaction: compact ONLY when the current file
+        list exceeds `max_files`. Every small CoW delta adds a
         generation; unbounded, a year of hourly CDC is ~9k file-list
         entries per scan plan and a widening manifest — this is the
         policy knob a pipeline sets once (ModelSpec.versioned_max_files)
-        instead of scheduling compaction out-of-band. Cost when it
-        fires: one O(table) rewrite; when it doesn't: one manifest read
-        (no scan). Returns the checkpoint version, or None if under the
-        bound. The checkpoint commit carries an EMPTY change feed, so
-        feed consumers and the versioned_cdf stream pass over it."""
+        instead of scheduling compaction out-of-band. What fires is the
+        INCREMENTAL optimize_small_files by default — O(small-file
+        bytes) per trip, large files carried by reference — because an
+        O(table) rewrite per trip is exactly what steady CDC at 100 TB
+        cannot afford; pass full=True (or call checkpoint directly) for
+        explicit whole-table re-clustering. Cost when it doesn't fire:
+        one manifest read, no scan. Returns the new version, or None
+        if under the bound or nothing was mergeable. The compaction
+        commit carries an EMPTY change feed, so feed consumers and the
+        versioned_cdf stream pass over it."""
         if max_files < 1:
             raise ValueError("max_files must be >= 1")
         man = self._resolve(None)
         if len(man["files"]) <= max_files:
             return None
-        return self.checkpoint(cluster_by=cluster_by,
-                               target_files=target_files)
+        if full:
+            return self.checkpoint(cluster_by=cluster_by,
+                                   target_files=target_files)
+        return self.optimize_small_files(target_bytes=target_bytes,
+                                         cluster_by=cluster_by)
 
     def diff_versions(self, v_old: int, v_new: int | None,
                       keys: list[str]) -> DataFrame:
@@ -1427,6 +1552,11 @@ class VersionedTable:
         snapshot) and on a missing feed (not written with write_cdf,
         or reclaimed by vacuum)."""
         latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"versioned table {self.path} has no committed versions "
+                "— nothing to read a change feed from"
+            )
         if v_to is None:
             v_to = latest
         frames: list[DataFrame] = []
@@ -1457,8 +1587,13 @@ class VersionedTable:
                 )
             )
         if not frames:
+            # v_to=0 is a legitimate (empty-range) cursor — `or` would
+            # silently replace it with latest and read a possibly
+            # evolved schema; pick explicitly
             schema = StructType.fromJson(
-                json.loads(self._resolve(v_to or latest)["schema"])
+                json.loads(self._resolve(
+                    v_to if v_to is not None else latest
+                )["schema"])
             )
             empty = self.spark.createDataFrame([], schema)
             return empty.select(

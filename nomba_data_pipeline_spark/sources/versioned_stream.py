@@ -83,10 +83,30 @@ def _read_json_parquet(path: str) -> dict:
 
 
 def _latest_version(root: str) -> int | None:
+    """The committed version pointer — mirroring
+    VersionedTable._recover_pointer: when `_latest` is momentarily
+    absent (a writer's swap window renames it to `_latest.old-<hex>`
+    before moving the new pointer in), read the newest BACKUP instead
+    of reporting the table as missing. Without this, a stream that
+    starts inside the window would silently pin its cursor at 0 and
+    later die on the v1 FULL marker instead of starting at the
+    intended latest version."""
     p = os.path.join(root, "_latest")
-    if not os.path.isdir(p):
+    if os.path.isdir(p):
+        return int(_read_json_parquet(p)["version"])
+    if not os.path.isdir(root):
         return None
-    return int(_read_json_parquet(p)["version"])
+    best: int | None = None
+    for name in os.listdir(root):
+        if not name.startswith("_latest.old-"):
+            continue
+        try:
+            v = int(_read_json_parquet(os.path.join(root, name))["version"])
+        except Exception:
+            continue
+        if best is None or v > best:
+            best = v
+    return best
 
 
 class VersionedCdfDataSource(DataSource):
@@ -137,7 +157,17 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         if self._starting is not None:
             return {"version": self._starting}
         latest = _latest_version(self.root)
-        return {"version": latest if latest is not None else 0}
+        if latest is None:
+            # not-yet-created table: defaulting to 0 would silently pin
+            # the cursor at 0 and fail LATER on the v1 FULL marker —
+            # refuse loudly at start instead (pass starting_version
+            # explicitly to tail a table that will be created later)
+            raise ValueError(
+                f"versioned_cdf: {self.root} has no readable version "
+                "pointer (table never written?) — create the table "
+                "first, or pass starting_version explicitly"
+            )
+        return {"version": latest}
 
     def latestOffset(self) -> dict:
         latest = _latest_version(self.root)

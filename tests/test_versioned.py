@@ -1311,3 +1311,254 @@ def test_overwrite_dropping_constrained_column_is_governed(spark, tmp_path):
     with pytest.raises(ConstraintViolation, match="cannot evaluate"):
         t.overwrite(spark.createDataFrame([(1, "a")], "k long, name string"))
     assert t.read().columns == ["k", "price"]  # nothing committed
+
+
+# -- r14: ADVICE fixes — literal/stat rendering, purge feed, stream offset --
+def test_predicate_bounds_normalizes_timestamp_literal_renderings():
+    """ADVICE r13: a literal with an explicit zero fraction, a TZ
+    offset, or a 'T' separator must compare against the UTC-naive
+    canonical stat rendering — not lexically raw (which would prune
+    files that HOLD matching rows, i.e. rows silently surviving
+    delete_where/purge_where)."""
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable as VT
+
+    dt = {"ts": "timestamp", "d": "date", "k": "bigint"}
+    # zero fraction normalizes away
+    assert VT._predicate_bounds(
+        "ts >= timestamp'2020-01-01 00:00:00.000000'", dt
+    ) == {"ts": ("2020-01-01 00:00:00", None)}
+    # explicit UTC offset normalizes away
+    assert VT._predicate_bounds("ts >= '2020-01-01 00:00:00+00:00'", dt) == {
+        "ts": ("2020-01-01 00:00:00", None)
+    }
+    # non-UTC offset shifts to UTC
+    assert VT._predicate_bounds("ts < '2020-01-01 02:00:00+02:00'", dt) == {
+        "ts": (None, "2020-01-01 00:00:00")
+    }
+    # 'T' separator normalizes to the stat form
+    assert VT._predicate_bounds("ts <= '2020-06-01T12:30:00'", dt) == {
+        "ts": (None, "2020-06-01 12:30:00")
+    }
+    # date-grained literal on a timestamp column promotes to midnight
+    assert VT._predicate_bounds("ts >= '2020-01-01'", dt) == {
+        "ts": ("2020-01-01 00:00:00", None)
+    }
+    # a naive literal under a non-UTC session is session wall time
+    assert VT._predicate_bounds(
+        "ts >= '2020-01-01 00:00:00'", dt, session_tz="America/New_York"
+    ) == {"ts": ("2020-01-01 05:00:00", None)}
+    # date column: canonical date rendering; garbage -> no bound
+    assert VT._predicate_bounds("d = '2020-02-03'", dt) == {
+        "d": ("2020-02-03", "2020-02-03")
+    }
+    assert VT._predicate_bounds("ts >= 'not-a-time'", dt) == {}
+    # numeric bounds unaffected
+    assert VT._predicate_bounds("k >= 5", dt) == {"k": ("5", None)}
+
+
+def test_delete_where_fractional_literal_does_not_prune_matching_file(
+    spark, tmp_path
+):
+    """End-to-end pin for the silent-survivor scenario: file stats say
+    fmax '2020-01-02 00:00:00'; a delete predicate written with an
+    explicit zero fraction must still rewrite that file."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2020, 1, 1) + dt.timedelta(hours=i)) for i in range(48)
+    ]
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    t.overwrite(df, cluster_by=["ts"], target_files=4)
+    t.delete_where("ts >= timestamp'2020-01-02 00:00:00.000000'")
+    assert t.read().count() == 24
+    assert t.read().filter("ts >= '2020-01-02'").count() == 0
+
+
+def test_stats_readback_renders_timestamps_utc_naive(spark, tmp_path, monkeypatch):
+    """ADVICE r13: the readback path (object-store fallback) collects
+    SESSION-naive timestamps; its manifest stats must render UTC-naive
+    like footer stats so delta-bound pruning compares like with like."""
+    import datetime as dt
+
+    monkeypatch.setattr(VersionedTable, "_file_stats",
+                        lambda self, p, cols: None)
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2020, 1, 1, 12, 0, 0))], "k long, ts timestamp"
+        )
+        t.overwrite(df.coalesce(1))
+        st = t._manifest(1)["files"][0]["stats"]["ts"]
+        # the parquet wall time was written under a NY session: the
+        # stored instant is 2020-01-01 12:00 NY == 17:00 UTC
+        assert st == ["2020-01-01 17:00:00", "2020-01-01 17:00:00"]
+        # and a merge under the same session locates the file (no
+        # silent duplicate key)
+        t.merge_upsert(
+            spark.createDataFrame(
+                [(2, dt.datetime(2020, 1, 1, 12, 0, 0))], "k long, ts timestamp"
+            ),
+            ["ts"],
+        )
+        assert t.read().count() == 1
+        assert t.read().first()["k"] == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_purge_writes_full_marker_directly_no_old_images(spark, tmp_path):
+    """ADVICE r13: the purge delete commit must write its feed AS a
+    _CDF_FULL marker — the erased rows' old images must never reach
+    `_cdf/v<N>`, even in the window before vacuum runs."""
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    t.overwrite(_base(spark, 100), cluster_by=["k"], target_files=4)
+    # simulate the crash window: the delete commit lands, vacuum never
+    # runs — call the flagged delete directly
+    v = t.delete_where("k >= 90", _purge=True)
+    cdf_dir = os.path.join(t.path, "_cdf", f"v{v:08d}")
+    names = set(os.listdir(cdf_dir))
+    assert "_CDF_FULL" in names
+    assert not any(n.endswith(".parquet") for n in names)
+    # the composed erasure verb keeps the same contract end-to-end
+    res = t.purge_where("k >= 80")
+    pv = res["purged_version"]
+    names2 = set(os.listdir(os.path.join(t.path, "_cdf", f"v{pv:08d}")))
+    assert "_CDF_FULL" in names2
+    assert not any(n.endswith(".parquet") for n in names2)
+    assert t.read().count() == 80
+
+
+def test_changes_between_governed_on_empty_table_and_vto_zero(spark, tmp_path):
+    """ADVICE r13: no committed version -> clear ValueError (not a
+    TypeError from formatting None); an explicit v_to=0 is not
+    silently replaced by latest."""
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    with pytest.raises(ValueError, match="no committed versions"):
+        t.changes_between(0)
+    t.overwrite(_base(spark, 10))
+    t.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+    # empty range ending at a version that never existed: loud, not
+    # silently rebound to latest
+    with pytest.raises(ValueError, match="version 0"):
+        t.changes_between(0, v_to=0)
+    assert t.changes_between(1, v_to=2).count() == 1
+
+
+def test_stream_initial_offset_survives_pointer_swap_window(spark, tmp_path):
+    """ADVICE r13: a stream starting inside a writer's pointer-swap
+    window (no `_latest`, one `_latest.old-*` backup) must resolve the
+    backup's version — not silently pin its cursor at 0. A table with
+    no pointer at all refuses loudly."""
+    import shutil
+
+    from nomba_data_pipeline_spark.sources.versioned_stream import (
+        VersionedCdfStreamReader,
+    )
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    t.overwrite(_base(spark, 10))
+    t.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int"), ["k"]
+    )
+    # swap window: _latest renamed to a backup, new pointer not yet in
+    shutil.move(os.path.join(t.path, "_latest"),
+                os.path.join(t.path, "_latest.old-deadbeef"))
+    r = VersionedCdfStreamReader(None, {"path": t.path})
+    assert r.initialOffset() == {"version": 2}
+    assert r.latestOffset() == {"version": 2}
+    shutil.move(os.path.join(t.path, "_latest.old-deadbeef"),
+                os.path.join(t.path, "_latest"))
+    # a never-written table refuses instead of pinning at 0
+    r2 = VersionedCdfStreamReader(
+        None, {"path": os.path.join(str(tmp_path), "nope")}
+    )
+    with pytest.raises(ValueError, match="no readable version pointer"):
+        r2.initialOffset()
+
+
+# -- r14: incremental OPTIMIZE ------------------------------------------------
+def test_optimize_merges_only_small_files_and_carries_large(spark, tmp_path):
+    """VERDICT r14 #1: optimize_small_files merges ONLY sub-threshold
+    files into one fresh generation; every large file is carried BY
+    REFERENCE (identical path, bytes untouched) — the O(small bytes)
+    compaction steady CDC needs, vs checkpoint's O(table) rewrite."""
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    t.overwrite(_base(spark, 50_000), cluster_by=["k"], target_files=2)
+    man1 = t._manifest(1)
+    big_paths = {f["path"] for f in man1["files"]}
+    big_bytes = {f["path"]: f["bytes"] for f in man1["files"]}
+    assert len(big_paths) == 2 and all(b > 10_000 for b in big_bytes.values())
+    # four insert-only CDC deltas -> four small delta files, no rewrite
+    for i in range(4):
+        t.merge_upsert(
+            spark.createDataFrame(
+                [(100_000 + i, -i, 0)], "k long, v long, grp int"
+            ).coalesce(1),
+            ["k"],
+        )
+    man5 = t._manifest(5)
+    assert len(man5["files"]) == 6
+    thresh = min(big_bytes.values())  # big files sit AT/above threshold
+    v = t.optimize_small_files(target_bytes=thresh)
+    assert v == 6
+    man6 = t._manifest(v)
+    assert man6["op"] == "optimize"
+    assert man6["merged_files"] == 4 and man6["carried_files"] == 2
+    # large files carried by reference: same paths, same bytes on disk
+    carried = {f["path"]: f for f in man6["files"] if f["path"] in big_paths}
+    assert set(carried) == big_paths
+    for p, f in carried.items():
+        assert os.path.getsize(os.path.join(t.path, p)) == big_bytes[p]
+        assert f["bytes"] == big_bytes[p]
+    # the four small files collapsed into one
+    assert len(man6["files"]) == 3
+    # content identical across the optimize; old version still readable
+    assert t.read().count() == 50_004
+    assert _rows(t.read()) == _rows(t.read(5))
+    # no row values moved: the feed is an EMPTY marker, streams pass over
+    names = set(os.listdir(os.path.join(t.path, "_cdf", f"v{v:08d}")))
+    assert "_CDF_EMPTY" in names
+    # immediately re-optimizing finds nothing mergeable: no-op, no commit
+    assert t.optimize_small_files(target_bytes=thresh) is None
+    assert t.latest_version() == v
+
+
+def test_maybe_checkpoint_fires_incremental_optimize_by_default(spark, tmp_path):
+    """VERDICT r14 #1: the auto-compaction policy fires the
+    INCREMENTAL verb, reserving the O(table) checkpoint for explicit
+    full=True re-clustering."""
+    t = _mk(spark, tmp_path, n=2_000, files=4)
+    for i in range(5):
+        t.merge_upsert(
+            spark.createDataFrame(
+                [(10_000 + i, -i, 0)], "k long, v long, grp int"
+            ),
+            ["k"],
+        )
+    before = _rows(t.read())
+    v = t.maybe_checkpoint(max_files=6, target_bytes=1 << 30)
+    assert v is not None and t._manifest(v)["op"] == "optimize"
+    assert len(t._manifest(v)["files"]) <= 6
+    assert _rows(t.read()) == before
+    # explicit full re-clustering still available
+    for i in range(9):
+        t.merge_upsert(
+            spark.createDataFrame(
+                [(20_000 + i, -i, 0)], "k long, v long, grp int"
+            ),
+            ["k"],
+        )
+    v2 = t.maybe_checkpoint(max_files=6, cluster_by=["k"], full=True)
+    assert v2 is not None and t._manifest(v2)["op"] == "checkpoint"
+    assert _rows(t.read()) == before | {
+        (20_000 + i, -i, 0) for i in range(9)
+    }
