@@ -472,17 +472,35 @@ class VersionedTable:
                 extra: dict | None = None,
                 txn: tuple[str, int] | None = None,
                 expected_parent=_NO_SNAPSHOT,
-                cdf=None) -> int:
-        v = self._next_version()
-        parent = self.latest_version()
-        if expected_parent is not self._NO_SNAPSHOT and parent != expected_parent:
-            raise ConcurrentWriteError(
-                f"{self.path}: another writer advanced the table to "
-                f"version {parent} after this {op} snapshotted version "
-                f"{expected_parent} — refusing to commit a manifest "
-                "derived from a stale parent (lost-update protection; "
-                "re-read and retry the write)"
-            )
+                cdf=None, rebase_guard=None) -> int:
+        """Publish one manifest. expected_parent arms lost-update
+        protection; rebase_guard (a zero-arg callable returning this
+        write's key/predicate bounds) additionally allows DISJOINT
+        concurrent commits to land by re-pointing this manifest at the
+        new parent — Delta-style optimistic concurrency: conflict
+        detection stays (overlapping writers refuse), but two CDC
+        writers on disjoint key ranges no longer serialize through
+        manual retries. Bounded attempts; each rebase is O(intervening
+        manifests) metadata, no data I/O."""
+        rebased = 0
+        while True:
+            v = self._next_version()
+            parent = self.latest_version()
+            if (expected_parent is self._NO_SNAPSHOT
+                    or parent == expected_parent):
+                break
+            rebased += 1
+            if rebase_guard is None or rebased > 3:
+                raise ConcurrentWriteError(
+                    f"{self.path}: another writer advanced the table to "
+                    f"version {parent} after this {op} snapshotted version "
+                    f"{expected_parent} — refusing to commit a manifest "
+                    "derived from a stale parent (lost-update protection; "
+                    "re-read and retry the write)"
+                )
+            files = self._rebase_onto(files, expected_parent, parent, op,
+                                      rebase_guard)
+            expected_parent = parent
         parent_man = self._manifest(parent) if parent else {}
         # write_cdf is a TABLE PROPERTY once enabled (manifest-carried,
         # like the txn map and constraints): a handle constructed
@@ -518,12 +536,120 @@ class VersionedTable:
         }
         if extra:
             man.update(extra)
+        if rebased:
+            man["rebased_commits"] = rebased
         self._write_json(self._manifest_dir(v), man)
         # the pointer swap IS the commit: a crash before this line
         # leaves an invisible orphan manifest (vacuum reclaims it)
         self._write_json(self._latest_path(), {"version": v})
         self._sweep_pointer_backups()
         return v
+
+    def _rebase_onto(self, files: list[dict], old_parent: int | None,
+                     new_parent: int, op: str, guard) -> list[dict]:
+        """Re-point a prepared commit at `new_parent` when every
+        intervening commit is provably DISJOINT from this write —
+        otherwise raise ConcurrentWriteError naming the overlap. The
+        safety argument, spelled out:
+
+          * this write's decisions (which files to rewrite, which rows
+            to anti-join away) were made against `old_parent`; they
+            stay valid iff no intervening commit (a) rewrote/removed a
+            file this write also rewrites/removes, or (b) ADDED a file
+            that could hold one of this write's keys / predicate-range
+            rows (it would dodge the merge's dedup anti-join or the
+            delete's predicate scan). (a) is checked on exact path
+            sets; (b) on manifest stats against `guard()`'s bounds —
+            an added file missing stats for a bound column, or a write
+            whose bounds cannot be established at all, REFUSES
+            (conservative: a refusal costs a retry, a wrong rebase
+            costs silent duplicate keys or surviving rows).
+          * content-replacing intervening ops (overwrite / rollback /
+            promote_types) and compactions (checkpoint / optimize)
+            invalidate file-identity reasoning wholesale — refuse.
+          * a schema, constraint-set, or write_cdf change between the
+            parents would make this commit publish stale metadata (or
+            skip a required feed) — refuse.
+
+        The rebased file list is rebuilt FROM THE NEW PARENT (its
+        files minus this write's removals, plus this write's new
+        generation), so intervening inserts/deletes on other keys are
+        carried through untouched. Cost: O(intervening manifests)
+        metadata reads; the already-written data generation is reused
+        as-is — no data I/O."""
+        def _refuse(why: str):
+            raise ConcurrentWriteError(
+                f"{self.path}: cannot rebase this {op} (snapshotted "
+                f"version {old_parent}) onto concurrent version "
+                f"{new_parent}: {why} — re-read and retry the write"
+            )
+
+        # walk new_parent -> old_parent, collecting intervening commits
+        chain: list[dict] = []
+        v: int | None = new_parent
+        while v is not None and v != old_parent:
+            fs, jp = self._fs(self._manifest_dir(v))
+            if not fs.exists(jp):
+                _refuse(f"version {v}'s manifest was reclaimed by vacuum")
+            chain.append(self._manifest(v))
+            v = chain[-1]["parent"]
+        if v != old_parent:
+            _refuse("the snapshotted version is not an ancestor of the "
+                    "current version")
+        base_man = self._manifest(old_parent) if old_parent else {"files": []}
+        new_man = chain[0]
+        if new_man["schema"] != base_man.get("schema"):
+            _refuse("the schema changed concurrently")
+        if (new_man.get("constraints") or {}) != (
+            base_man.get("constraints") or {}
+        ):
+            _refuse("the constraint set changed concurrently (this "
+                    "write's rows were not validated against it)")
+        if (self.write_cdf or bool(new_man.get("write_cdf"))) != (
+            self.write_cdf or bool(base_man.get("write_cdf"))
+        ):
+            _refuse("the change-feed property flipped concurrently")
+        base_paths = {f["path"] for f in base_man["files"]}
+        our_paths = {f["path"] for f in files}
+        our_removed = base_paths - our_paths
+        our_added = [f for f in files if f["path"] not in base_paths]
+        inter_removed: set[str] = set()
+        inter_added: list[dict] = []
+        prev = base_man
+        for m in reversed(chain):  # oldest intervening first
+            if m["op"] in ("overwrite", "rollback", "promote_types",
+                           "checkpoint", "optimize"):
+                _refuse(f"version {m['version']} is a {m['op']} — file "
+                        "identity cannot be reasoned across it")
+            pp = {f["path"] for f in prev["files"]}
+            inter_removed |= pp - {f["path"] for f in m["files"]}
+            inter_added += [f for f in m["files"] if f["path"] not in pp]
+            prev = m
+        overlap = inter_removed & our_removed
+        if overlap:
+            _refuse(f"both writers rewrote {sorted(overlap)[:3]}")
+        bounds = guard() or {}
+        if not bounds:
+            _refuse("this write's key/predicate range cannot be bounded "
+                    "from stats, so disjointness is unprovable")
+        for f in inter_added:
+            st = f.get("stats") or {}
+            could_hold = True
+            for col, (lo, hi) in bounds.items():
+                fst = st.get(col)
+                if fst is None:
+                    continue  # unknown range: assume it could hold
+                if not self._ranges_intersect(fst[0], fst[1], lo, hi):
+                    could_hold = False
+                    break
+            if could_hold:
+                _refuse(
+                    f"concurrently added file {f['path']} may hold rows "
+                    "in this write's key/predicate range"
+                )
+        return [
+            f for f in new_man["files"] if f["path"] not in our_removed
+        ] + our_added
 
     def _write_cdf(self, version: int, op: str, cdf) -> None:
         """Persist the per-commit change feed (`_cdf/v<N>`):
@@ -708,27 +834,22 @@ class VersionedTable:
             for f in StructType.fromJson(json.loads(man["schema"])).fields
         }
 
-    def _key_candidate_files(self, man: dict, delta: DataFrame,
-                             keys: list[str]) -> list[str]:
-        """Stat-pruned key location: relative paths of the files that
-        COULD hold one of the delta's keys, from the manifest's
-        per-file min/max — the same intersection the read_range scan
-        planner does, driven by the delta's own key bounds (ONE
-        aggregate over the CDC-sized delta, zero table I/O). A
-        clustered 100 TB table takes a small merge at O(intersecting
-        files), not O(table). Conservative by construction: a column
-        is only used to prune when it is stats-safe, the delta has no
-        NULL in it (footer min/max say nothing about null presence,
-        and key matching is null-safe), and the file records stats for
-        it — anything else keeps the file, so pruning can only shrink
-        I/O, never change which keys match."""
+    def _delta_key_bounds(self, man: dict, delta: DataFrame,
+                          keys: list[str]) -> dict[str, tuple[str, str]]:
+        """Per-key [lo, hi] bounds of a delta frame, rendered in the
+        manifest-stat canonical form — ONE aggregate over the
+        CDC-sized delta, zero table I/O. A key contributes no bound
+        when it is not stats-safe, absent, all-NULL, carries any NULL
+        (key matching is null-safe; footer stats say nothing about
+        null presence), or renders un-normalizably — fewer bounds only
+        means less pruning / a refused rebase, never a wrong one."""
         dtypes = self._schema_dtypes(man)
         targets = [
             k for k in keys
             if k in delta.columns and _stats_safe(dtypes.get(k, ""))
         ]
         if not targets:
-            return [f["path"] for f in man["files"]]
+            return {}
         aggs = []
         for k in targets:
             aggs += [
@@ -748,8 +869,32 @@ class VersionedTable:
             if lo is None or hi is None:
                 continue  # un-normalizable rendering: no bound, never wrong
             bounds[k] = (lo, hi)
+        return bounds
+
+    def _key_candidate_files(
+        self, man: dict, delta: DataFrame, keys: list[str]
+    ) -> tuple[list[str], dict[str, tuple[str, str]] | None]:
+        """Stat-pruned key location: relative paths of the files that
+        COULD hold one of the delta's keys, from the manifest's
+        per-file min/max — the same intersection the read_range scan
+        planner does, driven by the delta's own key bounds
+        (_delta_key_bounds). A clustered 100 TB table takes a small
+        merge at O(intersecting files), not O(table). Conservative by
+        construction: a file without stats for a bound column is kept,
+        so pruning can only shrink I/O, never change which keys match.
+        Returns (paths, bounds) — bounds is None when the pruning
+        aggregate was SKIPPED: on a manifest of only a handful of
+        files the delta-bound aggregate (one Spark job) costs more
+        than the scan it could save, so tiny tables scan everything
+        (the overhead showed up at toy scale in BENCH_r13's
+        time_travel_roundtrip; at 100 TB the manifest is never this
+        small). Callers that need the bounds anyway (the rebase guard)
+        recompute them lazily via _delta_key_bounds."""
+        if len(man["files"]) <= 4:
+            return [f["path"] for f in man["files"]], None
+        bounds = self._delta_key_bounds(man, delta, keys)
         if not bounds:
-            return [f["path"] for f in man["files"]]
+            return [f["path"] for f in man["files"]], bounds
         keep = []
         for f in man["files"]:
             st = f.get("stats") or {}
@@ -763,7 +908,7 @@ class VersionedTable:
                     break
             if ok:
                 keep.append(f["path"])
-        return keep
+        return keep, bounds
 
     @staticmethod
     def _predicate_bounds(condition: str, dtypes: dict[str, str],
@@ -987,7 +1132,7 @@ class VersionedTable:
         # file; the collect is bounded by |touched files| — the same
         # bounded-driver-list shape as the partition scans in
         # ParquetTable._merge_scoped_partitions
-        candidates = self._key_candidate_files(man, delta, keys)
+        candidates, key_bounds = self._key_candidate_files(man, delta, keys)
         tagged = self._read_files(man, sorted(candidates)).withColumn(
             "__vfile", F.input_file_name()
         )
@@ -1031,6 +1176,12 @@ class VersionedTable:
             kept + new_files, "merge_upsert", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
             txn=txn, expected_parent=man["version"], cdf=cdf,
+            # disjoint concurrent commits rebase instead of refusing;
+            # bounds recomputed lazily when pruning was short-circuited
+            rebase_guard=(
+                (lambda: key_bounds) if key_bounds is not None
+                else (lambda: self._delta_key_bounds(man, delta, keys))
+            ),
         )
 
     def delete_where(self, condition,
@@ -1088,6 +1239,9 @@ class VersionedTable:
             kept + new_files, "delete_where", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
             txn=txn, expected_parent=man["version"], cdf=cdf,
+            # a Column condition / complex predicate yields no bounds ->
+            # the rebase refuses (conservative), plain conjunctions rebase
+            rebase_guard=lambda: bounds,
         )
 
     def high_water_mark_str(self, tracking_col: str) -> str | None:
@@ -1152,7 +1306,7 @@ class VersionedTable:
         # same stat-pruned key location as merge_upsert: only files
         # whose recorded key range can intersect the key frame's are
         # scanned for matches
-        candidates = self._key_candidate_files(man, keys, cols)
+        candidates, key_bounds = self._key_candidate_files(man, keys, cols)
         tagged = self._read_files(man, sorted(candidates)).withColumn(
             "__vfile", F.input_file_name()
         )
@@ -1182,6 +1336,10 @@ class VersionedTable:
             kept + new_files, "delete_keys", man["schema"],
             {"rewrote_files": len(touched), "carried_files": len(kept)},
             txn=txn, expected_parent=man["version"], cdf=cdf,
+            rebase_guard=(
+                (lambda: key_bounds) if key_bounds is not None
+                else (lambda: self._delta_key_bounds(man, keys, cols))
+            ),
         )
 
     def purge_keys(self, keys: DataFrame, cols: list[str]) -> dict:

@@ -1123,7 +1123,8 @@ def test_concurrent_writer_conflict_is_detected(spark, tmp_path):
 
     VersionedTable._write_gen = interleave
     try:
-        with pytest.raises(ConcurrentWriteError, match="stale parent"):
+        with pytest.raises(ConcurrentWriteError,
+                           match="stale parent|both writers rewrote"):
             t_b.merge_upsert(
                 spark.createDataFrame(
                     [(6, -60, 0)], "k long, v long, grp int"
@@ -1562,3 +1563,155 @@ def test_maybe_checkpoint_fires_incremental_optimize_by_default(spark, tmp_path)
     assert _rows(t.read()) == before | {
         (20_000 + i, -i, 0) for i in range(9)
     }
+
+
+# -- r14: optimistic commit rebase on disjoint concurrent commits -----------
+def _interleave_once(t_victim, other_write):
+    """Patch _write_gen so `other_write()` commits while t_victim's
+    write is between snapshot and commit (the lost-update window)."""
+    real = VersionedTable._write_gen
+    state = {"fired": False}
+
+    def wrapper(self, df, cluster_by=None, target_files=None):
+        files = real(self, df, cluster_by=cluster_by,
+                     target_files=target_files)
+        if self is t_victim and not state["fired"]:
+            state["fired"] = True
+            other_write()
+        return files
+
+    return wrapper, real
+
+
+def test_disjoint_concurrent_merges_both_land_via_rebase(spark, tmp_path):
+    """VERDICT r14 #2: two interleaved writers on DISJOINT key ranges
+    must BOTH land — the second rebases onto the first instead of
+    refusing — and the final state equals both-applied."""
+    t_a = _mk(spark, tmp_path, n=50_000, files=8)
+    t_b = VersionedTable(spark, t_a.path)
+
+    def a_writes():
+        t_a.merge_upsert(
+            spark.createDataFrame(
+                [(5, -50, 0)], "k long, v long, grp int"
+            ).coalesce(1),
+            ["k"],
+        )
+
+    wrapper, real = _interleave_once(t_b, a_writes)
+    VersionedTable._write_gen = wrapper
+    try:
+        vb = t_b.merge_upsert(
+            spark.createDataFrame(
+                [(40_000, -60, 0)], "k long, v long, grp int"
+            ).coalesce(1),
+            ["k"],
+        )
+    finally:
+        VersionedTable._write_gen = real
+    # A landed v2 while B was in flight; B rebased and landed v3
+    assert vb == 3
+    man = t_b._manifest(3)
+    assert man["rebased_commits"] == 1
+    got = {r["k"]: r["v"] for r in t_b.read().filter(
+        "k in (5, 40000)"
+    ).collect()}
+    assert got == {5: -50, 40_000: -60}  # both applied, nothing lost
+    assert t_b.read().count() == 50_000
+    # and A's intervening file survives in B's manifest (carried through)
+    a_added = {f["path"] for f in t_a._manifest(2)["files"]} - {
+        f["path"] for f in t_a._manifest(1)["files"]
+    }
+    assert a_added <= {f["path"] for f in man["files"]}
+
+
+def test_overlapping_concurrent_merges_still_refuse(spark, tmp_path):
+    """Keys in the SAME file (or inside the other writer's key range)
+    must still refuse — rebase never trades safety for liveness."""
+    from nomba_data_pipeline_spark.operators.versioned import (
+        ConcurrentWriteError,
+    )
+
+    t_a = _mk(spark, tmp_path, n=50_000, files=8)
+    t_b = VersionedTable(spark, t_a.path)
+
+    def a_writes():
+        t_a.merge_upsert(
+            spark.createDataFrame(
+                [(7, -70, 0)], "k long, v long, grp int"
+            ).coalesce(1),
+            ["k"],
+        )
+
+    wrapper, real = _interleave_once(t_b, a_writes)
+    VersionedTable._write_gen = wrapper
+    try:
+        with pytest.raises(ConcurrentWriteError,
+                           match="both writers rewrote|may hold rows"):
+            t_b.merge_upsert(
+                spark.createDataFrame(
+                    [(9, -90, 0)], "k long, v long, grp int"
+                ).coalesce(1),
+                ["k"],
+            )
+    finally:
+        VersionedTable._write_gen = real
+    # A's commit intact, B's refused cleanly
+    assert t_b.latest_version() == 2
+    got = {r["k"]: r["v"] for r in t_b.read().filter("k in (7, 9)").collect()}
+    assert got == {7: -70, 9: 18}
+
+
+def test_rebase_refuses_on_concurrent_compaction_and_schema_change(
+    spark, tmp_path
+):
+    """File identity cannot be reasoned across a compaction; a
+    concurrent schema change would publish stale metadata — both
+    refuse even when keys are disjoint."""
+    from nomba_data_pipeline_spark.operators.versioned import (
+        ConcurrentWriteError,
+    )
+
+    t_a = _mk(spark, tmp_path, n=50_000, files=8)
+    t_b = VersionedTable(spark, t_a.path)
+
+    wrapper, real = _interleave_once(
+        t_b, lambda: t_a.checkpoint(cluster_by=["k"])
+    )
+    VersionedTable._write_gen = wrapper
+    try:
+        with pytest.raises(ConcurrentWriteError, match="checkpoint"):
+            t_b.merge_upsert(
+                spark.createDataFrame(
+                    [(40_000, -60, 0)], "k long, v long, grp int"
+                ).coalesce(1),
+                ["k"],
+            )
+    finally:
+        VersionedTable._write_gen = real
+
+
+def test_disjoint_concurrent_delete_where_rebases(spark, tmp_path):
+    """A bounded-predicate delete rebases across a disjoint concurrent
+    merge: both effects present afterwards."""
+    t_a = _mk(spark, tmp_path, n=50_000, files=8)
+    t_b = VersionedTable(spark, t_a.path)
+
+    def a_writes():
+        t_a.merge_upsert(
+            spark.createDataFrame(
+                [(60_000, -1, 0)], "k long, v long, grp int"
+            ).coalesce(1),
+            ["k"],
+        )
+
+    wrapper, real = _interleave_once(t_b, a_writes)
+    VersionedTable._write_gen = wrapper
+    try:
+        v = t_b.delete_where("k >= 100 and k < 200")
+    finally:
+        VersionedTable._write_gen = real
+    assert v == 3 and t_b._manifest(3)["rebased_commits"] == 1
+    assert t_b.read().count() == 50_000 - 100 + 1
+    assert t_b.read().filter("k = 60000").count() == 1
+    assert t_b.read().filter("k >= 100 and k < 200").count() == 0
