@@ -57,3 +57,27 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     """Register each table as a temp view so models can use spark.sql."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def version_as_of(spark: SparkSession, path: str, version: int,
+                  name: str | None = None) -> str:
+    """SQL time travel over a VERSIONED table: register (and return
+    the name of) a temp view reading `path` AS OF `version`, so
+
+        spark.sql(f"SELECT ... FROM {version_as_of(spark, p, 3)}")
+
+    equals ``VersionedTable(spark, p).read(version=3)`` — the SQL twin
+    of Delta's ``VERSION AS OF``. The view is a named logical plan
+    over the manifest's explicit file list with its pinned schema:
+    registration is one manifest read (metadata), the scan plans
+    identically to the DataFrame form (plan parity pinned in
+    test_plan_shapes), and a vacuumed version refuses loudly at
+    registration. Use VersionedTable.register_sql_views to expose a
+    whole table's retained history at once."""
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    t = VersionedTable(spark, path)
+    df = t.read(version=version)
+    vname = name or f"{os.path.basename(t.path)}__v{version}"
+    df.createOrReplaceTempView(vname)
+    return vname

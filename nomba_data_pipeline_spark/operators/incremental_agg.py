@@ -18,10 +18,13 @@ Semantics and limits (stated, not hidden):
   min, max, and avg derived from (sum, cnt). Sums are carried as
   DECIMAL so folding order can never change the result
   (float-sum folding is association-sensitive; decimal is exact).
-- Inserts only. min/max are not retractable: processing a DELETE would
-  require recomputing the affected groups from source (or a retractable
-  sketch); `merge_agg_states` therefore has no delete path, matching
-  the append-only fact-ingest shape this engine's CDC produces.
+- The FOLD is insert-only. min/max are not retractable: a DELETE
+  cannot be un-merged from partials, so `merge_agg_states` has no
+  delete path. Deletes/updates are handled one level up:
+  `IncrementalAggTable.apply_changes` recomputes exactly the AFFECTED
+  GROUPS from a caller-supplied source frame (the bucket-recompute
+  move at group granularity) while every untouched group keeps its
+  incrementally-maintained state.
 - Holistic aggregates (EXACT distinct, medians) don't fold; but
   APPROXIMATE distinct does: `distinct=["col", ...]` adds one
   DataSketches HLL sketch column per named column to the state
@@ -288,8 +291,6 @@ class IncrementalAggTable:
         applied (replay no-op). State write is group-cardinality-sized;
         the swap is the same rename dance every writer here uses, and
         the marker files ride inside it (atomic state+marker commit)."""
-        import uuid
-
         hwm, sparse = self._applied_state()
         if batch_id <= hwm or batch_id in sparse:
             return False
@@ -299,6 +300,126 @@ class IncrementalAggTable:
             new_state = merge_agg_states(self._table.read(), delta_state)
         else:
             new_state = delta_state
+        self._swap_state(new_state, batch_id, hwm, sparse)
+        return True
+
+    def apply_changes(self, changes: DataFrame, batch_id: int,
+                      source: DataFrame | None = None) -> bool:
+        """Fold a CHANGE batch (`change_type` + fact rows — the
+        diff_versions / changes_between shape), including DELETES and
+        UPDATES, by recomputing exactly the affected GROUPS from a
+        caller-supplied `source` frame (the current post-change fact)
+        — the bucket-recompute move at group granularity: min/max are
+        not retractable from partials, so a group a retraction touched
+        is rebuilt from source truth while every other group keeps its
+        incrementally-maintained state.
+
+        Cost, stated for 100 TB: one O(batch) pass to split/locate the
+        affected group keys (a bounded ≤4-row change-kind aggregate +
+        a distinct over CHANGED keys only), then ONE semi-join of
+        `source` against the affected keys (broadcast — the affected
+        set is CDC-sized) feeding a hash aggregate of the affected
+        groups' rows only, plus the ordinary group-cardinality fold
+        for untouched-group inserts. The source frame is SCANNED
+        through that semi-join filter; with group keys clustered /
+        partition-pruned that is O(affected groups' rows), never a
+        full rescan of history.
+
+        Honest limits: refuses when a retraction is present and no
+        `source` is given (partials cannot un-min); refuses UPDATE
+        rows without their 'update_preimage' twins (an update can MOVE
+        a row across groups — without the pre-image the OLD group
+        cannot be located; pass changes_between(include_preimages=True)
+        or a diff_versions feed, whose updates never move keys).
+        Insert-only batches fold exactly like apply_batch (no source
+        needed). Same replay-idempotent marker ledger as apply_batch."""
+        hwm, sparse = self._applied_state()
+        if batch_id <= hwm or batch_id in sparse:
+            return False
+        if "change_type" not in changes.columns:
+            raise ValueError(
+                "apply_changes needs a change_type column "
+                "(insert | update | update_preimage | delete); use "
+                "apply_batch for plain insert deltas"
+            )
+        kinds = {
+            r["change_type"]
+            for r in changes.select("change_type").distinct().collect()
+        }
+        bad = kinds - {"insert", "update", "update_preimage", "delete"}
+        if bad:
+            raise ValueError(f"unknown change_type values: {sorted(bad)}")
+        retract = kinds & {"update", "update_preimage", "delete"}
+        if not retract:
+            delta = changes.drop("change_type")
+            delta_state = agg_state(delta, self.keys, self.measure,
+                                    distinct=self.distinct)
+            if self._table.exists():
+                new_state = merge_agg_states(self._table.read(), delta_state)
+            else:
+                new_state = delta_state
+            self._swap_state(new_state, batch_id, hwm, sparse)
+            return True
+        if source is None:
+            raise ValueError(
+                "this change batch retracts rows "
+                f"({sorted(retract)}) — min/max partials cannot be "
+                "un-merged, so the affected groups must be recomputed: "
+                "pass the current fact frame as source="
+            )
+        if "update" in kinds and "update_preimage" not in kinds:
+            raise ValueError(
+                "update rows without their update_preimage twins: an "
+                "update can move a row across groups and the OLD group "
+                "cannot be located from post-images alone — pass "
+                "changes_between(..., include_preimages=True) (r14+ "
+                "feeds) or recompute via overwrite"
+            )
+        affected = (
+            changes.filter(
+                F.col("change_type").isin("update", "update_preimage",
+                                          "delete")
+            )
+            .select(*self.keys)
+            .distinct()
+        )
+        # inserts landing in an affected group are already inside the
+        # source recompute — folding them too would double-count
+        from nomba_data_pipeline_spark.operators.merge import (
+            _semi_anti_null_safe,
+        )
+
+        ins = changes.filter(F.col("change_type") == "insert").drop(
+            "change_type"
+        )
+        ins_untouched = _semi_anti_null_safe(
+            ins, affected, self.keys, "left_anti"
+        )
+        recomputed = agg_state(
+            _semi_anti_null_safe(
+                source, F.broadcast(affected), self.keys, "left_semi"
+            ),
+            self.keys, self.measure, distinct=self.distinct,
+        )
+        parts = [recomputed,
+                 agg_state(ins_untouched, self.keys, self.measure,
+                           distinct=self.distinct)]
+        if self._table.exists():
+            parts.append(
+                _semi_anti_null_safe(
+                    self._table.read(), affected, self.keys, "left_anti"
+                )
+            )
+        self._swap_state(merge_agg_states(*parts), batch_id, hwm, sparse)
+        return True
+
+    def _swap_state(self, new_state: DataFrame, batch_id: int,
+                    hwm: int, sparse: set[int]) -> None:
+        """Write the folded state + replay markers and swap them in as
+        ONE rename — no crash window can leave the fold applied but
+        unmarked (double count on rerun) or marked but unapplied."""
+        import uuid
+
         tmp = f"{self._table.path}.tmp-{uuid.uuid4().hex[:8]}"
         new_state.write.mode("overwrite").parquet(tmp)
         sparse = sparse | {batch_id}
@@ -313,7 +434,6 @@ class IncrementalAggTable:
             _, mp = self._fs(f"{tmp}/_BATCH-{bid}")
             fs.createNewFile(mp)
         self._table._swap_in(tmp)
-        return True
 
     def state(self) -> DataFrame:
         return self._table.read()

@@ -245,6 +245,11 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
             return v
 
         for rec in tbl.to_pylist():
+            # 'update_preimage' rows (r14+ feeds) exist for exact span
+            # folding in diff_versions — stream consumers apply
+            # post-semantics only, same default as changes_between
+            if rec.get("change_type") == "update_preimage":
+                continue
             yield tuple(
                 version if name == "_commit_version"
                 else _norm(rec.get(name)) if name in have

@@ -1715,3 +1715,127 @@ def test_disjoint_concurrent_delete_where_rebases(spark, tmp_path):
     assert t_b.read().count() == 50_000 - 100 + 1
     assert t_b.read().filter("k = 60000").count() == 1
     assert t_b.read().filter("k >= 100 and k < 200").count() == 0
+
+
+# -- r14: diff_versions across compactions via the persisted feed -----------
+def test_diff_versions_routes_through_feed_across_compaction(spark, tmp_path):
+    """VERDICT r14 #5: a span crossing checkpoint/optimize shares no
+    files — the manifest diff would scan BOTH versions. With pre-image
+    feeds the diff folds stored feeds instead: the PLAN must read only
+    `_cdf/` files (no table version at all) and the result must match
+    exact diff semantics, including dropped no-op reverts and deletes
+    carrying span-start values."""
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    t.overwrite(_base(spark, 5_000), cluster_by=["k"], target_files=8)
+    t.merge_upsert(spark.createDataFrame(
+        [(5, -5, 0), (99_999, -99, 9), (7, 14, 7)],
+        "k long, v long, grp int",
+    ).coalesce(1), ["k"])  # update, insert, and a same-values no-op
+    t.delete_where("k >= 100 and k < 110")
+    assert t.optimize_small_files(target_bytes=1 << 30) is not None
+    t.merge_upsert(spark.createDataFrame(
+        [(6, -6, 6)], "k long, v long, grp int"
+    ).coalesce(1), ["k"])
+    diff = t.diff_versions(1, None, ["k"])
+    planned = diff.inputFiles()
+    assert planned and all("/_cdf/" in p for p in planned)
+    got = {(r["change_type"], r["k"], r["v"]) for r in diff.collect()}
+    want = (
+        {("insert", 99_999, -99), ("update", 5, -5), ("update", 6, -6)}
+        | {("delete", k, 2 * k) for k in range(100, 110)}
+    )
+    assert got == want  # k=7 no-op dropped; deletes carry v1 values
+    # and it agrees with a span that crosses NOTHING (manifest diff)
+    got2 = {
+        (r["change_type"], r["k"], r["v"])
+        for r in t.diff_versions(1, 3, ["k"]).collect()
+    }
+    assert got2 == {
+        ("insert", 99_999, -99), ("update", 5, -5)
+    } | {("delete", k, 2 * k) for k in range(100, 110)}
+
+
+def test_diff_versions_warns_on_feedless_compaction_crossing(spark, tmp_path):
+    """Without feeds the crossing diff still runs (correct, compare-
+    equal rows dropped) but WARNS naming the O(2 x table) cost."""
+    t = _mk(spark, tmp_path, n=2_000, files=4)
+    t.merge_upsert(spark.createDataFrame(
+        [(5, -5, 0)], "k long, v long, grp int"
+    ).coalesce(1), ["k"])
+    t.checkpoint(cluster_by=["k"])
+    with pytest.warns(RuntimeWarning, match="compaction"):
+        diff = t.diff_versions(1, None, ["k"])
+        got = {(r["change_type"], r["k"], r["v"]) for r in diff.collect()}
+    assert got == {("update", 5, -5)}
+
+
+def test_changes_between_hides_preimages_by_default(spark, tmp_path):
+    """Replica-apply consumers must keep seeing only insert / update /
+    delete; preimages are opt-in for exact folding."""
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    t.overwrite(_base(spark, 100))
+    t.merge_upsert(spark.createDataFrame(
+        [(5, -5, 0)], "k long, v long, grp int"
+    ).coalesce(1), ["k"])
+    kinds = {r["change_type"] for r in t.changes_between(1).collect()}
+    assert kinds == {"update"}
+    pre = t.changes_between(1, include_preimages=True)
+    rows = {(r["change_type"], r["v"]) for r in pre.collect()}
+    assert rows == {("update", -5), ("update_preimage", 10)}
+
+
+# -- r14: SQL time travel ----------------------------------------------------
+def test_sql_time_travel_views_match_dataframe_reads(spark, tmp_path):
+    """VERDICT r14 #4: spark.sql over `name__v<N>` / version_as_of
+    must equal read(version=N) at BOTH the value and the PLAN level
+    (same optimized plan — the view is the same logical scan, nothing
+    materialized)."""
+    from nomba_data_pipeline_spark.catalog import version_as_of
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "ords_v"))
+    t.overwrite(_base(spark, 1_000), cluster_by=["k"], target_files=4)
+    t.merge_upsert(spark.createDataFrame(
+        [(5, -5, 0), (2_000, -2, 0)], "k long, v long, grp int"
+    ).coalesce(1), ["k"])
+    names = t.register_sql_views("ords_v")
+    assert set(names) == {"ords_v", "ords_v__v1", "ords_v__v2"}
+    # values: the old version is readable THROUGH SQL after the merge
+    got_v1 = spark.sql(
+        "SELECT count(*) AS n, sum(v) AS s FROM ords_v__v1"
+    ).first()
+    assert (got_v1["n"], got_v1["s"]) == (1_000, sum(2 * k for k in range(1_000)))
+    got_cur = spark.sql("SELECT count(*) AS n FROM ords_v").first()
+    assert got_cur["n"] == 1_001
+    assert spark.sql("SELECT v FROM ords_v WHERE k = 5").first()["v"] == -5
+    assert spark.sql("SELECT v FROM ords_v__v1 WHERE k = 5").first()["v"] == 10
+    # plan parity: SQL view == DataFrame read, canonicalized
+    sql_plan = spark.sql(
+        "SELECT k, v FROM ords_v__v1 WHERE k < 10"
+    )._jdf.queryExecution().optimizedPlan()
+    df_plan = (
+        t.read(version=1).filter("k < 10").select("k", "v")
+    )._jdf.queryExecution().optimizedPlan()
+    assert df_plan.sameResult(sql_plan)
+    # the convenience entry point registers one version on demand
+    vname = version_as_of(spark, t.path, 1)
+    assert vname == "ords_v__v1"
+    assert spark.sql(f"SELECT count(*) AS n FROM {vname}").first()["n"] == 1_000
+
+
+def test_sql_views_skip_vacuumed_versions(spark, tmp_path):
+    """A reclaimed version gets NO view (better absent than a view
+    that dies mid-scan); version_as_of refuses loudly."""
+    from nomba_data_pipeline_spark.catalog import version_as_of
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl_vac"))
+    t.overwrite(_base(spark, 100))
+    t.overwrite(_base(spark, 50))
+    t.overwrite(_base(spark, 10))
+    t.vacuum(retain_last=2)
+    names = t.register_sql_views("tbl_vac")
+    assert "tbl_vac__v1" not in names
+    assert {"tbl_vac", "tbl_vac__v2", "tbl_vac__v3"} <= set(names)
+    with pytest.raises(ValueError, match="reclaimed by vacuum|does not exist"):
+        version_as_of(spark, t.path, 1)
