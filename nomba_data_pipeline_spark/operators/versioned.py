@@ -345,7 +345,21 @@ class VersionedTable:
         every file and no read_range could skip anything).
         target_files sizes the layout explicitly (files should land
         near spark.sql.files.maxPartitionBytes so one scan task reads
-        one file); without it AQE picks the count from data size."""
+        one file); without it AQE picks the count from data size.
+
+        Stats cost model (VERDICT r14 #7): footer stats are free
+        (pyarrow, local FS). Where footers are unreachable (object
+        stores), UNCLUSTERED generations take their bounds from an
+        Observation riding the write scan itself — zero extra jobs
+        (an unclustered generation's files share the value spread
+        anyway, so per-file tightness buys nothing; generation-wide
+        bounds prune exactly as well across generations, which is
+        where CDC pruning happens). CLUSTERED generations keep the
+        exact per-file readback — there per-file tightness IS the
+        point, and the one page-warm aggregate amortizes over the big
+        clustered rewrite it accompanies."""
+        from pyspark.sql import Observation
+
         gen = f"{self._gen_root()}/g-{uuid.uuid4().hex[:12]}"
         if cluster_by and target_files:
             df = df.repartitionByRange(target_files, *cluster_by)
@@ -353,6 +367,15 @@ class VersionedTable:
             df = df.repartitionByRange(*cluster_by)
         elif target_files:
             df = df.repartition(target_files)
+        want_pre = self._stats_targets(df.schema)
+        obs = None
+        if want_pre and not cluster_by:
+            obs = Observation()
+            exprs = []
+            for c in want_pre:
+                exprs += [F.min(c).alias(f"lo_{c}"),
+                          F.max(c).alias(f"hi_{c}")]
+            df = df.observe(obs, *exprs)
         df.write.mode("error").parquet(gen)
         fs, jp = self._fs(gen)
         # path + size captured from the ONE post-write listing: the
@@ -368,14 +391,47 @@ class VersionedTable:
         want = self._stats_targets(df.schema)
         stats = {r: self._file_stats(f"{self.path}/{r}", want) for r in rels}
         if want and any(v is None for v in stats.values()):
-            # footer fast path unavailable (object store / non-local
-            # scheme): ONE read-back aggregation over the generation
-            # just written (page-cache warm, O(generation) — never
-            # O(table)) so pruning and the stats HWM keep working where
-            # they matter most instead of silently degrading
-            stats = self._stats_readback(gen, want, df.schema) or stats
+            if obs is not None:
+                # generation-wide bounds from the write's own
+                # Observation — NO second scan. Valid for every file
+                # (each file's range is a subset); empty files keep
+                # them too (conservative: pruning keeps the file)
+                gbounds = self._observed_bounds(obs, want, df.schema)
+                if gbounds:
+                    stats = {
+                        r: (stats[r] if stats[r] is not None else gbounds)
+                        for r in rels
+                    }
+            else:
+                # clustered generation: exact per-file bounds are the
+                # point — ONE read-back aggregation over the generation
+                # just written (page-cache warm, O(generation) — never
+                # O(table))
+                stats = self._stats_readback(gen, want, df.schema) or stats
         return [{"path": r, "bytes": b, "stats": stats.get(r)}
                 for r, b in sized]
+
+    def _observed_bounds(self, obs, cols: list[str],
+                         schema: StructType) -> dict | None:
+        """Generation-wide [lo, hi] per column from a write-scan
+        Observation, rendered like footer stats (UTC-naive via
+        _delta_stat_str — observed timestamps arrive session-naive,
+        same as collect())."""
+        dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        try:
+            vals = obs.get
+            out = {}
+            for c in cols:
+                lo, hi = vals.get(f"lo_{c}"), vals.get(f"hi_{c}")
+                if lo is None:
+                    continue
+                lo_s = self._delta_stat_str(lo, dtypes.get(c, ""))
+                hi_s = self._delta_stat_str(hi, dtypes.get(c, ""))
+                if lo_s is not None and hi_s is not None:
+                    out[c] = [lo_s, hi_s]
+            return out or None
+        except Exception:
+            return None  # stats stay an optimization, never a dependency
 
     def _stats_readback(self, gen: str, cols: list[str],
                         schema: StructType) -> dict | None:
@@ -1444,19 +1500,78 @@ class VersionedTable:
         )
 
     def checkpoint(self, cluster_by: list[str] | None = None,
-                   target_files: int | None = None) -> int:
+                   target_files: int | None = None,
+                   zorder_by: list[str] | None = None,
+                   bits: int = 8) -> int:
         """Rewrite the CURRENT version into one fresh generation: after
         many small CoW deltas the file list (and scan fan-out) grows —
         this is the bounded-compaction step, same role as
-        ParquetTable.compact for flat tables."""
+        ParquetTable.compact for flat tables. The everyday compaction
+        verb is optimize_small_files (O(small bytes)); checkpoint is
+        the explicit RE-CLUSTERING rewrite.
+
+        zorder_by=[a, b] (VERDICT r14 #9) lays the rewrite out along
+        the Morton interleave of the two columns' normalized codes
+        instead of a linear sort — each file's MANIFEST stats then
+        carry a narrow min/max on BOTH columns, so read_range /
+        _key_candidate_files prune for predicates on either dimension
+        alone (a linear cluster_by=[a, b] is selective for `a` only).
+        Same one-shuffle repartitionByRange cost as cluster_by; the
+        z-key is computed, ranged on, and dropped (content-preserving,
+        schema unchanged). Mutually exclusive with cluster_by."""
+        if zorder_by and cluster_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
         man = self._resolve(None)
-        files = self._write_gen(self.read(), cluster_by=cluster_by,
-                                target_files=target_files)
+        df = self.read()
+        if zorder_by:
+            df = self._zorder_arrange(df, zorder_by, bits, target_files)
+            files = self._write_gen(df)  # layout already arranged
+        else:
+            files = self._write_gen(df, cluster_by=cluster_by,
+                                    target_files=target_files)
         return self._commit(
             files, "checkpoint", man["schema"],
             {"compacted_files": len(man["files"])},
             expected_parent=man["version"], cdf="empty",
         )
+
+    def _zorder_arrange(self, df: DataFrame, zorder_by: list[str],
+                        bits: int, target_files: int | None) -> DataFrame:
+        """Range-partition `df` by the Morton key of the two zorder_by
+        columns (functions/zorder.py — the same interleave
+        ParquetTable.zorder uses): one tiny bounds agg, one shuffle,
+        key dropped before write."""
+        from nomba_data_pipeline_spark.functions.zorder import (
+            bounded_code,
+            zorder_key,
+        )
+
+        if len(zorder_by) != 2:
+            raise ValueError(
+                f"zorder_by takes exactly two columns, got {zorder_by}"
+            )
+        col_a, col_b = zorder_by
+        bounds = df.agg(
+            F.min(col_a).alias("alo"), F.max(col_a).alias("ahi"),
+            F.min(col_b).alias("blo"), F.max(col_b).alias("bhi"),
+        ).first()
+        if bounds is None or bounds["alo"] is None or bounds["blo"] is None:
+            return df  # empty / all-NULL dimension: nothing to order
+
+        def code(col, lo, hi):
+            if lo == hi:  # constant column carries no ordering signal
+                return F.lit(0).cast("bigint")
+            return bounded_code(col, lo, hi, bits)
+
+        keyed = (
+            df.withColumn("__za", code(col_a, bounds["alo"], bounds["ahi"]))
+            .withColumn("__zb", code(col_b, bounds["blo"], bounds["bhi"]))
+            .withColumn("__zkey", zorder_key("__za", "__zb", bits))
+        )
+        rng = (keyed.repartitionByRange(target_files, "__zkey")
+               if target_files else keyed.repartitionByRange("__zkey"))
+        return (rng.sortWithinPartitions("__zkey")
+                .drop("__za", "__zb", "__zkey"))
 
     # -- CHECK constraints (write-time enforcement, Delta parity) --------
     def constraints(self) -> dict[str, str]:

@@ -1839,3 +1839,103 @@ def test_sql_views_skip_vacuumed_versions(spark, tmp_path):
     assert {"tbl_vac", "tbl_vac__v2", "tbl_vac__v3"} <= set(names)
     with pytest.raises(ValueError, match="reclaimed by vacuum|does not exist"):
         version_as_of(spark, t.path, 1)
+
+
+# -- r14: observe-folded stats (no second scan on unclustered writes) -------
+def test_unclustered_stats_come_from_write_observation(spark, tmp_path, monkeypatch):
+    """VERDICT r14 #7: when footers are unreachable, an UNCLUSTERED
+    generation's bounds ride the write scan itself (df.observe) — the
+    readback aggregate must NOT run — and cross-generation pruning
+    (the CDC case) still works off those bounds."""
+    monkeypatch.setattr(VersionedTable, "_file_stats",
+                        lambda self, p, cols: None)
+
+    def _boom(self, gen, cols, schema):
+        raise AssertionError("readback (second scan) must not run for "
+                             "unclustered generations")
+
+    monkeypatch.setattr(VersionedTable, "_stats_readback", _boom)
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(_base(spark, 5_000), target_files=4)  # unclustered
+    man = t._manifest(1)
+    sts = [f["stats"] for f in man["files"]]
+    assert all(st and st["k"] == ["0", "4999"] for st in sts)
+    # a CDC delta generation gets its own (narrow) observed bounds...
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(100_000, -1, 0)], "k long, v long, grp int"
+        ).coalesce(1),
+        ["k"],
+    )
+    man2 = t._manifest(2)
+    delta_files = [f for f in man2["files"]
+                   if f["stats"] and f["stats"]["k"] == ["100000", "100000"]]
+    assert delta_files
+    # ...so the stats HWM and key-location pruning work with zero scans
+    assert t.high_water_mark_str("k") == "100000"
+    candidates, _ = t._key_candidate_files(
+        man2,
+        spark.createDataFrame([(100_000, 0, 0)], "k long, v long, grp int"),
+        ["k"],
+    )
+    assert candidates == [f["path"] for f in delta_files]
+
+
+def test_clustered_stats_still_exact_per_file(spark, tmp_path, monkeypatch):
+    """Clustered generations keep the exact per-file readback — that's
+    where per-file tightness pays (intra-generation range pruning)."""
+    monkeypatch.setattr(VersionedTable, "_file_stats",
+                        lambda self, p, cols: None)
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    t.overwrite(_base(spark, 50_000), cluster_by=["k"], target_files=8)
+    planned = t.read_range("k", lo=0, hi=10).inputFiles()
+    assert 0 < len(planned) < 8  # per-file bounds -> intra-gen pruning
+
+
+# -- r14 stretch: z-order checkpoints ----------------------------------------
+def test_checkpoint_zorder_narrows_manifest_stats_on_both_dims(spark, tmp_path):
+    """VERDICT r14 #9: checkpoint(zorder_by=[a, b]) tiles the (a, b)
+    plane so MANIFEST per-file stats are narrow on BOTH columns —
+    read_range prunes for either dimension alone, where a linear
+    cluster_by=[a, b] leaves the second dimension un-prunable."""
+    rows = spark.range(40_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") * 7919) % 200).alias("b"),
+    )
+
+    def widths(man, col):
+        ws = []
+        for f in man["files"]:
+            st = (f.get("stats") or {}).get(col)
+            if st:
+                ws.append(float(st[1]) - float(st[0]))
+        return sum(ws) / len(ws)
+
+    lex = VersionedTable(spark, os.path.join(str(tmp_path), "lex"))
+    lex.overwrite(rows)
+    lex.checkpoint(cluster_by=["a", "b"], target_files=16)
+    zo = VersionedTable(spark, os.path.join(str(tmp_path), "zo"))
+    zo.overwrite(rows)
+    zo.checkpoint(zorder_by=["a", "b"], bits=8, target_files=16)
+
+    man_lex = lex._manifest(lex.latest_version())
+    man_zo = zo._manifest(zo.latest_version())
+    # lexicographic: first dim selective, second spans ~everything
+    assert widths(man_lex, "a") < 200 * 0.2
+    assert widths(man_lex, "b") > 200 * 0.8
+    # z-order: BOTH dims a fraction of global
+    assert widths(man_zo, "a") < 200 * 0.6
+    assert widths(man_zo, "b") < 200 * 0.6
+    # and the manifest planner actually prunes on the SECOND dimension
+    planned = zo.read_range("b", lo=0, hi=20).inputFiles()
+    assert 0 < len(planned) < len(man_zo["files"])
+    # content preserved, filters exact
+    assert zo.read().count() == 40_000
+    got = zo.read_range("b", lo=0, hi=20).count()
+    want = rows.filter("b >= 0 and b <= 20").count()
+    assert got == want
+    with pytest.raises(ValueError, match="not both"):
+        zo.checkpoint(cluster_by=["a"], zorder_by=["a", "b"])
+    with pytest.raises(ValueError, match="exactly two"):
+        zo.checkpoint(zorder_by=["a"])
