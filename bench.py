@@ -204,6 +204,13 @@ HEADLINE = [
     # r13: CHECK constraints — write-time enforcement, refusal leaves
     # no version
     "versioned_constraints_roundtrip",
+    # r14: incremental OPTIMIZE (small files merged, large carried by
+    # reference), change-batch folds for the plain maintained aggregate
+    # (deletes via affected-group recompute), and SQL time travel
+    # through per-version temp views
+    "versioned_optimize_roundtrip",
+    "agg_changes_ivm",
+    "sql_time_travel_roundtrip",
 ]
 
 

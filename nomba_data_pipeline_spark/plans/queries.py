@@ -9885,6 +9885,276 @@ FROM final GROUP BY 1
 """
 
 
+def q_versioned_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL OPTIMIZE under steady CDC
+    (VersionedTable.optimize_small_files — Delta OPTIMIZE / MergeTree
+    part-merge semantics, the reference's background merges in
+    init-clickhouse.sql): three hourly insert batches land as small
+    CoW delta files on a clustered base, then maybe_checkpoint fires
+    the INCREMENTAL compaction — ONLY the sub-threshold files are
+    merged into one generation; every large base file is carried BY
+    REFERENCE (asserted in-row: identical paths AND identical on-disk
+    bytes), and the commit's change feed is empty so stream consumers
+    pass over it. Grading the per-flag rollup of the post-maintenance
+    read catches a merge that dropped/duplicated delta rows or touched
+    base content. 100 TB bound: each optimize trip costs O(small-file
+    bytes) — a year of hourly CDC compacts without ever rewriting the
+    table (the O(table) `checkpoint` is reserved for explicit
+    re-clustering)."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    def _write(root: str) -> None:
+        base = load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("txn_id"),
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        t = VersionedTable(spark, root + "/tbl")
+        t.overwrite(base, cluster_by=["txn_id"], target_files=4)
+        big = {f["path"]: f["bytes"] for f in t._manifest(1)["files"]}
+        for i, mod in enumerate((17, 19, 23)):
+            delta = base.filter(F.col("txn_id") % mod == 0).select(
+                (F.col("txn_id")
+                 + F.lit(1_000_000_000 * (i + 1)).cast("bigint"))
+                .alias("txn_id"),
+                F.lit(f"D{i}").alias("flag"),
+                (F.col("price") + F.lit(float(i))).alias("price"),
+            ).coalesce(1)
+            t.merge_upsert(delta, ["txn_id"])
+        n_before = len(t._manifest(t.latest_version())["files"])
+        # threshold at the smallest base file: base files sit AT/above
+        # it (carried), the three delta files under it (merged)
+        v = t.maybe_checkpoint(max_files=4, target_bytes=min(big.values()))
+        assert v is not None, "auto-compaction must fire past the bound"
+        man = t._manifest(v)
+        assert man["op"] == "optimize"
+        carried = {
+            f["path"]: f["bytes"] for f in man["files"] if f["path"] in big
+        }
+        assert carried == big, "large files must be carried by reference"
+        for p, b in big.items():
+            assert os.path.getsize(os.path.join(t.path, p)) == b, \
+                "carried bytes must be untouched on disk"
+        assert len(man["files"]) < n_before  # small files collapsed
+
+    root = _stage_dir("versioned_optimize", sf_dir, _write)
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    return (
+        VersionedTable(spark, root + "/tbl")
+        .read()
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("price").cast("decimal(38,4)")), 2)
+            .cast("double").alias("sum_price"),
+            F.min("price").cast("double").alias("min_price"),
+            F.max("price").cast("double").alias("max_price"),
+        )
+    )
+
+
+SQL_VERSIONED_OPTIMIZE_ROUNDTRIP = """
+WITH base AS (
+    SELECT l_orderkey * 100 + l_linenumber AS txn_id,
+           l_returnflag AS flag, l_extendedprice AS price
+    FROM lineitem
+), final AS (
+    SELECT * FROM base
+    UNION ALL
+    SELECT txn_id + 1000000000, 'D0', price + 0.0 FROM base
+    WHERE txn_id % 17 = 0
+    UNION ALL
+    SELECT txn_id + 2000000000, 'D1', price + 1.0 FROM base
+    WHERE txn_id % 19 = 0
+    UNION ALL
+    SELECT txn_id + 3000000000, 'D2', price + 2.0 FROM base
+    WHERE txn_id % 23 = 0
+)
+SELECT flag, count(*) AS cnt,
+       CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE)
+           AS sum_price,
+       CAST(min(price) AS DOUBLE) AS min_price,
+       CAST(max(price) AS DOUBLE) AS max_price
+FROM final GROUP BY 1
+"""
+
+
+def q_agg_changes_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETES for the plain maintained aggregate
+    (IncrementalAggTable.apply_changes): the base fact folds in as
+    batch 0, then ONE change batch carrying inserts AND deletes folds
+    in — min/max partials cannot be un-merged, so the engine recomputes
+    exactly the AFFECTED groups from the caller-supplied source frame
+    (bucket-recompute at group granularity) while untouched groups
+    keep their incrementally-maintained state; a replayed batch id is
+    a no-op (asserted in-row). Grading per-flag
+    cnt/sum/avg/min/max against the one-shot GROUP BY over the
+    post-change fact catches a retained deleted row, a double-folded
+    insert in an affected group, or a stale untouched group. 100 TB
+    bound: O(batch) to locate affected groups + one broadcast
+    semi-join restricting the source scan to those groups' rows —
+    never a full rescan of history."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.incremental_agg import (
+        IncrementalAggTable,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("txn_id"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    base = li.filter(F.col("txn_id") % 3 != 0)
+    ins = li.filter(F.col("txn_id") % 3 == 0)
+    dels = base.filter(F.col("txn_id") % 11 == 0)
+    final = base.filter(F.col("txn_id") % 11 != 0).unionByName(ins)
+
+    def _write(root: str) -> None:
+        t = IncrementalAggTable(
+            spark, root + "/agg", keys=["flag"], measure=["price"],
+        )
+        assert t.apply_batch(base, 0)
+        changes = ins.select(
+            F.lit("insert").alias("change_type"), "*"
+        ).unionByName(
+            dels.select(F.lit("delete").alias("change_type"), "*")
+        )
+        assert t.apply_changes(changes, 1, source=final)
+        # replay: the marker ledger makes the redelivered batch a no-op
+        assert not t.apply_changes(changes, 1, source=final)
+
+    root = _stage_dir("agg_changes_ivm", sf_dir, _write)
+    from nomba_data_pipeline_spark.operators.incremental_agg import (
+        IncrementalAggTable,
+    )
+
+    t = IncrementalAggTable(
+        spark, root + "/agg", keys=["flag"], measure=["price"],
+    )
+    return t.result().select(
+        "flag", "cnt", "sum_price", "avg_price", "min_price", "max_price"
+    )
+
+
+SQL_AGG_CHANGES_IVM = """
+WITH li AS (
+    SELECT l_orderkey * 100 + l_linenumber AS txn_id,
+           l_returnflag AS flag, l_extendedprice AS price
+    FROM lineitem
+), final AS (
+    SELECT * FROM li WHERE txn_id % 3 <> 0 AND txn_id % 11 <> 0
+    UNION ALL
+    SELECT * FROM li WHERE txn_id % 3 = 0
+)
+SELECT flag, count(*) AS cnt,
+       CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE)
+           AS sum_price,
+       CAST(round(sum(CAST(price AS DECIMAL(38,4))) / count(*), 6) AS DOUBLE)
+           AS avg_price,
+       CAST(min(price) AS DOUBLE) AS min_price,
+       CAST(max(price) AS DOUBLE) AS max_price
+FROM final GROUP BY 1
+"""
+
+
+def q_sql_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TIME TRAVEL (VersionedTable.register_sql_views /
+    catalog.version_as_of — Delta's `VERSION AS OF` as per-version
+    temp views): orders load as v1, a correction+insert batch makes
+    v2, and the graded result is computed ENTIRELY in spark.sql —
+    the per-status rollup of version 1 full-outer-joined against the
+    current version, read through the registered `ords_tt__v1` /
+    `ords_tt` views. Grading both sides catches a view bound to the
+    wrong manifest, a stale latest view, or value drift through the
+    SQL surface; plan parity with read(version=) is pinned in
+    test_plan_shapes-style pytest. 100 TB bound: registration is one
+    manifest read per version (metadata only); each view is a named
+    logical plan over the pinned file list — the same scan the
+    DataFrame API builds, zero materialization."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    def _write(root: str) -> None:
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        t = VersionedTable(spark, root + "/tbl")
+        t.overwrite(base, cluster_by=["o_orderkey"], target_files=4)
+        delta = base.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", F.lit("U").alias("status"),
+            (F.col("price") + 1000).alias("price"),
+        ).unionByName(
+            base.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                F.lit("I").alias("status"),
+                F.lit(42.0).alias("price"),
+            )
+        )
+        t.merge_upsert(delta, ["o_orderkey"])
+
+    root = _stage_dir("sql_time_travel", sf_dir, _write)
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    VersionedTable(spark, root + "/tbl").register_sql_views("ords_tt")
+    return spark.sql("""
+        WITH v1 AS (
+            SELECT status, count(*) AS cnt,
+                   CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2)
+                        AS DOUBLE) AS sp
+            FROM ords_tt__v1 GROUP BY status
+        ), cur AS (
+            SELECT status, count(*) AS cnt,
+                   CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2)
+                        AS DOUBLE) AS sp
+            FROM ords_tt GROUP BY status
+        )
+        SELECT coalesce(v1.status, cur.status) AS status,
+               coalesce(v1.cnt, 0) AS cnt_v1,
+               coalesce(cur.cnt, 0) AS cnt_cur,
+               coalesce(v1.sp, 0.0) AS sum_price_v1,
+               coalesce(cur.sp, 0.0) AS sum_price_cur
+        FROM v1 FULL OUTER JOIN cur ON v1.status = cur.status
+    """)
+
+
+SQL_SQL_TIME_TRAVEL_ROUNDTRIP = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
+    FROM orders
+), final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE status END AS status,
+           CASE WHEN o_orderkey % 7 = 0 THEN price + 1000 ELSE price END
+               AS price
+    FROM base
+    UNION ALL
+    SELECT o_orderkey + 1000000000, 'I', CAST(42 AS DOUBLE)
+    FROM base WHERE o_orderkey % 11 = 0
+), v1 AS (
+    SELECT status, count(*) AS cnt,
+           CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE) AS sp
+    FROM base GROUP BY status
+), cur AS (
+    SELECT status, count(*) AS cnt,
+           CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE) AS sp
+    FROM final GROUP BY status
+)
+SELECT coalesce(v1.status, cur.status) AS status,
+       coalesce(v1.cnt, 0) AS cnt_v1,
+       coalesce(cur.cnt, 0) AS cnt_cur,
+       coalesce(v1.sp, 0.0) AS sum_price_v1,
+       coalesce(cur.sp, 0.0) AS sum_price_cur
+FROM v1 FULL OUTER JOIN cur ON v1.status = cur.status
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -10379,6 +10649,21 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_VERSIONED_CONSTRAINTS_ROUNDTRIP,
         "ext:check-constraints",
     ),
+    "versioned_optimize_roundtrip": QuerySpec(
+        q_versioned_optimize_roundtrip,
+        SQL_VERSIONED_OPTIMIZE_ROUNDTRIP,
+        "ext:incremental-optimize",
+    ),
+    "agg_changes_ivm": QuerySpec(
+        q_agg_changes_ivm,
+        SQL_AGG_CHANGES_IVM,
+        "ext:ivm-group-recompute-deletes",
+    ),
+    "sql_time_travel_roundtrip": QuerySpec(
+        q_sql_time_travel_roundtrip,
+        SQL_SQL_TIME_TRAVEL_ROUNDTRIP,
+        "ext:sql-time-travel",
+    ),
 }
 
 
@@ -10633,70 +10918,86 @@ REGISTRY: dict[str, QuerySpec] = {
 # tools/rotate_window.py — it re-derives per-row latest-green from the
 # union of CORRECTNESS_r*.json (two-digit rounds!) and prints the
 # window; paste it verbatim, don't hand-pick.
+# ROUND-14 WINDOW (rotated at the start of round 14; the delivered
+# CORRECTNESS_r13.json was verified on disk first — all 50 rows of the
+# round-13 window graded green, 50/50 full oracle matches).
+# rotate_window.py's proposal was pasted VERBATIM; re-derived histogram
+# r10:48 / r11:50 / r12:50 / r13:50, so this window is:
+# (a) the 3 never-graded rows added in round 14:
+#     versioned_optimize_roundtrip (incremental OPTIMIZE: hourly-CDC
+#     deltas merged at O(small-file bytes), large files carried by
+#     reference with byte-identity asserted in-row),
+#     agg_changes_ivm (deletes/updates for the plain maintained
+#     aggregate via affected-group recompute from source, replay
+#     no-op asserted in-row), and
+#     sql_time_travel_roundtrip (per-version temp views: the graded
+#     result is computed entirely in spark.sql over ords_tt__v1 vs
+#     the current view);
+# (b) 47 rows of the round-10-stale cohort in REGISTRY order, from
+#     winnow_fingerprints onward (the 3 new rows displaced the last 1:
+#     r10's remaining cohort is 48 rows, so semantic_dedup_labels
+#     rotates in at round 15).
+# After this round grades green, no row's newest driver evidence is
+# older than round 10 (and only one r10 row remains to refresh).
+# ROUND-15 ROTATION GUIDANCE: (a) any rows added in round 15; (b) the
+# 1 remaining r10 row (the tail of that cohort after winnow_
+# fingerprints' 47: check rotate_window.py's histogram); (c) leftover
+# slots on the oldest r11 evidence.  Run tools/rotate_window.py — it
+# re-derives per-row latest-green from the union of
+# CORRECTNESS_r*.json (two-digit rounds!) and prints the window; paste
+# it verbatim, don't hand-pick.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # -- (a) never graded by construction: the 5 rows added in
-    #    round 13 (versioned-CDF -> IVM wiring; HLL approx-distinct
-    #    in the partial-state algebra; commit-time change feeds as
-    #    a Structured Streaming source; rollup serving / MV
-    #    navigation via result_at; CHECK constraints with
-    #    write-time enforcement)
-    "versioned_cdf_view_roundtrip",
-    "approx_distinct_rollup_ivm",
-    "versioned_cdf_stream",
-    "rollup_serving_navigator",
-    "versioned_constraints_roundtrip",
-    # -- (b) the ENTIRE remaining round-9 cohort — all 43 rows
-    #    whose newest driver-green evidence is round 9, in
-    #    cohort order (led by the 8 rows the round-12 additions
-    #    displaced)
-    "streaming_corpus_dedup",
-    "domain_temperature_sample",
-    "corpus_shuffle_shards",
-    "snapshot_drift_psi",
-    "boilerplate_removal",
-    "source_precedence_dedup",
-    "snapshot_table_diff",
-    "graph_pagerank",
-    "token_budget_select",
-    "curriculum_sample",
-    "bigram_pmi",
-    "containment_pairs",
-    "weighted_sample",
-    "quantile_normalize",
-    "neardup_resolve_best",
-    "basket_part_pairs",
-    "mom_revenue_growth",
-    "supplier_market_share",
-    "inverted_index",
-    "bm25_search",
-    "rolling_wau",
-    "monthly_customer_churn",
-    "decile_lift",
-    "source_entropy",
-    "ab_test_ztest",
-    "activation_latency",
-    "revenue_gini",
-    "benford_audit",
-    "rfm_segments",
-    "revenue_autocorr",
-    "event_transitions",
-    "cohort_ltv",
-    "revenue_bridge",
-    "peak_concurrency",
-    "revenue_quartiles_scalable",
-    "token_budget_select_scalable",
-    "cosine_topk_lsh_roundtrip",
-    "volume_shipping",
-    "cluster_shipdate_roundtrip",
-    "upsert_roundtrip",
-    "snapshot_append_roundtrip",
-    "variant_json_extract",
-    "cross_doc_repeated_spans",
-    # -- (c) leftover 2 slots on the OLDEST round-10 evidence
-    #    (the first 2 of that cohort in REGISTRY order)
-    "doc_stats",
-    "simhash_docs",
+    "versioned_optimize_roundtrip",
+    "agg_changes_ivm",
+    "sql_time_travel_roundtrip",
+    "winnow_fingerprints",
+    "media_features",
+    "media_frame_sample",
+    "skew_salted_agg",
+    "corpus_prep",
+    "user_zscores",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "embedding_near_dup_lsh",
+    "label_centroids",
+    "flagship_sql_api",
+    "priority_order_check",
+    "status_pivot",
+    "forecast_revenue",
+    "disjunctive_revenue",
+    "top_value_nations",
+    "supplier_part_volume",
+    "parts_above_avg",
+    "revenue_rollup",
+    "percentiles_by_flag",
+    "id_synthesis",
+    "bucketed_join_agg",
+    "running_revenue",
+    "streaming_minute_rollup",
+    "token_freq",
+    "revenue_cube",
+    "streaming_user_totals",
+    "approx_percentiles_by_flag",
+    "trailing_revenue_7d",
+    "streaming_dedup",
+    "pii_redact",
+    "doc_repetition",
+    "contamination_ngrams",
+    "domain_mix_sample",
+    "sequence_packing",
+    "revenue_grouping_sets",
+    "streaming_sessionize",
+    "approx_distinct_users",
+    "sentence_split_udtf",
+    "delete_insert_roundtrip",
+    "full_load_roundtrip",
+    "compact_roundtrip",
+    "zorder_roundtrip",
+    "cdf_replication_roundtrip",
+    "cosine_topk_ivf_roundtrip",
+    "join_view_dim_update",
+    "erasure_roundtrip",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
