@@ -74,10 +74,15 @@ def version_as_of(spark: SparkSession, path: str, version: int,
     test_plan_shapes), and a vacuumed version refuses loudly at
     registration. Use VersionedTable.register_sql_views to expose a
     whole table's retained history at once."""
+    import re
+
     from nomba_data_pipeline_spark.operators.versioned import VersionedTable
 
     t = VersionedTable(spark, path)
     df = t.read(version=version)
-    vname = name or f"{os.path.basename(t.path)}__v{version}"
+    # a table DIRECTORY name ('fct-orders', 'a.b') is not necessarily a
+    # valid SQL identifier — sanitize, don't crash the registration
+    base = re.sub(r"\W", "_", os.path.basename(t.path))
+    vname = name or f"{base}__v{version}"
     df.createOrReplaceTempView(vname)
     return vname

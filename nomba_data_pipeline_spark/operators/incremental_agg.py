@@ -304,7 +304,8 @@ class IncrementalAggTable:
         return True
 
     def apply_changes(self, changes: DataFrame, batch_id: int,
-                      source: DataFrame | None = None) -> bool:
+                      source: DataFrame | None = None,
+                      updates_keep_groups: bool = False) -> bool:
         """Fold a CHANGE batch (`change_type` + fact rows — the
         diff_versions / changes_between shape), including DELETES and
         UPDATES, by recomputing exactly the affected GROUPS from a
@@ -329,10 +330,17 @@ class IncrementalAggTable:
         `source` is given (partials cannot un-min); refuses UPDATE
         rows without their 'update_preimage' twins (an update can MOVE
         a row across groups — without the pre-image the OLD group
-        cannot be located; pass changes_between(include_preimages=True)
-        or a diff_versions feed, whose updates never move keys).
-        Insert-only batches fold exactly like apply_batch (no source
-        needed). Same replay-idempotent marker ledger as apply_batch."""
+        cannot be located). Two ways in for updates:
+        `VersionedTable.changes_between(..., include_preimages=True)`
+        carries the twins (r14+ feeds); for a feed WITHOUT pre-images
+        (e.g. diff_versions output, which never has them), pass
+        `updates_keep_groups=True` to ASSERT that updates never change
+        this table's group-key values — then the post-image groups are
+        the complete affected set. The assertion is the caller's to
+        make (e.g. group keys ⊆ the diff's join keys); a false one
+        silently leaves the old group stale. Insert-only batches fold
+        exactly like apply_batch (no source needed). Same
+        replay-idempotent marker ledger as apply_batch."""
         hwm, sparse = self._applied_state()
         if batch_id <= hwm or batch_id in sparse:
             return False
@@ -367,13 +375,17 @@ class IncrementalAggTable:
                 "un-merged, so the affected groups must be recomputed: "
                 "pass the current fact frame as source="
             )
-        if "update" in kinds and "update_preimage" not in kinds:
+        if ("update" in kinds and "update_preimage" not in kinds
+                and not updates_keep_groups):
             raise ValueError(
                 "update rows without their update_preimage twins: an "
                 "update can move a row across groups and the OLD group "
                 "cannot be located from post-images alone — pass "
                 "changes_between(..., include_preimages=True) (r14+ "
-                "feeds) or recompute via overwrite"
+                "feeds), or updates_keep_groups=True if updates "
+                "provably never change this table's group-key values "
+                "(e.g. a diff_versions feed whose join keys cover the "
+                "group keys)"
             )
         affected = (
             changes.filter(

@@ -367,12 +367,15 @@ class VersionedTable:
             df = df.repartitionByRange(*cluster_by)
         elif target_files:
             df = df.repartition(target_files)
-        want_pre = self._stats_targets(df.schema)
+        want = self._stats_targets(df.schema)
         obs = None
-        if want_pre and not cluster_by:
+        if want and not cluster_by and not self._footers_reachable():
+            # only where the footer fast path CANNOT work — on local
+            # filesystems the observation would be per-row aggregate
+            # work in the hot CDC write path whose result is discarded
             obs = Observation()
             exprs = []
-            for c in want_pre:
+            for c in want:
                 exprs += [F.min(c).alias(f"lo_{c}"),
                           F.max(c).alias(f"hi_{c}")]
             df = df.observe(obs, *exprs)
@@ -388,7 +391,6 @@ class VersionedTable:
             if st.getPath().getName().endswith(".parquet")
         )
         rels = [r for r, _ in sized]
-        want = self._stats_targets(df.schema)
         stats = {r: self._file_stats(f"{self.path}/{r}", want) for r in rels}
         if want and any(v is None for v in stats.values()):
             if obs is not None:
@@ -432,6 +434,15 @@ class VersionedTable:
             return out or None
         except Exception:
             return None  # stats stay an optimization, never a dependency
+
+    def _footers_reachable(self) -> bool:
+        """Whether _file_stats' pyarrow footer fast path can work for
+        this table: local paths only (plain or file:-scheme) — the
+        same reachability rule _file_stats itself applies."""
+        p = self.path
+        if p.startswith("file:"):
+            return True
+        return "://" not in p
 
     def _stats_readback(self, gen: str, cols: list[str],
                         schema: StructType) -> dict | None:
@@ -589,11 +600,13 @@ class VersionedTable:
             # manifest only (same design as the txn map)
             "constraints": dict(parent_man.get("constraints") or {}),
             "write_cdf": cdf_on,
-            # feed-format marker: this commit's feed carries update
-            # PRE-IMAGES (r14+), so a span of such commits folds to an
-            # exact diff_versions result; diff_versions only routes
-            # through feeds when every span commit has it
-            "cdf_pre": cdf_on,
+            # feed-format marker: this commit's feed FOLDS EXACTLY —
+            # row-level with update pre-images (r14+) or an EMPTY
+            # marker. A _CDF_FULL commit (overwrite/rollback/promote/
+            # purge) must NOT carry it: diff_versions would route the
+            # span into _diff_via_feed, which refuses on FULL, where
+            # the manifest scan-and-compare still answers correctly
+            "cdf_pre": cdf_on and cdf != "full",
         }
         if extra:
             man.update(extra)
@@ -1689,7 +1702,8 @@ class VersionedTable:
         return int(fs.getFileStatus(jp).getLen())
 
     def optimize_small_files(self, target_bytes: int = 128 << 20,
-                             cluster_by: list[str] | None = None) -> int | None:
+                             cluster_by: list[str] | None = None,
+                             target_files: int | None = None) -> int | None:
         """INCREMENTAL compaction (Delta OPTIMIZE / MergeTree
         part-merge semantics — the reference's engine runs exactly this
         in the background, init-clickhouse.sql MergeTree tables):
@@ -1709,18 +1723,33 @@ class VersionedTable:
         moved, feed consumers and the versioned_cdf stream pass over
         it. Returns the new version, or None when fewer than two files
         are under the threshold (nothing worth merging — the call cost
-        is one manifest read, so a scheduler can fire it every tick)."""
+        is one manifest read, so a scheduler can fire it every tick).
+
+        Convergence: outputs are sized with FLOOR division so merged
+        files land AT OR ABOVE target_bytes (and graduate to carried-
+        by-reference) — at most one sub-target remainder file persists
+        per table, so a trip's rewrite is bounded by target_bytes plus
+        the new deltas, never the accumulated history (ceil sizing
+        would leave every output under target and re-merge everything
+        forever)."""
         man = self._resolve(None)
+        sizes = {f["path"]: self._entry_bytes(f) for f in man["files"]}
         small = [f for f in man["files"]
-                 if self._entry_bytes(f) < target_bytes]
+                 if sizes[f["path"]] < target_bytes]
         if len(small) < 2:
             return None
         small_paths = {f["path"] for f in small}
         large = [f for f in man["files"] if f["path"] not in small_paths]
         merged = self._read_files(man, sorted(small_paths))
-        total = sum(self._entry_bytes(f) for f in small)
-        # strictly fewer output files than inputs, near target size
-        n_out = max(1, min(len(small) - 1, -(-total // target_bytes)))
+        total = sum(sizes[p] for p in small_paths)
+        # strictly fewer output files than inputs; floor so outputs
+        # land at/above target and are never re-merged. target_files
+        # (maybe_checkpoint's escalation) overrides the sizing to pin
+        # the output count when the policy bound is the constraint.
+        n_out = max(1, min(
+            len(small) - 1,
+            target_files if target_files else int(total // target_bytes),
+        ))
         if cluster_by:
             new_files = self._write_gen(merged, cluster_by=cluster_by,
                                         target_files=n_out)
@@ -1760,8 +1789,30 @@ class VersionedTable:
         if full:
             return self.checkpoint(cluster_by=cluster_by,
                                    target_files=target_files)
-        return self.optimize_small_files(target_bytes=target_bytes,
-                                         cluster_by=cluster_by)
+        v = self.optimize_small_files(target_bytes=target_bytes,
+                                      cluster_by=cluster_by)
+        if v is not None and len(self._manifest(v)["files"]) <= max_files:
+            return v
+        # the sub-target merge alone couldn't restore the bound (the
+        # list is dominated by files AT/ABOVE target_bytes): escalate
+        # the threshold so everything but the max_files-1 largest
+        # files merges — the bound is a hard policy (unchecked it
+        # means unbounded scan fan-out), and reducing N large files to
+        # max_files necessarily costs rewriting the smaller tail; the
+        # max_files-1 biggest files are still carried by reference,
+        # so this stays cheaper than a full checkpoint
+        cur = self._resolve(None)
+        sizes = sorted(
+            (self._entry_bytes(f) for f in cur["files"]), reverse=True
+        )
+        thresh = sizes[max_files - 1] + 1 if len(sizes) >= max_files else (
+            sizes[-1] + 1
+        )
+        carried = sum(1 for s in sizes if s >= thresh)  # <= max_files - 1
+        return self.optimize_small_files(
+            target_bytes=thresh, cluster_by=cluster_by,
+            target_files=max(1, max_files - carried),
+        ) or v
 
     def diff_versions(self, v_old: int, v_new: int | None,
                       keys: list[str]) -> DataFrame:
@@ -1784,11 +1835,15 @@ class VersionedTable:
         (overwrite never dedupes) can misreport a surviving duplicate
         as a delete when only one copy's file was rewritten.
 
-        Cost routing (VERDICT r14 #5): a span that crosses a
-        COMPACTION (checkpoint / optimize) has no shared files across
-        it — the manifest diff degrades to O(2 x table) scan-and-
-        compare. When every span commit carries a pre-image-capable
-        feed (write_cdf tables written r14+), the diff is served by
+        Cost routing (VERDICT r14 #5): when the two endpoint manifests
+        share NO files (a checkpoint or full replacement sits in the
+        span — an optimize carries large files by reference, so it
+        does not trip this), the manifest diff degrades to O(2 x
+        table) scan-and-compare. The shared-files test is FREE (both
+        file sets are already in hand — no span walk on the common
+        path); only when it trips do we read the span's manifests
+        once, and if every span commit carries a pre-image-capable
+        feed (write_cdf tables written r14+) the diff is served by
         FOLDING the stored feeds instead (_diff_via_feed): exact —
         including dropped no-op reverts and span-start delete images,
         courtesy of the update_preimage rows — at O(changed rows), no
@@ -1798,27 +1853,28 @@ class VersionedTable:
 
         man_o = self._manifest(v_old)
         man_n = self._resolve(v_new)
-        span: list[dict] = []
-        v: int | None = man_n["version"]
-        while v is not None and v > v_old:
-            span.append(self._manifest(v) if v != man_n["version"] else man_n)
-            v = span[-1]["parent"]
-        if any(m["op"] in ("checkpoint", "optimize") for m in span):
+        po_paths = {f["path"] for f in man_o["files"]}
+        pn_paths = {f["path"] for f in man_n["files"]}
+        if (po_paths or pn_paths) and not (po_paths & pn_paths):
+            span: list[dict] = []
+            v: int | None = man_n["version"]
+            while v is not None and v > v_old:
+                span.append(man_n if v == man_n["version"]
+                            else self._manifest(v))
+                v = span[-1]["parent"]
             if span and all(m.get("cdf_pre") for m in span):
                 return self._diff_via_feed(v_old, man_n, keys)
             warnings.warn(
                 f"diff_versions({v_old}, {man_n['version']}) on "
-                f"{self.path} crosses a compaction commit with no "
-                "pre-image change feed: no files are shared across a "
-                "compaction, so this diff scans BOTH versions "
-                "(O(2 x table)) and compares rows — enable "
-                "write_cdf=True to serve it from stored feeds at "
-                "O(changed rows)",
+                f"{self.path}: the two versions share no files (a "
+                "compaction or full replacement sits in the span), so "
+                "this diff scans BOTH versions (O(2 x table)) and "
+                "compares rows — enable write_cdf=True to serve it "
+                "from stored feeds at O(changed rows)",
                 RuntimeWarning,
                 stacklevel=2,
             )
-        po = {f["path"] for f in man_o["files"]}
-        pn = {f["path"] for f in man_n["files"]}
+        po, pn = po_paths, pn_paths
         schema_n = StructType.fromJson(json.loads(man_n["schema"]))
         cols = [f.name for f in schema_n.fields]
         value_cols = [c for c in cols if c not in keys]

@@ -9926,7 +9926,11 @@ def q_versioned_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         n_before = len(t._manifest(t.latest_version())["files"])
         # threshold at the smallest base file: base files sit AT/above
         # it (carried), the three delta files under it (merged)
-        v = t.maybe_checkpoint(max_files=4, target_bytes=min(big.values()))
+        # max_files=5: the merged-smalls commit lands at 5 files (4 big
+        # carried + 1 merged) — at the bound, so the policy does NOT
+        # escalate into rewriting a big file (escalation is pinned
+        # separately in test_versioned.py)
+        v = t.maybe_checkpoint(max_files=5, target_bytes=min(big.values()))
         assert v is not None, "auto-compaction must fire past the bound"
         man = t._manifest(v)
         assert man["op"] == "optimize"

@@ -642,3 +642,35 @@ def test_apply_changes_update_moving_group_via_preimage(spark, tmp_path):
         for r in t.result().collect()
     }
     assert got == {("a", 1, 10.0), ("b", 2, 55.0)}
+
+
+def test_apply_changes_accepts_diff_feed_with_keep_groups_assertion(
+    spark, tmp_path
+):
+    """A diff_versions-shaped feed (updates carry post-images only)
+    folds when the caller asserts updates never change the group keys
+    — the documented path for key-covering diffs."""
+    import os
+
+    t = IncrementalAggTable(
+        spark, os.path.join(str(tmp_path), "agg"),
+        keys=["grp"], measure="val",
+    )
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, grp string, val double",
+    )
+    assert t.apply_batch(base, 0)
+    final = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 25.0), (3, "b", 30.0)],
+        "id long, grp string, val double",
+    )
+    diff_feed = spark.createDataFrame(
+        [("update", 2, "a", 25.0)],
+        "change_type string, id long, grp string, val double",
+    )
+    assert t.apply_changes(diff_feed, 1, source=final,
+                           updates_keep_groups=True)
+    got = {(r["grp"], r["cnt"], float(r["sum_m"]))
+           for r in t.result().collect()}
+    assert got == {("a", 2, 35.0), ("b", 1, 30.0)}

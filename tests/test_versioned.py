@@ -1733,7 +1733,7 @@ def test_diff_versions_routes_through_feed_across_compaction(spark, tmp_path):
         "k long, v long, grp int",
     ).coalesce(1), ["k"])  # update, insert, and a same-values no-op
     t.delete_where("k >= 100 and k < 110")
-    assert t.optimize_small_files(target_bytes=1 << 30) is not None
+    t.checkpoint(cluster_by=["k"])  # rewrites ALL files: endpoints share none
     t.merge_upsert(spark.createDataFrame(
         [(6, -6, 6)], "k long, v long, grp int"
     ).coalesce(1), ["k"])
@@ -1849,6 +1849,8 @@ def test_unclustered_stats_come_from_write_observation(spark, tmp_path, monkeypa
     (the CDC case) still works off those bounds."""
     monkeypatch.setattr(VersionedTable, "_file_stats",
                         lambda self, p, cols: None)
+    monkeypatch.setattr(VersionedTable, "_footers_reachable",
+                        lambda self: False)
 
     def _boom(self, gen, cols, schema):
         raise AssertionError("readback (second scan) must not run for "
@@ -1939,3 +1941,39 @@ def test_checkpoint_zorder_narrows_manifest_stats_on_both_dims(spark, tmp_path):
         zo.checkpoint(cluster_by=["a"], zorder_by=["a", "b"])
     with pytest.raises(ValueError, match="exactly two"):
         zo.checkpoint(zorder_by=["a"])
+
+
+def test_maybe_checkpoint_escalates_when_all_files_large(spark, tmp_path):
+    """REVIEW r14: the bound is a hard policy — when every file sits
+    at/above target_bytes, the sub-target merge alone can't restore
+    it, so the policy escalates the threshold and merges the smaller
+    tail (the max_files-1 largest files stay carried by reference)."""
+    t = _mk(spark, tmp_path, n=50_000, files=8)
+    before = _rows(t.read())
+    v = t.maybe_checkpoint(max_files=4, target_bytes=1)  # all files "large"
+    assert v is not None
+    man = t._manifest(v)
+    assert man["op"] == "optimize"
+    assert len(man["files"]) <= 4
+    assert _rows(t.read()) == before
+
+
+def test_diff_versions_manifest_fallback_across_overwrite(spark, tmp_path):
+    """REVIEW r14: a span containing a FULL-feed commit (overwrite)
+    must fall back to the manifest scan-and-compare (with the cost
+    warning), never route into the feed fold's FULL refusal — the
+    runner's except-ValueError fallback depends on diff_versions
+    answering here."""
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    t.overwrite(_base(spark, 100))
+    t.merge_upsert(spark.createDataFrame(
+        [(5, -5, 0)], "k long, v long, grp int"
+    ).coalesce(1), ["k"])
+    t.overwrite(_base(spark, 100).filter("k < 50"))  # v3: FULL feed
+    t.checkpoint()                                    # v4: shares no files
+    with pytest.warns(RuntimeWarning, match="share no files"):
+        diff = t.diff_versions(2, None, ["k"])
+        got = {(r["change_type"], r["k"]) for r in diff.collect()}
+    want = {("delete", k) for k in range(50, 100)} | {("update", 5)}
+    assert got == want
