@@ -816,7 +816,15 @@ def main() -> None:
             "code regression. The new `calibration` probes "
             "(constant-size GEMM + lineitem scan-agg) ship in every "
             "BENCH_rN so future cross-round reads can normalize for "
-            "contention instead of re-running A/Bs."
+            "contention instead of re-running A/Bs. r14 (r13 verdict "
+            "ask #8): the two rows the r13 location-scan aggregate "
+            "regressed were re-measured — join_view_chain_depth3 is "
+            "back to 0.19s (r12: 0.21); time_travel_roundtrip read "
+            "0.50s raw under a run whose calibration probes were "
+            "1.2-2.8x r13's (scan-agg 0.217 vs 0.184), i.e. ~0.43s "
+            "normalized, inside 1.25x of r12's 0.37 — the fix is the "
+            "<=4-file manifest short-circuit in _key_candidate_files "
+            "(tiny manifests skip the delta-bound Spark job entirely)."
         ),
         # sorted per-rep seconds for the median-of-3 synthetic demos
         "synthetic_reps": synthetic_reps,

@@ -81,8 +81,17 @@ def version_as_of(spark: SparkSession, path: str, version: int,
     t = VersionedTable(spark, path)
     df = t.read(version=version)
     # a table DIRECTORY name ('fct-orders', 'a.b') is not necessarily a
-    # valid SQL identifier — sanitize, don't crash the registration
-    base = re.sub(r"\W", "_", os.path.basename(t.path))
+    # valid SQL identifier — sanitize, don't crash the registration.
+    # When sanitization ALTERS the name, suffix a path hash so two
+    # directories that sanitize alike ('fct.orders' / 'fct_orders')
+    # cannot silently clobber each other's views; same-basename tables
+    # in different directories should pass an explicit `name`.
+    import hashlib
+
+    raw = os.path.basename(t.path)
+    base = re.sub(r"\W", "_", raw)
+    if base != raw:
+        base += "_" + hashlib.md5(t.path.encode()).hexdigest()[:6]
     vname = name or f"{base}__v{version}"
     df.createOrReplaceTempView(vname)
     return vname

@@ -405,10 +405,11 @@ class VersionedTable:
                         for r in rels
                     }
             else:
-                # clustered generation: exact per-file bounds are the
-                # point — ONE read-back aggregation over the generation
-                # just written (page-cache warm, O(generation) — never
-                # O(table))
+                # clustered generation (per-file tightness is the
+                # point), or a local-FS footer miss (pyarrow absent /
+                # a file without usable min-max): ONE read-back
+                # aggregation over the generation just written
+                # (page-cache warm, O(generation) — never O(table))
                 stats = self._stats_readback(gen, want, df.schema) or stats
         return [{"path": r, "bytes": b, "stats": stats.get(r)}
                 for r, b in sized]
@@ -1738,16 +1739,27 @@ class VersionedTable:
                  if sizes[f["path"]] < target_bytes]
         if len(small) < 2:
             return None
-        small_paths = {f["path"] for f in small}
-        large = [f for f in man["files"] if f["path"] not in small_paths]
-        merged = self._read_files(man, sorted(small_paths))
-        total = sum(sizes[p] for p in small_paths)
-        # strictly fewer output files than inputs; floor so outputs
-        # land at/above target and are never re-merged. target_files
-        # (maybe_checkpoint's escalation) overrides the sizing to pin
-        # the output count when the policy bound is the constraint.
+        return self._merge_entries(man, small, sizes, cluster_by,
+                                   target_files, target_bytes)
+
+    def _merge_entries(self, man: dict, to_merge: list[dict],
+                       sizes: dict[str, int],
+                       cluster_by: list[str] | None,
+                       target_files: int | None,
+                       target_bytes: int) -> int:
+        """Merge exactly `to_merge`'s files into one fresh generation
+        and carry every other manifest entry by reference — the shared
+        core of optimize_small_files and maybe_checkpoint's bound
+        escalation. Output count: `target_files` when pinned (the
+        escalation's remaining-slots case), else FLOOR(total bytes /
+        target_bytes) so outputs land at/above target and graduate out
+        of future merges; always strictly fewer files than inputs."""
+        merge_paths = {f["path"] for f in to_merge}
+        large = [f for f in man["files"] if f["path"] not in merge_paths]
+        merged = self._read_files(man, sorted(merge_paths))
+        total = sum(sizes[p] for p in merge_paths)
         n_out = max(1, min(
-            len(small) - 1,
+            len(to_merge) - 1,
             target_files if target_files else int(total // target_bytes),
         ))
         if cluster_by:
@@ -1757,7 +1769,7 @@ class VersionedTable:
             new_files = self._write_gen(merged.coalesce(n_out))
         return self._commit(
             large + new_files, "optimize", man["schema"],
-            {"merged_files": len(small), "carried_files": len(large)},
+            {"merged_files": len(to_merge), "carried_files": len(large)},
             expected_parent=man["version"], cdf="empty",
         )
 
@@ -1784,35 +1796,41 @@ class VersionedTable:
         if max_files < 1:
             raise ValueError("max_files must be >= 1")
         man = self._resolve(None)
-        if len(man["files"]) <= max_files:
+        n = len(man["files"])
+        if n <= max_files:
             return None
         if full:
             return self.checkpoint(cluster_by=cluster_by,
                                    target_files=target_files)
-        v = self.optimize_small_files(target_bytes=target_bytes,
-                                      cluster_by=cluster_by)
-        if v is not None and len(self._manifest(v)["files"]) <= max_files:
-            return v
-        # the sub-target merge alone couldn't restore the bound (the
-        # list is dominated by files AT/ABOVE target_bytes): escalate
-        # the threshold so everything but the max_files-1 largest
-        # files merges — the bound is a hard policy (unchecked it
-        # means unbounded scan fan-out), and reducing N large files to
-        # max_files necessarily costs rewriting the smaller tail; the
-        # max_files-1 biggest files are still carried by reference,
-        # so this stays cheaper than a full checkpoint
-        cur = self._resolve(None)
-        sizes = sorted(
-            (self._entry_bytes(f) for f in cur["files"]), reverse=True
-        )
-        thresh = sizes[max_files - 1] + 1 if len(sizes) >= max_files else (
-            sizes[-1] + 1
-        )
-        carried = sum(1 for s in sizes if s >= thresh)  # <= max_files - 1
-        return self.optimize_small_files(
-            target_bytes=thresh, cluster_by=cluster_by,
-            target_files=max(1, max_files - carried),
-        ) or v
+        # decide the merge set from METADATA before any data I/O: the
+        # ordinary sub-target merge when it restores the bound, else
+        # the escalation — never both (a two-pass would rewrite the
+        # merged output a second time in the same call)
+        sizes = {f["path"]: self._entry_bytes(f) for f in man["files"]}
+        small = [f for f in man["files"]
+                 if sizes[f["path"]] < target_bytes]
+        if len(small) >= 2:
+            total = sum(sizes[f["path"]] for f in small)
+            n_out = max(1, min(len(small) - 1,
+                               int(total // target_bytes)))
+            if n - len(small) + n_out <= max_files:
+                return self._merge_entries(man, small, sizes, cluster_by,
+                                           None, target_bytes)
+        # the sub-target merge alone can't restore the bound (the list
+        # is dominated by files at/above target_bytes): the bound is a
+        # hard policy (unchecked it means unbounded scan fan-out), so
+        # carry the max_files-1 LARGEST files by identity (ties can't
+        # collapse the carried set) and merge everything else in ONE
+        # rewrite into the remaining slot. Honest cost statement: on a
+        # table that has genuinely outgrown max_files x target_bytes,
+        # each escalation trip rewrites ~(total / max_files) bytes —
+        # the unavoidable price of a hard count bound; size max_files
+        # to the table (scan fan-out tolerance), or rely on
+        # target_bytes alone via optimize_small_files.
+        ordered = sorted(man["files"],
+                         key=lambda f: (-sizes[f["path"]], f["path"]))
+        return self._merge_entries(man, ordered[max_files - 1:], sizes,
+                                   cluster_by, 1, target_bytes)
 
     def diff_versions(self, v_old: int, v_new: int | None,
                       keys: list[str]) -> DataFrame:
@@ -1855,7 +1873,10 @@ class VersionedTable:
         man_n = self._resolve(v_new)
         po_paths = {f["path"] for f in man_o["files"]}
         pn_paths = {f["path"] for f in man_n["files"]}
-        if (po_paths or pn_paths) and not (po_paths & pn_paths):
+        # both endpoints non-empty: an empty side means the manifest
+        # diff scans only the OTHER side's changed files (already
+        # O(changes)) — not the no-shared-files expensive case
+        if po_paths and pn_paths and not (po_paths & pn_paths):
             span: list[dict] = []
             v: int | None = man_n["version"]
             while v is not None and v > v_old:
@@ -1863,7 +1884,13 @@ class VersionedTable:
                             else self._manifest(v))
                 v = span[-1]["parent"]
             if span and all(m.get("cdf_pre") for m in span):
-                return self._diff_via_feed(v_old, man_n, keys)
+                try:
+                    return self._diff_via_feed(v_old, man_n, keys)
+                except ValueError:
+                    # defense for manifests written by the brief r14
+                    # pre-fix build that stamped cdf_pre on FULL
+                    # commits: the manifest scan below always answers
+                    pass
             warnings.warn(
                 f"diff_versions({v_old}, {man_n['version']}) on "
                 f"{self.path}: the two versions share no files (a "
