@@ -238,7 +238,9 @@ def cmd_versioned(args) -> int:
         df = t.read(args.version)
         print(json.dumps({
             "version": args.version or t.latest_version(),
-            "rows": df.count(),
+            # manifest-metadata COUNT(*) — zero scan when counts are
+            # recorded (r14+ manifests), exact-scan fallback otherwise
+            "rows": t.row_count(args.version),
             "schema": df.schema.simpleString(),
         }))
     elif args.action == "rollback":

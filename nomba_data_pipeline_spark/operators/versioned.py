@@ -392,6 +392,10 @@ class VersionedTable:
         )
         rels = [r for r, _ in sized]
         stats = {r: self._file_stats(f"{self.path}/{r}", want) for r in rels}
+        # per-file ROW COUNTS (Delta's numRecords): footer metadata on
+        # local schemes — row_count() then answers COUNT(*) from the
+        # manifest alone, zero scan
+        nrows = {r: self._file_rows(f"{self.path}/{r}") for r in rels}
         if want and any(v is None for v in stats.values()):
             if obs is not None:
                 # generation-wide bounds from the write's own
@@ -410,8 +414,14 @@ class VersionedTable:
                 # a file without usable min-max): ONE read-back
                 # aggregation over the generation just written
                 # (page-cache warm, O(generation) — never O(table))
-                stats = self._stats_readback(gen, want, df.schema) or stats
-        return [{"path": r, "bytes": b, "stats": stats.get(r)}
+                rb_stats, rb_rows = self._stats_readback(gen, want, df.schema)
+                stats = rb_stats or stats
+                if rb_rows:
+                    nrows = {r: nrows.get(r) if nrows.get(r) is not None
+                             else rb_rows.get(r, 0)
+                             for r in rels}
+        return [{"path": r, "bytes": b, "rows": nrows.get(r),
+                 "stats": stats.get(r)}
                 for r, b in sized]
 
     def _observed_bounds(self, obs, cols: list[str],
@@ -436,6 +446,40 @@ class VersionedTable:
         except Exception:
             return None  # stats stay an optimization, never a dependency
 
+    def _file_rows(self, abs_path: str) -> int | None:
+        """A file's row count from the parquet FOOTER (no data scan)
+        — local filesystems only, same reachability rule as
+        _file_stats; None elsewhere (the readback pass fills it on
+        footer-less schemes)."""
+        local = abs_path
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+        if "://" in local or not os.path.isfile(local):
+            return None
+        try:
+            import pyarrow.parquet as _pq
+
+            return int(_pq.ParquetFile(local).metadata.num_rows)
+        except Exception:
+            return None
+
+    def row_count(self, version: int | None = None) -> int:
+        """COUNT(*) from the MANIFEST alone (Delta's numRecords): the
+        sum of per-file row counts recorded at write time — zero scan,
+        zero tasks, any retained version. Falls back to one exact
+        count() scan when any entry lacks a recorded count (manifests
+        written before r14, or object-store unclustered generations
+        whose stats rode the write Observation). At 100 TB the
+        difference is a metadata read vs a full-table scan for the
+        most common sanity query there is."""
+        man = self._resolve(version)
+        counts = [f.get("rows") for f in man["files"]]
+        if all(c is not None for c in counts):
+            return int(sum(counts))
+        return self._read_files(
+            man, [f["path"] for f in man["files"]]
+        ).count()
+
     def _footers_reachable(self) -> bool:
         """Whether _file_stats' pyarrow footer fast path can work for
         this table: local paths only (plain or file:-scheme) — the
@@ -459,10 +503,12 @@ class VersionedTable:
         footer stats; a session-local rendering under a non-UTC session
         would be offset from the UTC-normalized delta bounds and
         _key_candidate_files could wrongly prune a file that holds a
-        delta key (silent duplicate keys)."""
+        delta key (silent duplicate keys). Returns (stats, row counts)
+        — the same grouped pass yields both, so COUNT(*)-from-metadata
+        stays available off local filesystems too."""
         dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
         try:
-            aggs = []
+            aggs = [F.count(F.lit(1)).alias("__n")]
             for c in cols:
                 aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
             rows = (
@@ -472,6 +518,7 @@ class VersionedTable:
                 .collect()
             )
             out: dict[str, dict | None] = {}
+            counts: dict[str, int] = {}
             for r in rows:
                 st = {}
                 for c in cols:
@@ -481,10 +528,13 @@ class VersionedTable:
                         hi_s = self._delta_stat_str(hi, dtypes.get(c, ""))
                         if lo_s is not None and hi_s is not None:
                             st[c] = [lo_s, hi_s]
-                out[self._rel(r["__f"])] = st or None
-            return out
+                rel = self._rel(r["__f"])
+                out[rel] = st or None
+                counts[rel] = int(r["__n"])
+            return out, counts
         except Exception:
-            return None  # stats stay an optimization, never a dependency
+            # stats stay an optimization, never a dependency
+            return None, None
 
     def _stats_targets(self, schema: StructType) -> list[str]:
         cols = [f.name for f in schema.fields
