@@ -211,6 +211,13 @@ HEADLINE = [
     "versioned_optimize_roundtrip",
     "agg_changes_ivm",
     "sql_time_travel_roundtrip",
+    # r15: shallow clone (zero-copy branch, CoW-local divergence),
+    # the delete-capable maintained aggregate wired into the
+    # versioned_cdf streaming lifecycle, and the change feed through
+    # the SQL surface (table_changes view)
+    "versioned_clone_roundtrip",
+    "agg_changes_stream_roundtrip",
+    "sql_table_changes_roundtrip",
 ]
 
 
@@ -879,8 +886,6 @@ def main() -> None:
         # cross-round readers can normalize BENCH_rN timings for box
         # load; full rationale in BENCH_DETAIL.json notes
         "calibration": calibration,
-        # r13 interleaved A/B (r12 verdict ask #3), 6 reps/side:
-        "ab_neardup_r11_vs_head": "no regression; r12 spikes were box contention",
         "detail": "BENCH_DETAIL.json",
     }
     if errors:

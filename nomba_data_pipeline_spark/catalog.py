@@ -59,6 +59,59 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _sql_view_name(path: str) -> str:
+    """A table DIRECTORY name ('fct-orders', 'a.b') is not necessarily
+    a valid SQL identifier — sanitize, don't crash the registration.
+    When sanitization ALTERS the name, suffix a path hash so two
+    directories that sanitize alike ('fct.orders' / 'fct_orders')
+    cannot silently clobber each other's views; same-basename tables
+    in different directories should pass an explicit `name`."""
+    import hashlib
+    import re
+
+    raw = os.path.basename(path.rstrip("/"))
+    base = re.sub(r"\W", "_", raw)
+    if base != raw:
+        base += "_" + hashlib.md5(path.rstrip("/").encode()).hexdigest()[:6]
+    return base
+
+
+def table_changes(spark: SparkSession, path: str, v_after: int,
+                  v_to: int | None = None,
+                  name: str | None = None) -> str:
+    """SQL surface for the PERSISTED change feed — Delta Lake's
+    ``table_changes('<t>', v_after[, v_to])`` expressed as a registered
+    temp view (VERDICT r14 #5), completing the SQL family
+    `version_as_of` started:
+
+        spark.sql(f"SELECT ... FROM {table_changes(spark, p, 2)}")
+
+    equals ``VersionedTable(spark, p).changes_between(2)`` — one row
+    per changed row per commit in (v_after, v_to], with `change_type`
+    and `_commit_version`, post-image semantics ('update_preimage'
+    rows filtered, same default as the DataFrame form). The view is a
+    named logical plan over ONLY the span's `_cdf/v<N>` feed files
+    (plan parity + file-set pinned in pytest) — registration costs the
+    committed-chain walk's metadata reads, zero data I/O, and the scan
+    reads O(changed rows), never the table. Governed errors surface
+    through the SQL path at registration exactly as the DataFrame form
+    raises them: a `_CDF_FULL` marker in the span (content replaced
+    wholesale — re-sync from a snapshot), a missing feed (not written
+    with write_cdf, or vacuum-reclaimed), and a never-written table
+    all refuse loudly with the same messages. Returns the registered
+    view name (default `<table>__changes_<v_after>_<v_to|latest>`)."""
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    t = VersionedTable(spark, path)
+    df = t.changes_between(v_after, v_to)
+    vname = name or (
+        f"{_sql_view_name(t.path)}__changes_{v_after}_"
+        + (str(v_to) if v_to is not None else "latest")
+    )
+    df.createOrReplaceTempView(vname)
+    return vname
+
+
 def version_as_of(spark: SparkSession, path: str, version: int,
                   name: str | None = None) -> str:
     """SQL time travel over a VERSIONED table: register (and return
@@ -74,24 +127,10 @@ def version_as_of(spark: SparkSession, path: str, version: int,
     test_plan_shapes), and a vacuumed version refuses loudly at
     registration. Use VersionedTable.register_sql_views to expose a
     whole table's retained history at once."""
-    import re
-
     from nomba_data_pipeline_spark.operators.versioned import VersionedTable
 
     t = VersionedTable(spark, path)
     df = t.read(version=version)
-    # a table DIRECTORY name ('fct-orders', 'a.b') is not necessarily a
-    # valid SQL identifier — sanitize, don't crash the registration.
-    # When sanitization ALTERS the name, suffix a path hash so two
-    # directories that sanitize alike ('fct.orders' / 'fct_orders')
-    # cannot silently clobber each other's views; same-basename tables
-    # in different directories should pass an explicit `name`.
-    import hashlib
-
-    raw = os.path.basename(t.path)
-    base = re.sub(r"\W", "_", raw)
-    if base != raw:
-        base += "_" + hashlib.md5(t.path.encode()).hexdigest()[:6]
-    vname = name or f"{base}__v{version}"
+    vname = name or f"{_sql_view_name(t.path)}__v{version}"
     df.createOrReplaceTempView(vname)
     return vname

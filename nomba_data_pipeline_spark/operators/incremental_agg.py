@@ -425,6 +425,22 @@ class IncrementalAggTable:
         self._swap_state(merge_agg_states(*parts), batch_id, hwm, sparse)
         return True
 
+    def rebuild(self, source: DataFrame, batch_id: int) -> None:
+        """RESET the state to agg_state(source) with the replay ledger
+        advanced to `batch_id` — the re-sync verb for a maintainer
+        whose change cursor crossed a wholesale-content commit (a
+        versioned fact's `_CDF_FULL` marker: overwrite / rollback /
+        promote_types / purge replaced content, so no fold from the
+        old state is valid; the same snapshot re-sync every feed
+        consumer performs). One O(source) aggregation — the cost an
+        overwrite already implies; incremental maintenance resumes
+        from the new cursor. Discards any sparse out-of-order markers
+        above batch_id (the new state reflects source truth AT that
+        cursor; later change batches must re-apply against it)."""
+        state = agg_state(source, self.keys, self.measure,
+                          distinct=self.distinct)
+        self._swap_state(state, batch_id, hwm=batch_id - 1, sparse=set())
+
     def _swap_state(self, new_state: DataFrame, batch_id: int,
                     hwm: int, sparse: set[int]) -> None:
         """Write the folded state + replay markers and swap them in as

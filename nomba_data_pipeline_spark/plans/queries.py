@@ -10159,6 +10159,332 @@ FROM v1 FULL OUTER JOIN cur ON v1.status = cur.status
 """
 
 
+def q_versioned_clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + CoW-local divergence (VersionedTable.clone —
+    Delta Lake SHALLOW CLONE semantics; VERDICT r14 #1): the clone's
+    v1 manifest REFERENCES the source's files by absolute path (zero
+    data copied — asserted in-row via the clone's empty generation
+    root), then BOTH sides diverge: keyed updates on the clone rewrite
+    only the touched references into clone-local files (the untouched
+    references carry), inserts land on the source — and every source
+    file stays byte-identical on disk through both divergences
+    (asserted in-row). Grading the two per-flag rollups side by side
+    catches reference leakage in either direction (a clone seeing the
+    source's inserts, the source seeing the clone's updates) and any
+    value drift through the absolute-entry read path. The reference
+    re-runs CDC experiments against full warehouse COPIES
+    (setup/simulate_cdc.py re-load); at 100 TB a copy per experiment
+    is the difference between minutes-of-metadata and hours-of-I/O —
+    clone is one manifest write, O(metadata) regardless of table
+    size."""
+    import os
+
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    def _write(root: str) -> None:
+        base = load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("txn_id"),
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        src = VersionedTable(spark, root + "/src")
+        src.overwrite(base, cluster_by=["txn_id"], target_files=4)
+        src_bytes = {f["path"]: f["bytes"] for f in src._manifest(1)["files"]}
+        dev = src.clone(root + "/dev")
+        # ZERO data copied at clone time: nothing under the clone's
+        # own generation root; every manifest entry points at the src
+        gen_root = os.path.join(root, "dev", "_gen")
+        assert not os.path.isdir(gen_root) or not any(
+            fnames for _, _, fnames in os.walk(gen_root)
+        ), "shallow clone must copy zero data files"
+        man1 = dev._manifest(1)
+        assert man1["op"] == "clone"
+        assert all(
+            f["path"].startswith(root + "/src/") for f in man1["files"]
+        ), "clone entries must reference the source absolutely"
+        # diverge the CLONE: keyed updates RANGE-BOUNDED to the low
+        # decile of the clustered key — only the reference(s) whose
+        # range intersects it rewrite clone-locally, the rest carry
+        # (modular-only keys would spread over every file and leave
+        # nothing to carry)
+        b = base.agg(F.min("txn_id").alias("lo"),
+                     F.max("txn_id").alias("hi")).first()
+        cut = int(b["lo"] + (b["hi"] - b["lo"]) // 10)
+        delta_c = base.filter(
+            (F.col("txn_id") % 13 == 0) & (F.col("txn_id") <= F.lit(cut))
+        ).select(
+            "txn_id", F.lit("C").alias("flag"),
+            (F.col("price") + 500.0).alias("price"),
+        )
+        dev.merge_upsert(delta_c, ["txn_id"])
+        man2 = dev._manifest(dev.latest_version())
+        local = [f for f in man2["files"] if f["path"].startswith("_gen/")]
+        carried = [f for f in man2["files"]
+                   if not f["path"].startswith("_gen/")]
+        assert local, "touched references must rewrite clone-locally"
+        assert carried, "untouched references must carry by reference"
+        # diverge the SOURCE: pure inserts (no clone-referenced key)
+        delta_s = base.filter(F.col("txn_id") % 11 == 0).select(
+            (F.col("txn_id") + F.lit(2_000_000_000).cast("bigint"))
+            .alias("txn_id"),
+            F.lit("S").alias("flag"), F.lit(42.0).alias("price"),
+        )
+        src.merge_upsert(delta_s, ["txn_id"])
+        # every source file the clone references is byte-untouched on
+        # disk after BOTH divergences (CoW-local isolation)
+        for rel, b in src_bytes.items():
+            assert os.path.getsize(os.path.join(root, "src", rel)) == b, \
+                "source bytes must be untouched by either divergence"
+
+    root = _stage_dir("versioned_clone", sf_dir, _write)
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    dev = VersionedTable(spark, root + "/dev")
+    src = VersionedTable(spark, root + "/src")
+
+    def _rollup(t: VersionedTable) -> DataFrame:
+        return t.read().groupBy("flag").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("price").cast("decimal(38,4)")), 2)
+            .cast("double").alias("sp"),
+        )
+
+    c, s = _rollup(dev).alias("c"), _rollup(src).alias("s")
+    return c.join(
+        s, F.col("c.flag") == F.col("s.flag"), "full_outer"
+    ).select(
+        F.coalesce(F.col("c.flag"), F.col("s.flag")).alias("flag"),
+        F.coalesce(F.col("c.cnt"), F.lit(0)).alias("cnt_clone"),
+        F.coalesce(F.col("s.cnt"), F.lit(0)).alias("cnt_src"),
+        F.coalesce(F.col("c.sp"), F.lit(0.0)).alias("sum_price_clone"),
+        F.coalesce(F.col("s.sp"), F.lit(0.0)).alias("sum_price_src"),
+    )
+
+
+SQL_VERSIONED_CLONE_ROUNDTRIP = """
+WITH base AS (
+    SELECT l_orderkey * 100 + l_linenumber AS txn_id,
+           l_returnflag AS flag, l_extendedprice AS price
+    FROM lineitem
+), cutoff AS (
+    SELECT min(txn_id) + (max(txn_id) - min(txn_id)) // 10 AS c FROM base
+), clone_final AS (
+    SELECT txn_id,
+           CASE WHEN txn_id % 13 = 0 AND txn_id <= (SELECT c FROM cutoff)
+                THEN 'C' ELSE flag END AS flag,
+           CASE WHEN txn_id % 13 = 0 AND txn_id <= (SELECT c FROM cutoff)
+                THEN price + 500.0 ELSE price END AS price
+    FROM base
+), src_final AS (
+    SELECT * FROM base
+    UNION ALL
+    SELECT txn_id + 2000000000, 'S', CAST(42 AS DOUBLE) FROM base
+    WHERE txn_id % 11 = 0
+), c AS (
+    SELECT flag, count(*) AS cnt,
+           CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE) AS sp
+    FROM clone_final GROUP BY flag
+), s AS (
+    SELECT flag, count(*) AS cnt,
+           CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE) AS sp
+    FROM src_final GROUP BY flag
+)
+SELECT coalesce(c.flag, s.flag) AS flag,
+       coalesce(c.cnt, 0) AS cnt_clone,
+       coalesce(s.cnt, 0) AS cnt_src,
+       coalesce(c.sp, 0.0) AS sum_price_clone,
+       coalesce(s.sp, 0.0) AS sum_price_src
+FROM c FULL OUTER JOIN s ON c.flag = s.flag
+"""
+
+
+def q_agg_changes_stream_roundtrip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """ALWAYS-ON maintenance of the PLAIN maintained aggregate from a
+    versioned fact's persisted change feed
+    (streaming/microbatch.run_agg_changes_stream — VERDICT r14 #4:
+    apply_changes wired into the versioned_cdf streaming lifecycle):
+    the fact loads as v1 (wholesale content — the aggregate seeds from
+    that snapshot via rebuild), then one commit carries GROUP-MOVING
+    updates (flag -> 'U'; located through the feed's update_preimage
+    rows, which the stream requests with include_preimages) plus
+    inserts, and a second commit deletes keys — the stream applies
+    each commit ascending with the fact read AS OF that commit as the
+    recompute source, marker-ledgered by COMMIT VERSION. A second
+    stream run over a FRESH checkpoint redelivers both commits and
+    must change nothing (crash-replay convergence, asserted in-row on
+    the state rows). Grading per-flag cnt/sum/avg/min/max against the
+    one-shot GROUP BY over the final fact catches a stale old group
+    after a group-moving update, a retained deleted row, or a
+    double-fold on replay. 100 TB bound: feed rows stream
+    executor-side; only retraction commits touch the fact, through
+    one broadcast semi-join on the affected groups."""
+    from nomba_data_pipeline_spark.operators.incremental_agg import (
+        IncrementalAggTable,
+    )
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+    from nomba_data_pipeline_spark.streaming.microbatch import (
+        run_agg_changes_stream,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("txn_id"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    base = li.filter(F.col("txn_id") % 3 != 0)
+    ins = li.filter(F.col("txn_id") % 3 == 0)
+
+    def _write(root: str) -> None:
+        fact = VersionedTable(spark, root + "/fact", write_cdf=True)
+        fact.overwrite(base, cluster_by=["txn_id"], target_files=4)  # v1
+        # v2: group-moving updates + inserts in one upsert commit
+        delta2 = base.filter(F.col("txn_id") % 13 == 0).select(
+            "txn_id", F.lit("U").alias("flag"),
+            (F.col("price") + 1000.0).alias("price"),
+        ).unionByName(ins)
+        fact.merge_upsert(delta2, ["txn_id"])
+        # v3: bulk delete by key frame
+        fact.delete_keys(
+            base.filter(F.col("txn_id") % 11 == 0).select("txn_id"),
+            ["txn_id"],
+        )
+        agg = IncrementalAggTable(
+            spark, root + "/agg", keys=["flag"], measure=["price"],
+        )
+        # seed at the v1 snapshot (the stream starts AFTER the
+        # wholesale-content v1, exactly the FULL-marker re-sync rule)
+        agg.rebuild(fact.read(version=1), 1)
+        run_agg_changes_stream(
+            spark, root + "/fact", root + "/agg",
+            keys=["flag"], measure=["price"],
+            checkpoint_dir=root + "/ckpt", starting_version=1,
+        )
+        before = sorted(map(tuple, agg.state().collect()))
+        # crash-replay: a FRESH checkpoint redelivers v2 and v3; the
+        # commit-version marker ledger makes each a per-commit no-op
+        run_agg_changes_stream(
+            spark, root + "/fact", root + "/agg",
+            keys=["flag"], measure=["price"],
+            checkpoint_dir=root + "/ckpt2", starting_version=1,
+        )
+        after = sorted(map(tuple, agg.state().collect()))
+        assert before == after, "replayed commits must be no-ops"
+
+    root = _stage_dir("agg_changes_stream", sf_dir, _write)
+    from nomba_data_pipeline_spark.operators.incremental_agg import (
+        IncrementalAggTable,
+    )
+
+    t = IncrementalAggTable(
+        spark, root + "/agg", keys=["flag"], measure=["price"],
+    )
+    return t.result().select(
+        "flag", "cnt", "sum_price", "avg_price", "min_price", "max_price"
+    )
+
+
+SQL_AGG_CHANGES_STREAM_ROUNDTRIP = """
+WITH li AS (
+    SELECT l_orderkey * 100 + l_linenumber AS txn_id,
+           l_returnflag AS flag, l_extendedprice AS price
+    FROM lineitem
+), final AS (
+    SELECT txn_id,
+           CASE WHEN txn_id % 13 = 0 THEN 'U' ELSE flag END AS flag,
+           CASE WHEN txn_id % 13 = 0 THEN price + 1000.0 ELSE price END
+               AS price
+    FROM li WHERE txn_id % 3 <> 0 AND txn_id % 11 <> 0
+    UNION ALL
+    SELECT txn_id, flag, price FROM li WHERE txn_id % 3 = 0
+)
+SELECT flag, count(*) AS cnt,
+       CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE)
+           AS sum_price,
+       CAST(round(sum(CAST(price AS DECIMAL(38,4))) / count(*), 6) AS DOUBLE)
+           AS avg_price,
+       CAST(min(price) AS DOUBLE) AS min_price,
+       CAST(max(price) AS DOUBLE) AS max_price
+FROM final GROUP BY 1
+"""
+
+
+def q_sql_table_changes_roundtrip(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """SQL surface for the persisted change feed (catalog.table_changes
+    — Delta's ``table_changes('<t>', v_after[, v_to])`` as a
+    registered view; VERDICT r14 #5, completing the SQL family
+    version_as_of started): orders load as v1, a correction+insert
+    batch makes v2, a predicate delete makes v3, and the graded result
+    is computed ENTIRELY in spark.sql over the registered view — the
+    per-(change_type, commit, status) rollup of the feed in (1,
+    latest], post-image semantics. Grading the feed THROUGH SQL
+    catches a view bound to the wrong span, preimage rows leaking into
+    the default semantics, or value drift through the SQL path; the
+    view's plan reads ONLY `_cdf/` feed files (file-set pinned in
+    pytest), and governed errors (FULL marker in span, missing feed)
+    surface through this path with the DataFrame form's exact
+    messages. 100 TB bound: registration is the committed-chain walk's
+    metadata; the scan is O(changed rows), never the table."""
+    from nomba_data_pipeline_spark.catalog import table_changes
+    from nomba_data_pipeline_spark.operators.versioned import VersionedTable
+
+    def _write(root: str) -> None:
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        t = VersionedTable(spark, root + "/tbl", write_cdf=True)
+        t.overwrite(base, cluster_by=["o_orderkey"], target_files=4)  # v1
+        delta = base.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", F.lit("U").alias("status"),
+            (F.col("price") + 1000).alias("price"),
+        ).unionByName(
+            base.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000).cast("bigint"))
+                .alias("o_orderkey"),
+                F.lit("I").alias("status"),
+                F.lit(42.0).alias("price"),
+            )
+        )
+        t.merge_upsert(delta, ["o_orderkey"])       # v2
+        t.delete_where("status = 'I'")              # v3: old images 'I'
+
+    root = _stage_dir("sql_table_changes", sf_dir, _write)
+    vname = table_changes(spark, root + "/tbl", 1, name="tbl_changes_sql")
+    return spark.sql(f"""
+        SELECT change_type, _commit_version AS commit_version, status,
+               count(*) AS cnt,
+               CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE)
+                   AS sum_price
+        FROM {vname}
+        GROUP BY change_type, _commit_version, status
+    """)
+
+
+SQL_SQL_TABLE_CHANGES_ROUNDTRIP = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
+    FROM orders
+), changes AS (
+    SELECT 'update' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+           'U' AS status, price + 1000 AS price
+    FROM base WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT 'insert', CAST(2 AS BIGINT), 'I', CAST(42 AS DOUBLE)
+    FROM base WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT 'delete', CAST(3 AS BIGINT), 'I', CAST(42 AS DOUBLE)
+    FROM base WHERE o_orderkey % 11 = 0
+)
+SELECT change_type, commit_version, status, count(*) AS cnt,
+       CAST(round(sum(CAST(price AS DECIMAL(38,4))), 2) AS DOUBLE)
+           AS sum_price
+FROM changes GROUP BY 1, 2, 3
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "stg_users_projection": QuerySpec(q_stg_users, SQL_STG_USERS, "P1"),
     "stg_plans_tz": QuerySpec(q_stg_plans, SQL_STG_PLANS, "P2,F2"),
@@ -10668,6 +10994,21 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_SQL_TIME_TRAVEL_ROUNDTRIP,
         "ext:sql-time-travel",
     ),
+    "versioned_clone_roundtrip": QuerySpec(
+        q_versioned_clone_roundtrip,
+        SQL_VERSIONED_CLONE_ROUNDTRIP,
+        "ext:shallow-clone",
+    ),
+    "agg_changes_stream_roundtrip": QuerySpec(
+        q_agg_changes_stream_roundtrip,
+        SQL_AGG_CHANGES_STREAM_ROUNDTRIP,
+        "ext:ivm-changes-streaming",
+    ),
+    "sql_table_changes_roundtrip": QuerySpec(
+        q_sql_table_changes_roundtrip,
+        SQL_SQL_TABLE_CHANGES_ROUNDTRIP,
+        "ext:sql-table-changes",
+    ),
 }
 
 
@@ -10939,8 +11280,10 @@ REGISTRY: dict[str, QuerySpec] = {
 #     the current view);
 # (b) 47 rows of the round-10-stale cohort in REGISTRY order, from
 #     winnow_fingerprints onward (the 3 new rows displaced the last 1:
-#     r10's remaining cohort is 48 rows, so semantic_dedup_labels
-#     rotates in at round 15).
+#     r10's remaining cohort is 48 rows, so schema_evolution_roundtrip
+#     — the one row whose newest evidence stays r10 — rotates in at
+#     round 15; it remains covered at HEAD by the all-rows DuckDB
+#     mirror meanwhile).
 # After this round grades green, no row's newest driver evidence is
 # older than round 10 (and only one r10 row remains to refresh).
 # ROUND-15 ROTATION GUIDANCE: (a) any rows added in round 15; (b) the
@@ -10950,58 +11293,89 @@ REGISTRY: dict[str, QuerySpec] = {
 # re-derives per-row latest-green from the union of
 # CORRECTNESS_r*.json (two-digit rounds!) and prints the window; paste
 # it verbatim, don't hand-pick.
+#
+# ROUND-15 WINDOW (rotated at the start of round 15; the delivered
+# CORRECTNESS_r14.json was verified on disk first — all 50 rows of the
+# round-14 window graded green: 49 full oracle matches + the by-design
+# no-oracle cosine_topk_ivf rows-only check, whose deterministic twin
+# cosine_topk_ivf_roundtrip full-matched in the same window).
+# rotate_window.py's proposal was pasted VERBATIM; re-derived histogram
+# r10:1 / r11:50 / r12:50 / r13:50 / r14:50, so this window is:
+# (a) the 3 never-graded rows added in round 15:
+#     versioned_clone_roundtrip (SHALLOW CLONE: absolute-entry
+#     manifest referencing the source's files, zero bytes copied —
+#     both sides diverge CoW-locally, source bytes asserted untouched
+#     in-row), agg_changes_stream_roundtrip (run_agg_changes_stream:
+#     the delete/update-capable IncrementalAggTable.apply_changes
+#     wired into the versioned_cdf streaming lifecycle, group-moving
+#     updates via preimage feeds, commit-version marker ledger,
+#     fresh-checkpoint replay asserted a no-op in-row), and
+#     sql_table_changes_roundtrip (catalog.table_changes — Delta's
+#     table_changes() as a registered view; graded result computed
+#     entirely in spark.sql over the feed span);
+# (b) the 1 remaining round-10 row: schema_evolution_roundtrip;
+# (c) the first 46 of the 50 rows whose newest driver-green is round
+#     11, in cohort order (stg_users_projection ... type_evolution_
+#     roundtrip); the remaining 4 r11 rows rotate in at round 16.
+# After this round grades green, no row's newest driver evidence is
+# older than round 11.
+# ROUND-16 ROTATION GUIDANCE: (a) any rows added in round 16; (b) the
+# 4 remaining r11 rows; (c) leftover slots on the oldest r12
+# evidence.  Run tools/rotate_window.py — it re-derives per-row
+# latest-green from the union of CORRECTNESS_r*.json (two-digit
+# rounds!) and prints the window; paste it verbatim, don't hand-pick.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    "versioned_optimize_roundtrip",
-    "agg_changes_ivm",
-    "sql_time_travel_roundtrip",
-    "winnow_fingerprints",
-    "media_features",
-    "media_frame_sample",
-    "skew_salted_agg",
-    "corpus_prep",
-    "user_zscores",
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
-    "embedding_near_dup_lsh",
-    "label_centroids",
-    "flagship_sql_api",
-    "priority_order_check",
-    "status_pivot",
-    "forecast_revenue",
-    "disjunctive_revenue",
-    "top_value_nations",
-    "supplier_part_volume",
-    "parts_above_avg",
-    "revenue_rollup",
-    "percentiles_by_flag",
-    "id_synthesis",
-    "bucketed_join_agg",
-    "running_revenue",
-    "streaming_minute_rollup",
-    "token_freq",
-    "revenue_cube",
-    "streaming_user_totals",
-    "approx_percentiles_by_flag",
-    "trailing_revenue_7d",
-    "streaming_dedup",
-    "pii_redact",
-    "doc_repetition",
-    "contamination_ngrams",
-    "domain_mix_sample",
-    "sequence_packing",
-    "revenue_grouping_sets",
-    "streaming_sessionize",
-    "approx_distinct_users",
-    "sentence_split_udtf",
-    "delete_insert_roundtrip",
-    "full_load_roundtrip",
-    "compact_roundtrip",
-    "zorder_roundtrip",
-    "cdf_replication_roundtrip",
-    "cosine_topk_ivf_roundtrip",
-    "join_view_dim_update",
-    "erasure_roundtrip",
+    "versioned_clone_roundtrip",
+    "agg_changes_stream_roundtrip",
+    "sql_table_changes_roundtrip",
+    "schema_evolution_roundtrip",
+    "stg_users_projection",
+    "stg_plans_tz",
+    "fact_enriched",
+    "flagship_revenue_by_region",
+    "hwm_per_type",
+    "incremental_filter",
+    "keep_latest_per_key",
+    "duplicate_groups",
+    "json_flatten",
+    "top_users_by_revenue",
+    "pricing_summary",
+    "scd2_intervals",
+    "minute_rollup",
+    "exact_dedup_groups",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup",
+    "cosine_topk",
+    "sketch_rollup_distinct",
+    "theta_user_overlap",
+    "kll_quantile_rollup",
+    "neardup_clusters",
+    "zorder_keys",
+    "train_split_assign",
+    "tfidf_top_terms",
+    "cohort_retention",
+    "returnflag_corr",
+    "embedding_norms",
+    "streaming_enriched",
+    "event_funnel",
+    "minute_gap_fill",
+    "heavy_hitter_tokens",
+    "doc_chunking",
+    "fuzzy_name_blocked",
+    "hopping_window_counts",
+    "embedding_quantize",
+    "price_mad_by_flag",
+    "top_parts_per_brand",
+    "incremental_agg_maintenance",
+    "semantic_dedup_labels",
+    "winsorized_stats",
+    "stratified_sample_k",
+    "streaming_incremental_agg",
+    "dedup_incremental_verified",
+    "status_unpivot",
+    "type_evolution_roundtrip",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -95,6 +95,12 @@ class ModelSpec:
     # groups, which plain incremental aggregation cannot express.
     # read_model() returns the finalized rollup (merge of the
     # partials, <= buckets x groups rows).
+    # materialization="incremental_agg": the PLAIN delete-capable
+    # maintained aggregate (operators/incremental_agg) over a
+    # versioned fact's change feed — no join layer; `view_fact` names
+    # the versioned_incremental fact model, these agg_* fields define
+    # the state, the marker ledger is the commit cursor
+    # (_run_incremental_agg).
     agg_group_keys: list[str] = field(default_factory=list)
     agg_measures: list[str] = field(default_factory=list)
     # approx-distinct rollup columns (HLL sketch partials; see
@@ -125,7 +131,8 @@ class PipelineRunner:
         self.last_timings: dict[str, float] = {}
 
     def register(self, spec: ModelSpec) -> None:
-        if spec.materialization in ("join_view", "agg_view"):
+        if spec.materialization in ("join_view", "agg_view",
+                                    "incremental_agg"):
             for side in (spec.view_fact, spec.view_dim):
                 if side and side not in spec.depends_on:
                     spec.depends_on.append(side)
@@ -195,6 +202,8 @@ class PipelineRunner:
             return self._run_agg_view(spec)
         if spec.materialization == "versioned_incremental":
             return self._run_versioned(spec)
+        if spec.materialization == "incremental_agg":
+            return self._run_incremental_agg(spec)
         df = spec.fn(self.spark, self.sf_dir)
 
         if spec.materialization == "incremental" and target.exists() and spec.tracking_column:
@@ -610,6 +619,101 @@ class PipelineRunner:
         out = self.read_model(spec.name)
         return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
 
+    def _run_incremental_agg(self, spec: ModelSpec) -> int:
+        """Materialize/maintain a `materialization="incremental_agg"`
+        mart — the PLAIN delete-capable maintained aggregate
+        (operators/incremental_agg.IncrementalAggTable) as a runner
+        materialization (VERDICT r14 #4): a GROUP BY over a VERSIONED
+        fact kept fresh from the fact's change feed, deletes and
+        group-moving updates included, without the join layer an
+        agg_view carries.
+
+        `fn` is unused (pass None): the fact is another registered
+        model with materialization="versioned_incremental" named by
+        `view_fact`; `agg_group_keys`/`agg_measures` (and optional
+        `agg_distinct_cols`) define the state. The CURSOR is the
+        marker ledger itself — applied commit versions ARE the batch
+        ids, so no sidecar state can drift from what was actually
+        folded, and a crash anywhere replays idempotently.
+
+        Per run: commits in (ledger hwm, fact latest] apply per
+        `_commit_version` ASCENDING through apply_changes with
+        include_preimages feeds (group-moving updates retract their
+        OLD group) and source = the fact read AS OF that commit —
+        insert-only commits fold at group cardinality, retraction
+        commits pay one broadcast semi-join of the affected groups'
+        rows, never a history rescan. First run, a feed gap, or a
+        wholesale-content commit in the span (`_CDF_FULL`:
+        overwrite / rollback / purge) re-syncs via rebuild(): ONE
+        aggregation of the current fact — the cost the overwrite
+        already implies."""
+        from nomba_data_pipeline_spark.operators.incremental_agg import (
+            IncrementalAggTable,
+        )
+
+        required = {
+            "view_fact": spec.view_fact,
+            "agg_group_keys": spec.agg_group_keys,
+            "agg_measures": spec.agg_measures,
+        }
+        missing = [k for k, v in required.items() if not v]
+        if missing:
+            raise ValueError(
+                f"model {spec.name}: incremental_agg requires {missing}"
+            )
+        vt = self._fact_versioned_table(spec)
+        if vt is None:
+            raise ValueError(
+                f"model {spec.name}: incremental_agg requires view_fact "
+                f"{spec.view_fact!r} to be a versioned_incremental model "
+                "(the change feed is the maintenance source)"
+            )
+        latest = vt.latest_version()
+        if latest is None:
+            raise ValueError(
+                f"model {spec.name}: fact {spec.view_fact!r} has no "
+                "committed versions yet — run the fact model first"
+            )
+        agg = IncrementalAggTable(
+            self.spark, os.path.join(self.warehouse_dir, spec.name),
+            keys=spec.agg_group_keys, measure=spec.agg_measures,
+            distinct=spec.agg_distinct_cols or None,
+        )
+        hwm, _ = agg._applied_state()
+        if not agg._table.exists():
+            agg.rebuild(vt.read(), latest)
+        elif latest > hwm:
+            versions = None
+            try:
+                ch = vt.changes_between(hwm, latest,
+                                        include_preimages=True)
+                versions = sorted(
+                    r["_commit_version"]
+                    for r in ch.select("_commit_version")
+                    .distinct().collect()
+                )
+            except ValueError:
+                # a _CDF_FULL marker / reclaimed feed in the span:
+                # re-sync from the current snapshot (the same refusal
+                # + re-sync every versioned_cdf consumer performs)
+                agg.rebuild(vt.read(), latest)
+            if versions is not None:
+                for v in versions:
+                    try:
+                        src = vt.read(version=v)
+                    except ValueError:
+                        # that commit's files left retention mid-replay
+                        agg.rebuild(vt.read(), latest)
+                        break
+                    agg.apply_changes(
+                        ch.filter(F.col("_commit_version") == v)
+                        .drop("_commit_version"),
+                        batch_id=v, source=src,
+                    )
+        out = self.read_model(spec.name)
+        return spec.quality.assert_ok(out, model=spec.name,
+                                      resolve=self.read_model)
+
     def _fact_versioned_table(self, spec: ModelSpec):
         """The VersionedTable behind the mart's fact side, or None when
         the fact model is a plain (HWM-tracked) materialization. A
@@ -789,6 +893,17 @@ class PipelineRunner:
             return VersionedTable(
                 self.spark, os.path.join(self.warehouse_dir, name)
             ).read()
+        if spec is not None and spec.materialization == "incremental_agg":
+            # the finalized presentation rows from the stored partials
+            from nomba_data_pipeline_spark.operators.incremental_agg import (
+                IncrementalAggTable,
+            )
+
+            return IncrementalAggTable(
+                self.spark, os.path.join(self.warehouse_dir, name),
+                keys=spec.agg_group_keys, measure=spec.agg_measures,
+                distinct=spec.agg_distinct_cols or None,
+            ).result()
         if spec is not None and spec.materialization == "scd2" and spec.scd2_split:
             open_t = self.table(name + "__open")
             closed_t = self.table(name + "__closed")

@@ -62,6 +62,16 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # ONE BLAS thread per Python worker: an executor runs one
+        # worker per core, so a multithreaded BLAS inside each worker
+        # oversubscribes cores^2-fold and THRASHES — measured 3.7x
+        # slower on 32 concurrent 1024^2 GEMMs (r15 A/B on this box;
+        # the neardup/ANN Arrow kernels are exactly this shape).
+        # Executor-side only: driver-side numpy (single caller) keeps
+        # the full-machine BLAS.
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -106,6 +106,17 @@ def _latest_version(root: str) -> int | None:
             continue
         if best is None or v > best:
             best = v
+    # a backup holds the PRE-swap version: if `_latest` reappeared
+    # while we were listing (the writer's swap completed), prefer it —
+    # an initialOffset pinned to the backup would start one commit
+    # early and replay the commit that just landed (double-apply for a
+    # consumer that also snapshotted at the new version)
+    if os.path.isdir(p):
+        try:
+            cur = int(_read_json_parquet(p)["version"])
+            return cur if best is None else max(cur, best)
+        except Exception:
+            pass
     return best
 
 
@@ -149,6 +160,15 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
             raise ValueError("versioned_cdf requires the path option")
         sv = options.get("starting_version")
         self._starting = None if sv is None else int(sv)
+        # include_preimages=true additionally yields the stored
+        # 'update_preimage' rows (an update's OLD image) — what a
+        # delete/update-capable aggregate maintainer needs to locate
+        # the OLD group of a group-moving update (the same flag as
+        # VersionedTable.changes_between(include_preimages=True));
+        # default consumers see post-semantics only
+        self._preimages = str(
+            options.get("include_preimages", "")
+        ).lower() in ("true", "1")
 
     def _cdf_dir(self, v: int) -> str:
         return os.path.join(self.root, "_cdf", f"v{v:08d}")
@@ -247,8 +267,10 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         for rec in tbl.to_pylist():
             # 'update_preimage' rows (r14+ feeds) exist for exact span
             # folding in diff_versions — stream consumers apply
-            # post-semantics only, same default as changes_between
-            if rec.get("change_type") == "update_preimage":
+            # post-semantics only, same default as changes_between;
+            # include_preimages=true opts in (group-moving updates)
+            if (rec.get("change_type") == "update_preimage"
+                    and not self._preimages):
                 continue
             yield tuple(
                 version if name == "_commit_version"

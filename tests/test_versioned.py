@@ -2022,3 +2022,462 @@ def test_row_count_answers_from_manifest_metadata(spark, tmp_path):
     t._write_json(md, man_cur)
     spark.catalog.refreshByPath(md)
     assert t.row_count() == 4_001
+
+
+# -- r15: shallow clone ------------------------------------------------------
+def test_shallow_clone_zero_copy_and_cow_local_divergence(spark, tmp_path):
+    """VERDICT r14 #1: clone() writes ONE manifest whose entries
+    reference the SOURCE's files absolutely — zero data copied — and
+    divergence on either side is CoW-local: neither side sees the
+    other's writes, and the source's bytes never change."""
+    src = _mk(spark, tmp_path, n=2_000, files=4)
+    src_bytes = {
+        f["path"]: os.path.getsize(os.path.join(src.path, f["path"]))
+        for f in src._manifest(1)["files"]
+    }
+    dev = src.clone(os.path.join(str(tmp_path), "dev"))
+    # zero copy: no data file under the clone's own generation root
+    assert not any(
+        fnames for _, _, fnames in os.walk(os.path.join(dev.path, "_gen"))
+    )
+    man1 = dev._manifest(1)
+    assert man1["op"] == "clone"
+    assert man1["cloned_from"] == src.path and man1["cloned_version"] == 1
+    assert all(f["path"].startswith(src.path + "/") for f in man1["files"])
+    assert _rows(dev.read()) == _rows(src.read())
+    # clone diverges: update k=10 — rewrites ONLY the touched reference
+    dev.merge_upsert(
+        spark.createDataFrame([(10, -1, 0)], "k long, v long, grp int")
+        .coalesce(1),
+        ["k"],
+    )
+    man2 = dev._manifest(2)
+    local = [f for f in man2["files"] if f["path"].startswith("_gen/")]
+    carried = [f for f in man2["files"]
+               if f["path"].startswith(src.path + "/")]
+    assert len(local) >= 1 and len(carried) == 3
+    # source diverges: insert k=9999
+    src.merge_upsert(
+        spark.createDataFrame([(9_999, -2, 0)], "k long, v long, grp int")
+        .coalesce(1),
+        ["k"],
+    )
+    # isolation both ways
+    dev_rows = {r["k"]: r["v"] for r in dev.read().collect()}
+    src_rows = {r["k"]: r["v"] for r in src.read().collect()}
+    assert dev_rows[10] == -1 and 9_999 not in dev_rows
+    assert src_rows[10] == 20 and src_rows[9_999] == -2
+    # every original source byte untouched by both divergences
+    for rel, b in src_bytes.items():
+        assert os.path.getsize(os.path.join(src.path, rel)) == b
+
+
+def test_clone_refuses_existing_dest_and_clones_old_versions(spark, tmp_path):
+    src = _mk(spark, tmp_path, n=500, files=2)
+    src.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int")
+        .coalesce(1),
+        ["k"],
+    )
+    dev = src.clone(os.path.join(str(tmp_path), "dev"), version=1)
+    # AS OF semantics: the clone sees v1, not the later upsert
+    assert {r["k"]: r["v"] for r in dev.read().collect()}[1] == 2
+    with pytest.raises(ValueError, match="already exists"):
+        src.clone(os.path.join(str(tmp_path), "dev"))
+
+
+def test_source_vacuum_refuses_with_live_clone_then_breaks_loudly(
+    spark, tmp_path
+):
+    """The vacuum-hazard contract: a source vacuum whose retained chain
+    drops a clone-pinned version REFUSES naming the clone; with
+    ignore_clones=True it proceeds, and the clone's reads then refuse
+    loudly at the presence check instead of dying mid-scan."""
+    src = _mk(spark, tmp_path, n=2_000, files=4)
+    dev = src.clone(os.path.join(str(tmp_path), "dev"))
+    # advance the source twice so v1 (the pinned version) ages out
+    for kv in ((1, -1), (2, -2)):
+        src.merge_upsert(
+            spark.createDataFrame([(kv[0], kv[1], 0)],
+                                  "k long, v long, grp int").coalesce(1),
+            ["k"],
+        )
+    with pytest.raises(ValueError, match="clones pin"):
+        src.vacuum(retain_last=1)
+    # clone still reads fine — nothing was deleted by the refusal
+    assert dev.read().count() == 2_000
+    res = src.vacuum(retain_last=1, ignore_clones=True)
+    assert res["dropped_files"] > 0
+    with pytest.raises(ValueError, match="reclaimed by vacuum"):
+        dev.read().count()
+
+
+def test_vacuum_prunes_stale_clone_registry_entries(spark, tmp_path):
+    import shutil
+
+    src = _mk(spark, tmp_path, n=500, files=2)
+    dev = src.clone(os.path.join(str(tmp_path), "dev"))
+    shutil.rmtree(dev.path)  # the clone was dropped wholesale
+    src.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int")
+        .coalesce(1),
+        ["k"],
+    )
+    src.vacuum(retain_last=1)  # no refusal: the registry entry is stale
+    assert src._clone_registry() == []
+
+
+def test_purge_refuses_while_clone_references_subject(spark, tmp_path):
+    """An erasure is incomplete while a shallow clone still references
+    the subject's files — purge's vacuum leg must refuse loudly."""
+    src = _mk(spark, tmp_path, n=500, files=2)
+    src.clone(os.path.join(str(tmp_path), "dev"))
+    with pytest.raises(ValueError, match="shallow clones"):
+        src.purge_where("k = 7")
+    # nothing was deleted by the refusal — no partial purge state
+    assert src.latest_version() == 1 and src.read().count() == 500
+
+
+# -- r15: zorder for the incremental optimize --------------------------------
+def test_optimize_zorder_narrows_merged_stats_and_carries_large(
+    spark, tmp_path
+):
+    """VERDICT r14 #6: optimize_small_files(zorder_by=) lays the MERGED
+    generation out along the Morton interleave — manifest stats on the
+    merge output stay narrow on BOTH dimensions — while every large
+    file is still carried byte-identically."""
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"))
+    big = spark.range(40_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") * 7919) % 200).alias("b"),
+    )
+    t.overwrite(big, target_files=1)
+    big_entry = t._manifest(1)["files"][0]
+    big_size = big_entry["bytes"]
+    for i in range(12):
+        lo = 40_000 + i * 400
+        t.merge_upsert(
+            spark.range(lo, lo + 400).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 200).alias("a"),
+                ((F.col("id") * 7919) % 200).alias("b"),
+            ).coalesce(1),
+            ["k"],
+        )
+    man_before = t._manifest(t.latest_version())
+    assert len(man_before["files"]) == 13
+    v = t.optimize_small_files(
+        target_bytes=big_size, zorder_by=["a", "b"], target_files=8
+    )
+    assert v is not None
+    man = t._manifest(v)
+    assert man["op"] == "optimize"
+    # the big file carried by identity, bytes untouched on disk
+    assert any(f["path"] == big_entry["path"] for f in man["files"])
+    assert os.path.getsize(
+        os.path.join(t.path, big_entry["path"])
+    ) == big_size
+    merged = [f for f in man["files"] if f["path"] != big_entry["path"]]
+    assert 1 < len(merged) <= 8
+
+    def widths(entries, col):
+        ws = []
+        for f in entries:
+            st = (f.get("stats") or {}).get(col)
+            if st:
+                ws.append(float(st[1]) - float(st[0]))
+        return sum(ws) / len(ws)
+
+    # both dimensions narrow on the merged output (a coalesce merge
+    # would leave each near the full 0..199 span)
+    assert widths(merged, "a") < 200 * 0.65
+    assert widths(merged, "b") < 200 * 0.65
+    # content preserved
+    assert t.read().count() == 40_000 + 12 * 400
+    with pytest.raises(ValueError, match="not both"):
+        t.optimize_small_files(cluster_by=["a"], zorder_by=["a", "b"])
+
+
+# -- r15: rebase across an intervening optimize ------------------------------
+def test_rebase_lands_across_concurrent_optimize(spark, tmp_path):
+    """VERDICT r14 #7: an optimize is content-preserving with a
+    computable file mapping — a writer whose touched files were NOT
+    merged rebases across it instead of refusing."""
+    t_a = _mk(spark, tmp_path, n=50_000, files=8)
+    t_b = VersionedTable(spark, t_a.path)
+    # two small delta files (keys far above the base range)
+    for i, k in enumerate((60_001, 60_002)):
+        t_a.merge_upsert(
+            spark.createDataFrame([(k, -k, 0)], "k long, v long, grp int")
+            .coalesce(1),
+            ["k"],
+        )
+    sizes = {
+        f["path"]: f["bytes"]
+        for f in t_a._manifest(t_a.latest_version())["files"]
+    }
+    small_thresh = sorted(sizes.values())[2] // 2  # between small and base
+
+    wrapper, real = _interleave_once(
+        t_b, lambda: t_a.optimize_small_files(target_bytes=small_thresh)
+    )
+    VersionedTable._write_gen = wrapper
+    try:
+        vb = t_b.merge_upsert(
+            spark.createDataFrame([(5, -50, 0)], "k long, v long, grp int")
+            .coalesce(1),
+            ["k"],
+        )
+    finally:
+        VersionedTable._write_gen = real
+    man = t_b._manifest(vb)
+    assert man["rebased_commits"] == 1
+    got = {r["k"]: r["v"] for r in t_b.read().filter(
+        "k in (5, 60001, 60002)"
+    ).collect()}
+    assert got == {5: -50, 60_001: -60_001, 60_002: -60_002}
+    assert t_b.read().count() == 50_002
+    # the optimize's merged generation survived the rebase
+    opt_added = {
+        f["path"] for f in t_a._manifest(vb - 1)["files"]
+    } - {f["path"] for f in t_a._manifest(vb - 2)["files"]}
+    assert opt_added and opt_added <= {f["path"] for f in man["files"]}
+
+
+def test_rebase_refuses_when_rewritten_file_got_merged(spark, tmp_path):
+    """A writer whose touched file was swallowed by the concurrent
+    optimize must still refuse — its rows moved into the merged
+    generation and file identity is genuinely gone."""
+    from nomba_data_pipeline_spark.operators.versioned import (
+        ConcurrentWriteError,
+    )
+
+    t_a = _mk(spark, tmp_path, n=50_000, files=8)
+    t_b = VersionedTable(spark, t_a.path)
+    for k in (60_001, 60_002):
+        t_a.merge_upsert(
+            spark.createDataFrame([(k, -k, 0)], "k long, v long, grp int")
+            .coalesce(1),
+            ["k"],
+        )
+    sizes = {
+        f["path"]: f["bytes"]
+        for f in t_a._manifest(t_a.latest_version())["files"]
+    }
+    small_thresh = sorted(sizes.values())[2] // 2
+
+    wrapper, real = _interleave_once(
+        t_b, lambda: t_a.optimize_small_files(target_bytes=small_thresh)
+    )
+    VersionedTable._write_gen = wrapper
+    try:
+        with pytest.raises(ConcurrentWriteError, match="optimize merged"):
+            # k=60001 lives in a SMALL file the optimize merges
+            t_b.merge_upsert(
+                spark.createDataFrame(
+                    [(60_001, 7, 0)], "k long, v long, grp int"
+                ).coalesce(1),
+                ["k"],
+            )
+    finally:
+        VersionedTable._write_gen = real
+
+
+# -- r15: create-exclusive manifest publication (commit CAS) -----------------
+def test_manifest_publication_is_create_exclusive(spark, tmp_path):
+    """Two wall-clock-concurrent writers race to the same version
+    number; the manifest rename is the CAS — the loser must get a loud
+    ConcurrentWriteError, never clobber the winner's manifest."""
+    from nomba_data_pipeline_spark.operators.versioned import (
+        ConcurrentWriteError,
+    )
+
+    t = _mk(spark, tmp_path, n=200, files=2)
+    man1 = t._manifest(1)
+    with pytest.raises(ConcurrentWriteError, match="already exists"):
+        t._publish_manifest(1, dict(man1, op="evil"))
+    # the winner's manifest is untouched and no tmp residue remains
+    assert t._manifest(1)["op"] == "overwrite"
+    mdir = os.path.join(t.path, "_manifests")
+    assert not [n for n in os.listdir(mdir) if n.startswith(".tmp-")]
+
+
+# -- r15: time-based retention ----------------------------------------------
+def _age_manifest(t, version, seconds):
+    man = t._manifest(version)
+    man["ts"] = man["ts"] - seconds
+    t._write_json(t._manifest_dir(version), man)
+    t.spark.catalog.refreshByPath(t._manifest_dir(version))
+
+
+def test_vacuum_retain_hours_ages_out_versions_and_feeds_together(
+    spark, tmp_path
+):
+    """Stretch (VERDICT r14 #9 ask): time-based retention coordinates
+    manifest, generation, and feed reclamation on commit timestamps —
+    expired versions leave disk together; in-retention time travel and
+    the change feed stay untouched; refusals name the vacuum."""
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    t.overwrite(_base(spark, 400), cluster_by=["k"], target_files=2)
+    for kv in ((1, -1), (2, -2), (3, -3)):
+        t.merge_upsert(
+            spark.createDataFrame([(kv[0], kv[1], 0)],
+                                  "k long, v long, grp int").coalesce(1),
+            ["k"],
+        )
+    # v1, v2 committed "two days ago"; v3, v4 recent
+    _age_manifest(t, 1, 2 * 86_400)
+    _age_manifest(t, 2, 2 * 86_400)
+    res = t.vacuum(retain_last=1, retain_hours=24)
+    assert sorted(res["retained_versions"]) == [3, 4]
+    # expired: manifests AND feeds gone together
+    for v in (1, 2):
+        assert not os.path.isdir(os.path.join(t.path, "_manifests",
+                                              f"v{v:08d}"))
+        assert not os.path.isdir(os.path.join(t.path, "_cdf", f"v{v:08d}"))
+    # in-retention: time travel and the feed still work
+    assert t.read(version=3).count() == 400
+    assert t.changes_between(3).count() >= 1
+    with pytest.raises(ValueError, match="vacuum"):
+        t.read(version=2).count()
+    with pytest.raises(ValueError, match="retain_hours"):
+        t.vacuum(retain_hours=-1)
+
+
+# -- r15: the change feed through SQL (table_changes) ------------------------
+def test_table_changes_sql_view_reads_only_feed_files(spark, tmp_path):
+    from nomba_data_pipeline_spark.catalog import table_changes
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    t.overwrite(_base(spark, 400), cluster_by=["k"], target_files=2)
+    t.merge_upsert(
+        spark.createDataFrame([(1, -1, 0), (999, -9, 0)],
+                              "k long, v long, grp int").coalesce(1),
+        ["k"],
+    )
+    t.delete_where("k = 2")
+    vname = table_changes(spark, t.path, 1, name="tc_feed")
+    df = spark.table(vname)
+    # the plan touches ONLY feed files — never the table's data
+    files = df.inputFiles()
+    assert files and all("/_cdf/" in f for f in files)
+    got = {
+        (r["change_type"], r["_commit_version"], r["k"])
+        for r in spark.sql(
+            "SELECT change_type, _commit_version, k FROM tc_feed"
+        ).collect()
+    }
+    assert got == {
+        ("update", 2, 1), ("insert", 2, 999), ("delete", 3, 2),
+    }
+    # DataFrame/SQL parity on the same span
+    want = {
+        (r["change_type"], r["_commit_version"], r["k"])
+        for r in t.changes_between(1).select(
+            "change_type", "_commit_version", "k"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_table_changes_sql_surfaces_governed_errors(spark, tmp_path):
+    from nomba_data_pipeline_spark.catalog import table_changes
+
+    t = VersionedTable(spark, os.path.join(str(tmp_path), "tbl"),
+                       write_cdf=True)
+    t.overwrite(_base(spark, 100), target_files=1)
+    # span crossing the wholesale-content v1: the same refusal the
+    # DataFrame form gives
+    with pytest.raises(ValueError, match="replaced table content"):
+        table_changes(spark, t.path, 0)
+    # a table never written with a feed
+    t2 = _mk(spark, tmp_path.joinpath("nofeed"), n=100, files=1)
+    t2.merge_upsert(
+        spark.createDataFrame([(1, -1, 0)], "k long, v long, grp int")
+        .coalesce(1),
+        ["k"],
+    )
+    with pytest.raises(ValueError, match="no change feed"):
+        table_changes(spark, t2.path, 1)
+
+
+# -- r15: the plain maintained aggregate in the runner lifecycle -------------
+def test_runner_incremental_agg_materialization(spark, tmp_path):
+    """VERDICT r14 #4: materialization='incremental_agg' keeps a plain
+    delete-capable maintained aggregate fresh from a versioned fact's
+    change feed — commit-version cursor IS the marker ledger; a
+    wholesale-content commit re-syncs via rebuild."""
+    import os as _os
+
+    from nomba_data_pipeline_spark.plans.runner import (
+        ModelSpec,
+        PipelineRunner,
+    )
+
+    src = _os.path.join(str(tmp_path), "src")
+    wh = _os.path.join(str(tmp_path), "wh")
+    _os.makedirs(src)
+    base = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit(1).alias("ver"),
+    )
+    base.write.parquet(src + "/fact")
+
+    def mk():
+        r = PipelineRunner(spark, wh, src)
+        r.register(ModelSpec(
+            name="fact", fn=lambda s, d: s.read.parquet(d + "/fact"),
+            materialization="versioned_incremental",
+            upsert_key=["k"], tracking_column="ver",
+            versioned_write_cdf=True,
+        ))
+        r.register(ModelSpec(
+            name="agg", fn=None, materialization="incremental_agg",
+            view_fact="fact", agg_group_keys=["g"], agg_measures=["v"],
+        ))
+        return r
+
+    def expect(runner):
+        vt = VersionedTable(spark, wh + "/fact")
+        want = {
+            (r["g"], r["cnt"])
+            for r in vt.read().groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        got = {
+            (r["g"], r["cnt"])
+            for r in runner.read_model("agg").select("g", "cnt").collect()
+        }
+        assert got == want
+
+    r1 = mk()
+    r1.run()
+    expect(r1)
+    vt = VersionedTable(spark, wh + "/fact")
+    # a delete lands on the fact outside the runner (erasure batch)
+    vt.delete_keys(
+        spark.createDataFrame([(7,), (12,)], "k long"), ["k"]
+    )
+    # and a group-moving update through a direct upsert
+    vt.merge_upsert(
+        spark.createDataFrame([(20, "zz", -5.0, 1)],
+                              "k long, g string, v double, ver int")
+        .coalesce(1),
+        ["k"],
+    )
+    r2 = mk()
+    r2.run_model("agg")
+    expect(r2)
+    # replay: nothing new — the ledger makes the rerun a no-op
+    r2.run_model("agg")
+    expect(r2)
+    # wholesale replacement (FULL marker): the maintainer re-syncs
+    vt.overwrite(base.filter("k < 100"))
+    r3 = mk()
+    r3.run_model("agg")
+    expect(r3)
