@@ -268,6 +268,34 @@ class ParquetTable:
         except Exception:  # any footer surprise → exact scan
             return self.high_water_mark(tracking_col)
 
+    def row_count_stats(self) -> int | None:
+        """Total row count from parquet FOOTER metadata — zero data scan,
+        zero Spark jobs on local layouts (same pyarrow footer walk as
+        high_water_mark_stats). Returns None when the table is absent;
+        falls back to a Spark count() on non-local schemes or any footer
+        surprise. Exact by construction: parquet footers record num_rows
+        per file."""
+        if not self.exists():
+            return None
+        local = self.path
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+        if "://" in local or not os.path.isdir(local):
+            return self.read().count()
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            files = sorted(
+                _glob.glob(os.path.join(local, "**", "*.parquet"), recursive=True)
+            )
+            if not files:
+                return self.read().count()
+            return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+        except Exception:  # any footer surprise → exact count
+            return self.read().count()
+
     # -- write modes ---------------------------------------------------------
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """O9 full load (TRUNCATE + INSERT, base_loader.py:558-602).

@@ -143,13 +143,54 @@ class QualitySpec:
         total_rows) with EVERY check present (zero = clean). The one
         shared implementation behind assert_ok (pipeline gate) and the
         CLI `validate` verb — the check set and key format must never
-        drift between the two."""
-        results, total = self.profile(df)
-        if resolve is not None:
-            for col, (parent_name, parent_col) in self.relationships.items():
-                results[f"relationship:{col}->{parent_name}.{parent_col}"] = (
-                    relationship_violations(df, col, resolve(parent_name), parent_col)
-                )
+        drift between the two.
+
+        Relationships fold into the SAME single aggregation action as
+        the profile: each declared (child, parent) pair becomes one
+        left join against the parent's deduplicated keys (at most one
+        match per child row, so the profile counts are unchanged) and
+        one `sum(child key present AND parent marker absent)` aggregate
+        riding the fused scan — a model with N relationship tests pays
+        one action, not 1 + N."""
+        if resolve is None or not self.relationships:
+            return self.profile(df)
+        joined = df
+        rel_aggs = []
+        rel_names = []
+        for i, (col, (parent_name, parent_col)) in enumerate(
+            self.relationships.items()
+        ):
+            rk, rm = f"__rk{i}", f"__rm{i}"
+            parent_keys = (
+                resolve(parent_name)
+                .select(F.col(parent_col).alias(rk))
+                .dropDuplicates()
+                .withColumn(rm, F.lit(1))
+            )
+            joined = joined.join(
+                parent_keys, on=F.col(col) == F.col(rk), how="left"
+            ).drop(rk)
+            rel_aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull() & F.col(rm).isNull(), 1
+                    ).otherwise(0)
+                ).alias(f"__rel{i}")
+            )
+            rel_names.append(f"relationship:{col}->{parent_name}.{parent_col}")
+        row = joined.agg(*self._build_aggs(), *rel_aggs).first()
+        total = row["__total"]
+        results: dict[str, int] = {}
+        for c in self.unique:
+            results[f"unique:{c}"] = row[f"__u_cnt:{c}"] - row[f"__u_dst:{c}"]
+        for c in self.not_null:
+            results[f"not_null:{c}"] = total - row[f"__nn:{c}"]
+        for c in self.accepted_values:
+            results[f"accepted_values:{c}"] = row[f"__av:{c}"] or 0
+        if self.min_rows > 0:
+            results["min_rows"] = max(0, self.min_rows - total)
+        for i, name in enumerate(rel_names):
+            results[name] = row[f"__rel{i}"] or 0
         return results, total
 
     def assert_ok(self, df: DataFrame, model: str = "", resolve=None) -> int:

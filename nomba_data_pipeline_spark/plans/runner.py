@@ -227,8 +227,18 @@ class PipelineRunner:
                 # steady-state short-circuit: an empty delta skips the
                 # whole merge (incl. the key-location scan over the
                 # target) — the delta plan itself is cheap because the
-                # hwm predicate pushes into the source scan
+                # hwm predicate pushes into the source scan. No write
+                # happened, so the table is byte-identical to the state
+                # the previous run's gate certified: re-running the
+                # battery would re-prove a verdict over unchanged bytes.
+                # The returned count comes from parquet footer metadata
+                # (row_count_stats — zero Spark jobs on local layouts),
+                # exact by construction. Out-of-band corruption checks
+                # remain the CLI `validate` verb's job, as before.
                 if df.limit(1).count() == 0:
+                    n = target.row_count_stats()
+                    if n is not None:
+                        return n
                     out = self.read_model(spec.name)
                     return spec.quality.assert_ok(out, model=spec.name, resolve=self.read_model)
 
@@ -993,16 +1003,36 @@ class PipelineRunner:
         # (only versions closing this run), so the footprint is bounded
         closed_now = closed_now.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            # one pass gives both the emptiness check and the batch
-            # identity ((key, valid_from) is unique within a batch, so
-            # the xor never self-cancels); constant aggregation state
-            stats = (
-                closed_now.select(
-                    F.xxhash64(F.col(key), F.col(S2.VALID_FROM)).alias("h")
-                )
-                .agg(F.expr("bit_xor(h)").alias("x"), F.count(F.lit(1)).alias("n"))
-                .first()
+            # one pass gives the emptiness check, the batch identity
+            # ((key, valid_from) is unique within a batch, so the xor
+            # never self-cancels) AND — riding the same action — the
+            # count of brand-new keys (batch keys with no open version).
+            # n == 0 and n_new == 0 means the open state is EXACTLY
+            # open_old (carried_open preserves every cur row untouched
+            # when nothing changed and nothing closed), so the open
+            # overwrite — a full rewrite of the open table plus a second
+            # evaluation of the change-detection join — can be skipped
+            # outright: the unchanged-source rerun becomes one small
+            # aggregation instead of a table rewrite.
+            stats_src = closed_now.select(
+                F.xxhash64(F.col(key), F.col(S2.VALID_FROM)).alias("h"),
+                F.lit(1).alias("c"),
             )
+            if open_old is not None:
+                new_keys = _semi_anti_null_safe(
+                    batch.select(key).dropDuplicates([key]),
+                    open_old.select(key),
+                    [key],
+                    "left_anti",
+                ).select(F.lit(0).cast("long").alias("h"), F.lit(0).alias("c"))
+                stats_src = stats_src.unionByName(new_keys)
+            stats = stats_src.agg(
+                F.expr("bit_xor(if(c = 1, h, 0L))").alias("x"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+                F.coalesce(F.sum(1 - F.col("c")), F.lit(0)).alias("n_new"),
+            ).first()
+            if open_old is not None and stats["n"] == 0 and stats["n_new"] == 0:
+                return
             # materialize closed rows BEFORE swapping the open table they
             # derive from (both plans read the old open files)
             bid = None
