@@ -35,9 +35,66 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# spreading pays only when the table is big enough that stage-1 compute
+# dominates the (tiny) extra shuffle; below this, single-task is fine
+# and dimension tables skip straight to their broadcast builds
+_SPREAD_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", 256 * 1024)
+)
+
+
+def _scan_splits(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(estimated scan split count, total bytes) for a parquet file or
+    directory, from file sizes alone — the same packing arithmetic the
+    reader uses (size / maxPartitionBytes, one split minimum per file),
+    with no DataFrame or RDD materialized."""
+    sizes = []
+    if os.path.isfile(path):
+        sizes = [os.path.getsize(path)]
+    elif os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            sizes.extend(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    else:
+        return (1 << 30, 0)  # non-local scheme: assume well-split
+    max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    splits = sum(max(1, -(-s // max_pb)) for s in sizes)
+    return (max(1, splits), sum(sizes))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               spread: bool = False) -> DataFrame:
     """Scan one testdata table. Pure `spark.read.parquet` — filters and
-    projections applied by callers are pushed into the scan by Catalyst."""
+    projections applied by callers are pushed into the scan by Catalyst
+    (both push through the spreading Repartition below).
+
+    spread=True is the unsplittable-input guard (optimization guide
+    §2.5 "one huge unsplittable file"): each sf testdata table ships
+    as ONE single-row-group parquet file, so the raw scan plans ONE
+    task and stage 1 of the query serializes on one core regardless
+    of cluster size. When the scan's split count comes out below the
+    session's default parallelism and the table is big enough for the
+    spread to pay (>= _SPREAD_MIN_BYTES), round-robin repartition to
+    defaultParallelism right after the read; the shuffle moves only
+    the table's few MB once, and every downstream map stage runs wide.
+    The condition is SCALE-ADAPTIVE: real multi-split inputs (or a
+    bigger cluster reading bigger files) fail the `splits <
+    parallelism` test and keep the plain scan — nothing here is tuned
+    to a local core count.
+
+    OFF by default on measurement, not principle: an interleaved r15
+    A/B over 16 representative rows (3 process rounds per mode,
+    per-query medians) read 1.15x SLOWER with a blanket spread — at
+    sf scan sizes the extra round-robin exchange and 32x task/
+    shuffle-block overhead cost more than stage-1 parallelism saves
+    for ordinary scan->agg/join rows (pricing_summary 0.41->0.92s,
+    revenue_rollup 1.60->3.06s). It pays exactly where stage 1 does
+    heavy per-row compute: corpus_prep (4 chained text functions per
+    document before anything shuffles) went 3.85->1.97s in the same
+    A/B, so the flag is opt-in per call site."""
     # the caller's session may not come from our factory (the grading
     # driver passes its own): pin the two confs correctness depends on.
     # UTC session tz keeps naive timestamps at their parquet wall times
@@ -46,10 +103,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANO_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        splits, total = _scan_splits(spark, path)
+        if splits < par and total >= _SPREAD_MIN_BYTES:
+            df = df.repartition(par)
     return df
 
 

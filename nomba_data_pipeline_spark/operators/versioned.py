@@ -102,6 +102,50 @@ def _stats_safe(dtype: str) -> bool:
     return dtype.startswith(_STATS_SAFE_PREFIXES)
 
 
+def _local_dir(p: str) -> str | None:
+    """OS path when `p` is handled on the driver's LOCAL filesystem,
+    else None (caller falls back to the Hadoop/Spark path). `file:`
+    URIs are local by definition; a scheme-qualified anything else
+    (hdfs://, s3a://) never is; a scheme-less path counts only when
+    its PARENT directory exists locally — on a cluster whose default
+    FS is HDFS that probe fails and the Hadoop path is used, so this
+    fast path can never misroute metadata to the wrong filesystem."""
+    if p.startswith("file:"):
+        q = p[len("file:"):]
+        while q.startswith("//"):  # file:/// form
+            q = q[1:]
+        return q
+    if "://" in p:
+        return None
+    return p if os.path.isdir(os.path.dirname(p)) else None
+
+
+def _write_json_dir_local(d: str, payload: dict) -> None:
+    """Driver-side twin of the Spark 1-row-parquet JSON write: same
+    directory shape (one `*.parquet` part file + `_SUCCESS`), same
+    single string column `j`, so Spark and pyarrow readers mix freely
+    with the Spark-written form. makedirs without exist_ok: the tmp
+    name is uuid-fresh, and failing on an impossible collision is
+    safer than writing into someone else's directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"j": [json.dumps(payload)]}),
+        os.path.join(d, f"part-00000-{uuid.uuid4().hex}.parquet"),
+    )
+    with open(os.path.join(d, "_SUCCESS"), "w"):
+        pass
+
+
+def _rm_local_dir(d: str | None) -> None:
+    if d:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _stat_str(v) -> str:
     """Canonical string rendering for a manifest stat value.
 
@@ -230,11 +274,45 @@ class VersionedTable:
 
     # -- pointer / manifest IO (1-row parquet, atomic swap — the same
     # sidecar pattern JoinViewTable._write_meta documents: a crash
-    # mid-write must leave the previous bytes readable) ----------------
+    # mid-write must leave the previous bytes readable). On LOCAL
+    # layouts both directions go through pyarrow on the driver —
+    # the same footer-walk precedent as high_water_mark_stats and the
+    # versioned_cdf stream source (which already reads these dirs with
+    # pq.read_table) — so pointer/manifest metadata costs microseconds
+    # instead of one Spark job per access; non-local schemes and any
+    # surprise fall back to the Spark reader/writer unchanged. The
+    # bytes on disk are identical either way (1-row parquet, column
+    # `j`), so readers and writers mix freely across the two paths. --
     def _read_json(self, p: str) -> dict:
+        local = _local_dir(p)
+        if local is not None and os.path.isdir(local):
+            try:
+                import glob as _glob
+
+                import pyarrow.parquet as _pq
+
+                files = _glob.glob(os.path.join(local, "*.parquet"))
+                if len(files) == 1:
+                    return json.loads(
+                        _pq.read_table(files[0], columns=["j"])
+                        .column("j")[0]
+                        .as_py()
+                    )
+            except Exception:
+                pass
         return json.loads(self.spark.read.parquet(p).first()["j"])
 
     def _write_json(self, p: str, d: dict) -> None:
+        local = _local_dir(p)
+        if local is not None:
+            tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+            try:
+                _write_json_dir_local(_local_dir(tmp), d)
+            except Exception:
+                _rm_local_dir(_local_dir(tmp))
+            else:
+                ParquetTable(self.spark, p)._swap_in(tmp)
+                return
         ParquetTable(self.spark, p).overwrite(
             self.spark.createDataFrame([(json.dumps(d),)], "j string").coalesce(1)
         )

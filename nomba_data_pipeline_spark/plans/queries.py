@@ -1419,8 +1419,13 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The end-to-end shape a 100 TB pretraining-data job runs; every stage
     is one of the already-verified operators composed declaratively, so
     Catalyst pipelines the whole thing into two shuffles (dedup window +
-    final rollup)."""
-    docs = load_table(spark, sf_dir, "documents")
+    final rollup). spread=True: stage 1 chains four text functions per
+    document (token_count/quality_score/lang_id/fingerprint) before
+    anything shuffles, so an unsplittable single-file scan serializes
+    the whole scoring pass on one core — the r15 interleaved A/B read
+    3.85s -> 1.97s medians with the scan spread (identical rows; the
+    guard is scale-adaptive and a no-op on well-split inputs)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     scored = docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -3940,15 +3945,29 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     occ = big.select("doc_id", "lang", (h64(F.col("g")) % B).alias("b"))
-    tot = occ.agg(
-        F.count(F.lit(1)).alias("nr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    # ONE physical tokenize+explode pass: every bucket table below is
+    # derived from dc (the per-(doc,bucket) counts) rather than from
+    # occ, and dc is checkpointed lazily so the four consuming branches
+    # read its materialized partitions instead of each re-running the
+    # md5/bigram pipeline from the scan (plain ReusedExchange does NOT
+    # fire here — per-branch column pruning makes each branch's
+    # exchange subtree distinct; same fix as ngram_jaccard_pairs). The
+    # sums below are exact integer regroupings of the occurrence
+    # counts, so the output is byte-identical.
+    dc = (
+        occ.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
-    corpus = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = dc.agg(
+        F.sum("n").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias("nt"),
+    )
+    corpus = dc.groupBy("b").agg(F.sum("n").alias("cr"))
     target = (
-        occ.filter(F.col("lang") == "en")
+        dc.filter(F.col("lang") == "en")
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("n").alias("ct"))
     )
     lr = (
         corpus.join(target, "b", "left")
@@ -3962,7 +3981,6 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr"),
         )
     )
-    dc = occ.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
     return dc.join(F.broadcast(lr), "b").groupBy("doc_id", "lang").agg(
         F.sum("n").alias("n_bigrams"),
         F.round(F.sum(F.col("n") * F.col("lr")), 4).alias("dsir_weight"),

@@ -114,34 +114,40 @@ def test_purge_redacts_the_delete_feed(spark, tmp_path):
 
 
 def test_crash_orphan_feed_is_invisible_and_vacuumed(spark, tmp_path):
-    """FAULT INJECTION: a crash between the feed write and the manifest
-    write leaves an orphan `_cdf/v<N>` no committed offset can reach;
-    the next write allocates PAST it (manifest collision rule does not
-    apply to feeds — verify overwrite-residue handling) and vacuum
-    reclaims it."""
+    """FAULT INJECTION: a crash between the feed STAGING write and the
+    manifest CAS (_publish_manifest — since the create-exclusive commit
+    protocol, feeds are staged to `_cdf/.tmp-*` and finalized to
+    `_cdf/v<N>` only after the manifest rename) leaves staged feed
+    residue no committed offset can reach; the commit never lands, the
+    retry stages afresh and reuses the version number, and vacuum
+    reclaims both the crashed writer's generation and the residue."""
     t = _mk(spark, tmp_path)
-    real_write_json = VersionedTable._write_json
+    real_publish = VersionedTable._publish_manifest
 
-    def die_on_manifest(self, p, d):
-        if "_manifests" in p:
-            raise RuntimeError("crash after feed, before manifest")
-        return real_write_json(self, p, d)
+    def die_on_manifest(self, v, man):
+        raise RuntimeError("crash after feed, before manifest")
 
-    VersionedTable._write_json = die_on_manifest
+    VersionedTable._publish_manifest = die_on_manifest
     try:
         with pytest.raises(RuntimeError, match="before manifest"):
             t.merge_upsert(
                 spark.createDataFrame([(5, -5)], "k long, v long"), ["k"]
             )
     finally:
-        VersionedTable._write_json = real_write_json
-    assert os.path.isdir(t._cdf_dir(2))  # orphan feed on disk
+        VersionedTable._publish_manifest = real_publish
+    cdf_root = os.path.join(t.path, "_cdf")
+    residue = [n for n in os.listdir(cdf_root) if n.startswith(".tmp-")]
+    assert residue                       # staged feed residue on disk
+    assert not os.path.isdir(t._cdf_dir(2))  # nothing at the final name
     assert t.latest_version() == 1       # invisible: commit never landed
-    # the retry overwrites the orphan feed residue and commits cleanly
+    # the retry re-allocates the orphan's version number (no manifest
+    # was published) and commits cleanly
     t.merge_upsert(spark.createDataFrame([(5, -5)], "k long, v long"), ["k"])
     assert _feed(t.changes_between(1)) == {("update", 5, -5, 2)}
     res = t.vacuum(retain_last=2)
     assert res["dropped_files"] > 0  # the crashed writer's generation
+    # staging residue left with it
+    assert not [n for n in os.listdir(cdf_root) if n.startswith(".tmp-")]
 
 
 # -- streaming source ---------------------------------------------------------
