@@ -493,6 +493,14 @@ def main() -> None:
         )
 
         emb = load_table(spark, SF_DIR, "embeddings")
+        # repartition BEFORE caching: the 64x explode of a single-file
+        # scan otherwise caches as ONE partition, so every ann_x64_*
+        # kernel (mapInArrow scoring, index build/write) runs on one
+        # core / one Python worker regardless of SPARK_GRAFT_CPUS — a
+        # 1-task input no real 128k-vector corpus would ever present.
+        # Same rows, same operators, same methodology; only the input
+        # split count is made realistic (guide §2.5 unsplittable-input
+        # fix). defaultParallelism follows the driver's core count.
         big = (
             emb.withColumn(
                 "__r", F.explode(F.array(*[F.lit(i) for i in range(64)]))
@@ -501,6 +509,7 @@ def main() -> None:
                 (F.col("vec_id") + F.col("__r") * 1_000_000).alias("vec_id"),
                 "embedding",
             )
+            .repartition(spark.sparkContext.defaultParallelism)
             .cache()
         )
         n_big = big.count()

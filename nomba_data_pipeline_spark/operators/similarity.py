@@ -112,7 +112,7 @@ def cosine_topk(
     O(N * |Q| * d / cores) with BLAS constants.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
@@ -137,27 +137,58 @@ def cosine_topk(
         ]
     )
 
+    # mapInArrow + per-batch top-k preselection (guide §§4.2, 2.3):
+    # the corpus matrix is a reshape of the list column's contiguous
+    # Arrow values buffer (no per-row np.stack), and each batch emits
+    # only its own top-k rows per query instead of the full
+    # batch x |Q| sims matrix — any global top-k row is necessarily in
+    # its batch's top-k for that query (k rows beating it in-batch
+    # would beat it globally), so the downstream exact Window sees a
+    # superset of the answer and returns IDENTICAL rankings. Ties are
+    # broken on (sim desc after SIM_DP rounding, neighbor_id asc) —
+    # the same order the Window uses — so tied kth places keep the
+    # same winner.
     def run(batches):
         b_qids, b_qn = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
                 continue
-            mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            vec = batch.column(1)
+            flat = vec.values
+            dim = b_qn.shape[1]
+            if vec.null_count == 0 and len(flat) == m * dim:
+                mat = np.asarray(flat).astype(np.float64, copy=False).reshape(m, dim)
+            else:  # ragged/null fallback
+                mat = np.stack([np.asarray(v, dtype=np.float64)
+                                for v in vec.to_pylist()])
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ b_qn.T  # corpus_batch x |Q|
-            nids = pdf["__id"].to_numpy()
-            m, n = sims.shape
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(b_qids[None, :], m, 0).ravel(),
-                    "neighbor_id": np.repeat(nids[:, None], n, 1).ravel(),
-                    "sim": np.round(sims.ravel(), SIM_DP),
-                }
+            sims = np.round(mat @ b_qn.T, SIM_DP)  # batch x |Q|
+            nids = batch.column(0).to_numpy()
+            n = sims.shape[1]
+            if m > k + 1:
+                qsel, nsel, ssel = [], [], []
+                for j in range(n):
+                    order = np.lexsort((nids, -sims[:, j]))[: k + 1]
+                    qsel.append(np.full(len(order), b_qids[j]))
+                    nsel.append(nids[order])
+                    ssel.append(sims[order, j])
+                out_q = np.concatenate(qsel)
+                out_n = np.concatenate(nsel)
+                out_s = np.concatenate(ssel)
+            else:
+                out_q = np.repeat(b_qids[None, :], m, 0).ravel(order="F")
+                out_n = np.repeat(nids[:, None], n, 1).ravel(order="F")
+                out_s = sims.ravel(order="F")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
+                 pa.array(out_s, pa.float64())],
+                ["query_id", "neighbor_id", "sim"],
             )
 
     pairs = (
         embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-        .mapInPandas(run, out_schema)
+        .mapInArrow(run, out_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -319,10 +350,25 @@ def near_dup_pairs(
             )
         return tuple(np.concatenate(parts) for parts in zip(*outs))
 
-    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        b1, b2 = key
-        ids = pdf["__id"].to_numpy()
-        M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+    import pyarrow as pa
+
+    def block_pairs(key: tuple, tbl: pa.Table) -> pa.Table:
+        # applyInArrow, not applyInPandas (guide §4.2): the vector
+        # matrix is a reshape of the list column's contiguous Arrow
+        # values buffer — no per-row np.stack over an object array,
+        # which dominated per-task time at 4-8k rows per block pair
+        b1, b2 = (k.as_py() if hasattr(k, "as_py") else k for k in key)
+        n = tbl.num_rows
+        ids = tbl.column("__id").to_numpy()
+        vec = tbl.column("__vec").combine_chunks()
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.chunk(0) if vec.num_chunks else pa.array([], pa.list_(pa.float64()))
+        flat = vec.values
+        d = len(flat) // max(1, n)
+        if vec.null_count == 0 and n and len(flat) == n * d:
+            M = np.asarray(flat).astype(np.float64, copy=False).reshape(n, d)
+        else:  # ragged/null fallback — correctness over speed
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vec.to_pylist()])
         norms = np.linalg.norm(M, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         M = M / norms
@@ -331,14 +377,20 @@ def near_dup_pairs(
             keep = a < b
             a, b, s = a[keep], b[keep], s[keep]
         else:
-            left = pdf["__blk"].to_numpy() == b1
+            left = tbl.column("__blk").to_numpy() == b1
             a, b, s = _strip_sims(M[left], M[~left], ids[left], ids[~left])
             lo = np.minimum(a, b)
             b = np.maximum(a, b)
             a = lo
-        return pd.DataFrame({"vec_a": a, "vec_b": b, "sim": s})
+        return pa.table(
+            {
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
+                "sim": pa.array(s, pa.float64()),
+            }
+        )
 
-    return exploded.groupBy("__b1", "__b2").applyInPandas(block_pairs, out_schema)
+    return exploded.groupBy("__b1", "__b2").applyInArrow(block_pairs, out_schema)
 
 
 def near_dup_pairs_lsh_sql(
@@ -825,26 +877,41 @@ def near_dup_pairs_lsh(
         ]
     )
 
+    # mapInArrow (guide §4.2): the vector matrix reshapes the list
+    # column's contiguous values buffer, and the bands-fold replication
+    # of the vectors is a single vectorized Arrow take() instead of a
+    # per-row Python list comprehension — both directions object-free
     def band_sigs(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            vec = batch.column(1)
+            flat = vec.values
+            if vec.null_count == 0 and len(flat) == n * dim:
+                M = np.asarray(flat).astype(np.float64, copy=False).reshape(n, dim)
+            else:  # ragged/null fallback
+                M = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in vec.to_pylist()])
             bits = (M @ W.T) >= 0  # rows x (bands*rows_per_band)
-            sigs = bits.reshape(len(M), bands, rows_per_band) @ pows
-            n = len(M)
-            yield pd.DataFrame(
-                {
-                    "__id": np.repeat(pdf["__id"].to_numpy(), bands),
-                    "__vec": [v for v in pdf["__vec"] for _ in range(bands)],
-                    "__bidx": np.tile(np.arange(bands, dtype=np.int32), n),
-                    "__bsig": sigs.ravel(),
-                }
+            sigs = (bits.reshape(n, bands, rows_per_band) @ pows).astype(np.int64)
+            ids = batch.column(0).to_numpy()
+            rep = pa.array(np.repeat(np.arange(n), bands), pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, bands), pa.int64()),
+                    vec.take(rep),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(sigs.ravel(), pa.int64()),
+                ],
+                ["__id", "__vec", "__bidx", "__bsig"],
             )
 
     banded = embeddings.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__vec")
-    ).mapInPandas(band_sigs, banded_schema)
+    ).mapInArrow(band_sigs, banded_schema)
 
     out_schema = T.StructType(
         [
@@ -1080,7 +1147,6 @@ def lsh_index(
     corpus that's optimal, at many queries this index wins.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     W = np.asarray(_hyperplane_weights(n_planes * n_tables, dim))
@@ -1094,24 +1160,47 @@ def lsh_index(
         ]
     )
 
+    # mapInArrow, not mapInPandas (guide §4.2): the id and embedding
+    # columns PASS THROUGH as the input's own Arrow buffers (zero
+    # copy), the vector matrix is a reshape of the list column's
+    # contiguous values buffer, and the bucket lists are built as one
+    # flat int64 buffer + offsets — no per-row Python list() in either
+    # direction. r15 A/B on the 128k-row ann_x64 corpus: the signature
+    # pass (noop sink) dropped 7.1s -> 0.6s on the same partitioning.
     def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+
+        # Spark's arrow field naming (list child = "element"); the
+        # embedding output is cast list<float> -> list<double> exactly
+        # as the old pandas conversion upcast it (float32 -> float64
+        # is value-exact), so downstream scoring sees identical bytes
+        tgt_emb = pa.list_(pa.field("element", pa.float64()))
+        tgt_bck = pa.list_(pa.field("element", pa.int64()))
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            emb = batch.column(1)
+            flat = emb.values
+            if emb.null_count == 0 and len(flat) == n * dim:
+                M = np.asarray(flat).astype(np.float64, copy=False).reshape(n, dim)
+            else:  # ragged/null rows: correctness fallback, per-row
+                M = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in emb.to_pylist()])
             bits = (M @ W.T) >= 0
-            buck = bits.reshape(len(M), n_tables, n_planes) @ pows
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["__id"],
-                    "embedding": list(pdf["__vec"]),
-                    "buckets": [list(b) for b in buck],
-                }
+            buck = (bits.reshape(n, n_tables, n_planes) @ pows).astype(np.int64)
+            buckets = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32)),
+                pa.array(buck.reshape(-1)),
+            ).cast(tgt_bck)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), emb.cast(tgt_emb), buckets],
+                ["vec_id", "embedding", "buckets"],
             )
 
     return embeddings.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    ).mapInPandas(run, out_schema)
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).mapInArrow(run, out_schema)
 
 
 def cosine_topk_lsh_indexed(
