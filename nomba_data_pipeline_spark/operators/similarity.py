@@ -83,6 +83,21 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _batch_matrix(col, n_rows: int, width: int, dtype):
+    """rows x width matrix from an Arrow list column: a reshape of the
+    contiguous values buffer when the column is null-free and fixed-width
+    (the parquet shape — len check also rejects sliced batches, whose
+    child buffer is longer than n_rows*width), else a per-row fallback.
+    Shared by every mapInArrow kernel below (guide §4.2: no per-row
+    np.stack of object arrays on the hot path)."""
+    import numpy as np
+
+    flat = col.values
+    if col.null_count == 0 and len(flat) == n_rows * width:
+        return np.asarray(flat).astype(dtype, copy=False).reshape(n_rows, width)
+    return np.stack([np.asarray(v, dtype=dtype) for v in col.to_pylist()])
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -561,7 +576,6 @@ def ivf_train_centroids_distributed(
     would funnel the whole corpus through a single task).
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     spark = embeddings.sparkSession
@@ -605,20 +619,31 @@ def ivf_train_centroids_distributed(
     for _ in range(n_iters):
         bc = spark.sparkContext.broadcast(C)
 
+        # mapInArrow (guide §4.2): the vector passes through as the
+        # input's own Arrow buffer (cast to list<double> exactly as the
+        # old pandas path upcast it) and the matrix is a values-buffer
+        # reshape — no per-row object arrays per Lloyd iteration
         def assign(batches):
+            import pyarrow as pa
+
             Cb = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
+            dim = Cb.shape[1]
+            tgt_emb = pa.list_(pa.field("element", pa.float64()))
+            for batch in batches:
+                m = batch.num_rows
+                if m == 0:
                     continue
-                M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+                vec = batch.column(0)
+                M = _batch_matrix(vec, m, dim, np.float64)
                 norms = np.linalg.norm(M, axis=1, keepdims=True)
                 norms[norms == 0] = 1.0
                 lists = np.argmax((M / norms) @ Cb.T, axis=1).astype(np.int32)
-                yield pd.DataFrame(
-                    {"list_id": lists, "embedding": list(pdf["__vec"])}
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(lists, pa.int32()), vec.cast(tgt_emb)],
+                    ["list_id", "embedding"],
                 )
 
-        assigned = embeddings.select(F.col(vec_col).alias("__vec")).mapInPandas(
+        assigned = embeddings.select(F.col(vec_col).alias("__vec")).mapInArrow(
             assign, assign_schema
         )
         means = group_centroids(
@@ -682,7 +707,7 @@ def cosine_topk_ivf(
 ) -> DataFrame:
     """IVF ANN top-k: each query scans only its n_probe nearest lists.
 
-    Distributed shape: centroids broadcast; ONE mapInPandas pass over
+    Distributed shape: centroids broadcast; ONE mapInArrow pass over
     the corpus computes each batch row's list assignment AND its sims
     against just the queries probing that list (mask + one BLAS matmul);
     then the global top-k window. Corpus never shuffles; work is
@@ -690,7 +715,6 @@ def cosine_topk_ivf(
     against the exact operator), so no SQL oracle — rows-only check.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
@@ -717,12 +741,19 @@ def cosine_topk_ivf(
         ]
     )
 
+    # mapInArrow, not mapInPandas (guide §4.2): the corpus matrix is a
+    # reshape of the list column's contiguous values buffer — no per-row
+    # np.stack of object arrays on either side of the boundary
     def run(batches):
+        import pyarrow as pa
+
         b_qids, b_qn, b_c, b_probe = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        dim = b_qn.shape[1]
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
                 continue
-            mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            mat = _batch_matrix(batch.column(1), m, dim, np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             lists = np.argmax(mat @ b_c.T, axis=1)  # corpus batch assignment
             # candidates: query q sees row r only if lists[r] in probe[q]
@@ -730,26 +761,27 @@ def cosine_topk_ivf(
             rows_i, cols_j = _any_table_collision(lists.reshape(-1, 1), b_probe)
             if len(rows_i) == 0:
                 continue
-            nids = pdf["__id"].to_numpy()
+            nids = batch.column(0).to_numpy()
             # dense regime (high probe fraction, e.g. 8/16 lists): full
             # matmul + fancy index; sparse regime (n_probe << n_lists,
             # the 100 TB shape): gather only candidate pairs so flops
             # AND memory track the candidate count, not batch x |Q|
-            if len(rows_i) > 0.25 * len(mat) * len(b_qids):
+            if len(rows_i) > 0.25 * m * len(b_qids):
                 sims = np.round((mat @ b_qn.T)[rows_i, cols_j], SIM_DP)
             else:
                 sims = np.round((mat[rows_i] * b_qn[cols_j]).sum(axis=1), SIM_DP)
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[cols_j],
-                    "neighbor_id": nids[rows_i],
-                    "sim": sims,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(b_qids[cols_j], pa.int64()),
+                    pa.array(nids[rows_i], pa.int64()),
+                    pa.array(sims, pa.float64()),
+                ],
+                ["query_id", "neighbor_id", "sim"],
             )
 
     pairs = (
         embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-        .mapInPandas(run, out_schema)
+        .mapInArrow(run, out_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -1046,7 +1078,6 @@ def cosine_topk_lsh(
     signature cost — see lsh_index / cosine_topk_lsh_indexed.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
@@ -1082,12 +1113,18 @@ def cosine_topk_lsh(
         ]
     )
 
+    # mapInArrow, not mapInPandas (guide §4.2): the corpus matrix is a
+    # reshape of the list column's contiguous values buffer — no per-row
+    # np.stack of object arrays on either side of the boundary
     def run(batches):
+        import pyarrow as pa
+
         b_qids, b_qn, b_qbuck = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
                 continue
-            mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            mat = _batch_matrix(batch.column(1), m, dim, np.float64)
             buck = bucketize(mat)  # batch x tables
             # candidate = collides with the query in ANY table — the
             # broadcast equality is chunked over the query axis so the
@@ -1099,21 +1136,26 @@ def cosine_topk_lsh(
             if len(ri) == 0:
                 continue
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            nids = pdf["__id"].to_numpy()
+            nids = batch.column(0).to_numpy()
             # dense-candidate regime (pruning-hostile corpus): one BLAS
             # matmul + fancy-index beats materializing a |cand| x d
             # gather; sparse regime: gather only the candidates
-            if len(ri) > 0.25 * len(mat) * len(b_qids):
+            if len(ri) > 0.25 * m * len(b_qids):
                 sims = np.round((mat @ b_qn.T)[ri, qi], SIM_DP)
             else:
                 sims = np.round((mat[ri] * b_qn[qi]).sum(axis=1), SIM_DP)
-            yield pd.DataFrame(
-                {"query_id": b_qids[qi], "neighbor_id": nids[ri], "sim": sims}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(b_qids[qi], pa.int64()),
+                    pa.array(nids[ri], pa.int64()),
+                    pa.array(sims, pa.float64()),
+                ],
+                ["query_id", "neighbor_id", "sim"],
             )
 
     pairs = (
         embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-        .mapInPandas(run, out_schema)
+        .mapInArrow(run, out_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -1229,7 +1271,6 @@ def cosine_topk_lsh_indexed(
     set, default NUM_HYPERPLANES for both).
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
@@ -1271,25 +1312,43 @@ def cosine_topk_lsh_indexed(
         ]
     )
 
+    # mapInArrow, not mapInPandas (guide §4.2): embedding and bucket
+    # matrices are reshapes of the list columns' contiguous values
+    # buffers; columns are looked up by name because a read-back index
+    # may carry extra columns (e.g. a partition column)
     def run(batches):
+        import pyarrow as pa
+
         b_qids, b_qn, b_qbuck = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        dim = b_qn.shape[1]
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
                 continue
-            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            names = batch.schema.names
+            mat = _batch_matrix(
+                batch.column(names.index("embedding")), m, dim, np.float64
+            )
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            buck = np.stack(pdf["buckets"].to_numpy()).astype(np.int64)
-            nids = pdf["vec_id"].to_numpy()
+            buck = _batch_matrix(
+                batch.column(names.index("buckets")), m, n_tables, np.int64
+            )
+            nids = batch.column(names.index("vec_id")).to_numpy()
             # same chunked any-table collision as cosine_topk_lsh
             ri, qi = _any_table_collision(buck, b_qbuck, probe_hamming)
             if len(ri) == 0:
                 continue
             sims = np.round((mat[ri] * b_qn[qi]).sum(axis=1), SIM_DP)
-            yield pd.DataFrame(
-                {"query_id": b_qids[qi], "neighbor_id": nids[ri], "sim": sims}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(b_qids[qi], pa.int64()),
+                    pa.array(nids[ri], pa.int64()),
+                    pa.array(sims, pa.float64()),
+                ],
+                ["query_id", "neighbor_id", "sim"],
             )
 
-    pairs = cand.mapInPandas(run, out_schema).filter(
+    pairs = cand.mapInArrow(run, out_schema).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -1333,7 +1392,6 @@ def assign_ivf_lists(
     quantizer must NOT be retrained or old assignments silently
     disagree with new ones)."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     bc = embeddings.sparkSession.sparkContext.broadcast(
@@ -1348,26 +1406,33 @@ def assign_ivf_lists(
         ]
     )
 
+    # mapInArrow, not mapInPandas (guide §4.2): id and embedding PASS
+    # THROUGH as the input's own Arrow buffers (the select below already
+    # casts the vector to array<double>, so the cast here only fixes the
+    # list child field name); the matrix is a values-buffer reshape
     def run(batches):
+        import pyarrow as pa
+
         Cb = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        dim = Cb.shape[1]
+        tgt_emb = pa.list_(pa.field("element", pa.float64()))
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
                 continue
-            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            emb = batch.column(1)
+            M = _batch_matrix(emb, m, dim, np.float64)
             norms = np.linalg.norm(M, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             lists = np.argmax((M / norms) @ Cb.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["__id"],
-                    "embedding": list(pdf["__vec"]),
-                    "list_id": lists,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), emb.cast(tgt_emb), pa.array(lists, pa.int32())],
+                ["vec_id", "embedding", "list_id"],
             )
 
     return embeddings.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__vec")
-    ).mapInPandas(run, out_schema)
+    ).mapInArrow(run, out_schema)
 
 
 def cosine_topk_ivf_indexed(
@@ -1387,7 +1452,6 @@ def cosine_topk_ivf_indexed(
     unindexed operator exactly.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
@@ -1420,33 +1484,46 @@ def cosine_topk_ivf_indexed(
         ]
     )
 
+    # mapInArrow, not mapInPandas (guide §4.2): the embedding matrix is
+    # a reshape of the list column's contiguous values buffer; columns
+    # looked up by name (read-back indexes may carry extra columns)
     def run(batches):
+        import pyarrow as pa
+
         b_qids, b_qn, b_probe = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        dim = b_qn.shape[1]
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
                 continue
-            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            names = batch.schema.names
+            mat = _batch_matrix(
+                batch.column(names.index("embedding")), m, dim, np.float64
+            )
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            lists = pdf["list_id"].to_numpy().astype(np.int64)
+            lists = (
+                batch.column(names.index("list_id")).to_numpy().astype(np.int64)
+            )
             # chunked candidate mask + regime-adaptive scoring, same as
             # the unindexed probe path
             rows_i, cols_j = _any_table_collision(lists.reshape(-1, 1), b_probe)
             if len(rows_i) == 0:
                 continue
-            nids = pdf["vec_id"].to_numpy()
-            if len(rows_i) > 0.25 * len(mat) * len(b_qids):
+            nids = batch.column(names.index("vec_id")).to_numpy()
+            if len(rows_i) > 0.25 * m * len(b_qids):
                 sims = np.round((mat @ b_qn.T)[rows_i, cols_j], SIM_DP)
             else:
                 sims = np.round((mat[rows_i] * b_qn[cols_j]).sum(axis=1), SIM_DP)
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[cols_j],
-                    "neighbor_id": nids[rows_i],
-                    "sim": sims,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(b_qids[cols_j], pa.int64()),
+                    pa.array(nids[rows_i], pa.int64()),
+                    pa.array(sims, pa.float64()),
+                ],
+                ["query_id", "neighbor_id", "sim"],
             )
 
-    pairs = cand.mapInPandas(run, out_schema).filter(
+    pairs = cand.mapInArrow(run, out_schema).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
