@@ -893,7 +893,6 @@ def near_dup_pairs_lsh(
     ~8/65536) — the default 16x8 targets the 0.9 regime.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     n_planes = bands * rows_per_band
@@ -953,60 +952,84 @@ def near_dup_pairs_lsh(
         ]
     )
 
-    def bucket_pairs(g):
+    def bucket_pairs(ids, M):
         """Exact scored pairs within one bucket (block-BLAS)."""
-        ids = g["__id"].to_numpy()
-        M = np.stack(g["__vec"].to_numpy())
         norms = np.linalg.norm(M, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        M = M / norms
-        sims = np.round(M @ M.T, SIM_DP)
+        Mn = M / norms
+        sims = np.round(Mn @ Mn.T, SIM_DP)
         i, j = np.where(sims >= threshold)
         keep = ids[i] < ids[j]
         if not keep.any():
             return None
         return ids[i][keep], ids[j][keep], sims[i, j][keep]
 
+    # mapInArrow (guide §4.2, matching band_sigs above): the bucket scan
+    # works on numpy views of the batch's reshaped matrix — run
+    # boundaries replace the pandas concat + groupby per batch
     def partition_pairs(batches):
+        import pyarrow as pa
+
         # rows arrive sorted by (__bidx, __bsig) (sortWithinPartitions
         # below), so buckets are contiguous: scan group-by-group and
         # carry ONLY the trailing bucket — which may straddle Arrow
         # batches — into the next batch. Peak per-task memory is one
         # Arrow batch plus the largest single bucket (the bound
         # applyInPandas would give), NOT the whole partition.
-        carry = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        carry = None  # (ids, M, bidx, bsig) arrays of the trailing bucket
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
                 continue
+            ids = batch.column(0).to_numpy()
+            M = _batch_matrix(batch.column(1), m, dim, np.float64)
+            bidx = batch.column(2).to_numpy()
+            bsig = batch.column(3).to_numpy()
             if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            last_b = pdf["__bidx"].iat[len(pdf) - 1]
-            last_s = pdf["__bsig"].iat[len(pdf) - 1]
-            tail = (pdf["__bidx"] == last_b) & (pdf["__bsig"] == last_s)
-            carry = pdf[tail]
-            body = pdf[~tail]
+                ids = np.concatenate([carry[0], ids])
+                M = np.vstack([carry[1], M])
+                bidx = np.concatenate([carry[2], bidx])
+                bsig = np.concatenate([carry[3], bsig])
+            # contiguous bucket runs: a new run wherever (bidx, bsig)
+            # changes between adjacent rows
+            change = (
+                np.flatnonzero((bidx[1:] != bidx[:-1]) | (bsig[1:] != bsig[:-1]))
+                + 1
+            )
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(ids)]])
+            carry = (
+                ids[starts[-1]:], M[starts[-1]:],
+                bidx[starts[-1]:], bsig[starts[-1]:],
+            )
             out_a, out_b, out_s = [], [], []
-            for _, g in body.groupby(["__bidx", "__bsig"], sort=False):
-                if len(g) < 2:
+            for s, e in zip(starts[:-1], ends[:-1]):
+                if e - s < 2:
                     continue
-                res = bucket_pairs(g)
+                res = bucket_pairs(ids[s:e], M[s:e])
                 if res is not None:
                     out_a.append(res[0])
                     out_b.append(res[1])
                     out_s.append(res[2])
             if out_a:
-                yield pd.DataFrame(
-                    {
-                        "vec_a": np.concatenate(out_a),
-                        "vec_b": np.concatenate(out_b),
-                        "sim": np.concatenate(out_s),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_a), pa.int64()),
+                        pa.array(np.concatenate(out_b), pa.int64()),
+                        pa.array(np.concatenate(out_s), pa.float64()),
+                    ],
+                    ["vec_a", "vec_b", "sim"],
                 )
-        if carry is not None and len(carry) >= 2:
-            res = bucket_pairs(carry)
+        if carry is not None and len(carry[0]) >= 2:
+            res = bucket_pairs(carry[0], carry[1])
             if res is not None:
-                yield pd.DataFrame(
-                    {"vec_a": res[0], "vec_b": res[1], "sim": res[2]}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(res[0], pa.int64()),
+                        pa.array(res[1], pa.int64()),
+                        pa.array(res[2], pa.float64()),
+                    ],
+                    ["vec_a", "vec_b", "sim"],
                 )
 
     # no explicit partition count: with AQE on (session default) the
@@ -1017,7 +1040,7 @@ def near_dup_pairs_lsh(
     return (
         banded.repartition("__bidx", "__bsig")
         .sortWithinPartitions("__bidx", "__bsig")
-        .mapInPandas(partition_pairs, out_schema)
+        .mapInArrow(partition_pairs, out_schema)
         # the same pair collides in several bands with an identical
         # rounded sim -> exact-duplicate rows; one distinct pass
         .dropDuplicates(["vec_a", "vec_b"])
