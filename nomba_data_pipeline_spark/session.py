@@ -72,6 +72,31 @@ def get_spark(
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # Allow shuffled-hash joins where the planner's size conditions
+        # hold (build side < autoBroadcastJoinThreshold * numShuffle
+        # Partitions per partition AND 3x smaller than the probe side):
+        # skips the per-partition sort an SMJ pays on BOTH sides. Not a
+        # local-only knob — the planner still gates on size, AQE skew
+        # split bounds build partitions, and anything too big keeps
+        # sort-merge. Measured r15 (interleaved process-level A/B, 16
+        # join-heavy rows, 3 rounds): 15/16 rows faster, per-query
+        # median total 36.5 -> 26.0s; iterative joins gain most
+        # (connected-components rounds pay an SMJ sort per iteration).
+        # Env-overridable for clusters that want the conservative
+        # default back.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        # zstd shuffle/spill compression: better ratio than lz4 for a
+        # little CPU, so fewer shuffle bytes hit disk and the wire —
+        # the trade the guide recommends measuring; measured r15 on the
+        # same 16-row A/B: 36.5 -> 28.9s. Matters MORE at 100 TB where
+        # shuffle I/O, not CPU, is the binding constraint.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
