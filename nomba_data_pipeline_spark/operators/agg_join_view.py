@@ -51,7 +51,6 @@ apply/result refuse on the modulus mismatch until rebuild() is called.
 
 from __future__ import annotations
 
-import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,6 +69,10 @@ from nomba_data_pipeline_spark.operators.incremental_join import (
 from nomba_data_pipeline_spark.operators.merge import (
     ParquetTable,
     _semi_anti_null_safe,
+)
+from nomba_data_pipeline_spark.operators.versioned import (
+    read_json_sidecar,
+    write_json_sidecar,
 )
 
 
@@ -129,20 +132,14 @@ class AggJoinView:
         return d
 
     def _write_meta(self) -> None:
-        ParquetTable(self.spark, self._meta_path()).overwrite(
-            self.spark.createDataFrame(
-                [(json.dumps(self._meta_dict()),)], "meta string"
-            ).coalesce(1)
-        )
+        write_json_sidecar(self.spark, self._meta_path(), self._meta_dict(), col="meta")
 
     def _validate_meta(self) -> None:
         if self._meta_checked:
             return
         fs, jp = self._table._fs_and_path(self._meta_path())
         if fs.exists(jp):
-            stored = json.loads(
-                self.spark.read.parquet(self._meta_path()).first()["meta"]
-            )
+            stored = read_json_sidecar(self.spark, self._meta_path(), col="meta")
             if stored != self._meta_dict():
                 raise ValueError(
                     f"agg view {self.path} was built with {stored}, but this "
@@ -158,9 +155,7 @@ class AggJoinView:
         """Reconstruct from the persisted sidecar (reopens the
         underlying view from ITS sidecar too) — the safe maintenance
         entry point, mirroring JoinViewTable.open."""
-        meta = json.loads(
-            spark.read.parquet(path.rstrip("/") + "._agg_meta").first()["meta"]
-        )
+        meta = read_json_sidecar(spark, path.rstrip("/") + "._agg_meta", col="meta")
         return cls(
             spark, path,
             view=JoinViewTable.open(spark, meta["view_path"]),
@@ -170,10 +165,8 @@ class AggJoinView:
 
     # -- intent (crash healing) ------------------------------------------
     def _write_intent(self, buckets: list[int]) -> None:
-        ParquetTable(self.spark, self._intent_path()).overwrite(
-            self.spark.createDataFrame(
-                [(json.dumps(sorted(int(b) for b in buckets)),)], "j string"
-            ).coalesce(1)
+        write_json_sidecar(
+            self.spark, self._intent_path(), sorted(int(b) for b in buckets)
         )
 
     def _clear_intent(self) -> None:
@@ -188,9 +181,7 @@ class AggJoinView:
         fs, jp = self._table._fs_and_path(self._intent_path())
         if not fs.exists(jp):
             return []
-        buckets = json.loads(
-            self.spark.read.parquet(self._intent_path()).first()["j"]
-        )
+        buckets = read_json_sidecar(self.spark, self._intent_path())
         self._refresh(buckets)
         self._clear_intent()
         return buckets

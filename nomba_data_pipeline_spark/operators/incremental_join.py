@@ -67,7 +67,6 @@ level, never O(F⋈D).
 
 from __future__ import annotations
 
-import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,6 +74,10 @@ from pyspark.sql import functions as F
 from nomba_data_pipeline_spark.operators.merge import (
     ParquetTable,
     _semi_anti_null_safe,
+)
+from nomba_data_pipeline_spark.operators.versioned import (
+    read_json_sidecar,
+    write_json_sidecar,
 )
 
 _BUCKET = "__dim_bucket"
@@ -160,15 +163,12 @@ class JoinViewTable:
         }
 
     def _write_meta(self) -> None:
-        # temp+atomic-swap (ParquetTable.overwrite), not a plain parquet
-        # overwrite: evolve_dim_cols/rebucket rewrite this sidecar after
-        # build, and a crash mid-write must leave the PREVIOUS contract
-        # readable (rebucket's resume path reads it back)
-        ParquetTable(self.spark, self._meta_path()).overwrite(
-            self.spark.createDataFrame(
-                [(json.dumps(self._meta_dict()),)], "meta string"
-            ).coalesce(1)
-        )
+        # temp+atomic-swap semantics, not a plain parquet overwrite:
+        # evolve_dim_cols/rebucket rewrite this sidecar after build,
+        # and a crash mid-write must leave the PREVIOUS contract
+        # readable (rebucket's resume path reads it back). pyarrow-fast
+        # on local FS, Spark writer otherwise (r15 metadata fast path).
+        write_json_sidecar(self.spark, self._meta_path(), self._meta_dict(), col="meta")
 
     def _intent_path(self) -> str:
         # presence = a rebucket() was interrupted between its data swap
@@ -189,9 +189,7 @@ class JoinViewTable:
             )
         fs, jp = self._table._fs_and_path(self._meta_path())
         if fs.exists(jp):
-            stored = json.loads(
-                self.spark.read.parquet(self._meta_path()).first()["meta"]
-            )
+            stored = read_json_sidecar(self.spark, self._meta_path(), col="meta")
             if stored != self._meta_dict():
                 raise ValueError(
                     f"join view {self.path} was built with {stored}, but this "
@@ -205,7 +203,7 @@ class JoinViewTable:
         """Reconstruct a view handle from its persisted parameter
         sidecar — the safe entry point for maintenance jobs and the CLI
         (no chance of re-supplying a divergent layout)."""
-        meta = json.loads(spark.read.parquet(path + "._view_meta").first()["meta"])
+        meta = read_json_sidecar(spark, path + "._view_meta", col="meta")
         return cls(
             spark, path,
             fact_key=meta["fact_key"], dim_key=meta["dim_key"],
@@ -567,9 +565,7 @@ class JoinViewTable:
             # completing an interrupted rebucket: skip the marker
             # refusal (it refers to exactly this in-flight operation)
             # but still verify the non-layout parameters match
-            stored = json.loads(
-                self.spark.read.parquet(self._meta_path()).first()["meta"]
-            )
+            stored = read_json_sidecar(self.spark, self._meta_path(), col="meta")
             mine = {k: v for k, v in self._meta_dict().items() if k != "n_buckets"}
             theirs = {k: v for k, v in stored.items() if k != "n_buckets"}
             if mine != theirs:

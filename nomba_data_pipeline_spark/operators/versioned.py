@@ -120,23 +120,69 @@ def _local_dir(p: str) -> str | None:
     return p if os.path.isdir(os.path.dirname(p)) else None
 
 
-def _write_json_dir_local(d: str, payload: dict) -> None:
+def _write_json_dir_local(d: str, payload, col: str = "j") -> None:
     """Driver-side twin of the Spark 1-row-parquet JSON write: same
     directory shape (one `*.parquet` part file + `_SUCCESS`), same
-    single string column `j`, so Spark and pyarrow readers mix freely
-    with the Spark-written form. makedirs without exist_ok: the tmp
-    name is uuid-fresh, and failing on an impossible collision is
-    safer than writing into someone else's directory."""
+    single string column (`j` for versioned metadata; the IVM sidecars
+    use `meta`), so Spark and pyarrow readers mix freely with the
+    Spark-written form. makedirs without exist_ok: the tmp name is
+    uuid-fresh, and failing on an impossible collision is safer than
+    writing into someone else's directory."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(d)
     pq.write_table(
-        pa.table({"j": [json.dumps(payload)]}),
+        pa.table({col: [json.dumps(payload)]}),
         os.path.join(d, f"part-00000-{uuid.uuid4().hex}.parquet"),
     )
     with open(os.path.join(d, "_SUCCESS"), "w"):
         pass
+
+
+def read_json_sidecar(spark: SparkSession, p: str, col: str = "j"):
+    """Read a 1-row JSON parquet sidecar, pyarrow-fast on local
+    filesystems (microseconds, zero Spark jobs), Spark reader
+    otherwise — the r15 metadata fast path (OPTIMIZATION_r15 §2),
+    shared by the versioned table and the IVM sidecars
+    (JoinViewTable/AggJoinView `._view_meta`/`._agg_meta`/intents)."""
+    local = _local_dir(p)
+    if local is not None and os.path.isdir(local):
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            files = _glob.glob(os.path.join(local, "*.parquet"))
+            if len(files) == 1:
+                return json.loads(
+                    _pq.read_table(files[0], columns=[col])
+                    .column(col)[0]
+                    .as_py()
+                )
+        except Exception:
+            pass
+    return json.loads(spark.read.parquet(p).first()[col])
+
+
+def write_json_sidecar(spark: SparkSession, p: str, payload, col: str = "j") -> None:
+    """Write a 1-row JSON parquet sidecar with the same temp+atomic-swap
+    crash contract as ParquetTable.overwrite, pyarrow-fast on local
+    filesystems, Spark writer otherwise. Bytes on disk are identical
+    either way, so the two paths mix freely across writers/readers."""
+    local = _local_dir(p)
+    if local is not None:
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            _write_json_dir_local(_local_dir(tmp), payload, col=col)
+        except Exception:
+            _rm_local_dir(_local_dir(tmp))
+        else:
+            ParquetTable(spark, p)._swap_in(tmp)
+            return
+    ParquetTable(spark, p).overwrite(
+        spark.createDataFrame([(json.dumps(payload),)], f"{col} string").coalesce(1)
+    )
 
 
 def _rm_local_dir(d: str | None) -> None:
@@ -284,38 +330,10 @@ class VersionedTable:
     # bytes on disk are identical either way (1-row parquet, column
     # `j`), so readers and writers mix freely across the two paths. --
     def _read_json(self, p: str) -> dict:
-        local = _local_dir(p)
-        if local is not None and os.path.isdir(local):
-            try:
-                import glob as _glob
-
-                import pyarrow.parquet as _pq
-
-                files = _glob.glob(os.path.join(local, "*.parquet"))
-                if len(files) == 1:
-                    return json.loads(
-                        _pq.read_table(files[0], columns=["j"])
-                        .column("j")[0]
-                        .as_py()
-                    )
-            except Exception:
-                pass
-        return json.loads(self.spark.read.parquet(p).first()["j"])
+        return read_json_sidecar(self.spark, p)
 
     def _write_json(self, p: str, d: dict) -> None:
-        local = _local_dir(p)
-        if local is not None:
-            tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
-            try:
-                _write_json_dir_local(_local_dir(tmp), d)
-            except Exception:
-                _rm_local_dir(_local_dir(tmp))
-            else:
-                ParquetTable(self.spark, p)._swap_in(tmp)
-                return
-        ParquetTable(self.spark, p).overwrite(
-            self.spark.createDataFrame([(json.dumps(d),)], "j string").coalesce(1)
-        )
+        write_json_sidecar(self.spark, p, d)
 
     def _recover_pointer(self) -> bool:
         """Self-heal an interrupted pointer swap: ParquetTable._swap_in

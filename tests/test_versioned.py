@@ -2481,3 +2481,37 @@ def test_runner_incremental_agg_materialization(spark, tmp_path):
     r3 = mk()
     r3.run_model("agg")
     expect(r3)
+
+
+def test_json_sidecar_pyarrow_and_spark_paths_mix(spark, tmp_path):
+    """The r15 metadata fast path writes sidecars with pyarrow on local
+    filesystems; clusters fall back to the Spark writer. The two forms
+    must stay byte-compatible in BOTH directions — a sidecar written by
+    either path must read back through either reader (pointer dirs,
+    `._view_meta`/`._agg_meta` IVM sidecars and intents all ride this)."""
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+    from nomba_data_pipeline_spark.operators.versioned import (
+        read_json_sidecar,
+        write_json_sidecar,
+    )
+
+    payload = {"fact_key": ["k"], "n_buckets": 8, "nested": {"a": [1, 2]}}
+    # pyarrow-written (the local fast path) -> Spark reader
+    p1 = str(tmp_path / "meta_pa")
+    write_json_sidecar(spark, p1, payload, col="meta")
+    import json as _json
+
+    assert _json.loads(spark.read.parquet(p1).first()["meta"]) == payload
+    # Spark-written (the cluster fallback form) -> pyarrow reader
+    p2 = str(tmp_path / "meta_spark")
+    ParquetTable(spark, p2).overwrite(
+        spark.createDataFrame([(_json.dumps(payload),)], "meta string").coalesce(1)
+    )
+    assert read_json_sidecar(spark, p2, col="meta") == payload
+    # non-dict payloads (the agg intent stores a bucket list)
+    p3 = str(tmp_path / "intent")
+    write_json_sidecar(spark, p3, [3, 1, 2])
+    assert read_json_sidecar(spark, p3) == [3, 1, 2]
+    # overwrite keeps the swap contract: second write replaces the first
+    write_json_sidecar(spark, p1, {"v": 2}, col="meta")
+    assert read_json_sidecar(spark, p1, col="meta") == {"v": 2}
