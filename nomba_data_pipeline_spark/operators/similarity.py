@@ -1600,10 +1600,31 @@ def ivf_index_write(
     assign_ivf_lists(embeddings, C, id_col=id_col, vec_col=vec_col).repartition(
         "list_id"
     ).write.mode("overwrite").partitionBy("list_id").parquet(path + "/lists")
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(np.asarray(C))],
-        "list_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    # centroid sidecar: pyarrow on local filesystems (no Spark job for
+    # an n_lists-row table — r15 metadata fast path), Spark otherwise;
+    # identical schema either way (int32 list_id, list<double> centroid)
+    from nomba_data_pipeline_spark.operators.versioned import write_table_sidecar
+
+    rows = [(int(i), [float(x) for x in row]) for i, row in enumerate(np.asarray(C))]
+
+    def _arrow():
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "list_id": pa.array([r[0] for r in rows], pa.int32()),
+                "centroid": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    write_table_sidecar(
+        spark,
+        path + "/centroids",
+        _arrow,
+        lambda: spark.createDataFrame(rows, "list_id int, centroid array<double>"),
+    )
 
 
 def ivf_index_append(
@@ -1637,6 +1658,14 @@ def ivf_index_centroids(spark: SparkSession, path: str):
     """The frozen quantizer: n_lists x dim numpy array from the sidecar."""
     import numpy as np
 
+    from nomba_data_pipeline_spark.operators.versioned import read_table_sidecar_local
+
+    t = read_table_sidecar_local(path + "/centroids")
+    if t is not None:
+        pairs = sorted(
+            zip(t.column("list_id").to_pylist(), t.column("centroid").to_pylist())
+        )
+        return np.asarray([c for _, c in pairs], dtype=np.float64)
     rows = spark.read.parquet(path + "/centroids").orderBy("list_id").collect()
     return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
 
@@ -1662,6 +1691,46 @@ def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _write_lsh_params(
+    spark: SparkSession, path: str, dim: int, n_planes: int, n_tables: int
+) -> None:
+    """Persist the hyperplane-family sidecar: pyarrow on local
+    filesystems (a 1-row parquet should never cost a Spark job — the
+    r15 metadata fast path), Spark writer otherwise; identical schema
+    (int32 columns) either way so readers mix freely."""
+    from nomba_data_pipeline_spark.operators.versioned import write_table_sidecar
+
+    def _arrow():
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "dim": pa.array([dim], pa.int32()),
+                "n_planes": pa.array([n_planes], pa.int32()),
+                "n_tables": pa.array([n_tables], pa.int32()),
+            }
+        )
+
+    write_table_sidecar(
+        spark,
+        path + "/params",
+        _arrow,
+        lambda: spark.createDataFrame(
+            [(dim, n_planes, n_tables)], "dim int, n_planes int, n_tables int"
+        ),
+    )
+
+
+def _read_lsh_params(spark: SparkSession, path: str) -> dict:
+    """The sidecar as a dict — pyarrow-fast locally, Spark fallback."""
+    from nomba_data_pipeline_spark.operators.versioned import read_table_sidecar_local
+
+    t = read_table_sidecar_local(path + "/params")
+    if t is not None:
+        return {c: t.column(c)[0].as_py() for c in t.column_names}
+    return spark.read.parquet(path + "/params").first().asDict()
+
+
 def lsh_index_write(
     embeddings: DataFrame,
     path: str,
@@ -1683,9 +1752,7 @@ def lsh_index_write(
     idx.repartition("b0").write.mode("overwrite").partitionBy("b0").parquet(
         path + "/lists"
     )
-    spark.createDataFrame(
-        [(dim, n_planes, n_tables)], "dim int, n_planes int, n_tables int"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/params")
+    _write_lsh_params(spark, path, dim, n_planes, n_tables)
 
 
 def lsh_index_append(
@@ -1713,7 +1780,7 @@ def lsh_index_append(
             F.col("vec_id").alias(id_col)
         )
         new_vectors = new_vectors.join(existing, id_col, "left_anti")
-    p = spark.read.parquet(path + "/params").first()
+    p = _read_lsh_params(spark, path)
     idx = lsh_index(
         new_vectors, dim=p["dim"], n_planes=p["n_planes"], n_tables=p["n_tables"],
         id_col=id_col, vec_col=vec_col,
@@ -1743,7 +1810,7 @@ def lsh_index_stage_batch(
     maintenance replay-idempotent with zero bookkeeping — the replay
     clobbers its own partial output, never duplicates it."""
     spark = new_vectors.sparkSession
-    p = spark.read.parquet(path + "/params").first()
+    p = _read_lsh_params(spark, path)
     idx = lsh_index(
         new_vectors, dim=p["dim"], n_planes=p["n_planes"], n_tables=p["n_tables"],
         id_col=id_col, vec_col=vec_col,

@@ -185,6 +185,57 @@ def write_json_sidecar(spark: SparkSession, p: str, payload, col: str = "j") -> 
     )
 
 
+def read_table_sidecar_local(p: str):
+    """pyarrow fast path for a small TYPED sidecar table (ANN index
+    params/centroids and friends): the whole table when `p` is a local
+    single-part parquet dir, None otherwise — the caller falls back to
+    the Spark reader. Zero Spark jobs on the fast path."""
+    local = _local_dir(p)
+    if local is None or not os.path.isdir(local):
+        return None
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = _glob.glob(os.path.join(local, "*.parquet"))
+        if len(files) != 1:
+            return None
+        return _pq.read_table(files[0])
+    except Exception:
+        return None
+
+
+def write_table_sidecar(spark: SparkSession, p: str, make_arrow, make_spark_df) -> None:
+    """Write a small typed sidecar table with the same temp+atomic-swap
+    contract as the JSON sidecars: pyarrow on local filesystems (zero
+    Spark jobs), the Spark writer otherwise. `make_arrow` returns a
+    pyarrow Table and `make_spark_df` the equivalent 1-partition
+    DataFrame — the two must carry IDENTICAL schemas (arrow int32 for a
+    Spark int, list_(float64) for array<double>) so readers mix freely
+    across the two written forms."""
+    local = _local_dir(p)
+    if local is not None:
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            import pyarrow.parquet as _pq
+
+            d = _local_dir(tmp)
+            os.makedirs(d)
+            _pq.write_table(
+                make_arrow(),
+                os.path.join(d, f"part-00000-{uuid.uuid4().hex}.parquet"),
+            )
+            with open(os.path.join(d, "_SUCCESS"), "w"):
+                pass
+        except Exception:
+            _rm_local_dir(_local_dir(tmp))
+        else:
+            ParquetTable(spark, p)._swap_in(tmp)
+            return
+    make_spark_df().coalesce(1).write.mode("overwrite").parquet(p)
+
+
 def _rm_local_dir(d: str | None) -> None:
     if d:
         import shutil
