@@ -149,19 +149,35 @@ def read_json_sidecar(spark: SparkSession, p: str, col: str = "j"):
     local = _local_dir(p)
     if local is not None and os.path.isdir(local):
         try:
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+        except ImportError:
+            _pa = None
+        if _pa is not None:
             import glob as _glob
 
-            import pyarrow.parquet as _pq
-
             files = _glob.glob(os.path.join(local, "*.parquet"))
-            if len(files) == 1:
-                return json.loads(
-                    _pq.read_table(files[0], columns=[col])
-                    .column(col)[0]
-                    .as_py()
-                )
-        except Exception:
-            pass
+            # require the _SUCCESS commit marker: a hand-copied partial
+            # directory (one part file, no marker) goes to the Spark
+            # reader rather than being silently accepted here
+            if len(files) == 1 and os.path.exists(
+                os.path.join(local, "_SUCCESS")
+            ):
+                # narrow except (ADVICE r15): only storage/format errors
+                # fall back to Spark — a genuinely corrupt JSON payload
+                # (json.loads below) raises the same way on either path,
+                # so retrying it through Spark would just re-fail slower
+                # with a vaguer error
+                try:
+                    payload = (
+                        _pq.read_table(files[0], columns=[col])
+                        .column(col)[0]
+                        .as_py()
+                    )
+                except (OSError, KeyError, IndexError, _pa.lib.ArrowInvalid):
+                    payload = None
+                if payload is not None:
+                    return json.loads(payload)
     return json.loads(spark.read.parquet(p).first()[col])
 
 
@@ -233,7 +249,10 @@ def write_table_sidecar(spark: SparkSession, p: str, make_arrow, make_spark_df) 
         else:
             ParquetTable(spark, p)._swap_in(tmp)
             return
-    make_spark_df().coalesce(1).write.mode("overwrite").parquet(p)
+    # non-local fallback honors the same temp+atomic-swap contract as
+    # the fast path (ADVICE r15): a crash mid-write must leave the
+    # previous sidecar readable, never a deleted/partial directory
+    ParquetTable(spark, p).overwrite(make_spark_df().coalesce(1))
 
 
 def _rm_local_dir(d: str | None) -> None:

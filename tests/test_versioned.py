@@ -2515,3 +2515,61 @@ def test_json_sidecar_pyarrow_and_spark_paths_mix(spark, tmp_path):
     # overwrite keeps the swap contract: second write replaces the first
     write_json_sidecar(spark, p1, {"v": 2}, col="meta")
     assert read_json_sidecar(spark, p1, col="meta") == {"v": 2}
+
+
+def test_table_sidecar_pyarrow_and_spark_paths_mix(spark, tmp_path):
+    """The TYPED sidecar fast path (write_table_sidecar /
+    read_table_sidecar_local — IVF centroids, LSH params) must stay
+    schema-compatible in BOTH directions, like the JSON sidecars: an
+    arrow-written sidecar reads back through spark.read.parquet, and a
+    Spark-written (cluster-fallback-form) sidecar reads back through
+    read_table_sidecar_local with identical values and arrow types
+    (int32 list_id, list<double> centroid)."""
+    import pyarrow as pa
+
+    from nomba_data_pipeline_spark.operators.versioned import (
+        read_table_sidecar_local,
+        write_table_sidecar,
+    )
+
+    rows = [(0, [0.5, -1.0]), (1, [2.25, 3.0])]
+
+    def _arrow():
+        return pa.table(
+            {
+                "list_id": pa.array([r[0] for r in rows], pa.int32()),
+                "centroid": pa.array([r[1] for r in rows], pa.list_(pa.float64())),
+            }
+        )
+
+    def _spark_df():
+        return spark.createDataFrame(rows, "list_id int, centroid array<double>")
+
+    # arrow-written (local fast path) -> Spark reader
+    p1 = str(tmp_path / "centroids_pa")
+    write_table_sidecar(spark, p1, _arrow, _spark_df)
+    got = spark.read.parquet(p1)
+    assert dict(got.dtypes) == {"list_id": "int", "centroid": "array<double>"}
+    assert sorted((r["list_id"], r["centroid"]) for r in got.collect()) == rows
+    # Spark-written (the cluster fallback's exact expression, now with
+    # the tmp+swap contract) -> pyarrow reader
+    p2 = str(tmp_path / "centroids_spark")
+    from nomba_data_pipeline_spark.operators.merge import ParquetTable
+
+    ParquetTable(spark, p2).overwrite(_spark_df().coalesce(1))
+    t = read_table_sidecar_local(p2)
+    assert t is not None
+    assert t.column("list_id").type == pa.int32()
+    assert t.column("centroid").type in (
+        pa.list_(pa.float64()),
+        pa.large_list(pa.float64()),
+    )
+    assert sorted(
+        zip(t.column("list_id").to_pylist(), t.column("centroid").to_pylist())
+    ) == rows
+    # overwrite keeps the swap contract on the arrow path too
+    rows2 = [(0, [9.0, 9.0])]
+    rows[:] = rows2
+    write_table_sidecar(spark, p1, _arrow, _spark_df)
+    t2 = read_table_sidecar_local(p1)
+    assert t2.column("centroid").to_pylist() == [[9.0, 9.0]]
