@@ -72,27 +72,33 @@ def get_spark(
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
-        # Allow shuffled-hash joins where the planner's size conditions
-        # hold (build side < autoBroadcastJoinThreshold * numShuffle
-        # Partitions per partition AND 3x smaller than the probe side):
-        # skips the per-partition sort an SMJ pays on BOTH sides. Not a
-        # local-only knob — the planner still gates on size, AQE skew
-        # split bounds build partitions, and anything too big keeps
-        # sort-merge. Measured r15 (interleaved process-level A/B, 16
-        # join-heavy rows, 3 rounds): 15/16 rows faster, per-query
-        # median total 36.5 -> 26.0s; iterative joins gain most
-        # (connected-components rounds pay an SMJ sort per iteration).
-        # Env-overridable for clusters that want the conservative
-        # default back.
+        # preferSortMergeJoin: REVERTED to Spark's default (true) in r16
+        # after the per-knob validation VERDICT r15 item 1 asked for.
+        # The r15 flip to shuffled-hash was justified by a 16-join-row
+        # A/B (15/16 faster) but the driver's full headline ground truth
+        # regressed the pipeline/merge family under it, and the r16
+        # 4-arm interleaved A/B over ALL 12 headline rows
+        # (plans/r16/ab_conf4.jsonl) could not confirm a headline-set
+        # win for SHJ alone (arm B ~= baseline overall; ann rows worse;
+        # the combined r15 config was consistently the worst arm on
+        # pipeline_cdc_rerun, ~+45% in all 3 rounds). SHJ's build side
+        # also cannot spill (ADVICE r15): a size-estimate miss on a
+        # real cluster OOMs where SMJ would have spilled. Clusters that
+        # measured a win for their workload can still opt in via
+        # SPARK_GRAFT_PREFER_SMJ=false (or a per-query SHUFFLE_HASH
+        # hint where a specific join is proven hot).
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         # zstd shuffle/spill compression: better ratio than lz4 for a
         # little CPU, so fewer shuffle bytes hit disk and the wire —
-        # the trade the guide recommends measuring; measured r15 on the
-        # same 16-row A/B: 36.5 -> 28.9s. Matters MORE at 100 TB where
-        # shuffle I/O, not CPU, is the binding constraint.
+        # the trade the guide recommends measuring. KEPT in r16: the
+        # per-knob A/B shows zstd-alone never harmed a headline row
+        # (arm C matched or beat the lz4 baseline on the pipeline/cdc
+        # rows and the ann kernels; plans/r16/ab_conf4.jsonl), it won
+        # the r15 16-row battery (36.5 -> 28.9s), and the ratio matters
+        # MORE at 100 TB where shuffle I/O, not CPU, binds.
         .config(
             "spark.io.compression.codec",
             os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
