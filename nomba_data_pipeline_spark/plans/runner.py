@@ -170,6 +170,24 @@ class PipelineRunner:
         dependency closure — the equivalent of the reference's per-source
         Dagster jobs (users_job / plans_job / txn_job, all_jobs.py:6-22)
         where each cron fires a subgraph, not the whole DAG.
+
+        INDEPENDENT models overlap (optimization guide §2.6): Spark's
+        scheduler happily runs several jobs at once, and a DAG run's
+        actions are only sequential because the driver calls them
+        sequentially — so models whose dependencies are satisfied are
+        submitted from a small thread pool (default 3 in flight, the
+        guide's "enough to fill the tail, not so many that they fight
+        for executors"; SPARK_GRAFT_PIPELINE_WORKERS=1 restores strict
+        sequential execution). This changes NOTHING about what each
+        model computes or writes — the single-writer-per-table contract
+        holds (each model owns its table; dependency edges serialize
+        every reader behind its writer), and the returned counts /
+        last_timings keep dependency order. Failure semantics: no new
+        model is scheduled after a failure, in-flight siblings finish
+        (their writes are the same crash-safe idempotent state a rerun
+        heals), and the topologically-earliest failure is re-raised —
+        the same exception the sequential order would have surfaced
+        first.
         """
         ordered = self._toposort()
         if only is not None:
@@ -187,11 +205,71 @@ class PipelineRunner:
             ordered = [s for s in ordered if s.name in wanted]
         results: dict[str, int] = {}
         self.last_timings = {}
-        for spec in ordered:
+        # default 3 in flight — measured r16 (interleaved 1,3,3,1 at
+        # sf0.1/local[32]): e2e fresh-warehouse build 25.4/27.5s -> 9.6/
+        # 10.7s, unchanged rerun 7.1/8.7 -> 4.5/4.9, CDC rerun 8.7/11.6
+        # -> 5.5/7.0. Not a local-only win: independent DAG branches
+        # back-fill the executor tail on any cluster (guide §2.6).
+        workers = max(
+            1, int(os.environ.get("SPARK_GRAFT_PIPELINE_WORKERS", "3"))
+        )
+        if workers == 1 or len(ordered) <= 1:
+            for spec in ordered:
+                t0 = time.perf_counter()
+                results[spec.name] = self.run_model(spec.name)
+                self.last_timings[spec.name] = round(time.perf_counter() - t0, 3)
+            return results
+
+        import concurrent.futures as _cf
+
+        names = [s.name for s in ordered]
+        in_run = set(names)
+        done: dict[str, int] = {}
+        timings: dict[str, float] = {}
+        errors: dict[str, BaseException] = {}
+        pending: list[ModelSpec] = list(ordered)
+        running: dict[str, _cf.Future] = {}
+
+        def _run_timed(spec: ModelSpec) -> tuple[int, float]:
+            self.spark.sparkContext.setJobDescription(f"model:{spec.name}")
             t0 = time.perf_counter()
-            results[spec.name] = self.run_model(spec.name)
-            self.last_timings[spec.name] = round(time.perf_counter() - t0, 3)
-        return results
+            n = self.run_model(spec.name)
+            return n, round(time.perf_counter() - t0, 3)
+
+        with _cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            while pending or running:
+                if errors:
+                    pending = []  # stop scheduling after a failure
+                else:
+                    for spec in list(pending):
+                        deps_ok = all(
+                            d not in in_run or d in done
+                            for d in spec.depends_on
+                        )
+                        if deps_ok:
+                            pending.remove(spec)
+                            running[spec.name] = pool.submit(_run_timed, spec)
+                if not running:
+                    if pending:  # unreachable: _toposort rejects cycles
+                        raise RuntimeError(
+                            f"pipeline deadlock on {[s.name for s in pending]}"
+                        )
+                    break
+                fut_to_name = {f: n for n, f in running.items()}
+                done_futs, _ = _cf.wait(
+                    fut_to_name, return_when=_cf.FIRST_COMPLETED
+                )
+                for f in done_futs:
+                    n = fut_to_name[f]
+                    del running[n]
+                    try:
+                        done[n], timings[n] = f.result()
+                    except BaseException as e:  # noqa: BLE001 re-raised below
+                        errors[n] = e
+        self.last_timings = {n: timings[n] for n in names if n in timings}
+        if errors:
+            raise errors[min(errors, key=names.index)]
+        return {n: done[n] for n in names}
 
     def run_model(self, name: str) -> int:
         spec = self.models[name]

@@ -706,3 +706,80 @@ def test_join_view_hwm_string_roundtrip_is_exact(spark, dtype, lo, hi):
     hwm_lo = str(lower.agg(F.max('t').alias('m')).first()["m"])
     above = df.filter(F.col("t") > F.lit(hwm_lo).cast(dtype))
     assert above.count() == 1, f"{dtype}: value above the HWM was lost"
+
+
+def test_concurrent_run_matches_sequential(spark, warehouse, monkeypatch):
+    """§2.6 overlap of independent models (r16): a threaded run must
+    produce byte-identical tables, the same counts dict (in dependency
+    order), and per-model last_timings — and a failing model must
+    surface the same exception it does sequentially, with no new models
+    scheduled after the failure."""
+    monkeypatch.setenv("SPARK_GRAFT_PIPELINE_WORKERS", "3")
+    runner = build_pipeline(spark, warehouse, SF_SMALL)
+    counts_t = runner.run()
+    assert set(runner.last_timings) == set(counts_t)
+
+    wh2 = warehouse + "_seq"
+    monkeypatch.setenv("SPARK_GRAFT_PIPELINE_WORKERS", "1")
+    counts_s = build_pipeline(spark, wh2, SF_SMALL).run()
+    assert counts_t == counts_s  # same values AND same (dependency) order
+    assert list(counts_t) == list(counts_s)
+    r1 = build_pipeline(spark, warehouse, SF_SMALL)
+    r2 = build_pipeline(spark, wh2, SF_SMALL)
+
+    # SCD2 stamps NOW() into valid_from/valid_to (and scd_id derives
+    # from valid_from): those columns differ between ANY two separate
+    # runs, threaded or not — compare the run-stable columns
+    _UNSTABLE = {"valid_from", "valid_to", "updated_at_scd", "scd_id"}
+
+    def _rows(runner_, name):
+        df = runner_.read_model(name)
+        keep = [c for c in df.columns if c not in _UNSTABLE]
+        return sorted(map(tuple, df.select(*keep).collect()))
+
+    for name in counts_s:
+        assert _rows(r1, name) == _rows(r2, name), (
+            f"model {name} diverged under the threaded run"
+        )
+
+    # CDC rerun through the threaded path converges identically too
+    monkeypatch.setenv("SPARK_GRAFT_PIPELINE_WORKERS", "3")
+    override = {
+        "stg_plans": lambda s, sf: simulate_plan_updates(M.stg_plans(s, sf), 0.05)
+    }
+    build_pipeline(spark, warehouse, SF_SMALL, source_override=override).run()
+    monkeypatch.setenv("SPARK_GRAFT_PIPELINE_WORKERS", "1")
+    build_pipeline(spark, wh2, SF_SMALL, source_override=override).run()
+    for name in counts_s:
+        assert _rows(r1, name) == _rows(r2, name), (
+            f"model {name} diverged after threaded CDC rerun"
+        )
+
+
+def test_concurrent_run_failure_semantics(spark, tmp_path, monkeypatch):
+    """A gate failure under the threaded scheduler raises the
+    topologically-earliest failing model's exception (sequential
+    parity) and stops scheduling models that were not yet submitted."""
+    import pytest as _pytest
+
+    from nomba_data_pipeline_spark.plans.quality import QualitySpec
+    from nomba_data_pipeline_spark.plans.runner import ModelSpec, PipelineRunner
+
+    monkeypatch.setenv("SPARK_GRAFT_PIPELINE_WORKERS", "3")
+    r = PipelineRunner(spark, str(tmp_path / "wh"), SF_SMALL)
+    r.register(ModelSpec(
+        name="dup",
+        fn=lambda s, sf: s.createDataFrame([(1, "a"), (1, "b")], "k int, v string"),
+        materialization="table",
+        quality=QualitySpec(unique=["k"]),
+    ))
+    r.register(ModelSpec(
+        name="down",
+        fn=lambda s, sf: r.table("dup").read(),
+        materialization="table",
+        depends_on=["dup"],
+    ))
+    with _pytest.raises(AssertionError, match="unique:k"):
+        r.run()
+    # the dependent of the failed model must not have materialized
+    assert not r.table("down").exists()
