@@ -182,15 +182,35 @@ def cosine_topk(
             nids = batch.column(0).to_numpy()
             n = sims.shape[1]
             if m > k + 1:
-                qsel, nsel, ssel = [], [], []
-                for j in range(n):
-                    order = np.lexsort((nids, -sims[:, j]))[: k + 1]
-                    qsel.append(np.full(len(order), b_qids[j]))
-                    nsel.append(nids[order])
-                    ssel.append(sims[order, j])
-                out_q = np.concatenate(qsel)
-                out_n = np.concatenate(nsel)
-                out_s = np.concatenate(ssel)
+                # threshold preselection, vectorized across queries
+                # (r16: replaces a per-query lexsort loop — O(m*n)
+                # partition + one nonzero instead of n Python-level
+                # sorts): keep every row whose sim ties-or-beats the
+                # (k+1)-th LARGEST sim for its query. That is a
+                # superset of the exact top-(k+1) (ties at the cut
+                # are all kept, so no tie-broken winner can be
+                # dropped), and the downstream exact Window already
+                # reduces any superset to IDENTICAL rankings.
+                thr = np.partition(sims, m - k - 1, axis=0)[m - k - 1, :]
+                mask = sims >= thr[None, :]
+                if mask.sum() <= 4 * (k + 1) * n:
+                    ri, qi = np.nonzero(mask)
+                    out_q = b_qids[qi]
+                    out_n = nids[ri]
+                    out_s = sims[ri, qi]
+                else:
+                    # degenerate mass-tie corpus (many identical
+                    # vectors): the threshold keeps too many rows —
+                    # fall back to the exact per-query top-(k+1)
+                    qsel, nsel, ssel = [], [], []
+                    for j in range(n):
+                        order = np.lexsort((nids, -sims[:, j]))[: k + 1]
+                        qsel.append(np.full(len(order), b_qids[j]))
+                        nsel.append(nids[order])
+                        ssel.append(sims[order, j])
+                    out_q = np.concatenate(qsel)
+                    out_n = np.concatenate(nsel)
+                    out_s = np.concatenate(ssel)
             else:
                 out_q = np.repeat(b_qids[None, :], m, 0).ravel(order="F")
                 out_n = np.repeat(nids[:, None], n, 1).ravel(order="F")
