@@ -123,10 +123,10 @@ class _PagedJsonBase:
             and os.path.isfile(os.path.join(self.path, f))
         )
 
-    def read(self, partition):
+    def _decoded_rows(self, path: str):
         fields = [f.name for f in self.schema.fields]
         casts = [_CASTS[f.dataType.simpleString()] for f in self.schema.fields]
-        with open(partition.value) as fh:
+        with open(path) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
@@ -141,6 +141,29 @@ class _PagedJsonBase:
                 yield tuple(
                     cast(rec.get(name)) for name, cast in zip(fields, casts)
                 )
+
+    def read(self, partition):
+        # one Arrow RecordBatch per page (guide §4.2): the JSON decode
+        # and HWM filter are per-line Python either way, but the rows
+        # cross the Python->JVM boundary as ONE columnar batch instead
+        # of pickled tuples. Falls back to tuple rows on any Arrow
+        # surprise — identical semantics.
+        rows = list(self._decoded_rows(partition.value))
+        try:
+            import pyarrow as pa
+
+            _ARROW = {"bigint": pa.int64(), "double": pa.float64(),
+                      "string": pa.string()}
+            cols = [
+                pa.array([r[i] for r in rows],
+                         type=_ARROW[f.dataType.simpleString()])
+                for i, f in enumerate(self.schema.fields)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[f.name for f in self.schema.fields]
+            )
+        except Exception:
+            yield from iter(rows)
 
 
 class PagedJsonReader(_PagedJsonBase, DataSourceReader):
