@@ -576,3 +576,52 @@ def test_variant_extract_stays_jvm_side(spark):
     plan = _plan(REGISTRY["variant_json_extract"].fn(spark, SF_SMALL))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_headline_rows_have_no_row_python_and_stable_exchanges(spark):
+    """r16 pins for the headline set (VERDICT r15 item 8): a session
+    config flip or kernel refactor that re-introduces a row-at-a-time
+    Python boundary (BatchEvalPython/MapInPandas), a cartesian product,
+    or an extra shuffle on a hot row must fail here instead of landing
+    silently. Exchange counts are pinned only for join-free rows whose
+    shape cannot legitimately flex with size estimates."""
+    no_python_rows = (
+        "flagship_revenue_by_region", "fact_enriched", "scd2_intervals",
+        "keep_latest_per_key", "minhash_lsh_pairs", "pricing_summary",
+        "supplier_part_volume", "revenue_rollup",
+    )
+    for name in no_python_rows:
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # Arrow-kernel rows: the Python boundary must be MapInArrow, never
+    # the pandas/object form the r15 conversions removed
+    for name in ("cosine_topk", "cosine_topk_lsh", "embedding_near_dup_lsh"):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+        assert "MapInPandas" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # join-free single-shuffle rows: exchange count is structural
+    for name, max_ex in (("keep_latest_per_key", 2), ("scd2_intervals", 2),
+                         ("cosine_topk", 2)):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+        assert plan.count("Exchange") <= max_ex, (
+            f"{name}: {plan.count('Exchange')} exchanges (pinned <= {max_ex})"
+        )
+
+
+def test_session_factory_join_and_codec_defaults_pinned(spark):
+    """The r15 round landed a session-wide join-strategy flip after its
+    closing bench and the driver's ground truth regressed the pipeline
+    family. Pin the r16 per-knob decision (SMJ preferred, zstd shuffle
+    codec) so the next flip has to change a test — i.e. arrive with
+    evidence — rather than land silently."""
+    import os
+
+    from nomba_data_pipeline_spark.session import get_spark
+
+    s = get_spark()  # existing session: conf already applied by factory
+    if os.environ.get("SPARK_GRAFT_PREFER_SMJ") is None:
+        assert s.conf.get("spark.sql.join.preferSortMergeJoin") == "true"
+    if os.environ.get("SPARK_GRAFT_IO_CODEC") is None:
+        assert s.conf.get("spark.io.compression.codec") == "zstd"
