@@ -28,6 +28,49 @@ def pytest_configure(config):
 # regardless of duration, and the gated tests still run with
 # SPARK_GRAFT_SLOW_TESTS=1 (CI cadence) or --run-soak-style opt-in.
 _SLOW_TIER = {
+    "test_agg_join_view.py::test_erasure_sweeps_agg_view_underlying_view_and_partials",  # 13s
+    "test_agg_join_view.py::test_erasure_with_missing_agg_meta_sidecar_sweeps_view",  # 11s
+    "test_agg_join_view.py::test_streaming_fact_cdc_maintains_rollup",  # 13s
+    "test_cdf.py::test_apply_cdf_replicates_source",  # 11s
+    "test_corpus_dedup_stream.py::test_flag_semantics_and_batch_split_invariance",  # 12s
+    "test_incremental_join.py::test_evolve_dim_cols_widens_without_rebuild",  # 14s
+    "test_incremental_join.py::test_propagate_dim_patch_depth3_equals_declarative_join",  # 15s
+    "test_incremental_join.py::test_streaming_dim_cdc_patches_view",  # 12s
+    "test_mongo_extract.py::test_mongo_ingest_other_load_modes",  # 11s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[agg_view_pipeline_roundtrip]",  # 12s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[cdf_replication_roundtrip]",  # 11s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[join_view_chain_depth3]",  # 13s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[join_view_pipeline_roundtrip]",  # 10s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[mongo_extract_events]",  # 10s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[price_mad_by_flag]",  # 14s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[streaming_corpus_dedup]",  # 13s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[streaming_enriched]",  # 12s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[streaming_incremental_agg]",  # 15s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[streaming_sessionize]",  # 12s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[versioned_cdf_stream]",  # 12s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[versioned_constraints_roundtrip]",  # 11s
+    "test_queries_vs_duckdb.py::test_query_matches_oracle[versioned_optimize_roundtrip]",  # 11s
+    "test_scd2.py::test_split_scd2_replay_after_crash_is_exactly_once",  # 14s
+    "test_scd2.py::test_split_scd2_replay_with_changed_source_sweeps_orphans",  # 10s
+    "test_similarity.py::test_ivf_index_append_skip_existing_is_replay_idempotent",  # 10s
+    "test_similarity.py::test_lsh_bucket_constant_folded",  # 14s
+    "test_similarity.py::test_lsh_multi_table_recall",  # 14s
+    "test_similarity.py::test_near_dup_block_pair_matches_single_block",  # 11s
+    "test_versioned.py::test_changes_between_hides_preimages_by_default",  # 11s
+    "test_versioned.py::test_checkpoint_zorder_narrows_manifest_stats_on_both_dims",  # 10s
+    "test_versioned.py::test_clone_refuses_existing_dest_and_clones_old_versions",  # 10s
+    "test_versioned.py::test_delete_where_untouched_files_carried",  # 13s
+    "test_versioned.py::test_disjoint_concurrent_delete_where_rebases",  # 12s
+    "test_versioned.py::test_erasure_purges_versioned_marts",  # 11s
+    "test_versioned.py::test_purge_where_removes_subject_from_every_version",  # 11s
+    "test_versioned.py::test_rebase_refuses_when_rewritten_file_got_merged",  # 13s
+    "test_versioned.py::test_runner_incremental_agg_materialization",  # 14s
+    "test_versioned.py::test_source_vacuum_refuses_with_live_clone_then_breaks_loudly",  # 14s
+    "test_versioned.py::test_vacuum_prunes_stale_clone_registry_entries",  # 11s
+    "test_versioned.py::test_versioned_incremental_materialization",  # 10s
+    "test_versioned_cdf_stream.py::test_delete_keys_feed_and_empty_marker",  # 14s
+    "test_versioned_cdf_view.py::test_versioned_fact_cdf_feeds_mart[agg_view]",  # 15s
+    "test_versioned_cdf_view.py::test_versioned_fact_cdf_feeds_mart[join_view]",  # 13s
     "test_agg_join_view.py::test_agg_view_pipeline_incremental_across_runner_instances",  # 34s
     "test_agg_join_view.py::test_random_maintenance_sequence_equals_declarative",  # 32s
     "test_cdf.py::test_apply_cdf_preserves_partitioned_replica_layout",  # 15s
