@@ -71,8 +71,22 @@ def exact_dedup_groups_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 # shingling (shared by MinHash and Jaccard)
 # ---------------------------------------------------------------------------
-def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document (set semantics)."""
+def shingle_set(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (set semantics).
+
+    ``distinct=False`` returns the raw occurrence MULTISET — correct
+    (and cheaper) whenever the consumer is duplicate-insensitive: the
+    set dedup is a full pre-aggregation exchange of (doc_id, shingle)
+    STRING rows, by far the widest shuffle of the banded-LSH pipeline,
+    while e.g. a min() aggregation gives byte-identical results over
+    either form (guide §2.4 — remove shuffles outright). Set consumers
+    (Jaccard counting) keep the default.
+    """
     toked = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     shingle_expr = f"""
         CASE WHEN size(toks) >= {SHINGLE_N}
@@ -81,10 +95,8 @@ def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
              ELSE array()
         END
     """
-    return (
-        toked.select("doc_id", F.explode(F.expr(shingle_expr)).alias("shingle"))
-        .distinct()
-    )
+    exploded = toked.select("doc_id", F.explode(F.expr(shingle_expr)).alias("shingle"))
+    return exploded.distinct() if distinct else exploded
 
 
 def shingle_set_sql(table: str = "documents") -> str:
@@ -209,10 +221,23 @@ def _bucket_pairs(bucketed: DataFrame, bucket_cols: list[str]) -> DataFrame:
     )
 
 
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """The corpus's LSH band table: lsh_bands ∘ minhash_signatures over
+    the shingle MULTISET. min() is duplicate-insensitive, so the
+    signatures (hence bands, hence every downstream pair/collision set)
+    are IDENTICAL to the distinct-shingle form — but skipping the set
+    dedup removes the (doc_id, shingle-string) pre-aggregation exchange
+    entirely (guide §2.4): the groupBy(doc_id) that follows partially
+    aggregates map-side, so the only shuffle left carries one
+    NUM_PERM-long row per (doc × input partition). Every band-building
+    path (pair query, incremental probe, index write/append, streaming
+    maintenance) goes through here so the form cannot drift."""
+    return lsh_bands(minhash_signatures(shingle_set(docs, distinct=False)))
+
+
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-duplicate pairs: any shared LSH band bucket."""
-    bands = lsh_bands(minhash_signatures(shingle_set(docs)))
-    return _bucket_pairs(bands, ["band", "band_sig"])
+    return _bucket_pairs(minhash_bands(docs), ["band", "band_sig"])
 
 
 def _minhash_bands_cte(table: str = "documents") -> str:
@@ -563,7 +588,7 @@ def dedup_against_bands(new_docs: DataFrame, corpus_bands: DataFrame) -> DataFra
     with more rows per band or verify survivors with
     ngram_jaccard_pairs on the collided subset).
     """
-    batch_bands = lsh_bands(minhash_signatures(shingle_set(new_docs)))
+    batch_bands = minhash_bands(new_docs)
     matched = (
         corpus_bands.join(
             F.broadcast(batch_bands.withColumnRenamed("doc_id", "new_doc_id")),
@@ -608,7 +633,7 @@ def minhash_index_write(docs: DataFrame, path: str) -> None:
     one-time signature pass a 100 TB corpus must never repeat. Each
     partition dir holds co-located band_sig rows (repartition avoids
     the tasks x dirs small-file bomb, same as the ANN index writers)."""
-    bands = lsh_bands(minhash_signatures(shingle_set(docs)))
+    bands = minhash_bands(docs)
     bands.repartition("band").write.mode("overwrite").partitionBy("band").parquet(path)
 
 
@@ -622,7 +647,7 @@ def minhash_index_append(
     if skip_existing:
         existing = spark.read.parquet(path).select("doc_id").distinct()
         docs = docs.join(existing, "doc_id", "left_anti")
-    bands = lsh_bands(minhash_signatures(shingle_set(docs)))
+    bands = minhash_bands(docs)
     bands.repartition("band").write.mode("append").partitionBy("band").parquet(path)
 
 
@@ -656,7 +681,7 @@ def dedup_against_bands_verified(
     (0.0 when the batch doc had no collisions at all). Recall is still
     the LSH band trade — verification can only LOWER flag counts.
     """
-    batch_bands = lsh_bands(minhash_signatures(shingle_set(new_docs)))
+    batch_bands = minhash_bands(new_docs)
     cand = (
         corpus_bands.join(
             F.broadcast(batch_bands.withColumnRenamed("doc_id", "new_doc_id")),

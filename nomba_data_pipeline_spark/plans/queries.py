@@ -4149,7 +4149,7 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    corpus_bands = D.lsh_bands(D.minhash_signatures(D.shingle_set(corpus)))
+    corpus_bands = D.minhash_bands(corpus)
     return D.dedup_against_bands(batch, corpus_bands)
 
 
@@ -4167,7 +4167,7 @@ def q_dedup_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    corpus_bands = D.lsh_bands(D.minhash_signatures(D.shingle_set(corpus)))
+    corpus_bands = D.minhash_bands(corpus)
     return D.dedup_against_bands_verified(batch, corpus_bands, corpus, threshold=0.5)
 
 

@@ -726,16 +726,12 @@ def corpus_dedup_apply_batch(
     """
     if batch_df.isEmpty():
         return
-    from nomba_data_pipeline_spark.operators.dedup import (
-        lsh_bands,
-        minhash_signatures,
-        shingle_set,
-    )
+    from nomba_data_pipeline_spark.operators.dedup import minhash_bands
     from nomba_data_pipeline_spark.operators.merge import fs_and_path
 
     spark = batch_df.sparkSession
     ids = batch_df.select("doc_id").distinct()
-    bands = lsh_bands(minhash_signatures(shingle_set(batch_df)))
+    bands = minhash_bands(batch_df)
     # used three times (index probe, self-join both sides, append) —
     # micro-batch-sized, so cache instead of re-signing three times
     bands.cache()
