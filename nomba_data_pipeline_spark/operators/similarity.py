@@ -1768,10 +1768,19 @@ def lsh_index_write(
         embeddings, dim=dim, n_planes=n_planes, n_tables=n_tables,
         id_col=id_col, vec_col=vec_col,
     ).withColumn("b0", F.col("buckets")[0])
-    # co-locate per bucket: one file per partition dir, not task x dir
-    idx.repartition("b0").write.mode("overwrite").partitionBy("b0").parquet(
-        path + "/lists"
-    )
+    # co-locate per bucket: one file per partition dir, not task x dir.
+    # EXPLICIT task count (still keyed by b0, so the one-file-per-dir
+    # guarantee holds — every bucket is owned by exactly one task): a
+    # keyless-count repartition lets AQE coalesce a small input to ONE
+    # task that then writes all ~2^n_planes partition dirs serially —
+    # measured 5.5s -> 3.9s (write) / 5.0s -> 1.5s (2k-row append) on
+    # the 128k-vector bench corpus. Scale-adaptive: defaultParallelism,
+    # capped by the bucket-id space (more tasks than buckets can only
+    # sit empty).
+    n_split = _bucket_write_tasks(spark, n_planes)
+    idx.repartition(n_split, "b0").write.mode("overwrite").partitionBy(
+        "b0"
+    ).parquet(path + "/lists")
     _write_lsh_params(spark, path, dim, n_planes, n_tables)
 
 
@@ -1805,9 +1814,19 @@ def lsh_index_append(
         new_vectors, dim=p["dim"], n_planes=p["n_planes"], n_tables=p["n_tables"],
         id_col=id_col, vec_col=vec_col,
     ).withColumn("b0", F.col("buckets")[0])
-    idx.repartition("b0").write.mode("append").partitionBy("b0").parquet(
-        path + "/lists"
-    )
+    # explicit task count: see lsh_index_write — an AQE-coalesced
+    # single task would write every touched bucket dir serially
+    idx.repartition(
+        _bucket_write_tasks(spark, p["n_planes"]), "b0"
+    ).write.mode("append").partitionBy("b0").parquet(path + "/lists")
+
+
+def _bucket_write_tasks(spark: SparkSession, n_planes: int) -> int:
+    """Write-side parallelism for the bucket-partitioned index layout:
+    one task per core up to the bucket-id space. Keyed by b0 either
+    way, so each partition dir still receives exactly one file per
+    write (the small-file guarantee the keyed repartition exists for)."""
+    return max(1, min(spark.sparkContext.defaultParallelism, 1 << n_planes))
 
 
 def lsh_index_read(spark: SparkSession, path: str) -> DataFrame:
@@ -1918,9 +1937,11 @@ def lsh_index_fold_incoming(spark: SparkSession, path: str) -> int:
     )
     n = fresh.count()
     if n:
-        fresh.repartition("b0").write.mode("append").partitionBy("b0").parquet(
-            path + "/lists"
-        )
+        # explicit task count: see lsh_index_write
+        fresh.repartition(
+            _bucket_write_tasks(spark, _read_lsh_params(spark, path)["n_planes"]),
+            "b0",
+        ).write.mode("append").partitionBy("b0").parquet(path + "/lists")
     fs.delete(jp, True)
     spark.catalog.refreshByPath(path + "/lists")
     return n
