@@ -111,3 +111,38 @@ def test_verified_dedup_never_flags_more_than_banded(spark):
     # jaccard values sit in [0, 1] and flagged docs carry a real score
     for r in rows:
         assert 0.0 <= r.best_jac <= 1.0
+
+
+def test_minhash_bands_multiset_equals_distinct_form(spark):
+    """minhash_bands skips the shingle-set distinct (min() is
+    duplicate-insensitive): the band table must be IDENTICAL to the
+    distinct-shingle composition on a corpus that actually contains
+    repeated shingles — otherwise the skipped exchange would be a
+    semantics change, not an optimization."""
+    from pyspark.sql import functions as F
+
+    from nomba_data_pipeline_spark.operators.dedup import (
+        SHINGLE_N,
+        lsh_bands,
+        minhash_bands,
+        minhash_signatures,
+        shingle_set,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        # force heavy shingle duplication: every doc's text repeated 3x
+        F.concat_ws(" ", "text", "text", "text").alias("text"),
+    )
+    # the fixture really does duplicate shingles (multiset > set)
+    n_multi = shingle_set(docs, distinct=False).count()
+    n_set = shingle_set(docs).count()
+    assert n_multi > n_set >= 1
+
+    via_set = lsh_bands(minhash_signatures(shingle_set(docs)))
+    via_multi = minhash_bands(docs)
+    assert via_multi.exceptAll(via_set).count() == 0
+    assert via_set.exceptAll(via_multi).count() == 0
+    # shingle width respected: short docs produce no bands either way
+    short = docs.limit(0)
+    assert minhash_bands(short).count() == 0 and SHINGLE_N >= 2

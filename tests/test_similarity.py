@@ -623,3 +623,38 @@ def test_semantic_dedup_kmeans_matches_true_clusters(spark):
         assert len(extra) <= 0.05 * len(truth_drops) + 1, len(extra)
     finally:
         synth.unpersist()
+
+
+def test_lsh_index_write_one_file_per_bucket_dir(spark, tmp_path):
+    """The explicit-task-count repartition keeps the layout guarantee
+    the keyed repartition exists for: each b0 partition dir receives
+    EXACTLY one data file per write (write + one append = at most two),
+    never tasks x dirs — while spreading the file writes over many
+    tasks instead of one AQE-coalesced task that writes every dir
+    serially."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nomba_data_pipeline_spark.catalog import load_table
+    from nomba_data_pipeline_spark.operators.similarity import (
+        lsh_index_append,
+        lsh_index_write,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "idx")
+    lsh_index_write(emb, path)
+    delta = emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    lsh_index_append(delta, path)
+
+    lists = os.path.join(path, "lists")
+    dirs = [d for d in os.listdir(lists) if d.startswith("b0=")]
+    assert len(dirs) > 1
+    for d in dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(lists, d))
+            if f.endswith(".parquet")
+        ]
+        assert 1 <= len(files) <= 2, (d, files)
