@@ -5047,9 +5047,16 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up factor is a per-basket constant. Lift is exact-integer
     ratios in one IEEE multiply/divide, rounded to 4 dp output-only;
     the support threshold is an integer compare."""
+    # the deduped (order, part) frame feeds FIVE consumers (self-join
+    # both sides, part counts twice, the order count) and Spark reuses
+    # none of them (exchange reuse does not fire across the aliased
+    # branches — verified in the executed plan: 4 scans + 4 dedup
+    # exchanges). Checkpoint lazily so the n_orders action materializes
+    # it once — the same §5 pattern as ngram_jaccard's shingle frame;
+    # the frame is two longs per row, so the footprint is key-sized.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).dropDuplicates(["l_orderkey", "l_partkey"])
+    ).dropDuplicates(["l_orderkey", "l_partkey"]).localCheckpoint(eager=False)
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b"))
     pairs = (
