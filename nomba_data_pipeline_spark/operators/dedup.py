@@ -80,12 +80,21 @@ def shingle_set(
     """Distinct word n-gram shingles per document (set semantics).
 
     ``distinct=False`` returns the raw occurrence MULTISET — correct
-    (and cheaper) whenever the consumer is duplicate-insensitive: the
-    set dedup is a full pre-aggregation exchange of (doc_id, shingle)
-    STRING rows, by far the widest shuffle of the banded-LSH pipeline,
-    while e.g. a min() aggregation gives byte-identical results over
-    either form (guide §2.4 — remove shuffles outright). Set consumers
-    (Jaccard counting) keep the default.
+    whenever the consumer is duplicate-insensitive (e.g. a min()
+    aggregation gives byte-identical results over either form).
+
+    The set form dedups MAP-SIDE: distinct-per-(doc_id, shingle) is
+    exactly the per-document shingle set, so ``array_distinct`` on the
+    per-row shingle array before the explode produces it with ZERO
+    shuffle — the old ``explode().distinct()`` form paid a full
+    pre-aggregation exchange of (doc_id, shingle) STRING rows, by far
+    the widest shuffle of the shingle pipeline (guide §2.4 — remove
+    shuffles outright; hash-based array_distinct is linear per row).
+    Contract: one input row per document — a caller that feeds
+    duplicated doc_id ROWS would get each row's set independently
+    (pre-dedup upstream with keep-latest); every corpus in this repo
+    has unique doc rows, and the multiset form is row-shape-identical
+    either way.
     """
     toked = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     shingle_expr = f"""
@@ -95,8 +104,9 @@ def shingle_set(
              ELSE array()
         END
     """
-    exploded = toked.select("doc_id", F.explode(F.expr(shingle_expr)).alias("shingle"))
-    return exploded.distinct() if distinct else exploded
+    if distinct:
+        shingle_expr = f"array_distinct({shingle_expr})"
+    return toked.select("doc_id", F.explode(F.expr(shingle_expr)).alias("shingle"))
 
 
 def shingle_set_sql(table: str = "documents") -> str:
@@ -291,7 +301,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard over shingle sets for pairs sharing >= 1 shingle."""
     # sh feeds two aggregations (sizes + per-shingle buckets); Spark does
     # not share common subplans across branches, so checkpoint lazily to
-    # compute the normalize+explode+distinct pipeline once per action
+    # compute the normalize+explode+dedup pipeline once per action
     sh = shingle_set(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # pairs per shared shingle via the bucket-pair expansion (one pass
@@ -390,7 +400,11 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str =
         END
         """
     )
-    return seqs.select("doc_id", F.explode(fps).alias("fp")).distinct()
+    # no trailing .distinct(): doc_id is unique after the groupBy and
+    # fps is already per-row distinct (array_distinct in the >=W branch,
+    # single-element in the else branch) — the global dedup was a
+    # provable no-op costing one full exchange (guide §2.4)
+    return seqs.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def winnow_fingerprints_sql(table: str = "documents") -> str:
@@ -1019,7 +1033,10 @@ def containment_pairs(docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD)
     where shingles are shared, never n². The threshold compares an
     exact-integer ratio (one IEEE double divide), so the cut is
     engine-identical; the reported score is rounded to 6 dp."""
-    sh = shingle_set(docs)
+    # sh feeds THREE branches (sizes + both join sides); checkpoint
+    # lazily so tokenize+shingle runs once per action, not per branch
+    # (the ngram_jaccard_pairs pattern)
+    sh = shingle_set(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -903,7 +903,11 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     as n-gram Jaccard (operators/dedup.py:250), so the 100 TB guidance
     is identical: cap shingle doc-frequency upstream (stop-gram drop)
     and the join never degenerates into all-pairs."""
-    sh = D.shingle_set(load_table(spark, sf_dir, "documents"))
+    # sh feeds both join sides; checkpoint lazily so tokenize+shingle
+    # runs once per action, not per branch (the ngram_jaccard pattern)
+    sh = D.shingle_set(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     bench = sh.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
