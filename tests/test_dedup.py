@@ -146,3 +146,26 @@ def test_minhash_bands_multiset_equals_distinct_form(spark):
     # shingle width respected: short docs produce no bands either way
     short = docs.limit(0)
     assert minhash_bands(short).count() == 0 and SHINGLE_N >= 2
+
+
+def test_shingle_set_mapside_distinct_equals_global_distinct(spark):
+    """shingle_set's set form dedups map-side (array_distinct before the
+    explode) — pin that it is exactly the old explode().distinct() set
+    on a corpus with forced duplicate shingles, and that the dedup costs
+    no shuffle (the optimization IS the removed exchange)."""
+    from pyspark.sql import functions as F
+
+    from nomba_data_pipeline_spark.operators.dedup import shingle_set
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        # every doc's text repeated 3x: heavy within-doc duplication
+        F.concat_ws(" ", "text", "text", "text").alias("text"),
+    )
+    new = shingle_set(docs)
+    ref = shingle_set(docs, distinct=False).distinct()
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
+    # map-side: no Exchange anywhere in the set form's physical plan
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
