@@ -3880,9 +3880,16 @@ def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to a shuffle join on the token otherwise — Catalyst/AQE
     decides from sizes. Two shuffles total: vocab agg + per-doc agg."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(T.tokens("text")).alias("token")
-    ).filter(F.col("token") != "")
+    # ONE tokenize pass (guide §2.4): the exploded token frame feeds
+    # both the vocabulary count and the per-doc score join; without the
+    # lazy checkpoint each branch re-runs the regex tokenize from the
+    # scan (per-branch column pruning defeats ReusedExchange — the
+    # dsir/ngram pattern).
+    toks = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=False)
+    )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n")).select("n")
     scored = (
@@ -4004,6 +4011,13 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership joins back BROADCAST. Per-lang rates are O(1) ratios at
     6dp (the safe grain), counts exact ints."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE r16: checkpointing this exploded frame to share the tokenize
+    # between the vocab fit and the coverage join was A/B'd and
+    # REJECTED (0.78x, plans/r16/ab_s4_rewrites.json): materializing
+    # every (doc, lang, token) occurrence costs more than the one
+    # tokenize pass it saves — the vocab branch aggregates to a tiny
+    # table immediately, so the second pass is cheap. Both costs scale
+    # with corpus bytes, so the trade does not invert at 100 TB.
     toks = docs.select(
         "doc_id", "lang", F.explode(T.tokens("text")).alias("token")
     ).filter(F.col("token") != "")
@@ -4652,14 +4666,30 @@ def q_token_budget_select_scalable(spark: SparkSession, sf_dir: str) -> DataFram
     token_budget_select: the scale path must be bit-identical to the
     spec, and the driver grades that equivalence."""
     docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.4): the per-doc stats are computed MAP-SIDE from
+    # the token array — n_tokens = size(arr), score = distinct tokens =
+    # size(array_distinct(arr)) — instead of explode + groupBy, which
+    # shuffled every token occurrence. Docs whose text tokenizes to
+    # nothing were absent from the exploded groupBy, matching the
+    # size >= 1 filter. stats feeds THREE consumers (budget, bucket
+    # totals, the windowed main branch), so it is checkpointed lazily
+    # rather than recomputed per branch.
     stats = (
-        docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct("tok").alias("score"),
+        docs.select(
+            "doc_id",
+            F.filter(T.tokens("text"), lambda t: t != "").alias("arr"),
         )
+        .select(
+            "doc_id",
+            F.size("arr").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("arr")).cast("long").alias("score"),
+        )
+        # checkpoint BELOW the filter: a filter on the tokenize-derived
+        # sizes would be pushed under the projection and re-evaluate
+        # the tokenize per row; above the checkpoint boundary it tests
+        # two materialized ints
+        .localCheckpoint(eager=False)
+        .filter(F.col("n_tokens") >= 1)
     )
     total = stats.agg(F.floor(F.sum("n_tokens") / 4).cast("long").alias("budget"))
     buckets = stats.groupBy("score").agg(F.sum("n_tokens").alias("btok"))
@@ -4695,12 +4725,17 @@ def q_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth-stable per document. One token-stats shuffle + one
     |docs|-row window; the hash filter is map-side."""
     docs = load_table(spark, sf_dir, "documents")
-    stats = (
-        docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("tok").alias("score"))
-    )
+    # r16 (guide §2.4): per-doc distinct-token score computed MAP-SIDE
+    # as size(array_distinct(arr)) — the explode + groupBy shuffled
+    # every token occurrence for a per-doc count the array already
+    # answers. Docs tokenizing to nothing were absent from the exploded
+    # groupBy, matching the score >= 1 filter.
+    stats = docs.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(F.filter(T.tokens("text"), lambda t: t != ""))
+        ).alias("score"),
+    ).filter(F.col("score") >= 1)
     d = F.ntile(10).over(Window.orderBy(F.desc("score"), "doc_id"))
     from nomba_data_pipeline_spark.functions.hashing import h64
 
@@ -4745,21 +4780,30 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats appear only in the output, never in a comparison). The
     unigram join broadcasts: vocabulary is tiny relative to corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    # ONE tokenize pass (guide §2.4): the per-doc token-array frame is
+    # checkpointed lazily and feeds BOTH the bigram branch (>=2-token
+    # docs) and the unigram counts (all docs) — previously each branch
+    # re-ran the regex tokenize from its own scan. explode(filtered
+    # array) == explode(raw).filter(tok != ''), so the unigram multiset
+    # is unchanged.
     toked = docs.select(
         F.filter(T.tokens("text"), lambda t: t != "").alias("toks")
-    ).filter(F.size("toks") >= 2)
-    bigrams = toked.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("toks", 1, F.size("toks") - 1).alias("a"),
-                F.slice("toks", 2, F.size("toks") - 1).alias("b"),
-            )
-        ).alias("bg")
-    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    ).localCheckpoint(eager=False)
+    bigrams = (
+        toked.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1).alias("a"),
+                    F.slice("toks", 2, F.size("toks") - 1).alias("b"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    )
     bg_counts = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     uni = (
-        docs.select(F.explode(T.tokens("text")).alias("tok"))
-        .filter(F.col("tok") != "")
+        toked.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -5285,15 +5329,26 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost scales with postings touched, not corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     qtoks = list(BM25_QUERY_TOKENS)
-    toks = docs.select(
-        "doc_id", F.explode(T.tokens("text")).alias("token")
-    ).filter(F.col("token") != "")
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r16 (guide §2.4): ONE tokenize pass. The checkpointed per-doc
+    # token-array frame feeds both the length normalization and the
+    # query-token postings; doclen is MAP-SIDE (size of the filtered
+    # array — exactly the exploded count, and docs tokenizing to
+    # nothing were absent from the exploded groupBy, matching the
+    # dl >= 1 filter), deleting the per-doc count shuffle. Previously
+    # the corpus was tokenized three times (doclen, stats via doclen,
+    # tf).
+    arrs = docs.select(
+        "doc_id", F.filter(T.tokens("text"), lambda t: t != "").alias("arr")
+    ).localCheckpoint(eager=False)
+    doclen = arrs.select(
+        "doc_id", F.size("arr").cast("long").alias("dl")
+    ).filter(F.col("dl") >= 1)
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
     tf = (
-        toks.filter(F.col("token").isin(qtoks))
+        arrs.select("doc_id", F.explode("arr").alias("token"))
+        .filter(F.col("token").isin(qtoks))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -6698,36 +6753,51 @@ WHERE s.s_suppkey IN (
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape — suppliers who single-handedly held up
     multi-supplier orders: the line shipped >365 days after the order
-    date, ANOTHER supplier participated in the order (EXISTS), and NO
-    other supplier was also late (NOT EXISTS). Expressed through the
-    SQL surface so Catalyst's ExistenceJoin decorrelation of the
-    correlated non-equality predicates is the machinery under test."""
-    from nomba_data_pipeline_spark.catalog import register_views
-
-    register_views(spark, sf_dir, ("lineitem", "orders", "supplier"))
-    return spark.sql(
-        """
-        WITH flagged AS (
-            SELECT l.l_orderkey, l.l_suppkey,
-                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
-                        THEN 1 ELSE 0 END AS late
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        )
-        SELECT s.s_name AS supplier, count(*) AS numwait
-        FROM flagged f1
-        JOIN supplier s ON f1.l_suppkey = s.s_suppkey
-        WHERE f1.late = 1
-          AND EXISTS (
-              SELECT 1 FROM flagged f2
-              WHERE f2.l_orderkey = f1.l_orderkey
-                AND f2.l_suppkey <> f1.l_suppkey)
-          AND NOT EXISTS (
-              SELECT 1 FROM flagged f3
-              WHERE f3.l_orderkey = f1.l_orderkey
-                AND f3.l_suppkey <> f1.l_suppkey
-                AND f3.late = 1)
-        GROUP BY 1
-        """
+    date, ANOTHER supplier participated in the order, and NO other
+    supplier was also late. The EXISTS/NOT EXISTS surface form
+    (Catalyst's ExistenceJoin decorrelation) evaluated the flagged CTE
+    — a full lineitem-orders join — THREE times: 3 lineitem scans + 3
+    lineitem-sized exchanges + a semi AND an anti sort-merge join
+    (plans/r16/waiting_suppliers_before.txt). r16 rewrote it as ONE
+    pass over the fact (guide §2.3 aggregate-before-shuffle, §2.4):
+    aggregate line flags to order grain — the only lineitem-sized
+    exchange, partially aggregated map-side to one short row per order
+    — and decide both existence predicates from the per-order supplier
+    sets: EXISTS(other participant) == size(supps) > 1; given the f1
+    row itself is late, NOT EXISTS(other late supplier) ==
+    size(late_supps) == 1, and the per-supplier f1 row count is then
+    the order's late-line count, summed per supplier. collect_set
+    drops NULLs and its order never matters (size()==1 before
+    element_at). The oracle keeps the original EXISTS/NOT EXISTS SQL —
+    the two engines agree via independent algorithms."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.expr("l_shipdate > o_orderdate + INTERVAL 365 DAY"), 1
+        ).otherwise(0).alias("late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("supps"),
+        F.collect_set(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("late_supps"),
+        F.sum("late").alias("late_lines"),
+    )
+    held_up = per_order.filter(
+        (F.size("supps") > 1) & (F.size("late_supps") == 1)
+    ).select(F.element_at("late_supps", 1).alias("l_suppkey"), "late_lines")
+    return (
+        held_up.join(F.broadcast(sup), held_up.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.sum("late_lines").alias("numwait"))
     )
 
 
@@ -7065,7 +7135,7 @@ def q_cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~40x blowup, measured 11.6s -> ~1s at sf0.1 for this fix)
     toks = docs.select(
         "doc_id", F.filter(T.tokens("text"), lambda t: t != "").alias("arr")
-    )
+    ).localCheckpoint(eager=False)
     arr = F.col("arr")
     n = F.size(arr)
     grams = F.when(
@@ -7075,7 +7145,17 @@ def q_cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = toks.select("doc_id", F.explode(grams).alias("gram"))
+    # r16 (guide §2.4): the gram frame feeds THREE consumers (the
+    # distinct-doc count, the semi-join probe side, and the per-doc
+    # totals); previously each re-ran tokenize + per-window md5 from
+    # the scan. Now the token arrays and the exploded digests are each
+    # built once (lazy checkpoints), and n_windows comes map-side from
+    # the array length — size(grams) == n-k+1 when n >= k, and docs
+    # with zero windows were absent from the exploded groupBy exactly
+    # as the >=1 filter keeps them absent here.
+    g = toks.select("doc_id", F.explode(grams).alias("gram")).localCheckpoint(
+        eager=False
+    )
     rep = (
         g.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -7083,7 +7163,9 @@ def q_cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     flagged = g.join(rep, "gram", "left_semi")
-    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    totals = toks.select(
+        "doc_id", (n - k + 1).cast("long").alias("n_windows")
+    ).filter(F.col("n_windows") >= 1)
     reps = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_repeated"))
     return (
         totals.join(reps, "doc_id", "left")
