@@ -958,12 +958,18 @@ def precedence_dedup(
     (lowest `priority_col`), tie-broken by lowest id — the merge rule
     corpus builders apply when combining curated + crawled collections.
 
-    Plan: one fingerprint projection, then a row_number window and a
-    group aggregate, both hash-partitioned on the fingerprint — AQE
-    reuses the exchange, so at 100 TB this costs one shuffle on a
-    32-char key with map-side partial aggregation on the count leg.
-    Window ordering (prio, id) is a total order (ids unique), so the
-    winner is deterministic on both engines."""
+    Plan (r16): one fingerprint projection, then ONE fp-keyed exchange
+    serving all three statistics as windows over the same partition —
+    row_number picks the winner, count(*) is n_copies, and
+    size(collect_set(source)) is n_sources (countDistinct cannot ride a
+    window; the set is bounded by |sources| per fingerprint, a handful).
+    The previous winners-join-groups form evaluated the whole
+    scan+fingerprint subtree once PER BRANCH (the docstring's claimed
+    exchange reuse never fired — per-branch column pruning makes the
+    subtrees differ) and then paid a third sort for the fp join: 6
+    document scans and six md5 passes where one suffices. Window
+    ordering (prio, id) is a total order (ids unique), so the winner is
+    deterministic on both engines."""
     from pyspark.sql import Window
 
     withfp = docs.select(
@@ -973,21 +979,23 @@ def precedence_dedup(
         fingerprint(text_col).alias("fp"),
     )
     w = Window.partitionBy("fp").orderBy("prio", "doc_id")
-    winners = (
+    wp = Window.partitionBy("fp")
+    return (
         withfp.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .withColumn("n_copies", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "n_sources", F.size(F.collect_set("source").over(wp)).cast("long")
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_copies") > 1))
         .select(
             "fp",
             F.col("doc_id").alias("keeper_id"),
             F.col("source").alias("keeper_source"),
             F.col("prio").alias("keeper_prio"),
+            "n_copies",
+            "n_sources",
         )
     )
-    groups = withfp.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("n_copies"),
-        F.countDistinct("source").alias("n_sources"),
-    )
-    return winners.join(groups, "fp").filter(F.col("n_copies") > 1)
 
 
 def precedence_dedup_sql(union_cte: str) -> str:

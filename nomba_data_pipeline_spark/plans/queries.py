@@ -6711,14 +6711,18 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pair = flagged.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(_dec("l_quantity")).alias("sup_qty")
     )
-    per_part = per_pair.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.max("sup_qty").alias("max_qty")
-    )
+    # r16 (guide §2.4): the per-part max joined back as a WINDOW over
+    # the pair-grain frame — the separate per_part aggregate + equality
+    # join evaluated the whole lineitem-join-part-agg subtree once per
+    # branch. Exact decimal equality against max() keeps the identical
+    # tie membership; the extra exchange is pair-grain, never
+    # fact-sized.
     dominant = (
-        per_pair.join(
-            per_part,
-            (per_pair.l_partkey == per_part.pk) & (per_pair.sup_qty == per_part.max_qty),
+        per_pair.withColumn(
+            "max_qty",
+            F.max("sup_qty").over(Window.partitionBy("l_partkey")),
         )
+        .filter(F.col("sup_qty") == F.col("max_qty"))
         .select("l_suppkey")
         .distinct()
     )

@@ -7,6 +7,7 @@ Value parity for every rewritten row is additionally covered by the
 DuckDB mirror (test_queries_vs_duckdb) — the oracle SQL kept the
 original multi-pass forms, so the mirror IS the old-vs-new check."""
 
+from nomba_data_pipeline_spark.catalog import load_table
 from nomba_data_pipeline_spark.plans.queries import REGISTRY
 from tests.conftest import SF_SMALL
 
@@ -62,6 +63,68 @@ def test_waiting_suppliers_aggregate_form_matches_exists_form(spark):
     plan = _plan(new)
     assert plan.count("lineitem.parquet") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_precedence_dedup_single_pass_matches_join_form(spark):
+    """precedence_dedup computes winner + group stats as windows over
+    ONE fp-keyed exchange; pin exact equality against the old
+    winners-join-groups reference (which evaluated the scan+fingerprint
+    subtree once per branch) and the plan floor: 3 document scans (the
+    union's by-design slices), 1 exchange, no join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nomba_data_pipeline_spark.operators.dedup import (
+        fingerprint,
+        precedence_dedup,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    base = docs.select("doc_id", "source", F.lit(2).alias("prio"), "text")
+    curated = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("curated").alias("source"),
+        F.lit(0).alias("prio"),
+        "text",
+    )
+    merged = base.unionByName(curated)
+
+    new = precedence_dedup(merged)
+    withfp = merged.select(
+        "doc_id", "source", "prio", fingerprint("text").alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("prio", "doc_id")
+    winners = (
+        withfp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fp",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("source").alias("keeper_source"),
+            F.col("prio").alias("keeper_prio"),
+        )
+    )
+    groups = withfp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    ref = winners.join(groups, "fp").filter(F.col("n_copies") > 1)
+    assert new.columns == ref.columns
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
+    assert new.count() > 0  # the curated mirror guarantees dup groups
+    plan = _plan(new)
+    assert plan.count("documents.parquet") == 2, plan  # 2 union slices here
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_dominant_part_suppliers_scans_fact_once(spark):
+    """The per-part max is a window over the pair-grain aggregate, not
+    a second aggregate joined back — lineitem must appear in the plan
+    exactly once (the join form re-ran the fact join+agg per branch)."""
+    plan = _plan(REGISTRY["dominant_part_suppliers"].fn(spark, SF_SMALL))
+    assert plan.count("lineitem.parquet") == 1, plan
 
 
 def test_single_tokenize_rows_read_corpus_at_most_once(spark):
