@@ -4878,13 +4878,18 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     single rows. The median is exact interpolated (percentile ↔
     quantile_cont, the pinned cross-engine pair)."""
     docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.4): total_tokens rides the SAME global aggregate as
+    # the counts/percentile instead of its own corpus scan (4 -> 3
+    # passes; the remaining two legs genuinely need different grouping
+    # keys). Independent aggregates over the same rows — values
+    # unchanged.
     base = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
         F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
     )
-    toks = docs.agg(F.sum(T.token_count("text")).alias("total_tokens"))
     top = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -4898,7 +4903,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup_groups"))
     )
-    return base.crossJoin(toks).crossJoin(top).crossJoin(dups)
+    return base.crossJoin(top).crossJoin(dups)
 
 
 SQL_CORPUS_DATACARD = f"""
@@ -6322,30 +6327,42 @@ FROM swept GROUP BY 1
 # semi-joins back to the fact (Q18/Q20).
 # ---------------------------------------------------------------------------
 def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape — correlated scalar subquery: for each part of one
-    brand, the supplier row(s) whose observed price equals the minimum
-    ever charged for that part. Expressed through the SQL surface so
-    Catalyst's subquery decorrelation (RewriteCorrelatedScalarSubquery
-    -> aggregate + join) is the machinery under test, not a hand-built
-    window. DISTINCT collapses repeat fills at the same minimum; ties
-    across suppliers are kept, exactly like Q2. Equality on the raw
-    parquet double is exact — min() selects an existing value."""
-    from nomba_data_pipeline_spark.catalog import register_views
+    """TPC-H Q2 shape — for each part of one brand, the supplier row(s)
+    whose observed price equals the minimum ever charged for that part.
+    DISTINCT collapses repeat fills at the same minimum; ties across
+    suppliers are kept, exactly like Q2. Equality on the raw parquet
+    double is exact — min() selects an existing value.
 
-    register_views(spark, sf_dir, ("lineitem", "part", "supplier"))
-    return spark.sql(
-        """
-        SELECT DISTINCT p.p_partkey AS partkey, p.p_name AS part_name,
-               s.s_name AS supplier,
-               CAST(l.l_extendedprice AS DOUBLE) AS offer
-        FROM lineitem l
-        JOIN part p ON l.l_partkey = p.p_partkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        WHERE p.p_brand = 'Brand#13'
-          AND l.l_extendedprice = (
-              SELECT min(l2.l_extendedprice) FROM lineitem l2
-              WHERE l2.l_partkey = p.p_partkey)
-        """
+    r16 (guide §2.4): the correlated-subquery surface form decorrelated
+    to a FULL-lineitem aggregate (all parts, no brand pruning reaches
+    l2) sort-merge-joined back — two fact scans, one of them unpruned.
+    The correlation key is p_partkey and brand is a part attribute, so
+    the subquery's min over l2 rows of a brand part IS the window min
+    over the brand-pruned join: one fact scan, pruned by the broadcast
+    part join BEFORE the only partkey exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    flagged = li.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#13")),
+        li.l_partkey == part.p_partkey,
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        flagged.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .join(F.broadcast(sup), flagged.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier"),
+            F.col("l_extendedprice").cast("double").alias("offer"),
+        )
+        .distinct()
     )
 
 

@@ -127,6 +127,24 @@ def test_dominant_part_suppliers_scans_fact_once(spark):
     assert plan.count("lineitem.parquet") == 1, plan
 
 
+def test_corpus_datacard_three_corpus_passes(spark):
+    """total_tokens rides the same global aggregate as counts and the
+    percentile — the datacard reads the corpus exactly three times (the
+    two remaining legs need different grouping keys), not four."""
+    plan = _plan(REGISTRY["corpus_datacard"].fn(spark, SF_SMALL))
+    assert plan.count("documents.parquet") == 3, plan
+
+
+def test_min_price_supplier_scans_fact_once(spark):
+    """The Q2 correlated-subquery min is a window over the brand-pruned
+    join — lineitem appears once and no sort-merge join-back exists
+    (the decorrelated form aggregated the UNPRUNED fact a second
+    time)."""
+    plan = _plan(REGISTRY["min_price_supplier"].fn(spark, SF_SMALL))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_single_tokenize_rows_read_corpus_at_most_once(spark):
     """Each rewritten text row's physical plan references the documents
     scan at most once: the checkpointed rows read the corpus zero times
