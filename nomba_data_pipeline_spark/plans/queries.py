@@ -1053,6 +1053,13 @@ def q_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("side"),
         "bin",
     )
+    # NOTE r16: checkpointing counts + deriving the grid's event types
+    # from it (to collapse the plan's 8 events-scan branches) was A/B'd
+    # and REJECTED (0.89x median, overlapping reps —
+    # plans/r16/ab_s4_psi.json): unlike the pruned-branch cases, these
+    # branches are byte-identical projections, so runtime exchange
+    # reuse already shares the heavy pass and the checkpoint only adds
+    # materialization cost.
     counts = sided.groupBy("event_type", "side", "bin").agg(
         F.count(F.lit(1)).alias("n")
     )
